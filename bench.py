@@ -1,0 +1,65 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query executes end-to-end via the no-op sink (full scan ->
+transform -> exchange pipeline, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "flagship_customer_segments",
+    "a0_pricing_summary",
+    "j3_fact_dim_join",
+    "o2_dedup_keep_last",
+    "w2_running_sum",
+    "i2_upsert_last_writer_wins",
+    "i3_watermark_append",
+    "f2_safe_date",
+    "f3_safe_num",
+    "st1_tumbling_window",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from python_etl_pipeline_spark.session import get_spark
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    spark = get_spark("bench")
+    # warm the JVM/session so the first query doesn't pay startup cost
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""Relational core operators (SURVEY.md §2.2–2.7).
+
+Pure ``DataFrame -> DataFrame`` functions over stock Spark primitives —
+Catalyst handles pruning, pushdown and join-strategy selection; nothing
+here hand-schedules what the optimizer already does.
+"""
+
+from .project import validate_and_project, pk_filter, normalize_nulls
+from .dedup import dedup_keep_first, dedup_keep_last, distinct_keys, digit_sort_key
+from .joins import split_new_vs_existing, fk_join
+from .aggregate import table_counts, multi_agg_summary
+
+__all__ = [
+    "validate_and_project",
+    "pk_filter",
+    "normalize_nulls",
+    "dedup_keep_first",
+    "dedup_keep_last",
+    "distinct_keys",
+    "digit_sort_key",
+    "split_new_vs_existing",
+    "fk_join",
+    "table_counts",
+    "multi_agg_summary",
+]

@@ -1,0 +1,11 @@
+"""Incremental / merge plans (SURVEY.md §2.9)."""
+
+from .merge import upsert_last_writer_wins
+from .incremental import incremental_append_watermark, incremental_append_antijoin, reconcile_counts
+
+__all__ = [
+    "upsert_last_writer_wins",
+    "incremental_append_watermark",
+    "incremental_append_antijoin",
+    "reconcile_counts",
+]

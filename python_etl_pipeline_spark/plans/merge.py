@@ -1,0 +1,47 @@
+"""Snapshot upsert — last-writer-wins merge (SURVEY.md §2.9 I2/K1).
+
+The reference's ``INSERT ... ON DUPLICATE KEY UPDATE``
+(src/extract.py:328-357, src/transform.py:265-274) is a per-PK
+last-writer-wins merge. Plain parquet has no MERGE, so the engine
+expresses it as union + ranked dedup over an explicit version column:
+
+    merged = union(existing, incoming)
+             -> row_number() over (partition by pk order by version desc)
+             -> keep rn = 1
+
+Determinism at scale: callers MUST supply an explicit ``version_col``
+(ingest sequence / batch id / event time). ``monotonically_increasing_id``
+is not stable across runs and is deliberately not defaulted here
+(SURVEY.md §7 phase 3 note). Cost model: one shuffle on the PK — the
+minimum any keyed merge pays; with a Delta/Iceberg table format the same
+call maps to MERGE INTO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert_last_writer_wins(
+    existing: DataFrame,
+    incoming: DataFrame,
+    pk: str | list[str],
+    version_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge ``incoming`` over ``existing``: highest ``version_col`` per PK
+    wins; ``tiebreak`` (descending) resolves equal versions deterministically.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    merged = existing.unionByName(incoming, allowMissingColumns=False)
+    order = [F.col(version_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

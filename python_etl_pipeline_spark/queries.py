@@ -1,0 +1,999 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string over the same parquet tables. Names map
+1:1 onto SURVEY.md §2's operator inventory (the key encodes the operator id).
+
+Parity rules (driver compares row-count + schema + order-insensitive
+value hash):
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are rounded in-query on both sides;
+* integer-valued computed columns are cast to BIGINT on both sides
+  (Spark's row_number is int32, DuckDB's is int64; DuckDB sum(BIGINT)
+  is HUGEINT — casts make them agree);
+* date/time constants are fixed literals so runs are deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import (
+    safe_val,
+    safe_num,
+    safe_date,
+    numeric_id,
+    normalize_null_sentinels,
+    calc_age,
+    tenure_days,
+    duration_months,
+    customer_segment,
+    risk_category,
+    transaction_category,
+    gender_norm,
+    fraud_flag,
+    region_map,
+)
+from .operators import (
+    dedup_keep_first,
+    dedup_keep_last,
+    split_new_vs_existing,
+    fk_join,
+    pk_filter,
+)
+from .plans import upsert_last_writer_wins, incremental_append_watermark
+
+AS_OF = "2026-01-01"  # fixed reference date for age/tenure determinism
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+        # reader rejects; read nanos as long and convert (micro precision).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, sql=sql)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Flagship — scan → broadcast FK joins → cleanse → band → aggregate
+# ===========================================================================
+
+@register(
+    "flagship_customer_segments",
+    """
+    SELECT r_name AS region,
+           CASE WHEN c_acctbal > 5000 THEN 'VIP'
+                WHEN c_acctbal > 1000 THEN 'Regular'
+                WHEN c_acctbal > 0    THEN 'New'
+                ELSE 'NA' END AS segment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal,
+           round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's whole transform tier in one plan — FK joins
+    it only declares (J3), segment banding (F6-shape), multi-agg (A3).
+    Dimensions broadcast (25 + 5 rows); the agg partial-aggregates map-side."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    seg = (
+        F.when(F.col("c_acctbal") > 5000, "VIP")
+        .when(F.col("c_acctbal") > 1000, "Regular")
+        .when(F.col("c_acctbal") > 0, "New")
+        .otherwise("NA")
+    )
+    return (
+        fk_join(customer, nation, on=[customer.c_nationkey == nation.n_nationkey], broadcast_dim=True)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("segment", seg)
+        .groupBy(F.col("r_name").alias("region"), "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Aggregations (A1–A6) + TPC-H Q1-style pricing summary
+# ===========================================================================
+
+@register(
+    "a0_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's headline agg — 8 aggregates, 2 group
+    keys, filter pushed to the parquet scan, fully map-side-combinable."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a1_table_counts",
+    """
+    SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    """,
+)
+def a1_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-table row counts (verification surface, src/extract.py:558)."""
+    from .operators import table_counts
+
+    return table_counts(
+        {name: _t(spark, sf_dir, name) for name in ("customer", "orders", "lineitem")}
+    )
+
+
+@register(
+    "a2_max_watermark",
+    "SELECT max(o_orderkey) AS max_key, max(o_orderdate) AS max_date FROM orders",
+)
+def a2_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: high-watermark probe (src/load.py:133-134)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_key"), F.max("o_orderdate").alias("max_date")
+    )
+
+
+@register(
+    "a3_multiagg_summary",
+    """
+    SELECT count(*) AS n, round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+    FROM events
+    """,
+)
+def a3_multiagg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: one-pass COUNT/SUM/MAX summary (src/extract.py:573-580)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register("a4_distinct_keys", "SELECT DISTINCT o_custkey FROM orders")
+def a4_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: DISTINCT key projection (src/extract.py:320)."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@register(
+    "a6_dedup_counters",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT o_custkey) AS distinct_keys,
+           count(*) - count(DISTINCT o_custkey) AS duplicates
+    FROM orders
+    """,
+)
+def a6_dedup_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: duplicate accounting (src/transform.py:33-38)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("o_custkey").alias("distinct_keys"),
+        (F.count("*") - F.countDistinct("o_custkey")).alias("duplicates"),
+    )
+
+
+# ===========================================================================
+# Projections / filters (P1–P5)
+# ===========================================================================
+
+@register(
+    "p1_projection_reorder",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def p1_projection_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: validated projection into canonical order; Catalyst prunes the
+    scan to exactly these columns (check ReadSchema)."""
+    from .operators import validate_and_project
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return validate_and_project(l, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+
+@register(
+    "p2_pk_filter",
+    """
+    WITH messy AS (
+      SELECT CASE WHEN doc_id % 10 = 0 THEN ''
+                  WHEN doc_id % 10 = 5 THEN NULL
+                  ELSE cast(doc_id AS VARCHAR) END AS pk
+      FROM documents
+    )
+    SELECT pk FROM messy WHERE pk IS NOT NULL AND trim(pk) <> ''
+    """,
+)
+def p2_pk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: PK non-null/non-empty guard (src/extract.py:387-388)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 10 == 0, F.lit(""))
+        .when(F.col("doc_id") % 10 == 5, F.lit(None))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("pk")
+    )
+    return pk_filter(d, "pk")
+
+
+@register(
+    "p3_null_sentinels",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['ok','nan','None','NaT','<NA>','','NULL','value'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN trim(raw) IN ('nan','None','NaT','<NA>','','NaN','NULL','null','N/A')
+                THEN NULL ELSE raw END AS cleaned
+    FROM messy
+    """,
+)
+def p3_null_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: null-sentinel normalization (src/extract.py:297-306)."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["ok", "nan", "None", "NaT", "<NA>", "", "NULL", "value"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    return e.select("event_id", normalize_null_sentinels(raw).alias("cleaned"))
+
+
+@register(
+    "p5_date_range_guard",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE year(o_orderdate) BETWEEN 1900 AND 2000
+    """,
+)
+def p5_date_range_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: year-validity range predicate (src/transform.py:189)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderdate").filter(
+        F.year("o_orderdate").between(1900, 2000)
+    )
+
+
+# ===========================================================================
+# Joins / set ops (J1, J3, set)
+# ===========================================================================
+
+@register(
+    "j1_anti_new_keys",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j1_anti_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (new half): customers absent from orders — the reference's Python
+    set difference (src/extract.py:397-402) as a distributed anti-join."""
+    new_rows, _ = split_new_vs_existing(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+    )
+    return new_rows.select("c_custkey")
+
+
+@register(
+    "j1_semi_existing_keys",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j1_semi_existing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (updated half): customers present in orders (semi join)."""
+    _, updated = split_new_vs_existing(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+    )
+    return updated.select("c_custkey")
+
+
+@register(
+    "j3_fact_dim_join",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j3_fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the fact-fact FK join (orders ⋈ lineitem on the key both sides
+    shuffle on; AQE right-sizes the exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "set1_except_intersect",
+    """
+    SELECT 'only_customers' AS side, count(*) AS n FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'both', count(*) FROM (
+      SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+    )
+    """,
+)
+def set1_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: set algebra on key projections (EXCEPT / INTERSECT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    only = c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("only_customers").alias("side"), "n"
+    )
+    both = c.intersect(o).agg(F.count("*").alias("n")).select(F.lit("both").alias("side"), "n")
+    return only.unionByName(both)
+
+
+# ===========================================================================
+# Sort / dedup / windows (O1–O5, W)
+# ===========================================================================
+
+@register(
+    "o1_digit_sort",
+    """
+    SELECT c_custkey,
+           cast(coalesce(try_cast(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT), 0) AS BIGINT) AS sort_key,
+           cast(row_number() OVER (
+             ORDER BY coalesce(try_cast(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT), 0),
+                      c_custkey) AS BIGINT) AS rn
+    FROM customer
+    """,
+)
+def o1_digit_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/F14: digit-concatenation sort key ('Customer#000000042' -> 42)
+    with an observable total order (src/extract.py:272-294)."""
+    c = _t(spark, sf_dir, "customer")
+    key = numeric_id(F.col("c_name")).cast("bigint")
+    w = Window.orderBy(key, F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        key.alias("sort_key"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "o2_dedup_keep_last",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def o2_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: keep-last dedup as a ranking window (src/extract.py:389).
+    Deterministic under parallelism via explicit (date, key) order."""
+    o = _t(spark, sf_dir, "orders")
+    d = dedup_keep_last(o, "o_custkey", [F.col("o_orderdate"), F.col("o_orderkey")])
+    return d.select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@register(
+    "o3_dedup_keep_first",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    """,
+)
+def o3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: keep-first dedup (src/transform.py:244)."""
+    o = _t(spark, sf_dir, "orders")
+    d = dedup_keep_first(o, "o_custkey", [F.col("o_orderdate"), F.col("o_orderkey")])
+    return d.select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+@register(
+    "w1_display_id",
+    """
+    SELECT o_orderkey, cast(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS display_id
+    FROM orders
+    """,
+)
+def w1_display_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: AUTO_INCREMENT display_id as a ranking window
+    (src/transform.py:85). Note: a single global window is a scale
+    anti-pattern — at 100 TB use zipWithIndex-style partition offsets; this
+    query pins the *semantics*."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return o.select("o_orderkey", F.row_number().over(w).cast("bigint").alias("display_id"))
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window extension: per-customer running total (engine surface beyond
+    the reference, natural on the banking schema)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "w3_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           cast(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — windowed rank + filter (guide's OLAP pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ===========================================================================
+# Scalar cleansing functions (F1–F16)
+# ===========================================================================
+
+@register(
+    "f1_safe_val",
+    """
+    WITH messy AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN '  ' || c_mktsegment || '  '
+                  WHEN c_custkey % 5 = 1 THEN 'NaN'
+                  WHEN c_custkey % 5 = 2 THEN ''
+                  WHEN c_custkey % 5 = 3 THEN NULL
+                  ELSE c_mktsegment END AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN raw IS NULL OR trim(raw) IN
+                  ('nan','None','NaT','<NA>','','NaN','NULL','null','N/A')
+                THEN 'Na'
+                ELSE upper(substr(trim(raw), 1, 1)) || lower(substr(trim(raw), 2)) END AS cleaned
+    FROM messy
+    """,
+)
+def f1_safe_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: safe_val with title-casing — null-ish -> 'NA' (title-cased to
+    'Na' here since the default passes through the case normalizer, exactly
+    as the reference's safe_val(default)+str.title() composition behaves)."""
+    c = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  ")))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("NaN"))
+        .when(F.col("c_custkey") % 5 == 2, F.lit(""))
+        .when(F.col("c_custkey") % 5 == 3, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return c.select("c_custkey", safe_val(raw, title=True).alias("cleaned"))
+
+
+@register(
+    "f3_safe_num",
+    """
+    WITH cents AS (
+      SELECT o_orderkey, cast(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), messy AS (
+      SELECT o_orderkey,
+             '₹ ' || format('{:,}', c // 100) || '.' || lpad(cast(c % 100 AS VARCHAR), 2, '0') AS raw,
+             c
+      FROM cents
+    )
+    SELECT o_orderkey, raw,
+           cast(cast(c // 100 AS VARCHAR) || '.' || lpad(cast(c % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS amount
+    FROM messy
+    """,
+)
+def f3_safe_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: currency-stripping numeric parse. Builds '₹ 123,456.78'-style
+    strings deterministically from o_totalprice, then parses them back with
+    safe_num (strip ₹/$/,/space -> decimal(15,2) -> double)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    intpart = F.floor(cents / 100).cast("bigint")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    raw = F.concat(F.lit("₹ "), F.format_number(intpart, 0), F.lit("."), frac)
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        safe_num(raw).cast("double").alias("amount"),
+    )
+
+
+@register(
+    "f2_safe_date",
+    """
+    WITH formatted AS (
+      SELECT o_orderkey, o_orderdate AS d,
+             CASE cast(o_orderkey % 4 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%d-%m-%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 2 THEN strftime(o_orderdate, '%d/%m/%Y')
+               ELSE strftime(o_orderdate, '%d-%m-%y')
+             END AS raw
+      FROM orders
+    )
+    SELECT o_orderkey, raw, cast(cast(d AS DATE) AS TIMESTAMP) AS parsed
+    FROM formatted
+    """,
+)
+def f2_safe_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: multi-format date parse round-trip. Four surface formats
+    (dd-mm-yyyy, iso, dd/mm/yyyy, dd-mm-yy with the 2-digit pivot) are
+    generated from o_orderdate and must all parse back to the original
+    date. The oracle emits the original date directly — parity proves the
+    parser inverts every format, pivot included."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "dd-MM-yyyy"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "dd-MM-yy"))
+    )
+    return o.select(
+        "o_orderkey", raw.alias("raw"), safe_date(raw).cast("timestamp").alias("parsed")
+    )
+
+
+@register(
+    "f4_calc_age",
+    f"""
+    SELECT o_orderkey,
+           cast(greatest(
+             year(DATE '{AS_OF}') - year(o_orderdate)
+             - CASE WHEN (month(DATE '{AS_OF}'), day(DATE '{AS_OF}'))
+                       < (month(o_orderdate), day(o_orderdate))
+                    THEN 1 ELSE 0 END,
+             0) AS BIGINT) AS age
+    FROM orders
+    """,
+)
+def f4_calc_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: birthday-aware age (o_orderdate standing in for dob; fixed
+    as-of date for determinism)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        calc_age(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date")).cast("bigint").alias("age"),
+    )
+
+
+@register(
+    "f5_tenure_days",
+    f"""
+    SELECT o_orderkey,
+           cast(greatest(coalesce(date_diff('day', cast(o_orderdate AS DATE), DATE '{AS_OF}'), 0), 0) AS BIGINT)
+             AS tenure_days
+    FROM orders
+    """,
+)
+def f5_tenure_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: tenure in days, clamped at 0 (src/transform.py:310-314)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tenure_days(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date"))
+        .cast("bigint")
+        .alias("tenure_days"),
+    )
+
+
+@register(
+    "f6_customer_segment",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey,
+             greatest(coalesce(date_diff('day', cast(o_orderdate AS DATE), DATE '{AS_OF}'), 0), 0) AS tenure
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN tenure >= 730 THEN 'VIP'
+                WHEN tenure >= 180 THEN 'Regular'
+                WHEN tenure > 0 THEN 'New'
+                ELSE 'NA' END AS segment
+    FROM t
+    """,
+)
+def f6_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: tenure banding (src/transform.py:316-317)."""
+    o = _t(spark, sf_dir, "orders")
+    tenure = tenure_days(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date"))
+    return o.select("o_orderkey", customer_segment(tenure).alias("segment"))
+
+
+@register(
+    "f7_region_map",
+    """
+    SELECT c_custkey,
+           CASE WHEN upper(c_mktsegment) LIKE '%FURN%' OR upper(c_mktsegment) LIKE '%AUTO%' THEN 'North'
+                WHEN upper(c_mktsegment) LIKE '%MACH%' THEN 'West'
+                WHEN upper(c_mktsegment) LIKE '%HOUSE%' THEN 'South'
+                ELSE 'NA' END AS region
+    FROM customer
+    """,
+)
+def f7_region_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: substring-containment region mapping (src/transform.py:251-258)
+    — 'HOUSE' matching HOUSEHOLD reproduces the reference's 'UP' ⊂
+    'UTTAR PRADESH' quirk."""
+    c = _t(spark, sf_dir, "customer")
+    words = [
+        ("North", ["FURN", "AUTO"]),
+        ("West", ["MACH"]),
+        ("South", ["HOUSE"]),
+    ]
+    return c.select("c_custkey", region_map(F.col("c_mktsegment"), words).alias("region"))
+
+
+@register(
+    "f8_gender_norm",
+    """
+    WITH messy AS (
+      SELECT c_custkey,
+             (['M','f','male','Female','  FEMALE  ','x'])[cast(c_custkey % 6 + 1 AS INT)] AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN lower(trim(raw)) IN ('m','male') THEN 'M'
+                WHEN lower(trim(raw)) IN ('f','female') THEN 'F'
+                ELSE 'N' END AS gender
+    FROM messy
+    """,
+)
+def f8_gender_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: gender normalization (src/transform.py:323-327)."""
+    c = _t(spark, sf_dir, "customer")
+    choices = F.array(*[F.lit(s) for s in ["M", "f", "male", "Female", "  FEMALE  ", "x"]])
+    raw = F.element_at(choices, (F.col("c_custkey") % 6 + 1).cast("int"))
+    return c.select("c_custkey", gender_norm(raw).alias("gender"))
+
+
+@register(
+    "f9_duration_months",
+    """
+    SELECT o_orderkey,
+           cast(greatest((2025 - year(o_orderdate)) * 12 + (6 - month(o_orderdate)), 0) AS BIGINT)
+             AS duration_months
+    FROM orders
+    """,
+)
+def f9_duration_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: calendar-month period difference, day-insensitive, clamped
+    (src/transform.py:392-395) — deliberately NOT months_between."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        duration_months(F.col("o_orderdate"), F.lit("2025-06-15").cast("date"))
+        .cast("bigint")
+        .alias("duration_months"),
+    )
+
+
+@register(
+    "f10_risk_category",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 500000 THEN 'High'
+                WHEN o_totalprice > 100000 THEN 'Medium'
+                ELSE 'Low' END AS risk_category
+    FROM orders
+    """,
+)
+def f10_risk_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: loan-amount banding (src/transform.py:397-398)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", risk_category(F.col("o_totalprice")).alias("risk_category"))
+
+
+@register(
+    "f11_transaction_category",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice > 10000 THEN 'Large'
+                WHEN l_extendedprice > 1000 THEN 'Medium'
+                ELSE 'Small' END AS txn_category
+    FROM lineitem
+    """,
+)
+def f11_transaction_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: transaction amount banding (src/transform.py:462-463)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        transaction_category(F.col("l_extendedprice")).alias("txn_category"),
+    )
+
+
+@register(
+    "f12_fraud_flag",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['true','1','yes','y','no','0','TRUE','zzz'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id, lower(trim(raw)) IN ('true','1','yes','y') AS fraud
+    FROM messy
+    """,
+)
+def f12_fraud_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: tolerant boolean parse (src/transform.py:457-460)."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["true", "1", "yes", "y", "no", "0", "TRUE", "zzz"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    return e.select("event_id", fraud_flag(raw).alias("fraud"))
+
+
+@register(
+    "f15_md5_hash",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def f15_md5_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: content hashing (file-level in the reference; row-level here —
+    same primitive both engines compute identically)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+@register(
+    "f16_case_norms",
+    """
+    SELECT doc_id,
+           upper(source) AS source_upper,
+           lower(lang) AS lang_lower,
+           upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS source_title
+    FROM documents
+    """,
+)
+def f16_case_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: case normalizations (initcap/upper/lower call sites in
+    src/transform.py:246-321)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("source_upper"),
+        F.lower("lang").alias("lang_lower"),
+        F.initcap("source").alias("source_title"),
+    )
+
+
+# ===========================================================================
+# Incremental / merge (I2, I3, I4)
+# ===========================================================================
+
+@register(
+    "i2_upsert_last_writer_wins",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, 1 AS batch FROM orders
+    ), incoming AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 2 AS batch
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM incoming
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, cast(batch AS BIGINT) AS batch
+    FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) = 1
+    """,
+)
+def i2_upsert_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2/K1: ON-DUPLICATE-KEY-UPDATE as union + ranked dedup with an
+    explicit version column (src/extract.py:328-357)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", F.lit(1).alias("batch"))
+    incoming = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"), F.lit(2).alias("batch"))
+    )
+    merged = upsert_last_writer_wins(base, incoming, "o_orderkey", "batch")
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("batch").cast("bigint").alias("batch"),
+    )
+
+
+@register(
+    "i3_watermark_append",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-12-31 00:00:00'
+    """,
+)
+def i3_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: high-watermark incremental append — the predicate pushes into
+    the scan (replaces the reference's LIMIT/OFFSET heuristic,
+    src/load.py:124-205)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return incremental_append_watermark(
+        o, "o_orderdate", F.lit("1999-12-31 00:00:00").cast("timestamp")
+    )
+
+
+@register(
+    "i3_antijoin_append",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+    """,
+)
+def i3_antijoin_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 (exact form): anti-join append of rows absent from the target
+    (target simulated as the even-key half)."""
+    from .plans import incremental_append_antijoin
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    return incremental_append_antijoin(o, target, "o_orderkey").select("o_orderkey")
+
+
+@register(
+    "i4_reconcile_counts",
+    """
+    SELECT (SELECT count(*) FROM orders) AS source_count,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS target_count,
+           (SELECT count(*) FROM orders) = (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS synced
+    """,
+)
+def i4_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: row-count reconciliation as a single-row report
+    (src/load.py:317-360)."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.agg(F.count("*").alias("source_count"))
+    dst = o.filter(F.col("o_orderkey") % 2 == 0).agg(F.count("*").alias("target_count"))
+    return src.crossJoin(dst).select(
+        "source_count",
+        "target_count",
+        (F.col("source_count") == F.col("target_count")).alias("synced"),
+    )
+
+
+# ===========================================================================
+# Streaming-shaped (event-time windows over the events table)
+# ===========================================================================
+
+@register(
+    "st1_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: tumbling event-time window aggregation — same
+    F.window operator Structured Streaming uses, run in batch."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

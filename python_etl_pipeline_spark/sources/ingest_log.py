@@ -1,0 +1,92 @@
+"""Idempotent file ingestion via a content-hash ingest log.
+
+SURVEY.md §2.1 S4 / §2.9 I1: the reference tracks (file_name, md5) in an
+``etl_file_tracker`` table (src/extract.py:115-123, :210-270) and skips
+files already ingested with unchanged content; changed content
+re-processes.
+
+Engine form: a small parquet log table keyed by (file_name, file_hash).
+``filter_new_files`` is driver-side over file *metadata* (one row per
+file, never per data row) so it stays cheap at any data scale — 100 TB
+of data is still only thousands of log rows. For streaming cadence the
+same idempotency comes from the file-source checkpoint
+(streaming/file_stream.py).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..functions.cleansing import file_md5
+
+LOG_SCHEMA = T.StructType([
+    T.StructField("file_name", T.StringType(), False),
+    T.StructField("file_hash", T.StringType(), False),
+    T.StructField("file_size_mb", T.DoubleType(), True),
+    T.StructField("record_count", T.LongType(), True),
+    T.StructField("processed_at", T.TimestampType(), True),
+])
+
+
+class IngestLog:
+    """Parquet-backed ingest log with the reference's skip semantics."""
+
+    def __init__(self, spark: SparkSession, log_dir: str):
+        self.spark = spark
+        self.log_dir = log_dir
+
+    def _read(self):
+        try:
+            return self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir)
+        except Exception:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+
+    def seen(self) -> set[tuple[str, str]]:
+        return {
+            (r["file_name"], r["file_hash"])
+            for r in self._read().select("file_name", "file_hash").collect()
+        }
+
+    def filter_new_files(self, paths: list[str]) -> list[str]:
+        """Return only paths not yet ingested with identical content.
+
+        Same-name-changed-content files pass through (re-process), exactly
+        matching src/extract.py:222-244.
+        """
+        seen = self.seen()
+        out = []
+        for p in paths:
+            key = (os.path.basename(p), file_md5(p))
+            if key not in seen:
+                out.append(p)
+        return out
+
+    def mark_processed(self, path: str, record_count: int) -> None:
+        """Append one log row for an ingested file (src/extract.py:246-270)."""
+        p = Path(path)
+        row = [(
+            p.name,
+            file_md5(p),
+            p.stat().st_size / (1024 * 1024),
+            record_count,
+            datetime.now(timezone.utc).replace(tzinfo=None),
+        )]
+        self.spark.createDataFrame(row, LOG_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.log_dir)
+
+    def summary(self):
+        """A3-style multi-agg over the log (src/extract.py:573-580)."""
+        from pyspark.sql import functions as F
+
+        return self._read().agg(
+            F.count("*").alias("n_files"),
+            F.sum("record_count").alias("sum_records"),
+            F.sum("file_size_mb").alias("sum_size_mb"),
+            F.max("processed_at").alias("last_processed_at"),
+        )

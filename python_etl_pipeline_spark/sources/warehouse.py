@@ -1,0 +1,47 @@
+"""Three-layer parquet warehouse (SURVEY.md §1.4).
+
+staging -> transformed -> production directories, replacing the
+reference's three databases (MySQL stagging/transformed + PostgreSQL
+bank_production). Writers are layout-aware: the production fact sink
+partitions by date (replacing the reference's secondary indexes,
+K6 src/load.py:107-122 — partition pruning is the scalable analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYERS = ("staging", "transformed", "production")
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, layer: str, table: str) -> str:
+        assert layer in LAYERS, layer
+        return f"{self.root}/{layer}/{table}"
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, table))
+
+    def overwrite(self, df: DataFrame, layer: str, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        """Snapshot rewrite — the upsert sink's terminal step (K1/K2)."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(layer, table))
+
+    def append(self, df: DataFrame, layer: str, table: str,
+               partition_by: list[str] | None = None) -> None:
+        """Append-only sink (K3, src/load.py:207-255)."""
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(layer, table))
+
+    def export_csv(self, df: DataFrame, out_dir: str) -> None:
+        """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
+        df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)

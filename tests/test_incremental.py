@@ -1,0 +1,82 @@
+"""Incremental layer tests: last-writer-wins merge, watermark/anti-join
+append, count reconciliation, idempotent file ingestion, all-string CSV
+read (FIXTURES.md cross-cutting requirements 3/4/5)."""
+
+from __future__ import annotations
+
+import csv as csvmod
+
+from pyspark.sql import functions as F
+
+from python_etl_pipeline_spark.plans import (
+    upsert_last_writer_wins,
+    incremental_append_watermark,
+    incremental_append_antijoin,
+    reconcile_counts,
+)
+from python_etl_pipeline_spark.sources import IngestLog, read_csv_all_string
+
+
+def test_upsert_last_writer_wins(spark):
+    existing = spark.createDataFrame(
+        [("1", "old", 1), ("2", "old", 1)], ["pk", "v", "version"]
+    )
+    incoming = spark.createDataFrame(
+        [("2", "new", 2), ("3", "new", 2)], ["pk", "v", "version"]
+    )
+    out = {r["pk"]: r["v"] for r in
+           upsert_last_writer_wins(existing, incoming, "pk", "version").collect()}
+    assert out == {"1": "old", "2": "new", "3": "new"}
+
+
+def test_upsert_tiebreak_deterministic(spark):
+    existing = spark.createDataFrame([("1", "a", 1, 10)], ["pk", "v", "version", "seq"])
+    incoming = spark.createDataFrame([("1", "b", 1, 20)], ["pk", "v", "version", "seq"])
+    out = upsert_last_writer_wins(existing, incoming, "pk", "version", tiebreak="seq").collect()
+    assert out[0]["v"] == "b"  # same version: higher seq wins
+
+
+def test_watermark_append(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["seq"])
+    out = incremental_append_watermark(df, "seq", 6)
+    assert sorted(r["seq"] for r in out.collect()) == [7, 8, 9]
+
+
+def test_antijoin_append_and_reconcile(spark):
+    incoming = spark.createDataFrame([(i,) for i in range(5)], ["pk"])
+    target = spark.createDataFrame([(0,), (1,)], ["pk"])
+    appended = incremental_append_antijoin(incoming, target, "pk")
+    assert sorted(r["pk"] for r in appended.collect()) == [2, 3, 4]
+    rep = reconcile_counts(incoming, target.unionByName(appended))
+    assert rep["synced"] and rep["difference"] == 0
+
+
+def test_ingest_log_idempotency(spark, tmp_path):
+    f = tmp_path / "customers_1.csv"
+    f.write_text("customer_id,name\n1,a\n2,b\n")
+    log = IngestLog(spark, str(tmp_path / "_ingest_log"))
+
+    assert log.filter_new_files([str(f)]) == [str(f)]
+    log.mark_processed(str(f), record_count=2)
+    # identical re-delivery -> skipped
+    assert log.filter_new_files([str(f)]) == []
+    # same name, changed content -> re-processed
+    f.write_text("customer_id,name\n1,a\n2,b\n3,c\n")
+    assert log.filter_new_files([str(f)]) == [str(f)]
+    summary = log.summary().collect()[0]
+    assert summary["n_files"] == 1 and summary["sum_records"] == 2
+
+
+def test_read_csv_all_string(spark, tmp_path):
+    p = tmp_path / "branches.csv"
+    with open(p, "w", newline="") as fh:
+        w = csvmod.writer(fh)
+        w.writerow(["branch_id", "branch_name", "city"])
+        w.writerow(["QT0001", "Viswanathan, Singh and Bhattacharyya Branch", "Pune"])
+        w.writerow(["QT0002", "", "Agra"])
+    df = read_csv_all_string(spark, str(p), ["branch_id", "branch_name", "city"])
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = {r["branch_id"]: r for r in df.collect()}
+    # quoted comma preserved; empty string stays empty (keep_default_na=False)
+    assert rows["QT0001"]["branch_name"] == "Viswanathan, Singh and Bhattacharyya Branch"
+    assert rows["QT0002"]["branch_name"] == ""

@@ -1,0 +1,62 @@
+"""Relational core operator tests: dedup determinism, projection
+validation, key splits — the reference's order-sensitive semantics
+(FIXTURES.md cross-cutting requirements 2/3/5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_pipeline_spark.operators import (
+    validate_and_project,
+    pk_filter,
+    normalize_nulls,
+    dedup_keep_first,
+    dedup_keep_last,
+    split_new_vs_existing,
+)
+from python_etl_pipeline_spark.operators.project import SchemaMismatchError
+
+
+@pytest.fixture
+def dup_df(spark):
+    # (pk, seq, val): pk 'a' appears 3x, 'b' 2x
+    rows = [("a", 1, "a1"), ("a", 2, "a2"), ("a", 3, "a3"), ("b", 1, "b1"), ("b", 2, "b2"), ("c", 1, "c1")]
+    return spark.createDataFrame(rows, ["pk", "seq", "val"])
+
+
+def test_dedup_keep_last(spark, dup_df):
+    out = {r["pk"]: r["val"] for r in dedup_keep_last(dup_df, "pk", "seq").collect()}
+    assert out == {"a": "a3", "b": "b2", "c": "c1"}
+
+
+def test_dedup_keep_first(spark, dup_df):
+    out = {r["pk"]: r["val"] for r in dedup_keep_first(dup_df, "pk", "seq").collect()}
+    assert out == {"a": "a1", "b": "b1", "c": "c1"}
+
+
+def test_validate_and_project(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], ["b", "a", "c"])
+    out = validate_and_project(df, ["a", "b", "c"])
+    assert out.columns == ["a", "b", "c"]
+    with pytest.raises(SchemaMismatchError):
+        validate_and_project(df, ["a", "b", "d"])
+
+
+def test_pk_filter(spark):
+    df = spark.createDataFrame([("1",), ("",), ("  ",), (None,), ("2",)], ["pk"])
+    assert sorted(r["pk"] for r in pk_filter(df, "pk").collect()) == ["1", "2"]
+
+
+def test_normalize_nulls(spark):
+    df = spark.createDataFrame([("nan", 1), ("ok", 2), ("<NA>", 3), ("", 4)], ["s", "i"])
+    out = [r["s"] for r in normalize_nulls(df).orderBy("i").collect()]
+    assert out == [None, "ok", None, None]
+
+
+def test_split_new_vs_existing(spark):
+    incoming = spark.createDataFrame([("1", "x"), ("2", "y"), ("3", "z")], ["pk", "v"])
+    existing = spark.createDataFrame([("2", "old"), ("9", "old")], ["pk", "v"])
+    new_rows, updated = split_new_vs_existing(incoming, existing, "pk")
+    assert sorted(r["pk"] for r in new_rows.collect()) == ["1", "3"]
+    assert sorted(r["pk"] for r in updated.collect()) == ["2"]
