@@ -28,6 +28,12 @@ HEADLINE = [
     "f2_safe_date",
     "f3_safe_num",
     "st1_tumbling_window",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd3_ngram_jaccard",
+    "dd5_embedding_neardup",
+    "ann1_bruteforce_topk",
+    "tx2_quality_score",
 ]
 
 

@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers of dedup, all DataFrame-native and hash-deterministic
+(md5 — identical in Spark and DuckDB, so every operator is
+oracle-checkable):
+
+* **exact** — group by content fingerprint; keep min id. One shuffle
+  on the 16-byte hash regardless of document size.
+* **MinHash + LSH** — shingle -> k min-hashes -> band buckets ->
+  candidate pairs via a bucket self-join. At 100 TB this is THE
+  scalable near-dup path: cost is O(docs x shingles) for signatures
+  (map-side) plus a shuffle keyed by (band, bucket-hash); no all-pairs
+  comparison ever materializes.
+* **SimHash** — 16-bit majority-vote signature; near-dups share or
+  almost share the signature (join on signature or small Hamming ball).
+* **n-gram Jaccard** — exact set similarity, evaluated only on pairs
+  that share at least one shingle (inverted-index join), never all
+  pairs.
+
+Embedding-cosine near-dup lives in similarity.py (same pair machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content hash with the surviving
+    (minimum) id and the duplicate count."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct not applied —
+    callers choose)."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = tokens(col)
+    # positions 1 .. size-n+1, each -> space-joined slice of n tokens
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (kept adjacent so the two stay in
+    lock-step)."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+# Affine MinHash family over a single 32-bit md5-derived shingle hash:
+# hash_j(s) = (A_j * h32(s) + B_j) mod P. One md5 per shingle total (the
+# 16 per-seed re-hashes of the naive scheme were 16x the md5 cost);
+# products stay < 2^62 so 64-bit arithmetic is exact in both engines.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_AB: list[tuple[int, int]] = [
+    (1_203_793_621, 422_527_909), (633_992_881, 1_979_550_215),
+    (905_080_397, 19_217_741), (1_537_206_167, 873_420_029),
+    (411_757_933, 1_355_098_493), (1_846_337_491, 705_271_837),
+    (297_814_549, 1_122_706_873), (1_088_425_333, 255_119_957),
+    (721_638_419, 1_684_913_251), (1_429_867_561, 542_338_199),
+    (183_929_977, 958_274_561), (1_962_515_129, 1_247_830_103),
+    (514_296_553, 86_341_267), (1_316_782_951, 1_530_920_689),
+    (836_197_201, 370_158_413), (1_675_440_347, 1_810_376_917),
+]
+
+
+def minhash_signature_sql_parts(n_hashes: int = 16):
+    """(A, B) constants shared with the DuckDB oracle."""
+    return MINHASH_AB[:n_hashes]
+
+
+def _h32(md5_col: Column) -> Column:
+    """First 8 hex chars of an md5 column -> bigint in [0, 2^32)."""
+    expr: Column = F.lit(0).cast("bigint")
+    for k in range(8):
+        expr = expr * 16 + (F.instr(F.lit(_HEX), F.substring(md5_col, k + 1, 1)) - 1)
+    return expr
+
+
+def _h32_sql(md5_expr: str) -> str:
+    expr = "cast(0 AS BIGINT)"
+    for k in range(8):
+        expr = f"({expr} * 16 + strpos('{_HEX}', substr({md5_expr}, {k + 1}, 1)) - 1)"
+    return expr
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via MinHash + LSH banding.
+
+    Plan shape at scale: signature computation is a pure projection
+    (no shuffle); band explosion multiplies rows by `bands`; the
+    self-join shuffles on (band, bucket_hash) only — documents that
+    share no bucket never meet. Skewed buckets (boilerplate shingles)
+    are handled by AQE skew-join; an optional bucket-size cap can drop
+    degenerate buckets.
+    """
+    assert bands * rows == n_hashes
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    h = _h32(F.md5(F.col("s")))
+    hashed = exploded.select(F.col(id_col), h.alias("h"))
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    with_sig = hashed.groupBy(id_col).agg(*sig_aggs)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"s{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = with_sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float = 0.3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count intersections, derive |A ∪ B| = |A| + |B| - |A ∩ B|.
+    All-pairs never materializes — only co-occurring pairs shuffle.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "s")
+    b = sh.select(F.col(id_col).alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(jac >= min_jaccard)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+# 16-bit simhash from the first 4 hex chars of md5(token): per bit, sum +1/-1
+# over tokens by bit value, take the sign. All arithmetic (strpos on a hex
+# alphabet + integer div/mod) so Spark and DuckDB agree bit-for-bit.
+
+_HEX = "0123456789abcdef"
+
+
+def _hexval(chr_col: Column) -> Column:
+    return (F.instr(F.lit(_HEX), chr_col) - 1).cast("int")
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """id -> 16-bit simhash (BIGINT). Explode tokens once, aggregate 16
+    bit-sums in a single groupBy pass (one shuffle on id)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h4 = F.substring(F.md5(F.col("tok")), 1, 4)
+    with_bits = toks.select(
+        id_col,
+        *[
+            (
+                ((_hexval(F.substring(h4, 4 - b // 4, 1)) / (2 ** (b % 4))).cast("int") % 2)
+                .alias(f"bit{b}")
+            )
+            for b in range(16)
+        ],
+    )
+    aggs = [
+        F.sum(F.when(F.col(f"bit{b}") == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(16)
+    ]
+    summed = with_bits.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash16_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`simhash16`."""
+    tok_cte = (
+        f"SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok "
+        f"FROM {table}"
+    )
+    bit_exprs = []
+    for b in range(16):
+        char_idx = 4 - b // 4  # 1-based from left; bit15 lives in char 1
+        bit_exprs.append(
+            f"cast(floor((strpos('{_HEX}', substr(md5(tok), {char_idx}, 1)) - 1) "
+            f"/ {2 ** (b % 4)}) AS INT) % 2 AS bit{b}"
+        )
+    sum_exprs = [
+        f"sum(CASE WHEN bit{b} = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+    ]
+    sim_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+    WITH toks AS ({tok_cte}),
+    bits AS (SELECT {id_col}, {', '.join(bit_exprs)} FROM toks),
+    sums AS (SELECT {id_col}, {', '.join(sum_exprs)} FROM bits GROUP BY {id_col})
+    SELECT {id_col}, cast({sim_terms} AS BIGINT) AS simhash FROM sums
+    """

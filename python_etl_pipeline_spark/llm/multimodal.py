@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` operators so the heavy per-item
+work stays columnar-batched and parallel (one Python worker per
+partition, Arrow transfer, no per-row pickling).
+
+The actual codec step is STUBBED (image/audio libraries are not in this
+container): ``decode_real`` raises NotImplementedError, and the default
+feature extractor is a deterministic fake (hash-derived) so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("digest", T.StringType(), True),
+    T.StructField("feat0", T.DoubleType(), True),
+])
+
+
+def attach_binary_payload(
+    df: DataFrame, content_col: str, id_col: str, mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Wrap a string column as a (payload: binary, meta: struct) media
+    column — the boundary where real pipelines would carry image bytes."""
+    payload = F.encode(F.col(content_col), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.lit("inline").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes):
+    """Placeholder for the real codec (PIL/av/librosa): NOT available in
+    this environment."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; wire a decoder into extract_features(decoder=...)"
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in: md5-derived pseudo-features."""
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "byte_len": len(payload),
+        "digest": digest,
+        "feat0": int(digest[0], 16) / 15.0,
+    }
+
+
+def extract_features(df: DataFrame, decoder=None) -> DataFrame:
+    """mapInPandas feature extraction over media rows.
+
+    Batches arrive as pandas DataFrames (Arrow transfer); each is
+    processed vectorized-per-batch and emitted with FEATURE_SCHEMA. At
+    scale: repartition upstream so batches are balanced; the operator is
+    embarrassingly parallel.
+    """
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[["media_id", "byte_len", "digest", "feat0"]]
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing: keep every Nth media row (by id) — the
+    shape of a video frame sampler without a real container parser."""
+    return df.filter(F.col("media_id") % every_nth == 0)

@@ -1,0 +1,238 @@
+"""Pipeline orchestration — the reference's extract → transform → load
+flow (SURVEY.md §3, §2.12) over the three-layer parquet warehouse.
+
+Every stage is a pure ``DataFrame -> DataFrame`` function; the runner
+wires them to the warehouse, records DataQualityMetrics-style row
+accounting (main.py:43-144), and reconciles counts (load.py:317-360).
+Fail-fast per phase like the reference's run_full_pipeline
+(main.py:279-308).
+
+Scale design: no driver-side row loops anywhere — the only driver
+values are per-phase row counts (one scalar action per table); merges
+are keyed shuffles; the production sink partitions the fact table by
+date for partition pruning (the analog of the reference's secondary
+indexes, K6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import (
+    safe_val,
+    safe_num,
+    safe_date,
+    calc_age,
+    tenure_days,
+    duration_months,
+    customer_segment,
+    risk_category,
+    transaction_category,
+    gender_norm,
+    fraud_flag,
+    region_map,
+)
+from .operators import (
+    validate_and_project,
+    pk_filter,
+    normalize_nulls,
+    dedup_keep_first,
+    dedup_keep_last,
+)
+from .plans import upsert_last_writer_wins, incremental_append_antijoin, reconcile_counts
+from .schemas import STAGING_COLUMNS, PRIMARY_KEYS, LOAD_ORDER
+from .sources import IngestLog, Warehouse, read_csv_all_string
+
+
+# ---------------------------------------------------------------------------
+# Per-entity transform chains (src/transform.py:229-491, vectorized)
+# ---------------------------------------------------------------------------
+
+def transform_branches(df: DataFrame) -> DataFrame:
+    state = safe_val(F.col("state"), upper=True)
+    return df.select(
+        safe_val(F.col("branch_id")).alias("branch_id"),
+        safe_val(F.col("branch_name"), title=True).alias("branch_name"),
+        safe_val(F.col("city"), title=True).alias("city"),
+        state.alias("state"),
+        safe_val(F.col("manager_name"), title=True).alias("manager_name"),
+        region_map(state).alias("region"),
+    )
+
+
+def transform_customers(df: DataFrame) -> DataFrame:
+    dob = safe_date(F.col("dob"))
+    aod = safe_date(F.col("account_open_date"))
+    tenure = tenure_days(aod)
+    return df.select(
+        safe_val(F.col("customer_id")).alias("customer_id"),
+        safe_val(F.col("branch_id"), upper=True).alias("branch_id"),
+        safe_val(F.col("first_name"), title=True).alias("first_name"),
+        safe_val(F.col("last_name"), title=True).alias("last_name"),
+        dob.alias("dob"),
+        calc_age(dob).alias("age"),
+        gender_norm(F.col("gender")).alias("gender"),
+        safe_val(F.col("email"), lower=True).alias("email"),
+        safe_val(F.col("phone")).alias("phone"),
+        safe_val(F.col("address"), title=True).alias("address"),
+        aod.alias("account_open_date"),
+        tenure.alias("customer_tenure_days"),
+        customer_segment(tenure).alias("customer_segment"),
+    )
+
+
+def transform_loans(df: DataFrame) -> DataFrame:
+    start = safe_date(F.col("start_date"))
+    # end dates legitimately exceed the current year: lift the guard
+    end = safe_date(F.col("end_date"), max_year=F.lit(9999))
+    amount = safe_num(F.col("loan_amount"))
+    return df.select(
+        safe_val(F.col("loan_id")).alias("loan_id"),
+        safe_val(F.col("customer_id")).alias("customer_id"),
+        safe_val(F.col("loan_type"), title=True).alias("loan_type"),
+        amount.alias("loan_amount"),
+        safe_num(F.col("interest_rate")).cast("decimal(5,2)").alias("interest_rate"),
+        start.alias("start_date"),
+        end.alias("end_date"),
+        safe_val(F.col("loan_status"), title=True).alias("loan_status"),
+        duration_months(start, end).alias("loan_duration_months"),
+        risk_category(amount).alias("risk_category"),
+    )
+
+
+def transform_transactions(df: DataFrame) -> DataFrame:
+    amount = safe_num(F.col("amount"))
+    return df.select(
+        safe_val(F.col("transaction_id")).alias("transaction_id"),
+        safe_val(F.col("customer_id")).alias("customer_id"),
+        safe_date(F.col("transaction_date")).cast("timestamp").alias("transaction_date"),
+        safe_val(F.col("transaction_type"), upper=True).alias("transaction_type"),
+        amount.alias("amount"),
+        safe_num(F.col("balance_after")).alias("balance_after"),
+        fraud_flag(F.col("fraud_flag")).alias("fraud_flag"),
+        transaction_category(amount).alias("transaction_category"),
+    )
+
+
+ENTITY_TRANSFORMS = {
+    "branches": transform_branches,
+    "customers": transform_customers,
+    "loans": transform_loans,
+    "transactions": transform_transactions,
+}
+
+
+# ---------------------------------------------------------------------------
+# Metrics (DataQualityMetrics, main.py:43-144)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PipelineMetrics:
+    extracted: dict[str, int] = field(default_factory=dict)
+    transformed: dict[str, int] = field(default_factory=dict)
+    loaded: dict[str, int] = field(default_factory=dict)
+    reconciliation: dict[str, dict] = field(default_factory=dict)
+
+    def summary(self) -> dict:
+        te, tt, tl = (sum(d.values()) for d in (self.extracted, self.transformed, self.loaded))
+        accuracy = (tt / te * 100.0) if te else 100.0
+        synced = all(r["synced"] for r in self.reconciliation.values()) if self.reconciliation else True
+        return {
+            "total_extracted": te,
+            "total_transformed": tt,
+            "total_loaded": tl,
+            "end_to_end_accuracy_pct": round(accuracy, 2),
+            "status": "SUCCESS" if synced and accuracy >= 100.0 else "PARTIAL",
+        }
+
+
+# ---------------------------------------------------------------------------
+# Phases
+# ---------------------------------------------------------------------------
+
+class Pipeline:
+    """Extract → transform → load over a layered warehouse."""
+
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_root)
+        self.ingest_log = IngestLog(spark, f"{warehouse_root}/_ingest_log")
+        self.metrics = PipelineMetrics()
+
+    # -- extract: CSV files -> all-string staging layer ----------------------
+    def run_extract(self, files_per_entity: dict[str, list[str]]) -> None:
+        for entity, paths in files_per_entity.items():
+            pk = PRIMARY_KEYS[entity]
+            new_paths = self.ingest_log.filter_new_files(paths)
+            if not new_paths:
+                self.metrics.extracted[entity] = 0
+                continue
+            raw = read_csv_all_string(self.spark, new_paths, STAGING_COLUMNS[entity])
+            df = validate_and_project(raw, STAGING_COLUMNS[entity])
+            df = normalize_nulls(df)
+            df = pk_filter(df, pk)
+            # keep-last within the batch: later files win; within a file the
+            # physical order is not load-bearing for the synthetic fixtures,
+            # so the (file, pk) dedup orders by a monotonic per-file seq.
+            df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
+            df = dedup_keep_last(df, pk, "_ingest_seq")
+            try:
+                existing = self.wh.read("staging", entity).withColumn(
+                    "_ingest_seq", F.lit(-1).cast("long")
+                )
+                # break lineage before overwriting the directory being read
+                merged = upsert_last_writer_wins(
+                    existing, df, pk, "_ingest_seq"
+                ).localCheckpoint(eager=True)
+            except Exception:
+                merged = df
+            out = merged.drop("_ingest_seq")
+            self.wh.overwrite(out, "staging", entity)
+            self.metrics.extracted[entity] = self.wh.read("staging", entity).count()
+            for p in new_paths:
+                self.ingest_log.mark_processed(p, record_count=0)
+
+    # -- transform: staging -> typed/enriched layer ---------------------------
+    def run_transform(self, entities: list[str] | None = None) -> None:
+        for entity in entities or LOAD_ORDER:
+            pk = PRIMARY_KEYS[entity]
+            try:
+                staged = self.wh.read("staging", entity)
+            except Exception:
+                continue
+            staged = staged.withColumn("_seq", F.monotonically_increasing_id())
+            deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
+            typed = ENTITY_TRANSFORMS[entity](deduped)
+            self.wh.overwrite(typed, "transformed", entity)
+            self.metrics.transformed[entity] = self.wh.read("transformed", entity).count()
+
+    # -- load: incremental append into production ----------------------------
+    def run_load(self, entities: list[str] | None = None) -> None:
+        for entity in entities or LOAD_ORDER:  # FK-safe order (load.py:305)
+            pk = PRIMARY_KEYS[entity]
+            try:
+                src = self.wh.read("transformed", entity)
+            except Exception:
+                continue
+            try:
+                target = self.wh.read("production", entity)
+                # materialize the delta before appending into the scanned dir
+                delta = incremental_append_antijoin(src, target, pk).localCheckpoint(eager=True)
+            except Exception:
+                delta = src
+            part = ["transaction_date_d"] if entity == "transactions" else None
+            if part:
+                delta = delta.withColumn("transaction_date_d", F.to_date("transaction_date"))
+            self.wh.append(delta, "production", entity, partition_by=part)
+            prod = self.wh.read("production", entity)
+            self.metrics.loaded[entity] = prod.count()
+            self.metrics.reconciliation[entity] = reconcile_counts(src, prod)
+
+    def run_full(self, files_per_entity: dict[str, list[str]]) -> dict:
+        self.run_extract(files_per_entity)
+        self.run_transform()
+        self.run_load()
+        return self.metrics.summary()

@@ -991,6 +991,317 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# LLM-training-data operators: text analysis / dedup / similarity search
+# ===========================================================================
+
+_DUCK_TOKS = "string_split_regex(trim(text), '\\s+')"
+_EN = "['the','a','of','and','to','in','is','it']"
+_DE = "['der','die','das','und','ist','ein','nicht']"
+_ES = "['el','la','los','y','que','un','por']"
+
+
+@register(
+    "tx1_token_stats",
+    f"""
+    SELECT doc_id,
+           cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           cast(length(text) AS BIGINT) AS n_chars_actual,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text), 4)
+             AS punct_ratio
+    FROM documents
+    """,
+)
+def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token/char counting + punctuation ratio — one
+    projection, no shuffle, pipelined with the scan."""
+    from .llm import token_count, punct_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "tx2_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+               + 0.3 * least(len(list_filter(toks, x -> list_contains({_EN}, x))) * 1.0
+                             / len(toks) * 5.0, 1.0), 10) AS quality
+    FROM t
+    """,
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: composite quality score (length saturation, low
+    punctuation noise, stopword naturalness)."""
+    from .llm import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "tx3_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_EN}, x))) AS en,
+             len(list_filter(toks, x -> list_contains({_DE}, x))) AS de,
+             len(list_filter(toks, x -> list_contains({_ES}, x))) AS es
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en >= de AND en >= es THEN 'en'
+                WHEN de >= es THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM s
+    """,
+)
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-overlap language-ID heuristic with
+    deterministic tie-break."""
+    from .llm import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "tx4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace/case-insensitive content fingerprint."""
+    from .llm import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dd1_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): hash-groupBy keep-min-id. One shuffle on the
+    16-byte hash — document size never crosses the exchange."""
+    from .llm import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    from .llm.dedup import MINHASH_AB, MINHASH_P, _h32_sql, shingles_sql
+
+    sig_exprs = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS s{j}"
+        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"cast(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
+    ),
+    hv AS (SELECT doc_id, {_h32_sql('md5(s)')} AS h FROM sh),
+    sig AS (SELECT doc_id, {sig_exprs} FROM hv GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register("dd2_minhash_lsh", _minhash_sql())
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash+LSH): shingle → 16 md5-min-hashes → 4 bands × 4 rows
+    → bucket self-join. The scalable near-dup path: no all-pairs compare,
+    shuffle keyed on (band, bucket)."""
+    from .llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _ngram_jaccard_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    """
+
+
+@register("dd3_ngram_jaccard", _ngram_jaccard_sql())
+def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (n-gram Jaccard): exact set similarity over the
+    inverted-index join — only pairs sharing a shingle are scored."""
+    from .llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", 0.3)
+
+
+@register("dd4_simhash", None)  # placeholder replaced below
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash): 16-bit majority-vote signature — near-dups land on
+    equal/adjacent signatures; grouping on the signature is one shuffle."""
+    from .llm.dedup import simhash16
+
+    return simhash16(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _finalize_dd4():
+    from .llm.dedup import simhash16_sql
+
+    REGISTRY["dd4_simhash"].sql = simhash16_sql("documents", "text", "doc_id")
+
+
+_finalize_dd4()
+
+_DUCK_COMP = """
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+"""
+
+
+@register(
+    "dd5_embedding_neardup",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+      FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(dot / (na.norm * nb.norm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = a
+    JOIN norms nb ON nb.vec_id = b
+    WHERE dot / (na.norm * nb.norm) >= 0.25
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding cosine): near-dup pairs above a cosine threshold.
+    All-pairs here (oracle-checkable); at scale prepend an LSH/IVF bucket
+    to the join key."""
+    from .llm import cosine_pairs
+
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), min_sim=0.25)
+
+
+@register(
+    "ann1_bruteforce_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    WHERE vec_id <> 0
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (exact): brute-force cosine top-10 for a stored
+    query vector."""
+    from .llm import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "ann2_ivf_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assign WHERE vec_id = 0),
+    cluster AS (
+      SELECT assign.vec_id FROM assign, qc
+      WHERE assign.centroid = qc.centroid AND assign.vec_id <> 0
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i
+      WHERE c.vec_id IN (SELECT vec_id FROM cluster)
+      GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 5
+    """,
+)
+def ann2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (IVF): nearest-centroid assignment, then exact
+    search inside the query's cell only."""
+    from .llm.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

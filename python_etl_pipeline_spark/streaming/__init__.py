@@ -1,0 +1,5 @@
+"""Structured Streaming layer (SURVEY.md §2.10)."""
+
+from .file_stream import stream_ingest_available_now
+
+__all__ = ["stream_ingest_available_now"]

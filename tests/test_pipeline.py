@@ -1,0 +1,109 @@
+"""End-to-end pipeline test over messy banking CSVs (FIXTURES.md
+patterns): extract -> staging, transform -> typed, load -> production,
+idempotent re-run, incremental second batch."""
+
+from __future__ import annotations
+
+import datetime
+
+from python_etl_pipeline_spark.pipeline import Pipeline
+
+BRANCHES = (
+    "branch_id,branch_name,city,state,manager_name\n"
+    'QT0001,"Viswanathan, Singh and Bhattacharyya Branch",pune,Maharashtra,amit kumar\n'
+    "QT0002,North Branch,delhi,Delhi,priya s\n"
+    "QT0003,Odd Branch,agra,Agra,NaN\n"
+)
+
+CUSTOMERS = (
+    "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
+    '1,QT0001,asha,rao,27-07-78,f,ASHA@X.COM,9999999999,"60/736, Swamy Nagar",2020-01-15\n'
+    "2,QT0002,vik,nair,31-09-45,male,V@X.COM,8888888888,addr,2019-06-01\n"
+    "3,QT0001,dup,first,2000-01-01,NaN,d@x.com,77,addr,2024-01-01\n"
+    "3,QT0001,dup,last,2000-01-01,NaN,d@x.com,77,addr,2024-01-01\n"
+    ",QT0001,nopk,row,2000-01-01,m,n@x.com,1,addr,2024-01-01\n"
+)
+
+LOANS = (
+    "loan_id,customer_id,loan_type,loan_amount,interest_rate,start_date,end_date,loan_status\n"
+    "10,1,home,\"₹600,000.00\",8.5,15-01-20,15-01-2040,Active\n"
+    "11,2,car,50000,9,01-03-22,01-03-24,Closed\n"
+    "12,3,personal,NaN,10,NaN,NaN,NaN\n"
+)
+
+TRANSACTIONS = (
+    "transaction_id,customer_id,transaction_date,transaction_type,amount,balance_after,fraud_flag\n"
+    "100,1,2024-01-05,deposit,\"₹15,000\",20000,no\n"
+    "101,2,2024-01-06,withdrawal,500,19500,TRUE\n"
+)
+
+
+def _write_files(tmp_path):
+    files = {}
+    for name, content in [
+        ("branches", BRANCHES), ("customers", CUSTOMERS),
+        ("loans", LOANS), ("transactions", TRANSACTIONS),
+    ]:
+        p = tmp_path / f"{name}_1.csv"
+        p.write_text(content)
+        files[name] = [str(p)]
+    return files
+
+
+def test_full_pipeline(spark, tmp_path):
+    (tmp_path / "in").mkdir(exist_ok=True)
+    files = _write_files(tmp_path / "in")
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    summary = pipe.run_full(files)
+
+    # staging: all-string, PK-filtered (5 customer rows -> 4 after pk filter)
+    staging_cust = pipe.wh.read("staging", "customers")
+    assert staging_cust.count() == 3  # keep-last dedup of pk 3 + pk filter
+
+    cust = {r["customer_id"]: r for r in pipe.wh.read("transformed", "customers").collect()}
+    # 2-digit pivot: 27-07-78 -> 1978-07-27
+    assert cust["1"]["dob"] == datetime.date(1978, 7, 27)
+    assert cust["1"]["gender"] == "F"
+    assert cust["1"]["email"] == "asha@x.com"
+    assert cust["1"]["customer_segment"] in ("VIP", "Regular", "New")
+    # impossible date 31-09-45 -> null dob, age 0
+    assert cust["2"]["dob"] is None and cust["2"]["age"] == 0
+    # keep-first dedup at transform
+    assert cust["3"]["last_name"] == "Last" or cust["3"]["last_name"] == "First"
+
+    loans = {r["loan_id"]: r for r in pipe.wh.read("transformed", "loans").collect()}
+    assert float(loans["10"]["loan_amount"]) == 600000.0
+    assert loans["10"]["risk_category"] == "High"
+    assert loans["10"]["loan_duration_months"] == 240  # 2020-01 -> 2040-01
+    assert loans["12"]["loan_amount"] is not None and float(loans["12"]["loan_amount"]) == 0.0
+    assert loans["12"]["loan_duration_months"] == 0
+
+    txns = {r["transaction_id"]: r for r in pipe.wh.read("transformed", "transactions").collect()}
+    assert float(txns["100"]["amount"]) == 15000.0
+    assert txns["100"]["transaction_category"] == "Large"
+    assert txns["100"]["fraud_flag"] is False
+    assert txns["101"]["fraud_flag"] is True
+    assert txns["100"]["transaction_type"] == "DEPOSIT"
+
+    branches = {r["branch_id"]: r for r in pipe.wh.read("transformed", "branches").collect()}
+    assert branches["QT0001"]["region"] == "West"   # MAHARASHTRA
+    assert branches["QT0002"]["region"] == "North"  # DELHI
+    assert branches["QT0003"]["region"] == "NA"     # city-in-state-column
+    assert branches["QT0003"]["manager_name"] == "Na"  # sentinel -> NA -> title
+
+    assert summary["status"] == "SUCCESS"
+    assert summary["total_loaded"] == summary["total_transformed"]
+
+    # idempotent re-run: same files skipped, counts unchanged
+    summary2 = pipe.run_full(files)
+    assert pipe.wh.read("production", "customers").count() == 3
+    assert summary2["status"] == "SUCCESS"
+
+    # incremental batch: one new customer appended, existing not duplicated
+    p2 = tmp_path / "in" / "customers_2.csv"
+    p2.write_text(
+        "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
+        "4,QT0002,new,person,1990-05-05,F,p@x.com,123,addr,2023-03-03\n"
+    )
+    pipe.run_full({"customers": [str(files["customers"][0]), str(p2)]})
+    assert pipe.wh.read("production", "customers").count() == 4

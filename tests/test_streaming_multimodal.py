@@ -1,0 +1,66 @@
+"""Streaming AvailableNow ingestion (exactly-once per file) and
+multimodal binary-column plumbing (mapInPandas feature extraction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_etl_pipeline_spark.streaming import stream_ingest_available_now
+from python_etl_pipeline_spark.llm.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+    decode_real,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), True),
+    T.StructField("val", T.StringType(), True),
+])
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("id,val\n1,x\n2,y\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream_ingest_available_now(spark, str(src), SCHEMA, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # re-run with no new files: nothing re-ingested (checkpoint = tracker)
+    stream_ingest_available_now(spark, str(src), SCHEMA, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # new file arrives: only it is ingested
+    (src / "b.csv").write_text("id,val\n3,z\n")
+    stream_ingest_available_now(spark, str(src), SCHEMA, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = attach_binary_payload(docs, "text", "doc_id", mime="text/plain")
+    assert dict(media.dtypes)["payload"] == "binary"
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    by_id = {r["media_id"]: r for r in rows}
+    sample = docs.select("doc_id", "text").first()
+    import hashlib
+
+    expected = hashlib.md5(sample["text"].encode()).hexdigest()
+    assert by_id[sample["doc_id"]]["digest"] == expected
+    assert by_id[sample["doc_id"]]["byte_len"] == len(sample["text"].encode())
+    assert 0.0 <= by_id[sample["doc_id"]]["feat0"] <= 1.0
+
+    sampled = frame_sample(media, every_nth=10)
+    assert sampled.count() == 5
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"bytes")

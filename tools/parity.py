@@ -30,7 +30,7 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
-            return f"{v:.6g}"
+            return f"{v:.12g}"
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         return str(v)
