@@ -33,6 +33,17 @@ def validate_and_project(df: DataFrame, expected_columns: list[str]) -> DataFram
     return df.select(*expected_columns)
 
 
+def prune_valid_columns(
+    df: DataFrame, declared: list[str], exclude: list[str] | None = None
+) -> DataFrame:
+    """P4: select declared ∩ existing minus excluded (src/load.py:161-171)
+    — the reference's defensive column pruning at the load boundary, which
+    Catalyst turns into a narrowed ReadSchema on the scan."""
+    drop = set(exclude or [])
+    cols = [c for c in declared if c in set(df.columns) and c not in drop]
+    return df.select(*cols)
+
+
 def pk_filter(df: DataFrame, pk: str) -> DataFrame:
     """P2: drop rows whose PK is NULL or empty-string."""
     c = F.col(pk)

@@ -63,7 +63,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer DIV, not `/`: double division of ~1e18 nanos loses
+            # sub-microsecond precision (53-bit mantissa) and shifts
+            # timestamps by up to ~100 ns after the cast.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -987,6 +990,263 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# Remaining §2 surface: scans/sinks/pruning/metrics/slices
+# ===========================================================================
+
+@register(
+    "s1_allstring_scan",
+    """
+    SELECT cast(o_orderkey AS VARCHAR) AS o_orderkey,
+           cast(o_custkey AS VARCHAR) AS o_custkey,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def s1_allstring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the tier-1 all-string read contract — every business column a
+    string, no inference (src/extract.py:430)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "s4_file_identity",
+    "SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders",
+)
+def s4_file_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/I1: per-input-file row accounting via input_file_name() — the
+    query-side face of the idempotent ingest log."""
+    o = _t(spark, sf_dir, "orders")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return o.groupBy(fname.alias("file_name")).agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "k4_export_nafill",
+    """
+    SELECT c_custkey,
+           coalesce(CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END, 'NA')
+             AS segment_export
+    FROM customer
+    """,
+)
+def k4_export_nafill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: CSV-export NULL->'NA' convention (src/transform.py:493-515)."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.when(F.col("c_custkey") % 4 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+    return c.select("c_custkey", raw.alias("segment_export")).na.fill(
+        {"segment_export": "NA"}
+    )
+
+
+@register(
+    "p4_prune_valid_columns",
+    "SELECT l_linenumber, l_quantity, l_tax FROM lineitem",
+)
+def p4_prune_valid_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: declared ∩ existing minus excluded (src/load.py:161-171) — a
+    declared column that does not exist ('l_bogus') and an excluded key
+    both drop; the scan's ReadSchema narrows to the survivors."""
+    from .operators.project import prune_valid_columns
+
+    l = _t(spark, sf_dir, "lineitem")
+    return prune_valid_columns(
+        l,
+        declared=["l_orderkey", "l_linenumber", "l_quantity", "l_tax", "l_bogus"],
+        exclude=["l_orderkey"],
+    )
+
+
+@register(
+    "f13_boolean_recast",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['true','1','yes','y','no','0','TRUE','zzz'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id,
+           cast(lower(trim(raw)) IN ('true','1','yes','y') AS BIGINT) AS flag_int,
+           lower(trim(raw)) IN ('true','1','yes','y') AS flag_bool
+    FROM messy
+    """,
+)
+def f13_boolean_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: boolean <-> int recast at the tier boundary (src/load.py:222-232)
+    — a no-op in Spark's type system, pinned here as a round-trip."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["true", "1", "yes", "y", "no", "0", "TRUE", "zzz"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    flag = fraud_flag(raw)
+    return e.select(
+        "event_id",
+        flag.cast("bigint").alias("flag_int"),
+        flag.cast("int").cast("boolean").alias("flag_bool"),
+    )
+
+
+@register(
+    "o5_offset_slice",
+    """
+    SELECT o_orderkey, rn FROM (
+      SELECT o_orderkey, cast(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn > 1000 AND rn <= 1100
+    """,
+)
+def o5_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/I3: the reference's LIMIT/OFFSET positional slice pinned as a
+    ranked-window filter (src/load.py:188-193). The engine's incremental
+    path prefers watermarks/anti-joins; this query preserves the exact
+    positional semantics for parity."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter((F.col("rn") > 1000) & (F.col("rn") <= 1100))
+    )
+
+
+@register(
+    "a5_metrics_fold",
+    """
+    SELECT 'customer' AS table_name, count(*) AS n_rows,
+           count(DISTINCT c_custkey) AS n_keys,
+           round(count(DISTINCT c_custkey) * 100.0 / count(*), 2) AS key_uniqueness_pct
+    FROM customer
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+           round(count(DISTINCT o_orderkey) * 100.0 / count(*), 2)
+    FROM orders
+    """,
+)
+def a5_metrics_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/M2: DataQualityMetrics-style accounting as a metrics DataFrame
+    (main.py:55-113)."""
+    parts = []
+    for name, key in [("customer", "c_custkey"), ("orders", "o_orderkey")]:
+        df = _t(spark, sf_dir, name)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                F.round(F.col("n_keys") * 100.0 / F.col("n_rows"), 2).alias(
+                    "key_uniqueness_pct"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+# ===========================================================================
+# Engine extensions: pivot / rollup / cube / session windows
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+@register(
+    "x1_pivot",
+    f"""
+    SELECT user_id,
+           {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def x1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: pivot event types to per-user count columns."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    return out.na.fill(0).select(
+        "user_id", *[F.col(t).cast("bigint").alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "x2_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def x2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: hierarchical subtotals (ROLLUP)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "x3_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def x3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: full cross-dimensional subtotals (CUBE)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "st2_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) >= 300000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.10): gap-based session windows — the same
+    F.session_window operator Structured Streaming uses, batch-run.
+    Oracle reproduces the merge rule (new session at gap >= 5 min) via
+    lag + cumulative break-count sessionization."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
         )
     )
 
