@@ -1,5 +1,13 @@
 """Structured Streaming layer (SURVEY.md §2.10)."""
 
-from .file_stream import stream_ingest_available_now
+from .file_stream import (
+    stream_ingest_available_now,
+    windowed_event_counts,
+    running_user_totals,
+)
 
-__all__ = ["stream_ingest_available_now"]
+__all__ = [
+    "stream_ingest_available_now",
+    "windowed_event_counts",
+    "running_user_totals",
+]

@@ -46,3 +46,51 @@ def stream_ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_event_counts(stream: DataFrame, watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event-time stream —
+    late rows beyond the watermark are dropped and state is pruned, so
+    state size is bounded by (watermark / window) x key cardinality
+    regardless of total stream length."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def running_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted on every update.
+
+    The state dict is one row per user (bounded by user cardinality);
+    this is the engine's template for operators Spark lacks natively —
+    arbitrary per-key accumulators with exactly-once state via the
+    streaming checkpoint.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+        })
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -1,0 +1,99 @@
+"""Streaming windowed aggregation (watermark) and custom stateful
+operator (applyInPandasWithState) driven end-to-end with memory sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_etl_pipeline_spark.operators.aggregate import salted_agg
+from python_etl_pipeline_spark.streaming import (
+    windowed_event_counts,
+    running_user_totals,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+])
+
+
+def _write_events_parquet(spark, path):
+    rows = [
+        ("2024-01-01 00:05:00", 1, "click", 1.0),
+        ("2024-01-01 00:20:00", 1, "click", 2.0),
+        ("2024-01-01 00:40:00", 2, "view", 3.0),
+        ("2024-01-01 01:10:00", 1, "click", 4.0),
+        ("2024-01-01 01:30:00", 2, "view", 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        ["ts_s", "user_id", "event_type", "value"],
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_windowed_stream_agg(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events_parquet(spark, src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = windowed_event_counts(stream, watermark="10 minutes", window="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; with a single batch
+    # the final window stays open, so expect the 00:00 window rows only
+    rows = {(r["window_start"].isoformat(), r["event_type"]): r
+            for r in spark.sql("SELECT * FROM win_out").collect()}
+    assert rows[("2024-01-01T00:00:00", "click")]["n_events"] == 2
+    assert rows[("2024-01-01T00:00:00", "view")]["n_events"] == 1
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events_parquet(spark, src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM state_out ORDER BY user_id").collect()}
+    assert rows[1]["n_events"] == 3 and rows[1]["total_value"] == 7.0
+    assert rows[2]["n_events"] == 2 and rows[2]["total_value"] == 8.0
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    salted = salted_agg(
+        orders, ["o_orderpriority"],
+        {"o_totalprice": "sum", "o_orderkey": "count"}, n_salts=8,
+    )
+    plain = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("sum_o_totalprice"),
+        F.count("o_orderkey").alias("count_o_orderkey"),
+    )
+    s = {r["o_orderpriority"]: r for r in salted.collect()}
+    p = {r["o_orderpriority"]: r for r in plain.collect()}
+    assert set(s) == set(p)
+    for k in p:
+        assert s[k]["count_o_orderkey"] == p[k]["count_o_orderkey"]
+        assert abs(s[k]["sum_o_totalprice"] - p[k]["sum_o_totalprice"]) < 1e-6
