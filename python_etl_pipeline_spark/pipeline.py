@@ -232,7 +232,23 @@ class Pipeline:
             self.metrics.reconciliation[entity] = reconcile_counts(src, prod)
 
     def run_full(self, files_per_entity: dict[str, list[str]]) -> dict:
-        self.run_extract(files_per_entity)
-        self.run_transform()
-        self.run_load()
-        return self.metrics.summary()
+        """Fail-fast phase runner with per-phase timing logs (M1/M3:
+        main.py:279-308, src/logger.py)."""
+        import logging
+        import time
+
+        log = logging.getLogger("spark_etl_engine.pipeline")
+        timings: dict[str, float] = {}
+        for phase, fn, arg in [
+            ("extract", self.run_extract, files_per_entity),
+            ("transform", self.run_transform, None),
+            ("load", self.run_load, None),
+        ]:
+            t0 = time.time()
+            fn(arg) if arg is not None else fn()
+            timings[phase] = round(time.time() - t0, 3)
+            log.info("phase %s done in %.1fs", phase, timings[phase])
+        summary = self.metrics.summary()
+        summary["phase_seconds"] = timings
+        log.info("pipeline %s: %s", summary["status"], summary)
+        return summary

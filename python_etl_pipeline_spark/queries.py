@@ -1020,6 +1020,46 @@ def s1_allstring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_partitioned_scan",
+    """
+    SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def s2_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the reference's chunked big-file read (src/extract.py:359-425)
+    is Spark's native partitioned scan — here forced to many small splits
+    (maxPartitionBytes) to exercise multi-task scanning of one file; the
+    aggregate is split-count-invariant."""
+    l = spark.read.option("maxPartitionBytes", "262144").parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "s3_multifile_glob",
+    """
+    WITH u AS (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+    SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys FROM u
+    """,
+)
+def s3_multifile_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: multi-file source — one read over a path list (the engine form
+    of the reference's `{table}*.csv` glob, src/extract.py:527-538); the
+    same file twice makes the multiplicity observable."""
+    p = f"{sf_dir}/orders.parquet"
+    o = spark.read.parquet(p, p)
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@register(
     "s4_file_identity",
     "SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders",
 )

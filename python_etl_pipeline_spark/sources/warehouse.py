@@ -45,3 +45,39 @@ class Warehouse:
     def export_csv(self, df: DataFrame, out_dir: str) -> None:
         """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
         df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)
+
+
+def create_table_from_schema(
+    spark: SparkSession, db: str, table: str, schema, using: str = "parquet"
+) -> None:
+    """K5: CREATE TABLE IF NOT EXISTS from a declared StructType
+    (src/load.py:60-105, src/extract.py:105-208) — catalog-managed DDL
+    instead of hand-assembled SQL strings."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {db}.{table} ({cols}) USING {using}")
+
+
+def write_bucketed(
+    df: DataFrame, db: str, table: str, n_buckets: int, key: str
+) -> None:
+    """K6: the scalable analog of the reference's secondary FK indexes
+    (src/load.py:107-122): bucket the table on the join key so later
+    joins/aggregations on that key are exchange-free (bucket pruning +
+    co-located join)."""
+    spark = df.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{db}.{table}")
+    )
+
+
+def health_check(spark: SparkSession, db: str) -> dict[str, int]:
+    """M4: connectivity/health probe — SHOW TABLES + per-table counts
+    (test.py:27-125 reimagined for the catalog)."""
+    tables = [r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect()]
+    return {t: spark.table(f"{db}.{t}").count() for t in tables}
