@@ -84,19 +84,37 @@ def minhash_signature_sql_parts(n_hashes: int = 16):
     return MINHASH_AB[:n_hashes]
 
 
-def _h32(md5_col: Column) -> Column:
-    """First 8 hex chars of an md5 column -> bigint in [0, 2^32)."""
+def _hexint(md5_col: Column, n_chars: int) -> Column:
+    """First ``n_chars`` hex chars of an md5 column -> bigint."""
     expr: Column = F.lit(0).cast("bigint")
-    for k in range(8):
+    for k in range(n_chars):
         expr = expr * 16 + (F.instr(F.lit(_HEX), F.substring(md5_col, k + 1, 1)) - 1)
     return expr
 
 
-def _h32_sql(md5_expr: str) -> str:
+def _hexint_sql(md5_expr: str, n_chars: int) -> str:
     expr = "cast(0 AS BIGINT)"
-    for k in range(8):
+    for k in range(n_chars):
         expr = f"({expr} * 16 + strpos('{_HEX}', substr({md5_expr}, {k + 1}, 1)) - 1)"
     return expr
+
+
+def _h32(md5_col: Column) -> Column:
+    """First 8 hex chars of an md5 column -> bigint in [0, 2^32)."""
+    return _hexint(md5_col, 8)
+
+
+def _h32_sql(md5_expr: str) -> str:
+    return _hexint_sql(md5_expr, 8)
+
+
+def _h60(md5_col: Column) -> Column:
+    """First 15 hex chars -> bigint in [0, 2^60) (fits signed 64-bit)."""
+    return _hexint(md5_col, 15)
+
+
+def _h60_sql(md5_expr: str) -> str:
+    return _hexint_sql(md5_expr, 15)
 
 
 def minhash_lsh_pairs(
@@ -122,8 +140,9 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
-    h = _h32(F.md5(F.col("s")))
-    hashed = exploded.select(F.col(id_col), h.alias("h"))
+    hashed = exploded.select(F.col(id_col), F.md5(F.col("s")).alias("m")).select(
+        F.col(id_col), _h32(F.col("m")).alias("h")
+    )
     sig_aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
         for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
