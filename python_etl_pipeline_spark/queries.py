@@ -1028,12 +1028,10 @@ def s1_allstring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: the reference's chunked big-file read (src/extract.py:359-425)
-    is Spark's native partitioned scan — here forced to many small splits
-    (maxPartitionBytes) to exercise multi-task scanning of one file; the
-    aggregate is split-count-invariant."""
-    l = spark.read.option("maxPartitionBytes", "262144").parquet(
-        f"{sf_dir}/lineitem.parquet"
-    )
+    is Spark's native partitioned scan — `spark.sql.files.maxPartitionBytes`
+    governs split size (set in session.py); the aggregate is
+    split-count-invariant."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return l.agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
@@ -1600,6 +1598,113 @@ def ann2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8)
+
+
+@register(
+    "x4_outlier_flag",
+    """
+    WITH stats AS (
+      SELECT o_custkey, avg(o_totalprice) AS mean_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey,
+           abs(o_totalprice - mean_price) > 0.8 * mean_price AS outlier_flag
+    FROM orders JOIN stats USING (o_custkey)
+    """,
+)
+def x4_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-group outlier flagging — the `outlier_flag` column
+    the reference declares then removes (config/config.py:92 'Removed
+    outlier_flag', load.py:226 still casts it). Deviation-vs-group-mean
+    via a window, one shuffle on the group key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    mean_price = F.avg("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.abs(F.col("o_totalprice") - mean_price) > 0.8 * mean_price).alias(
+            "outlier_flag"
+        ),
+    )
+
+
+@register(
+    "tx5_top_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    )
+    SELECT tok, count(*) AS n
+    FROM toks GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def tx5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: corpus token frequency top-k (vocabulary head) —
+    explode + count + ordered limit with deterministic tie-break."""
+    from .llm import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register("dd6_lsh_dup_clusters", None)  # iterative: rows-only check
+def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (clusters): connected components over the MinHash-LSH
+    candidate-pair graph via iterative min-label propagation — the
+    canonical "pick one survivor per duplicate cluster" step.
+
+    Genuinely iterative (no single SQL equivalent → rows-only driver
+    check). Each round is one join + one groupBy; rounds are bounded by
+    the graph diameter, which for near-dup clusters is tiny. At scale
+    this is the standard large-graph CC recipe (alternate small-star /
+    large-star); here plain propagation suffices.
+    """
+    from .llm.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").localCheckpoint(eager=True)
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(5):  # diameter bound for near-dup clusters
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a)
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("a").alias("node"), "nbr_label")
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut the growing lineage per round
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("node").alias("keep_id"),
+        )
+        .select(F.col("label").alias("cluster_id"), "cluster_size", "keep_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
