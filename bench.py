@@ -53,6 +53,26 @@ def main():
         spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # end-to-end banking pipeline at the reference's exact volume (107k
+    # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s)
+    import shutil
+    import tempfile
+
+    from tools.gen_banking_csv import generate
+    from python_etl_pipeline_spark.pipeline import Pipeline
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        counts = generate(f"{tmp}/in", scale=1.0)
+        files = {e: [f"{tmp}/in/{e}_1.csv"] for e in counts}
+        t0 = time.time()
+        pipe = Pipeline(spark, f"{tmp}/wh")
+        pipe.run_full(files)
+        e2e = round(time.time() - t0, 3)
+        timings["pipeline_e2e_107k_rows"] = e2e
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
@@ -64,6 +84,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "pipeline_e2e_rows_per_sec": round(sum(counts.values()) / e2e),
     }))
 
 

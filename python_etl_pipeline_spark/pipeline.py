@@ -192,8 +192,7 @@ class Pipeline:
             out = merged.drop("_ingest_seq")
             self.wh.overwrite(out, "staging", entity)
             self.metrics.extracted[entity] = self.wh.read("staging", entity).count()
-            for p in new_paths:
-                self.ingest_log.mark_processed(p, record_count=0)
+            self.ingest_log.mark_processed_batch([(p, 0) for p in new_paths])
 
     # -- transform: staging -> typed/enriched layer ---------------------------
     def run_transform(self, entities: list[str] | None = None) -> None:
@@ -223,9 +222,15 @@ class Pipeline:
                 delta = incremental_append_antijoin(src, target, pk).localCheckpoint(eager=True)
             except Exception:
                 delta = src
-            part = ["transaction_date_d"] if entity == "transactions" else None
+            # partition the fact table by YEAR: coarse enough to avoid a
+            # tiny-file explosion (day-granularity created ~23k dirs for
+            # 107k rows and dominated wall time), fine enough for pruning;
+            # repartition on the key first so each partition writes 1 file.
+            part = ["transaction_year"] if entity == "transactions" else None
             if part:
-                delta = delta.withColumn("transaction_date_d", F.to_date("transaction_date"))
+                delta = delta.withColumn(
+                    "transaction_year", F.year("transaction_date")
+                ).repartition("transaction_year")
             self.wh.append(delta, "production", entity, partition_by=part)
             prod = self.wh.read("production", entity)
             self.metrics.loaded[entity] = prod.count()

@@ -68,15 +68,22 @@ class IngestLog:
 
     def mark_processed(self, path: str, record_count: int) -> None:
         """Append one log row for an ingested file (src/extract.py:246-270)."""
-        p = Path(path)
-        row = [(
-            p.name,
-            file_md5(p),
-            p.stat().st_size / (1024 * 1024),
-            record_count,
-            datetime.now(timezone.utc).replace(tzinfo=None),
-        )]
-        self.spark.createDataFrame(row, LOG_SCHEMA).coalesce(1).write.mode(
+        self.mark_processed_batch([(path, record_count)])
+
+    def mark_processed_batch(self, entries: list[tuple[str, int]]) -> None:
+        """Append log rows for a batch of ingested files in one write —
+        one tiny Spark job per batch, not per file."""
+        if not entries:
+            return
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        rows = []
+        for path, record_count in entries:
+            p = Path(path)
+            rows.append(
+                (p.name, file_md5(p), p.stat().st_size / (1024 * 1024),
+                 record_count, now)
+            )
+        self.spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.log_dir)
 
