@@ -21,7 +21,8 @@ from .text import (
 from .dedup import (
     exact_dedup_groups,
     shingles,
-    minhash_signature_sql_parts,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash16,
 )
 from .similarity import cosine_pairs, brute_force_topk
@@ -36,7 +37,8 @@ __all__ = [
     "fingerprint",
     "exact_dedup_groups",
     "shingles",
-    "minhash_signature_sql_parts",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
     "simhash16",
     "cosine_pairs",
     "brute_force_topk",

@@ -79,11 +79,6 @@ MINHASH_AB: list[tuple[int, int]] = [
 ]
 
 
-def minhash_signature_sql_parts(n_hashes: int = 16):
-    """(A, B) constants shared with the DuckDB oracle."""
-    return MINHASH_AB[:n_hashes]
-
-
 def _hexint(md5_col: Column, n_chars: int) -> Column:
     """First ``n_chars`` hex chars of an md5 column -> bigint."""
     expr: Column = F.lit(0).cast("bigint")
@@ -107,14 +102,6 @@ def _h32(md5_col: Column) -> Column:
 def _h32_sql(md5_expr: str) -> str:
     return _hexint_sql(md5_expr, 8)
 
-
-def _h60(md5_col: Column) -> Column:
-    """First 15 hex chars -> bigint in [0, 2^60) (fits signed 64-bit)."""
-    return _hexint(md5_col, 15)
-
-
-def _h60_sql(md5_expr: str) -> str:
-    return _hexint_sql(md5_expr, 15)
 
 
 def minhash_lsh_pairs(

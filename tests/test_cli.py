@@ -1,0 +1,55 @@
+"""CLI entry points (reference §3 parity): full / per-phase / health /
+bounded schedule, driven through the real arg parser."""
+
+from __future__ import annotations
+
+from python_etl_pipeline_spark.cli import build_parser, discover_files, run
+
+CUSTOMERS = (
+    "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
+    "1,QT0001,a,b,1990-01-01,F,a@x.com,1,addr,2020-01-01\n"
+    "2,QT0001,c,d,1991-02-02,M,c@x.com,2,addr,2021-01-01\n"
+)
+
+
+def _setup(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "customers_1.csv").write_text(CUSTOMERS)
+    (d / "branches_1.csv").write_text(
+        "branch_id,branch_name,city,state,manager_name\nQT0001,B,Pune,Maharashtra,M\n"
+    )
+    return d
+
+
+def test_discover_files(tmp_path):
+    d = _setup(tmp_path)
+    files = discover_files(str(d))
+    assert set(files) == {"branches", "customers"}
+
+
+def test_cli_full_then_health_then_phases(spark, tmp_path):
+    d = _setup(tmp_path)
+    wh = str(tmp_path / "wh")
+    parser = build_parser()
+
+    args = parser.parse_args(["--mode", "full", "--data-dir", str(d), "--warehouse", wh])
+    summary = run(args, spark=spark)
+    assert summary["status"] == "SUCCESS"
+    assert summary["total_loaded"] == 3  # 2 customers + 1 branch
+
+    health = run(parser.parse_args(["--mode", "health", "--warehouse", wh]), spark=spark)
+    assert health["production"]["customers"] == 2
+
+    # per-phase modes are independently invocable (reference §3 entry 3)
+    t = run(parser.parse_args(
+        ["--mode", "transform", "--warehouse", wh]), spark=spark)
+    assert t["transformed"]["customers"] == 2
+    ld = run(parser.parse_args(["--mode", "load", "--warehouse", wh]), spark=spark)
+    assert ld["reconciliation"]["customers"]["synced"]
+
+    # bounded schedule loop: idempotent re-runs (hash-skip), lock structural
+    sched = run(parser.parse_args(
+        ["--mode", "schedule", "--data-dir", str(d), "--warehouse", wh,
+         "--interval-sec", "0", "--max-runs", "2"]), spark=spark)
+    assert sched["runs"] == 2 and sched["last"]["status"] == "SUCCESS"

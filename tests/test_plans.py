@@ -1,0 +1,50 @@
+"""Plan-quality regression guards: the physical-plan properties that
+matter at 100 TB must survive refactors — pushdown, pruning, broadcast,
+exchange counts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from python_etl_pipeline_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a0_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan          # filter reached the scan
+    assert "l_partkey" not in plan                       # untouched column pruned
+    assert plan.count("Exchange") <= 2                   # partial agg + AQE read
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_customer_segments")
+    # formatted output lists each node in the tree and again in details
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_watermark_append_is_pushed_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "i3_watermark_append")
+    assert "GreaterThan(o_orderdate" in plan
+    assert "Exchange" not in plan                        # zero-shuffle plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p4_prune_valid_columns")
+    assert "ReadSchema: struct<l_linenumber:int,l_quantity:double,l_tax:double>" in plan
+
+
+def test_dedup_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o2_dedup_keep_last")
+    # one hash-partition exchange for the window; no global sort exchange
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
