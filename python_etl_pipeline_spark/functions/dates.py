@@ -82,8 +82,13 @@ def safe_date(c: Column | str, *, max_year: Column | None = None) -> Column:
     rebuilt = F.concat_ws("-", d2, m2, full_year.cast("string"))
     pivoted = F.when(is_dmy2, _try_date(rebuilt, "d-M-y"))
 
+    # fallback (reference's final pd.to_datetime catch-all,
+    # src/transform.py:203-206): ISO timestamps with a time component
+    is_iso_ts = raw.rlike(r"^\d{4}-\d{1,2}-\d{1,2}[ T]\d{1,2}:\d{2}")
+    iso_ts = F.when(is_iso_ts, F.try_to_timestamp(raw).cast("date"))
+
     parsed = F.coalesce(
-        F.when(is_Ymd, iso), dmy4, mdy4, pivoted
+        F.when(is_Ymd, iso), dmy4, mdy4, pivoted, iso_ts
     )
 
     hi = max_year if max_year is not None else F.year(F.current_date())

@@ -83,6 +83,9 @@ def test_safe_date_formats(spark):
         "06-06-27": d(1927, 6, 6),
         "2150-01-01": None,
         "1899-12-31": None,
+        # fallback: ISO timestamp with time component
+        "1978-07-27 10:30:00": d(1978, 7, 27),
+        "1978-07-27T10:30:00": d(1978, 7, 27),
         # junk
         "NaN": None,
         "": None,
