@@ -164,49 +164,67 @@ class Pipeline:
 
     # -- extract: CSV files -> all-string staging layer ----------------------
     def run_extract(self, files_per_entity: dict[str, list[str]]) -> None:
-        for entity, paths in files_per_entity.items():
-            pk = PRIMARY_KEYS[entity]
-            new_paths = self.ingest_log.filter_new_files(paths)
-            if not new_paths:
-                self.metrics.extracted[entity] = 0
-                continue
-            raw = read_csv_all_string(self.spark, new_paths, STAGING_COLUMNS[entity])
-            df = validate_and_project(raw, STAGING_COLUMNS[entity])
-            df = normalize_nulls(df)
-            df = pk_filter(df, pk)
-            # keep-last within the batch: later files win; within a file the
-            # physical order is not load-bearing for the synthetic fixtures,
-            # so the (file, pk) dedup orders by a monotonic per-file seq.
-            df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
-            df = dedup_keep_last(df, pk, "_ingest_seq")
-            try:
-                existing = self.wh.read("staging", entity).withColumn(
-                    "_ingest_seq", F.lit(-1).cast("long")
-                )
-                # break lineage before overwriting the directory being read
-                merged = upsert_last_writer_wins(
-                    existing, df, pk, "_ingest_seq"
-                ).localCheckpoint(eager=True)
-            except Exception:
-                merged = df
-            out = merged.drop("_ingest_seq")
-            self.wh.overwrite(out, "staging", entity)
-            self.metrics.extracted[entity] = self.wh.read("staging", entity).count()
-            self.ingest_log.mark_processed_batch([(p, 0) for p in new_paths])
+        """Entities are independent DAGs, so their (small) Spark jobs run
+        concurrently from a driver-side thread pool — overlapping job
+        scheduling/IO latency; the cluster's task scheduler interleaves
+        the stages. Results land in per-entity dict slots (thread-safe)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(files_per_entity.items())
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as ex:
+            list(ex.map(lambda kv: self._extract_entity(*kv), items))
+
+    def _extract_entity(self, entity: str, paths: list[str]) -> None:
+        pk = PRIMARY_KEYS[entity]
+        new_paths = self.ingest_log.filter_new_files(paths)
+        if not new_paths:
+            self.metrics.extracted[entity] = 0
+            return
+        raw = read_csv_all_string(self.spark, new_paths, STAGING_COLUMNS[entity])
+        df = validate_and_project(raw, STAGING_COLUMNS[entity])
+        df = normalize_nulls(df)
+        df = pk_filter(df, pk)
+        # keep-last within the batch: later files win; within a file the
+        # physical order is not load-bearing for the synthetic fixtures,
+        # so the (file, pk) dedup orders by a monotonic per-file seq.
+        df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
+        df = dedup_keep_last(df, pk, "_ingest_seq")
+        try:
+            existing = self.wh.read("staging", entity).withColumn(
+                "_ingest_seq", F.lit(-1).cast("long")
+            )
+            # break lineage before overwriting the directory being read
+            merged = upsert_last_writer_wins(
+                existing, df, pk, "_ingest_seq"
+            ).localCheckpoint(eager=True)
+        except Exception:
+            merged = df
+        out = merged.drop("_ingest_seq")
+        self.wh.overwrite(out, "staging", entity)
+        self.metrics.extracted[entity] = self.wh.read("staging", entity).count()
+        self.ingest_log.mark_processed_batch([(p, 0) for p in new_paths])
 
     # -- transform: staging -> typed/enriched layer ---------------------------
     def run_transform(self, entities: list[str] | None = None) -> None:
-        for entity in entities or LOAD_ORDER:
-            pk = PRIMARY_KEYS[entity]
-            try:
-                staged = self.wh.read("staging", entity)
-            except Exception:
-                continue
-            staged = staged.withColumn("_seq", F.monotonically_increasing_id())
-            deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
-            typed = ENTITY_TRANSFORMS[entity](deduped)
-            self.wh.overwrite(typed, "transformed", entity)
-            self.metrics.transformed[entity] = self.wh.read("transformed", entity).count()
+        """Per-entity transforms write distinct directories — independent
+        jobs, run concurrently (load stays serial: FK order matters)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ents = entities or LOAD_ORDER
+        with ThreadPoolExecutor(max_workers=min(4, len(ents))) as ex:
+            list(ex.map(self._transform_entity, ents))
+
+    def _transform_entity(self, entity: str) -> None:
+        pk = PRIMARY_KEYS[entity]
+        try:
+            staged = self.wh.read("staging", entity)
+        except Exception:
+            return
+        staged = staged.withColumn("_seq", F.monotonically_increasing_id())
+        deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
+        typed = ENTITY_TRANSFORMS[entity](deduped)
+        self.wh.overwrite(typed, "transformed", entity)
+        self.metrics.transformed[entity] = self.wh.read("transformed", entity).count()
 
     # -- load: incremental append into production ----------------------------
     def run_load(self, entities: list[str] | None = None) -> None:

@@ -37,8 +37,13 @@ class IngestLog:
     """Parquet-backed ingest log with the reference's skip semantics."""
 
     def __init__(self, spark: SparkSession, log_dir: str):
+        import threading
+
         self.spark = spark
         self.log_dir = log_dir
+        # serializes appends: concurrent jobs writing one directory share
+        # the committer's _temporary staging path and can collide
+        self._write_lock = threading.Lock()
 
     def _read(self):
         try:
@@ -86,9 +91,10 @@ class IngestLog:
         # repartition(1), NOT coalesce(1): coalescing a 32-slice local
         # relation into one task walks every empty slice sequentially
         # (~4s); a shuffle to 1 partition is ~10x cheaper here.
-        self.spark.createDataFrame(rows, LOG_SCHEMA).repartition(1).write.mode(
-            "append"
-        ).parquet(self.log_dir)
+        with self._write_lock:
+            self.spark.createDataFrame(rows, LOG_SCHEMA).repartition(1).write.mode(
+                "append"
+            ).parquet(self.log_dir)
 
     def summary(self):
         """A3-style multi-agg over the log (src/extract.py:573-580)."""
