@@ -1630,6 +1630,43 @@ def x4_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x5_asof_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           round(c.value, 2) AS click_value_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def x5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: backward as-of join (operator Spark lacks natively) —
+    each purchase gets the most recent prior-or-simultaneous click's
+    value per user, via the single-shuffle union+window form
+    (operators/asof.py). Oracle: DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        value_cols=["value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("value_asof", 2).alias("click_value_asof")
+    )
+
+
+@register(
     "tx5_top_tokens",
     f"""
     WITH toks AS (
@@ -1653,6 +1690,21 @@ def tx5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
+    )
+
+
+@register("x6_approx_stats", None)  # sketch-based: engine-specific results
+def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: sketch aggregates for 100 TB interactive profiling —
+    HyperLogLog++ distinct counts and quantile sketches. Results are
+    sketch-algorithm-specific (no cross-engine oracle -> rows-only
+    check); accuracy is asserted against exact values in
+    tests/test_approx.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price_approx"),
     )
 
 
