@@ -327,15 +327,19 @@ def p5_date_range_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_anti_new_keys",
     """
     SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 420000)
     """,
 )
 def j1_anti_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 (new half): customers absent from orders — the reference's Python
-    set difference (src/extract.py:397-402) as a distributed anti-join."""
+    """J1 (new half): customers absent from the existing key set — the
+    reference's Python set difference (src/extract.py:397-402) as a
+    distributed anti-join. The 'existing' side is the high-value-order
+    key set so both halves of the split are non-empty at every sf."""
     new_rows, _ = split_new_vs_existing(
         _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 420000)
+        .withColumnRenamed("o_custkey", "c_custkey"),
         "c_custkey",
     )
     return new_rows.select("c_custkey")

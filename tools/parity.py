@@ -39,10 +39,28 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _canon_dtype(dt) -> str:
+    s = str(dt)
+    for k, v in {
+        "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+        "uint64": "int", "float32": "float", "float64": "float",
+        "datetime64[ns]": "ts", "datetime64[us]": "ts", "object": "obj",
+        "bool": "bool",
+    }.items():
+        if s == k:
+            return v
+    return s
+
+
 def compare(name: str, spark_df, oracle_df) -> tuple[bool, str]:
     sp = spark_df.toPandas()
     if sorted(sp.columns) != sorted(oracle_df.columns):
         return False, f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
+    dt_sp = {c: _canon_dtype(sp[c].dtype) for c in sp.columns}
+    dt_or = {c: _canon_dtype(oracle_df[c].dtype) for c in oracle_df.columns}
+    if dt_sp != dt_or:
+        diff = {c: (dt_sp[c], dt_or[c]) for c in dt_sp if dt_sp[c] != dt_or[c]}
+        return False, f"dtype mismatch: {diff}"
     if len(sp) != len(oracle_df):
         return False, f"row count mismatch: spark={len(sp)} oracle={len(oracle_df)}"
     a, b = normalize(sp), normalize(oracle_df)
