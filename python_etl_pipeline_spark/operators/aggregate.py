@@ -7,9 +7,10 @@ stay one-exchange plans at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def table_counts(named_dfs: dict[str, DataFrame]) -> DataFrame:
