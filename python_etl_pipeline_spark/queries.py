@@ -1697,6 +1697,124 @@ def tx5_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x7_group_zscore",
+    """
+    WITH stats AS (
+      SELECT o_orderpriority,
+             avg(o_totalprice) AS mu,
+             stddev_samp(o_totalprice) AS sigma
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - mu) / sigma, 4) AS zscore
+    FROM orders JOIN stats USING (o_orderpriority)
+    """,
+)
+def x7_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.11 grouped-map UDF surface): per-group z-score
+    normalization via applyInPandas — the Arrow grouped-map path for
+    per-group logic that needs whole-group context. (Expressible as a
+    window too; this query deliberately exercises the UDF machinery —
+    same one shuffle on the group key either way.)"""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sigma = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame({
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderpriority": pdf["o_orderpriority"],
+            "zscore": ((pdf["o_totalprice"] - mu) / sigma).round(4),
+        })
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        zscore, schema="o_orderkey bigint, o_orderpriority string, zscore double"
+    )
+
+
+@register(
+    "x8_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM lineitem
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_tax))
+    """,
+)
+def x8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: unpivot (wide -> long) via the native melt operator."""
+    l = _t(spark, sf_dir, "lineitem")
+    out = l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="raw_val",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "measure", F.round("raw_val", 2).alias("val")
+    )
+
+
+@register(
+    "x9_resample_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.h, hourly.v
+      FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+    )
+    SELECT user_id, h,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS filled
+    FROM j
+    """,
+)
+def x9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: time-series resampling — per-user hourly grid from first
+    to last event (sequence + explode: the dense-grid generator), left
+    join of actual hourly sums, gaps forward-filled with
+    last(ignorenulls). One shuffle on user_id; the grid never leaves the
+    executors."""
+    e = _t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy("user_id", h.alias("h")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id", "h", F.last("v", ignorenulls=True).over(w).alias("filled")
+    )
+
+
 @register("x6_approx_stats", None)  # sketch-based: engine-specific results
 def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch aggregates for 100 TB interactive profiling —
