@@ -1881,6 +1881,52 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+                 + 0.3 * least(len(list_filter({_DUCK_TOKS}, x -> list_contains({_EN}, x))) * 1.0
+                               / len({_DUCK_TOKS}) * 5.0, 1.0), 10) AS quality
+      FROM documents
+    ),
+    deduped AS (
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    )
+    SELECT s.doc_id, s.lang, s.quality,
+           cast(length(s.text) AS BIGINT) AS n_chars
+    FROM scored s
+    JOIN deduped d ON d.keep_id = s.doc_id
+    WHERE s.quality >= 0.5
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality-score every document,
+    drop exact duplicates (keep the lowest id), keep docs above the
+    quality bar — the scan -> score -> dedup -> filter spine of a corpus
+    curation job, in one plan (score is a projection; dedup is the only
+    shuffle; the filter folds into the join)."""
+    from .llm import exact_dedup_groups, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    keep = exact_dedup_groups(d, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        scored.join(keep, "doc_id", "left_semi")
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id", "lang", "quality", F.length("text").cast("bigint").alias("n_chars")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
