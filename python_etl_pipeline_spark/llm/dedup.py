@@ -44,11 +44,15 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (distinct not applied —
-    callers choose)."""
+    callers choose). Documents shorter than ``n`` tokens yield an empty
+    array — the guard matters: ``sequence(1, 0)`` would otherwise be a
+    DESCENDING sequence ``[1, 0]`` and ``slice(_, 0, n)`` errors."""
     col = F.col(c) if isinstance(c, str) else c
     toks = tokens(col)
     # positions 1 .. size-n+1, each -> space-joined slice of n tokens
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 

@@ -83,6 +83,39 @@ def lang_id(c: Column | str) -> Column:
     )
 
 
+# simple, cross-dialect-safe PII patterns (no lookaround/backrefs)
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{10}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Regex PII scrubbing (emails, 10-digit phones, SSN-shaped ids) —
+    the redaction pass a training-data pipeline runs before tokenization.
+    Chained regexp_replace stays inside whole-stage codegen; patterns
+    avoid lookaround so they behave identically across regex dialects."""
+    col = _as_col(c)
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col
+
+
+def repetition_ratio(c: Column | str, n: int = 3) -> Column:
+    """Fraction of duplicated word n-grams (1 - distinct/total) — the
+    Gopher-style repetition signal for filtering degenerate/looping text.
+    Pure array expressions; zero shuffles."""
+    from .dedup import shingles
+
+    sh = shingles(_as_col(c), n)
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(sh)) / total, 10),
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(c: Column | str) -> Column:
     """Content fingerprint: md5 of the lower-cased, whitespace-normalized
     text — the exact-dedup key that survives formatting noise."""

@@ -1399,6 +1399,72 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx6_pii_redact",
+    """
+    WITH withpii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 9876543210 ssn 123-45-6789' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{10}\\b', '<PHONE>', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS redacted_md5
+    FROM withpii
+    """,
+)
+def tx6_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: PII redaction pass (emails/phones/SSN-shaped ids ->
+    typed placeholders). PII is planted deterministically so the scrub is
+    observable; output is the md5 of the redacted text (keeps the compare
+    payload small)."""
+    from .llm.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 9876543210 ssn 123-45-6789"),
+    )
+    return d.select("doc_id", F.md5(redact_pii(t)).alias("redacted_md5"))
+
+
+@register(
+    "tx7_repetition_ratio",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {{SH}} AS s FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(s) > 0
+                THEN round(1.0 - len(list_distinct(s)) * 1.0 / len(s), 10)
+                ELSE 0.0 END AS rep_ratio
+    FROM sh
+    """,
+)
+def tx7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: duplicated-n-gram fraction (Gopher-style repetition
+    filter signal) — flags degenerate/looping text before training."""
+    from .llm.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+def _finalize_tx7():
+    from .llm.dedup import shingles_sql
+
+    REGISTRY["tx7_repetition_ratio"].sql = REGISTRY["tx7_repetition_ratio"].sql.replace(
+        "{SH}", shingles_sql("text")
+    )
+
+
+_finalize_tx7()
+
+
+@register(
     "dd1_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
