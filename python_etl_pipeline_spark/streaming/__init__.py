@@ -4,10 +4,12 @@ from .file_stream import (
     stream_ingest_available_now,
     windowed_event_counts,
     running_user_totals,
+    stream_stream_interval_join,
 )
 
 __all__ = [
     "stream_ingest_available_now",
     "windowed_event_counts",
     "running_user_totals",
+    "stream_stream_interval_join",
 ]

@@ -64,6 +64,36 @@ def windowed_event_counts(stream: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: each left event pairs with right
+    events for the same key within the trailing ``within`` interval.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store retains only (watermark + interval) of
+    history per side — bounded state on unbounded streams, the condition
+    Spark requires to ever drop stream-join state."""
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.ts BETWEEN l.ts - INTERVAL {within} AND l.ts"
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("l.value").alias("left_value"),
+        F.col("r.value").alias("right_value"),
+    )
+
+
 def running_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update.

@@ -81,6 +81,44 @@ def test_stateful_running_totals(spark, tmp_path):
     assert rows[2]["n_events"] == 2 and rows[2]["total_value"] == 8.0
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming import stream_stream_interval_join
+
+    src = str(tmp_path / "events")
+    _write_events_parquet(spark, src)
+    schema = spark.read.parquet(src).schema
+    purchases = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+    )
+    views = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "view")
+    )
+    # user 1 clicks at 00:05/00:20/01:10; user 2 views at 00:40/01:30 —
+    # join clicks to themselves would be trivial; join clicks(left) with
+    # clicks-as-right to exercise interval matching: use same-user pairs.
+    joined = stream_stream_interval_join(
+        purchases, purchases, key="user_id", within="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["left_ts"].isoformat(), r["right_ts"].isoformat())
+            for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    # self-pairs always match; 00:20 matches prior 00:05 (15 min back);
+    # 01:10 matches neither (50 min gap)
+    assert ("2024-01-01T00:20:00", "2024-01-01T00:05:00") in rows
+    assert ("2024-01-01T00:05:00", "2024-01-01T00:05:00") in rows
+    assert ("2024-01-01T01:10:00", "2024-01-01T00:20:00") not in rows
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     salted = salted_agg(
