@@ -7,7 +7,7 @@ here hand-schedules what the optimizer already does.
 
 from .project import validate_and_project, pk_filter, normalize_nulls
 from .dedup import dedup_keep_first, dedup_keep_last, distinct_keys, digit_sort_key
-from .joins import split_new_vs_existing, fk_join
+from .joins import split_new_vs_existing, fk_join, range_join
 from .aggregate import table_counts, multi_agg_summary
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "digit_sort_key",
     "split_new_vs_existing",
     "fk_join",
+    "range_join",
     "table_counts",
     "multi_agg_summary",
 ]

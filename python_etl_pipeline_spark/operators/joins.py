@@ -46,3 +46,50 @@ def fk_join(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(d, on, how)
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    *,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Range (band) join: fact rows matched to intervals ``[lo, hi)``.
+
+    The naive plan for an interval predicate is a nested-loop join —
+    O(n·m) predicate evaluations, which Spark can only broadcast, and
+    which dies when the band table stops being tiny. With ``bin_width``
+    set, the predicate is decomposed into an equi-join on a coarse bin:
+    each band explodes into the bins it covers, each fact row hashes to
+    ``floor(value / bin_width)``, the join is a plain hash/sort-merge
+    equi-join on the bin, and the residual ``[lo, hi)`` filter refines.
+    For non-overlapping bands each fact row matches at most one band, so
+    no dedup is needed. Pick ``bin_width`` near the median band width:
+    each band then explodes into O(1) bins and the equi-join fan-out
+    stays ~1.
+
+    Without ``bin_width`` the band table is broadcast and Catalyst runs
+    the nested-loop — correct, and fine while bands stay dimension-sized.
+    """
+    if bin_width is None:
+        cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        return fact.join(F.broadcast(bands), cond, "inner")
+    w = float(bin_width)
+    binned_bands = bands.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    binned_fact = fact.withColumn("__bin", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        binned_fact.join(F.broadcast(binned_bands), "__bin", "inner")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bin")
+    )

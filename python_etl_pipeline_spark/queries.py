@@ -43,6 +43,7 @@ from .operators import (
     dedup_keep_last,
     split_new_vs_existing,
     fk_join,
+    range_join,
     pk_filter,
 )
 from .plans import upsert_last_writer_wins, incremental_append_watermark
@@ -1991,6 +1992,66 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", "quality", F.length("text").cast("bigint").alias("n_chars")
         )
     )
+
+
+PRICE_BANDS = [
+    ("micro", 0.0, 50_000.0),
+    ("small", 50_000.0, 100_000.0),
+    ("medium", 100_000.0, 200_000.0),
+    ("large", 200_000.0, 600_000.0),
+]
+
+
+@register(
+    "x10_range_join",
+    """
+    SELECT b.band,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders o
+    JOIN (VALUES ('micro', 0.0, 50000.0),
+                 ('small', 50000.0, 100000.0),
+                 ('medium', 100000.0, 200000.0),
+                 ('large', 200000.0, 600000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+)
+def x10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join engine extension: interval predicate decomposed
+    into a binned equi-join (operators.range_join) instead of the
+    nested-loop Catalyst would otherwise run — the scale path when the
+    interval table outgrows broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join(o, bands, "o_totalprice", bin_width=50_000.0)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "mm1_media_features",
+    """
+    SELECT doc_id AS media_id,
+           cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS digest
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a first-class query: wrap each document's
+    content as an opaque binary payload + typed metadata struct, then run
+    the Arrow-batched mapInPandas feature extractor (llm/multimodal.py) —
+    the exact pipeline shape image/audio decode takes at scale, with the
+    codec step a deterministic hash-derived stand-in."""
+    from .llm.multimodal import attach_binary_payload, extract_features
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = attach_binary_payload(d, "text", "doc_id")
+    return extract_features(media).select("media_id", "byte_len", "digest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

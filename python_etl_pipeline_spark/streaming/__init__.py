@@ -5,6 +5,7 @@ from .file_stream import (
     windowed_event_counts,
     running_user_totals,
     stream_stream_interval_join,
+    stream_dedup_within_watermark,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "windowed_event_counts",
     "running_user_totals",
     "stream_stream_interval_join",
+    "stream_dedup_within_watermark",
 ]

@@ -94,6 +94,25 @@ def stream_stream_interval_join(
     )
 
 
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming deduplication with bounded state: keep the first row per
+    key, where duplicates are only expected within the watermark horizon
+    (at-least-once upstream delivery, e.g. a replaying ingest source).
+
+    Plain ``dropDuplicates`` on a stream keeps every key ever seen in the
+    state store — unbounded growth. ``dropDuplicatesWithinWatermark``
+    expires a key's state once the watermark passes its event time, so
+    state is bounded by (watermark window × arrival rate) regardless of
+    total stream length.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update.

@@ -119,6 +119,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert ("2024-01-01T01:10:00", "2024-01-01T00:20:00") not in rows
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming import stream_dedup_within_watermark
+
+    src = str(tmp_path / "dup_events")
+    rows = [
+        ("2024-01-01 00:05:00", 1, "click", 1.0),
+        ("2024-01-01 00:05:00", 1, "click", 1.0),  # exact redelivery
+        ("2024-01-01 00:06:00", 1, "click", 2.0),
+        ("2024-01-01 00:06:00", 1, "click", 2.0),
+        ("2024-01-01 00:40:00", 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "user_id", "event_type", "value"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = stream_dedup_within_watermark(
+        stream, ["user_id", "ts"], watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT user_id, ts FROM dedup_out").collect()
+    assert len(got) == 3  # 5 rows, 2 redeliveries dropped, state bounded by watermark
+    assert len({(r["user_id"], r["ts"]) for r in got}) == 3
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     salted = salted_agg(
