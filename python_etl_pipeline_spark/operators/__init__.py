@@ -8,6 +8,7 @@ here hand-schedules what the optimizer already does.
 from .project import validate_and_project, pk_filter, normalize_nulls
 from .dedup import dedup_keep_first, dedup_keep_last, distinct_keys, digit_sort_key
 from .joins import split_new_vs_existing, fk_join, range_join
+from .sampling import hash_bucket, train_val_test_split, stratified_hash_sample
 from .aggregate import table_counts, multi_agg_summary
 
 __all__ = [
@@ -21,6 +22,9 @@ __all__ = [
     "split_new_vs_existing",
     "fk_join",
     "range_join",
+    "hash_bucket",
+    "train_val_test_split",
+    "stratified_hash_sample",
     "table_counts",
     "multi_agg_summary",
 ]

@@ -2054,6 +2054,75 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "byte_len", "digest")
 
 
+from .operators.sampling import (  # noqa: E402  (needs hash helpers above)
+    hash_bucket_sql,
+    stratified_hash_sample,
+    train_val_test_split,
+)
+
+SAMPLE_RATES = {"en": 30, "zh": 100, "es": 80, "de": 80, "fr": 80}
+
+
+@register(
+    "x11_train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {hash_bucket_sql('doc_id', 100)} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           cast(min(doc_id) AS BIGINT) AS min_id,
+           cast(max(doc_id) AS BIGINT) AS max_id
+    FROM b GROUP BY 1
+    """,
+)
+def x11_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-percentile train/val/test split (80/10/10):
+    membership depends only on md5(doc_id), so it is stable across runs,
+    engines, partitionings, and appends — the split hygiene a 100 TB
+    corpus needs (df.sample() reshuffles with partitioning). Pure
+    projection; the aggregate below is only verification."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id", val_pct=10, test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "x12_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT lang, {hash_bucket_sql('doc_id', 100)} AS bucket FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 100
+                              WHEN 'es' THEN 80 WHEN 'de' THEN 80
+                              WHEN 'fr' THEN 80 ELSE 0 END)
+    GROUP BY 1
+    """,
+)
+def x12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (per-language) downsampling — the class
+    rebalance step of corpus curation (keep all rare languages, thin the
+    dominant one). Rate lookup compiles to a CASE chain: map-only scan,
+    no join, no shuffle beyond the verification aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(d, "doc_id", SAMPLE_RATES, strata_col="lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 

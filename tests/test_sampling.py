@@ -1,0 +1,58 @@
+"""Deterministic sampling: membership must be a pure function of the key
+— invariant to partitioning, run count, and table growth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_etl_pipeline_spark.operators import (
+    hash_bucket,
+    stratified_hash_sample,
+    train_val_test_split,
+)
+
+
+def test_split_partition_invariant(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = train_val_test_split(d.repartition(1), "doc_id")
+    many = train_val_test_split(d.repartition(16), "doc_id")
+    a = {r["doc_id"]: r["split"] for r in one.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in many.select("doc_id", "split").collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_split_append_stable(spark, sf_dir):
+    # old rows keep their split when new rows arrive (ntile would not)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d, "doc_id").select("doc_id", "split").collect()
+    }
+    half_assign = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(half, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_stratified_rates_approximate(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 30, "zh": 100, "es": 80, "de": 80, "fr": 80}
+    sampled = stratified_hash_sample(d, "doc_id", rates, strata_col="lang")
+    tot = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("zh", 0) == tot["zh"]  # 100% stratum keeps everything
+    # sampled subset honors the filter exactly: every kept row's bucket < rate
+    kept = sampled.withColumn("b", hash_bucket(F.col("doc_id"), 100)).collect()
+    for r in kept:
+        assert r["b"] < rates[r["lang"]]
+
+
+def test_hash_bucket_range_and_determinism(spark):
+    df = spark.range(0, 2000).withColumn("b", hash_bucket(F.col("id"), 10))
+    rows = df.groupBy("b").count().collect()
+    assert {r["b"] for r in rows} == set(range(10))  # all buckets hit
+    for r in rows:  # roughly uniform (2000 rows / 10 buckets = 200 +/- 50%)
+        assert 100 <= r["count"] <= 300
