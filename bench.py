@@ -34,6 +34,9 @@ HEADLINE = [
     "dd5_embedding_neardup",
     "ann1_bruteforce_topk",
     "tx2_quality_score",
+    "x10_range_join",
+    "x11_train_val_test_split",
+    "mm1_media_features",
 ]
 
 
