@@ -2123,6 +2123,59 @@ def x12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x13_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           cast(sum(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           cast(min(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           cast(max(cast(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extension: pull a typed field out of a JSON props
+    column and aggregate — get_json_object is JVM-side (Jackson), so the
+    parse rides inside whole-stage codegen; no Python, no UDF. try_cast
+    keeps malformed payloads NULL under ANSI instead of failing tasks."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "x14_exact_percentile",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(cast(o_totalprice AS DOUBLE), 0.25) AS p25,
+           quantile_cont(cast(o_totalprice AS DOUBLE), 0.50) AS p50,
+           quantile_cont(cast(o_totalprice AS DOUBLE), 0.90) AS p90
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def x14_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (not sketch) per-group quantiles — complements the
+    approx_percentile sketch in x6_approx_stats. Exact quantiles need a
+    per-group sort; at 100 TB prefer x6's mergeable KLL-style sketch and
+    reserve this for grouped slices that fit a task's spill budget. Both
+    engines use the (n-1)*p linear-interpolation definition, so values
+    agree bit-for-bit with no rounding."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.90).alias("p90"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
