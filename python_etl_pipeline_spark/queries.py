@@ -2176,6 +2176,109 @@ def x14_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x15_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, cast(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def x15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session breaks after 30 idle
+    minutes. lag marks boundaries, a running sum numbers sessions — both
+    windows share one partitioning (user_id), so the whole query is a
+    single shuffle + per-partition sort. The streaming twin is
+    st2_session_window (session_window handles this natively)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_no", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "x16_table_diff",
+    """
+    WITH a AS (SELECT o_orderkey, md5(concat_ws('|', o_orderstatus,
+                     cast(o_totalprice AS VARCHAR))) AS rh
+               FROM orders),
+         b AS (SELECT o_orderkey,
+                      md5(concat_ws('|', CASE WHEN o_orderkey % 97 = 0
+                                               THEN 'X' ELSE o_orderstatus END,
+                     cast(o_totalprice AS VARCHAR))) AS rh
+               FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN a.rh <> b.rh THEN 'changed'
+                ELSE 'unchanged' END AS diff_kind,
+           count(*) AS n_rows
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def x16_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (I4 generalized from row counts to row
+    values): full-outer join two table versions on the PK and compare a
+    row-content hash — added / removed / changed / unchanged in one
+    shuffle pair. The 'new' version here is a deterministic perturbation
+    of orders (every 13th key dropped, every 97th status mutated) so the
+    diff is reproducible and oracle-checkable."""
+    o = _t(spark, sf_dir, "orders")
+
+    def row_hash(status_col):
+        return F.md5(
+            F.concat_ws("|", status_col, F.col("o_totalprice").cast("string"))
+        )
+
+    a = o.select("o_orderkey", row_hash(F.col("o_orderstatus")).alias("rh"))
+    b = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        row_hash(
+            F.when(F.col("o_orderkey") % 97 == 0, "X").otherwise(F.col("o_orderstatus"))
+        ).alias("rh"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    kind = (
+        F.when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("a.rh") != F.col("b.rh"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        aa.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .select(kind.alias("diff_kind"))
+        .groupBy("diff_kind")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
