@@ -48,3 +48,25 @@ def test_dedup_single_shuffle(spark, sf_dir):
     # one hash-partition exchange for the window; no global sort exchange
     assert plan.count("hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_json_extract_prunes_to_two_columns(spark, sf_dir):
+    # the JSON parse must not widen the scan: only event_type + props read
+    plan = _plan(spark, sf_dir, "x13_json_extract")
+    assert "event_type" in plan and "props" in plan
+    for unused in ("user_id", "value:", "event_id"):
+        assert unused not in plan
+
+
+def test_media_features_prunes_scan(spark, sf_dir):
+    # mapInPandas feature extraction reads only doc_id + text
+    plan = _plan(spark, sf_dir, "mm1_media_features")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    # lag window, running-sum window, and the groupBy all share the
+    # user_id partitioning -> one hash exchange end-to-end
+    plan = _plan(spark, sf_dir, "x15_sessionize")
+    assert plan.count("hashpartitioning") <= 2  # window + final agg at most
+    assert "rangepartitioning" not in plan
