@@ -46,3 +46,32 @@ def reconcile_counts(src: DataFrame, dst: DataFrame) -> dict:
     """I4: row-count reconciliation report (src/load.py:317-360)."""
     s, d = src.count(), dst.count()
     return {"source_count": s, "target_count": d, "synced": s == d, "difference": s - d}
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch's partial
+    aggregates into a persisted per-key aggregate state.
+
+    Counts and sums are commutative monoids, so the merged state equals
+    a full recompute (the oracle property) while touching only
+    |state| + |delta| rows — at 100 TB this is the difference between
+    re-aggregating the whole fact table per batch and a groupBy over the
+    (key-cardinality-sized) state plus the new batch. Both inputs must
+    already carry ``count_col`` / ``sum_cols`` (i.e. be aggregate-shaped:
+    build the delta's partials with the same groupBy that built the
+    state).
+    """
+    sum_cols = sum_cols or []
+    merged = state.select(*keys, count_col, *sum_cols).unionByName(
+        delta.select(*keys, count_col, *sum_cols)
+    )
+    aggs = [F.sum(count_col).cast("bigint").alias(count_col)] + [
+        F.sum(c).alias(c) for c in sum_cols
+    ]
+    return merged.groupBy(*keys).agg(*aggs)

@@ -2279,6 +2279,43 @@ def x16_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "i5_incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def i5_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate (materialized-view) maintenance: per-key
+    count/sum state built from the history partition, then a delta
+    batch's partials folded in with plans.merge_agg_state. The oracle is
+    a FULL recompute over all of orders — passing proves merged
+    increments equal the from-scratch aggregate, the property that lets
+    a 100 TB rollup update per batch instead of per full scan."""
+    from .plans import merge_agg_state
+
+    o = _t(spark, sf_dir, "orders")
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+
+    history = partials(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partials(o.filter(F.col("o_orderkey") % 5 == 0))
+    merged = merge_agg_state(
+        history, delta, ["o_orderpriority"], count_col="n_rows", sum_cols=["sum_price"]
+    )
+    return merged.select(
+        "o_orderpriority", "n_rows", F.round("sum_price", 2).alias("sum_price")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
