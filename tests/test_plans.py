@@ -50,6 +50,25 @@ def test_dedup_single_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_shipping_priority_topk_is_heap_not_sort(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # heap), never a global rangepartitioned sort
+    plan = _plan(spark, sf_dir, "a7_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    # both date filters and the segment filter reached the scans
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_dir):
+    # 6-way join: supplier/nation/region broadcast; only fact-fact joins
+    # and the final agg may shuffle
+    plan = _plan(spark, sf_dir, "a8_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_json_extract_prunes_to_two_columns(spark, sf_dir):
     # the JSON parse must not widen the scan: only event_type + props read
     plan = _plan(spark, sf_dir, "x13_json_extract")
