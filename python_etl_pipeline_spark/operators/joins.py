@@ -56,6 +56,7 @@ def range_join(
     hi_col: str = "hi",
     *,
     bin_width: float | None = None,
+    broadcast_bands: bool = False,
 ) -> DataFrame:
     """Range (band) join: fact rows matched to intervals ``[lo, hi)``.
 
@@ -73,6 +74,12 @@ def range_join(
 
     Without ``bin_width`` the band table is broadcast and Catalyst runs
     the nested-loop — correct, and fine while bands stay dimension-sized.
+
+    ``broadcast_bands`` applies only to the binned path: the whole point
+    of the decomposition is that the bin join works as a plain
+    hash/sort-merge exchange when the band table outgrows broadcast, so
+    the hint is opt-in for callers that *know* the bands are
+    dimension-sized — by default AQE/stats decide.
     """
     if bin_width is None:
         cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
@@ -87,9 +94,11 @@ def range_join(
             )
         ),
     )
+    if broadcast_bands:
+        binned_bands = F.broadcast(binned_bands)
     binned_fact = fact.withColumn("__bin", F.floor(F.col(value_col) / w).cast("long"))
     return (
-        binned_fact.join(F.broadcast(binned_bands), "__bin", "inner")
+        binned_fact.join(binned_bands, "__bin", "inner")
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bin")
     )

@@ -184,12 +184,26 @@ class Pipeline:
         df = validate_and_project(raw, STAGING_COLUMNS[entity])
         df = normalize_nulls(df)
         df = pk_filter(df, pk)
-        # keep-last within the batch: later files win; within a file the
-        # physical order is not load-bearing for the synthetic fixtures,
-        # so the (file, pk) dedup orders by a monotonic per-file seq.
-        df = df.withColumn("_ingest_seq", F.monotonically_increasing_id())
-        df = dedup_keep_last(df, pk, "_ingest_seq")
-        try:
+        # keep-last across files must mean "the later file in the batch
+        # wins" (O2, reference extract.py:389) — an EXPLICIT file sequence,
+        # not monotonically_increasing_id enumeration order, which Spark
+        # does not guarantee to follow the file list. Rank each row by its
+        # source file's position in the batch; a monotonic id only breaks
+        # ties WITHIN one file (where it does follow physical row order
+        # per split).
+        seq_map = F.create_map(
+            *[
+                F.lit(x)
+                for i, p in enumerate(new_paths)
+                for x in (self.wh.qualified_uri(p), i)
+            ]
+        )
+        df = df.withColumn(
+            "_ingest_seq",
+            F.coalesce(seq_map[F.input_file_name()], F.lit(-1)).cast("long"),
+        ).withColumn("_ingest_sub", F.monotonically_increasing_id())
+        df = dedup_keep_last(df, pk, ["_ingest_seq", "_ingest_sub"]).drop("_ingest_sub")
+        if self.wh.exists("staging", entity):
             existing = self.wh.read("staging", entity).withColumn(
                 "_ingest_seq", F.lit(-1).cast("long")
             )
@@ -197,7 +211,7 @@ class Pipeline:
             merged = upsert_last_writer_wins(
                 existing, df, pk, "_ingest_seq"
             ).localCheckpoint(eager=True)
-        except Exception:
+        else:
             merged = df
         out = merged.drop("_ingest_seq")
         self.wh.overwrite(out, "staging", entity)
@@ -216,10 +230,9 @@ class Pipeline:
 
     def _transform_entity(self, entity: str) -> None:
         pk = PRIMARY_KEYS[entity]
-        try:
-            staged = self.wh.read("staging", entity)
-        except Exception:
-            return
+        if not self.wh.exists("staging", entity):
+            return  # nothing staged for this entity; read errors propagate
+        staged = self.wh.read("staging", entity)
         staged = staged.withColumn("_seq", F.monotonically_increasing_id())
         deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
         typed = ENTITY_TRANSFORMS[entity](deduped)
@@ -230,15 +243,14 @@ class Pipeline:
     def run_load(self, entities: list[str] | None = None) -> None:
         for entity in entities or LOAD_ORDER:  # FK-safe order (load.py:305)
             pk = PRIMARY_KEYS[entity]
-            try:
-                src = self.wh.read("transformed", entity)
-            except Exception:
-                continue
-            try:
+            if not self.wh.exists("transformed", entity):
+                continue  # entity had no input this run; read errors propagate
+            src = self.wh.read("transformed", entity)
+            if self.wh.exists("production", entity):
                 target = self.wh.read("production", entity)
                 # materialize the delta before appending into the scanned dir
                 delta = incremental_append_antijoin(src, target, pk).localCheckpoint(eager=True)
-            except Exception:
+            else:
                 delta = src
             # partition the fact table by YEAR: coarse enough to avoid a
             # tiny-file explosion (day-granularity created ~23k dirs for

@@ -33,15 +33,24 @@ def upsert_last_writer_wins(
 ) -> DataFrame:
     """Merge ``incoming`` over ``existing``: highest ``version_col`` per PK
     wins; ``tiebreak`` (descending) resolves equal versions deterministically.
+
+    ON-DUPLICATE-KEY-UPDATE semantics require the *incoming* row to win
+    when versions tie (the reference's upsert unconditionally overwrites,
+    src/extract.py:328-357), so an implicit source-priority column
+    (incoming=1, existing=0) is always the final ordering term — the
+    merge is a total order even when callers pass equal versions.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
-    merged = existing.unionByName(incoming, allowMissingColumns=False)
+    merged = existing.withColumn("__src", F.lit(0)).unionByName(
+        incoming.withColumn("__src", F.lit(1)), allowMissingColumns=False
+    )
     order = [F.col(version_col).desc()]
     if tiebreak:
         order.append(F.col(tiebreak).desc())
+    order.append(F.col("__src").desc())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )

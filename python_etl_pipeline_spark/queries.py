@@ -2024,7 +2024,7 @@ def x10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval table outgrows broadcast."""
     o = _t(spark, sf_dir, "orders")
     bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
-    joined = range_join(o, bands, "o_totalprice", bin_width=50_000.0)
+    joined = range_join(o, bands, "o_totalprice", bin_width=50_000.0, broadcast_bands=True)
     return joined.groupBy("band").agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -2180,7 +2180,7 @@ def x14_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x15_sessionize",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -2189,7 +2189,7 @@ def x14_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     )
@@ -2210,9 +2210,12 @@ def x15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
+    # event_id tiebreaks the running sum too: with ts-only ordering, equal
+    # timestamps would make session numbering depend on an arbitrary tie
+    # order (and Spark/DuckDB could legitimately disagree).
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("session_no", F.sum("new_sess").over(wsum))

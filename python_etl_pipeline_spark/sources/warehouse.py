@@ -26,6 +26,24 @@ class Warehouse:
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, table))
 
+    def exists(self, layer: str, table: str) -> bool:
+        """Filesystem probe via the Hadoop FS API (scheme-agnostic: local,
+        HDFS, object stores). Callers use this instead of catching read
+        exceptions — a corrupt table then fails loudly instead of being
+        silently treated as "first run"."""
+        sc = self.spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(self.path(layer, table))
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def qualified_uri(self, path: str) -> str:
+        """Fully-qualified URI for ``path`` exactly as Spark's
+        ``input_file_name()`` reports it (Hadoop Path normalization)."""
+        sc = self.spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        return fs.makeQualified(p).toString()
+
     def overwrite(self, df: DataFrame, layer: str, table: str,
                   partition_by: list[str] | None = None) -> None:
         """Snapshot rewrite — the upsert sink's terminal step (K1/K2)."""

@@ -107,3 +107,47 @@ def test_full_pipeline(spark, tmp_path):
     )
     pipe.run_full({"customers": [str(files["customers"][0]), str(p2)]})
     assert pipe.wh.read("production", "customers").count() == 4
+
+
+CUST_HEADER = "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
+
+
+def test_cross_file_later_wins(spark, tmp_path):
+    """O2 across files: the same PK in two files of one batch resolves to
+    the LATER file in the batch list — by explicit file rank, not Spark's
+    file-enumeration order (reference extract.py:389). The batch list
+    deliberately orders the alphabetically-later name first."""
+    pz = tmp_path / "z_first.csv"
+    pa = tmp_path / "a_second.csv"
+    pz.write_text(CUST_HEADER + "7,QT0001,from,zfile,2000-01-01,m,z@x.com,1,addr,2020-01-01\n")
+    pa.write_text(CUST_HEADER + "7,QT0001,from,afile,2000-01-01,m,a@x.com,1,addr,2020-01-01\n")
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    pipe.run_extract({"customers": [str(pz), str(pa)]})
+    rows = pipe.wh.read("staging", "customers").collect()
+    assert len(rows) == 1
+    assert rows[0]["last_name"] == "afile"  # later list position wins
+
+
+def test_upsert_version_tie_incoming_wins(spark):
+    """Equal version values must resolve to the incoming row (ON
+    DUPLICATE KEY UPDATE overwrites unconditionally)."""
+    from python_etl_pipeline_spark.plans import upsert_last_writer_wins
+
+    existing = spark.createDataFrame([(1, "old", 5)], "pk int, val string, v int")
+    incoming = spark.createDataFrame([(1, "new", 5)], "pk int, val string, v int")
+    out = upsert_last_writer_wins(existing, incoming, "pk", "v").collect()
+    assert len(out) == 1 and out[0]["val"] == "new"
+    assert "__src" not in upsert_last_writer_wins(existing, incoming, "pk", "v").columns
+
+
+def test_corrupt_staging_fails_loudly(spark, tmp_path):
+    """A corrupt staged table must raise, not be silently treated as
+    'first run' (which would discard previously staged rows)."""
+    import pytest
+
+    corrupt = tmp_path / "wh" / "staging" / "customers"
+    corrupt.mkdir(parents=True)
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    with pytest.raises(Exception):
+        pipe._transform_entity("customers")
