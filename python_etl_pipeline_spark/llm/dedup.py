@@ -116,15 +116,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash + LSH banding.
 
     Plan shape at scale: signature computation is a pure projection
     (no shuffle); band explosion multiplies rows by `bands`; the
     self-join shuffles on (band, bucket_hash) only — documents that
-    share no bucket never meet. Skewed buckets (boilerplate shingles)
-    are handled by AQE skew-join; an optional bucket-size cap can drop
-    degenerate buckets.
+    share no bucket never meet.
+
+    ``max_bucket_size`` is the degenerate-bucket guard: a bucket holding
+    B documents emits B(B-1)/2 pairs, so one boilerplate-heavy bucket of
+    10^6 docs would emit 5*10^11 rows. Buckets larger than the cap are
+    dropped *before* the self-join (a count window over the join key —
+    no extra shuffle beyond the one the join pays anyway). Documents in
+    an oversized bucket usually co-occur in other, smaller buckets of
+    their remaining bands, so recall degrades gracefully.
     """
     assert bands * rows == n_hashes
     exploded = df.select(
@@ -153,6 +160,15 @@ def minhash_lsh_pairs(
     banded = with_sig.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.select(F.col(id_col).alias("a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("b"), "band", "bh")
     return (
@@ -169,12 +185,22 @@ def ngram_jaccard_pairs(
     id_col: str,
     min_jaccard: float = 0.3,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count intersections, derive |A ∪ B| = |A| + |B| - |A ∩ B|.
     All-pairs never materializes — only co-occurring pairs shuffle.
+
+    ``max_doc_freq`` is the posting-list cap: a shingle appearing in D
+    documents contributes D(D-1)/2 join rows, so one boilerplate trigram
+    in 10^6 docs would alone emit 5*10^11 pairs. Shingles with document
+    frequency above the cap are excluded from the *join* (count window
+    over the shingle — same key the join shuffles on); per-document
+    sizes still count every shingle, so capped Jaccard is a strict lower
+    bound of true Jaccard and pairs whose only overlap is ultra-common
+    boilerplate drop out — which is the curation intent.
     """
     sh = (
         df.select(
@@ -183,6 +209,15 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        ws = Window.partitionBy("s")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(ws))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     a = sh.select(F.col(id_col).alias("a"), "s")
     b = sh.select(F.col(id_col).alias("b"), "s")
     inter = (

@@ -1482,7 +1482,9 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_sql(n_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+def _minhash_sql(
+    n_hashes: int = 16, bands: int = 4, rows: int = 4, max_bucket_size: int | None = None
+) -> str:
     from .llm.dedup import MINHASH_AB, MINHASH_P, _h32_sql, shingles_sql
 
     sig_exprs = ", ".join(
@@ -1498,6 +1500,12 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
         )
         for b in range(bands)
     )
+    cap = (
+        f", capped AS (SELECT doc_id, band, bh FROM bands "
+        f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket_size})"
+        if max_bucket_size is not None
+        else ", capped AS (SELECT * FROM bands)"
+    )
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
@@ -1505,32 +1513,43 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     hv AS (SELECT doc_id, {_h32_sql('md5(s)')} AS h FROM sh),
     sig AS (SELECT doc_id, {sig_exprs} FROM hv GROUP BY doc_id),
     bands AS ({band_selects})
+    {cap}
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     """
 
 
-@register("dd2_minhash_lsh", _minhash_sql())
+@register("dd2_minhash_lsh", _minhash_sql(max_bucket_size=100))
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (MinHash+LSH): shingle → 16 md5-min-hashes → 4 bands × 4 rows
-    → bucket self-join. The scalable near-dup path: no all-pairs compare,
-    shuffle keyed on (band, bucket)."""
+    → bucket self-join, degenerate buckets (>100 docs) dropped before the
+    join. The scalable near-dup path: no all-pairs compare, shuffle keyed
+    on (band, bucket), pair fan-out bounded by the bucket cap."""
     from .llm.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket_size=100
+    )
 
 
-def _ngram_jaccard_sql() -> str:
+def _ngram_jaccard_sql(max_doc_freq: int | None = None) -> str:
     from .llm.dedup import shingles_sql
 
+    cap = (
+        f"capped AS (SELECT doc_id, s FROM sh "
+        f"QUALIFY count(*) OVER (PARTITION BY s) <= {max_doc_freq}),"
+        if max_doc_freq is not None
+        else "capped AS (SELECT * FROM sh),"
+    )
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    {cap}
     inter AS (
       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
@@ -1541,13 +1560,18 @@ def _ngram_jaccard_sql() -> str:
     """
 
 
-@register("dd3_ngram_jaccard", _ngram_jaccard_sql())
+@register("dd3_ngram_jaccard", _ngram_jaccard_sql(max_doc_freq=100))
 def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (n-gram Jaccard): exact set similarity over the
-    inverted-index join — only pairs sharing a shingle are scored."""
+    inverted-index join — only pairs sharing a shingle are scored, and
+    shingles in >100 documents are excluded from the join (posting-list
+    cap: bounds per-shingle pair fan-out; capped Jaccard is a lower
+    bound, so boilerplate-only overlaps drop out)."""
     from .llm.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", 0.3)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq=100
+    )
 
 
 @register("dd4_simhash", None)  # placeholder replaced below
