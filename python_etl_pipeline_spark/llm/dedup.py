@@ -237,6 +237,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, label) over the undirected pair graph, label = the minimum
+    node id of the component — the "pick one survivor per duplicate
+    cluster" primitive.
+
+    Iterative min-label propagation run to a FIXED POINT: each round
+    every node takes the min of its own and its neighbors' labels; the
+    loop stops when a round changes zero labels (one cheap ``count()``
+    per round on the already-checkpointed frame). A fixed round budget
+    would silently split any duplicate chain longer than the budget —
+    convergence needs exactly ``diameter`` rounds, and near-dup
+    components are shallow in practice. ``max_iter`` is a runaway guard
+    only; hitting it raises rather than returning split clusters.
+
+    At web scale the same per-round plan (join + groupBy min) is the
+    inner step of small-star/large-star alternation; plain propagation
+    suffices for bounded-diameter dedup graphs.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a)
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("a").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut the growing lineage per round
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("__new"))
+            .join(labels, "node")
+            .filter(F.col("__new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds the guard; raise max_iter"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 # 16-bit simhash from the first 4 hex chars of md5(token): per bit, sum +1/-1
 # over tokens by bit value, take the sign. All arithmetic (strpos on a hex

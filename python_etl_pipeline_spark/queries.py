@@ -1928,40 +1928,19 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical "pick one survivor per duplicate cluster" step.
 
     Genuinely iterative (no single SQL equivalent → rows-only driver
-    check). Each round is one join + one groupBy; rounds are bounded by
-    the graph diameter, which for near-dup clusters is tiny. At scale
-    this is the standard large-graph CC recipe (alternate small-star /
+    check). Each round is one join + one groupBy, iterated to a FIXED
+    POINT (llm.dedup.connected_components) — a fixed round budget would
+    split any duplicate chain longer than the budget. At scale this is
+    the standard large-graph CC recipe (alternate small-star /
     large-star); here plain propagation suffices.
     """
-    from .llm.dedup import minhash_lsh_pairs
+    from .llm.dedup import connected_components, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id").localCheckpoint(eager=True)
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    for _ in range(5):  # diameter bound for near-dup clusters
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(edges.a)
-            .agg(F.min("label").alias("nbr_label"))
-            .select(F.col("a").alias("node"), "nbr_label")
-        )
-        labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)  # cut the growing lineage per round
-        )
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs)
     return (
         labels.groupBy("label")
         .agg(
