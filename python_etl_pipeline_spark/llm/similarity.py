@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 * **brute force** — exact cosine top-k. Expressed as a posexplode +
   sum-of-products so the arithmetic (double accumulation) is
@@ -12,6 +12,10 @@ Two paths:
   search prunes to ~1/n_cells of the data. Centroid *training*
   (k-means) is out of scope here — any fixed centroid set works; the
   engine takes centroids as data.
+* **hyperplane-LSH pair generation** — near-dup pair mining
+  (:func:`cosine_pairs`): deterministic random-hyperplane band buckets
+  prune the candidate space, exact cosine scores the survivors. No
+  driver collect, no table broadcast — every stage is a keyed shuffle.
 
 Vectors are cast to double before arithmetic: float32 dot products
 accumulate error engine-dependently; double agrees to ~1e-13.
@@ -41,53 +45,198 @@ def _components(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("v", F.col("v").cast("double"))
 
 
+# Hyperplane coefficients cover component indices up to this bound; the
+# coefficient table is (MAX_DIM x n_planes) doubles (~1 MB broadcast at
+# 16 planes) and vectors with MORE components than this are rejected —
+# a silent drop would change buckets.
+LSH_MAX_DIM = 8192
+
+
+def _coef_pdf(n_planes: int):
+    """Memoized (LSH_MAX_DIM x n_planes) hyperplane-coefficient pandas
+    frame — pure md5-derived constants, identical to the oracle's SQL
+    expression ``h32(md5('rp{p}|{i}')) / 2^31 - 1`` (i 1-based)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    cached = _COEF_CACHE.get(n_planes)
+    if cached is None:
+        data = {"i": np.arange(LSH_MAX_DIM, dtype=np.int32)}
+        for p in range(n_planes):
+            data[f"r{p}"] = np.array(
+                [
+                    int(hashlib.md5(f"rp{p}|{i + 1}".encode()).hexdigest()[:8], 16)
+                    / 2147483648.0
+                    - 1.0
+                    for i in range(LSH_MAX_DIM)
+                ]
+            )
+        cached = _COEF_CACHE[n_planes] = pd.DataFrame(data)
+    return cached
+
+
+_COEF_CACHE: dict = {}
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bh) — random-hyperplane (SimHash-for-cosine) LSH band
+    assignment. Plane coefficients are md5-derived constants
+    (``h32(md5('rp{p}|{i}')) / 2^31 - 1`` per (plane, 1-based component))
+    computed driver-side with hashlib for all indices up to
+    :data:`LSH_MAX_DIM` — pure constants, not data — and broadcast-joined
+    to the exploded components, so a SQL oracle computing the same md5
+    expression gets bit-identical buckets. The projection is one groupBy
+    on the id (a single shuffle); no data ever reaches the driver.
+
+    Each band packs ``n_planes // bands`` sign bits; two vectors at
+    cosine c share one bit with probability 1 - arccos(c)/pi. 4 bands of
+    4 bits: recall >99.9% at c=0.9, ~39% at c=0.25 (low thresholds are
+    inherently hostile to LSH — use more bands or ``allow_all_pairs``).
+    """
+    assert n_planes % bands == 0
+    rows_per_band = n_planes // bands
+    spark = df.sparkSession
+    coef = spark.createDataFrame(_coef_pdf(n_planes))  # Arrow fast path
+    comp = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    joined = comp.join(F.broadcast(coef), "i", "left")
+    # components beyond LSH_MAX_DIM have no coefficient row: fail loudly
+    # (assert_true is woven into the value so Catalyst can't prune it;
+    # it returns NULL when the condition holds, so `when(isNull, v)` = v)
+    checked_v = F.when(
+        F.assert_true(
+            F.col("r0").isNotNull(),
+            F.lit(f"vector dimension exceeds LSH_MAX_DIM={LSH_MAX_DIM}"),
+        ).isNull(),
+        F.col("v"),
+    )
+    joined = joined.withColumn("v", checked_v)
+    proj = joined.groupBy(id_col).agg(
+        *[F.sum(F.col("v") * F.col(f"r{p}")).alias(f"pr{p}") for p in range(n_planes)]
+    )
+    bits = proj.select(
+        id_col,
+        *[
+            F.when(F.col(f"pr{p}") >= 0, 1).otherwise(0).alias(f"b{p}")
+            for p in range(n_planes)
+        ],
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"b{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return bits.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_sim: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
-    """All (a, b) pairs with cosine >= min_sim, a < b — embedding near-dup
-    detection. Long-form self-join on component index: the join is keyed
-    on ``i`` only here (all-pairs semantics); at scale, compose with an
-    LSH/IVF bucket key prepended to the join key so only candidate pairs
-    meet."""
+    """(a, b, cosine) pairs with cosine >= min_sim, a < b — embedding
+    near-dup detection, fully distributed.
+
+    Default path (the 100 TB shape): hyperplane-LSH band buckets
+    (:func:`hyperplane_lsh_buckets`) -> candidate pairs via a self-join
+    keyed on (band, bucket) -> exact cosine per candidate with an
+    Arrow-batched numpy scorer. Nothing is ever collected to the driver
+    and no table is broadcast; the only shuffles are the projection
+    groupBy, the bucket join, and the two id-keyed joins that fetch the
+    candidate vectors. ``max_bucket_size`` drops degenerate buckets
+    (same guard as MinHash-LSH).
+
+    ``allow_all_pairs=True`` is the explicit escape hatch that scores
+    every pair (exact recall, O(N^2) work — still distributed, but only
+    sane for bounded inputs such as a single IVF cell).
+
+    Zero-norm vectors are excluded (cosine undefined); ids keep their
+    native type. The cosine is computed in float64 and filtered on the
+    raw value; output is rounded to 4 decimals.
+    """
     import numpy as np
     import pandas as pd
 
-    # The broadcast side: in a full-table call this is the whole vector
-    # set (fine up to ~10M x small-dim); at 100 TB the caller buckets
-    # first (IVF cell / LSH band) and this runs per bucket. Collecting
-    # ids+vectors only — never document payloads.
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    ids = df.select(F.col(id_col))
+    if allow_all_pairs:
+        cand = (
+            ids.select(F.col(id_col).alias("a"))
+            .crossJoin(ids.select(F.col(id_col).alias("b")))
+            .filter(F.col("a") < F.col("b"))
+        )
+    else:
+        buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, bands)
+        if max_bucket_size is not None:
+            from pyspark.sql import Window
 
-    def block(batches):
+            wb = Window.partitionBy("band", "bh")
+            buckets = (
+                buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
+        left = buckets.select(F.col(id_col).alias("a"), "band", "bh")
+        right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
+        cand = (
+            left.join(right, ["band", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+    paired = cand.join(va, "a").join(vb, "b").select("a", "b", "__va", "__vb")
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def score(batches):
         for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_mat.value.T  # BLAS: the whole batch in one matmul
-            ai, bi = np.nonzero(sims >= min_sim)
-            pa, pb = a_ids[ai], b_ids.value[bi]
-            keep = pa < pb
-            yield pd.DataFrame({
-                "a": pa[keep],
-                "b": pb[keep],
-                "cosine": np.round(sims[ai, bi][keep], 4),
-            })
+            if len(pdf) == 0:
+                continue
+            ma = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__va"]])
+            mb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            keep = (denom > 0) & (cos >= min_sim)
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"][keep],
+                    "b": pdf["b"][keep],
+                    "cosine": np.round(cos[keep], 4),
+                }
+            )
 
-    # Arrow-batched Pandas UDF: each partition computes a (batch x all)
-    # similarity block with one BLAS matmul — the vectorized escape hatch
-    # for arithmetic Catalyst can't fuse (higher-order-function dot
-    # products are interpreted per element).
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        block, schema="a bigint, b bigint, cosine double"
-    )
+    # Arrow-batched numpy scorer: vectorized dot/norm per batch — the
+    # escape hatch for dense vector math Catalyst can't codegen
+    # (higher-order-function dot products are interpreted per element).
+    return paired.mapInPandas(score, schema=f"a {id_t}, b {id_t}, cosine double")
 
 
 def brute_force_topk(

@@ -1597,27 +1597,69 @@ _DUCK_COMP = """
 """
 
 
-@register(
-    "dd5_embedding_neardup",
-    f"""
+def _hyperplane_lsh_sql(min_sim: float, n_planes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of cosine_pairs' default bucketed path: identical
+    md5-derived hyperplane coefficients -> identical sign-bit band
+    buckets -> identical candidate set; exact cosine on candidates."""
+    from .llm.dedup import _hexint_sql
+
+    rows_per_band = n_planes // bands
+    md5_exprs = ", ".join(
+        f"md5('rp{p}|' || cast(i AS VARCHAR)) AS m{p}" for p in range(n_planes)
+    )
+    coef_exprs = ", ".join(
+        f"({_hexint_sql(f'm{p}', 8)} / 2147483648.0 - 1.0) AS r{p}"
+        for p in range(n_planes)
+    )
+    proj_exprs = ", ".join(f"sum(v * r{p}) AS pr{p}" for p in range(n_planes))
+    bit_exprs = ", ".join(
+        f"CASE WHEN pr{p} >= 0 THEN 1 ELSE 0 END AS b{p}" for p in range(n_planes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, md5({concat}) AS bh FROM bits".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"cast(b{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
     WITH comp AS ({_DUCK_COMP}),
+    md5s AS (SELECT vec_id, v, {md5_exprs} FROM comp),
+    coef AS (SELECT vec_id, v, {coef_exprs} FROM md5s),
+    proj AS (SELECT vec_id, {proj_exprs} FROM coef GROUP BY vec_id),
+    bits AS (SELECT vec_id, {bit_exprs} FROM proj),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+                                AND x.vec_id < y.vec_id
+    ),
     norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
     dots AS (
-      SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
-      FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+      SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
+      FROM cand c
+      JOIN comp ca ON ca.vec_id = c.a
+      JOIN comp cb ON cb.vec_id = c.b AND cb.i = ca.i
       GROUP BY 1, 2
     )
-    SELECT a, b, round(dot / (na.norm * nb.norm), 4) AS cosine
+    SELECT dots.a, dots.b, round(dot / (na.norm * nb.norm), 4) AS cosine
     FROM dots
-    JOIN norms na ON na.vec_id = a
-    JOIN norms nb ON nb.vec_id = b
-    WHERE dot / (na.norm * nb.norm) >= 0.25
-    """,
-)
+    JOIN norms na ON na.vec_id = dots.a
+    JOIN norms nb ON nb.vec_id = dots.b
+    WHERE na.norm > 0 AND nb.norm > 0
+      AND dot / (na.norm * nb.norm) >= {min_sim}
+    """
+
+
+@register("dd5_embedding_neardup", _hyperplane_lsh_sql(0.25))
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (embedding cosine): near-dup pairs above a cosine threshold.
-    All-pairs here (oracle-checkable); at scale prepend an LSH/IVF bucket
-    to the join key."""
+    """Dedup (embedding cosine): near-dup pairs above a cosine threshold
+    via the default BUCKETED path — hyperplane-LSH candidates, exact
+    cosine on survivors, zero driver-side state (the oracle reproduces
+    the same md5-derived buckets, so the candidate set is checked too)."""
     from .llm import cosine_pairs
 
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), min_sim=0.25)

@@ -83,6 +83,36 @@ def test_media_features_prunes_scan(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_embedding_neardup_never_collects(spark, sf_dir):
+    """dd5's default path must stay fully distributed: constructing the
+    query may not pull any rows to the driver (the old implementation
+    collected every vector and broadcast a dense matrix), and the plan
+    must score candidates via Arrow-batched pandas over a real parquet
+    scan, not a LocalTableScan of driver-side data."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side collect during query construction")
+
+    with mock.patch.object(DataFrame, "collect", _banned), mock.patch.object(
+        DataFrame, "toPandas", _banned
+    ), mock.patch.object(DataFrame, "head", _banned), mock.patch.object(
+        DataFrame, "take", _banned
+    ):
+        df = REGISTRY["dd5_embedding_neardup"].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "embeddings.parquet" in plan  # vectors come from the scan...
+    # ...and the only broadcast inputs are the tiny constant tables
+    # (LSH coefficients), never the embeddings relation itself
+    assert "PushedFilters" in plan
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     # lag window, running-sum window, and the groupBy all share the
     # user_id partitioning -> one hash exchange end-to-end

@@ -1,0 +1,62 @@
+"""cosine_pairs: bucketed LSH path recalls planted near-dups, excludes
+zero-norm vectors, and the all-pairs escape hatch matches brute force."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from python_etl_pipeline_spark.llm.similarity import cosine_pairs
+
+DIM = 32
+
+
+def _corpus(spark, with_zero=False):
+    """20 deterministic random vectors + 5 planted near-dups of the
+    first 5 (tiny perturbation -> cosine ~0.999)."""
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(5):
+        noisy = [x + rng.gauss(0, 0.01) for x in base[j]]
+        rows.append((100 + j, [float(x) for x in noisy]))
+    if with_zero:
+        rows.append((999, [0.0] * DIM))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_bucketed_path_recalls_planted_neardups(spark):
+    out = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_pairs(_corpus(spark), min_sim=0.9).collect()
+    }
+    for j in range(5):
+        assert (j, 100 + j) in out, f"planted near-dup {j} missed"
+        assert out[(j, 100 + j)] > 0.99
+
+
+def test_zero_norm_vectors_excluded(spark):
+    rows = cosine_pairs(_corpus(spark, with_zero=True), min_sim=-1.0,
+                        allow_all_pairs=True).collect()
+    assert all(r["a"] != 999 and r["b"] != 999 for r in rows)
+    assert all(not np.isnan(r["cosine"]) for r in rows)
+
+
+def test_allpairs_matches_bruteforce(spark):
+    df = _corpus(spark)
+    out = cosine_pairs(df, min_sim=0.5, allow_all_pairs=True).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    ids = sorted(vecs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            c = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if c >= 0.5:
+                expected.add((a, b))
+    assert {(r["a"], r["b"]) for r in out} == expected
+    # the bucketed path returns a subset of the exact pair set
+    bucketed = {(r["a"], r["b"]) for r in cosine_pairs(df, min_sim=0.5).collect()}
+    assert bucketed <= expected
