@@ -1482,9 +1482,12 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_sql(
+def _minhash_ctes(
     n_hashes: int = 16, bands: int = 4, rows: int = 4, max_bucket_size: int | None = None
 ) -> str:
+    """The MinHash+LSH candidate-pair pipeline as a reusable CTE body
+    (ends with ``mh_pairs(a, b)``) — shared by dd2 and the curation
+    composite so their oracles stay in lock-step."""
     from .llm.dedup import MINHASH_AB, MINHASH_P, _h32_sql, shingles_sql
 
     sig_exprs = ", ".join(
@@ -1501,21 +1504,32 @@ def _minhash_sql(
         for b in range(bands)
     )
     cap = (
-        f", capped AS (SELECT doc_id, band, bh FROM bands "
+        f"capped AS (SELECT doc_id, band, bh FROM bands "
         f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket_size})"
         if max_bucket_size is not None
-        else ", capped AS (SELECT * FROM bands)"
+        else "capped AS (SELECT * FROM bands)"
     )
     return f"""
-    WITH sh AS (
+    sh AS (
       SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
     ),
     hv AS (SELECT doc_id, {_h32_sql('md5(s)')} AS h FROM sh),
     sig AS (SELECT doc_id, {sig_exprs} FROM hv GROUP BY doc_id),
-    bands AS ({band_selects})
-    {cap}
-    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-    FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    bands AS ({band_selects}),
+    {cap},
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_sql(
+    n_hashes: int = 16, bands: int = 4, rows: int = 4, max_bucket_size: int | None = None
+) -> str:
+    return f"""
+    WITH {_minhash_ctes(n_hashes, bands, rows, max_bucket_size)}
+    SELECT a, b FROM mh_pairs
     """
 
 
@@ -1996,7 +2010,8 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_curation_pipeline",
     f"""
-    WITH scored AS (
+    WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+    scored AS (
       SELECT doc_id, text, lang,
              round(0.4 * least(length(text) / 500.0, 1.0)
                  + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
@@ -2007,21 +2022,38 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped AS (
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
       FROM documents GROUP BY 1
-    )
+    ),
+    edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+    neardup_drop AS (SELECT node FROM labels WHERE node <> label)
     SELECT s.doc_id, s.lang, s.quality,
            cast(length(s.text) AS BIGINT) AS n_chars
     FROM scored s
     JOIN deduped d ON d.keep_id = s.doc_id
-    WHERE s.quality >= 0.5
+    LEFT JOIN neardup_drop nd ON nd.node = s.doc_id
+    WHERE nd.node IS NULL AND s.quality >= 0.5
     """,
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite training-data curation: quality-score every document,
-    drop exact duplicates (keep the lowest id), keep docs above the
-    quality bar — the scan -> score -> dedup -> filter spine of a corpus
-    curation job, in one plan (score is a projection; dedup is the only
-    shuffle; the filter folds into the join)."""
+    """Composite training-data curation — the full corpus spine:
+    scan -> quality-score -> exact dedup (keep lowest id) -> NEAR-dup
+    removal (MinHash-LSH pairs -> connected components -> keep each
+    cluster's minimum) -> quality filter.
+
+    Plan shape: the score is a pure projection; exact dedup is one
+    shuffle on the 16-byte content hash; near-dup pairs shuffle on
+    (band, bucket) with the degenerate-bucket cap; cluster labels are
+    the fixed-point propagation (diameter-bounded rounds); both drop
+    sets apply as semi/anti joins that broadcast at dimension size. The
+    oracle reproduces the clusters with a recursive CTE — so the whole
+    composite, including the iterative step's result, is hash-checked."""
     from .llm import exact_dedup_groups, quality_score
+    from .llm.dedup import connected_components, minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
@@ -2030,8 +2062,17 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = exact_dedup_groups(d, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", max_bucket_size=100
+    ).localCheckpoint(eager=True)
+    neardup_drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
     return (
         scored.join(keep, "doc_id", "left_semi")
+        .join(neardup_drop, "doc_id", "left_anti")
         .filter(F.col("quality") >= 0.5)
         .select(
             "doc_id", "lang", "quality", F.length("text").cast("bigint").alias("n_chars")
