@@ -180,63 +180,88 @@ def cosine_pairs(
     import numpy as np
     import pandas as pd
 
-    ids = df.select(F.col(id_col))
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"a {id_t}, b {id_t}, cosine double"
+
     if allow_all_pairs:
+        # exact-recall escape hatch: score every pair via a candidate
+        # cross-join + row-wise vectorized scorer (O(N^2), distributed)
+        ids = df.select(F.col(id_col))
         cand = (
             ids.select(F.col(id_col).alias("a"))
             .crossJoin(ids.select(F.col(id_col).alias("b")))
             .filter(F.col("a") < F.col("b"))
         )
-    else:
-        buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, bands)
-        if max_bucket_size is not None:
-            from pyspark.sql import Window
+        va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+        paired = cand.join(va, "a").join(vb, "b").select("a", "b", "__va", "__vb")
 
-            wb = Window.partitionBy("band", "bh")
-            buckets = (
-                buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-                .filter(F.col("__bsz") <= max_bucket_size)
-                .drop("__bsz")
-            )
-        left = buckets.select(F.col(id_col).alias("a"), "band", "bh")
-        right = buckets.select(F.col(id_col).alias("b"), "band", "bh")
-        cand = (
-            left.join(right, ["band", "bh"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .distinct()
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ma = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__va"]])
+                mb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
+                dots = np.einsum("ij,ij->i", ma, mb)
+                denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, np.nan)
+                keep = (denom > 0) & (cos >= min_sim)
+                yield pd.DataFrame(
+                    {
+                        "a": pdf["a"][keep],
+                        "b": pdf["b"][keep],
+                        "cosine": np.round(cos[keep], 4),
+                    }
+                )
+
+        return paired.mapInPandas(score, schema=out_schema)
+
+    # Bucketed default: ship each vector to its (band, bucket) groups —
+    # bands x |table| rows, far less traffic than materializing candidate
+    # pairs with both vectors attached — and run one BLAS gram matrix per
+    # bucket (applyInPandas); group size is bounded by the bucket
+    # population (cap degenerate ones with max_bucket_size). A pair
+    # sharing several buckets is scored in each; the final groupBy on
+    # (a, b) dedups to one row (max over identical-input computations).
+    buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, bands)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
-    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
-    paired = cand.join(va, "a").join(vb, "b").select("a", "b", "__va", "__vb")
+    banded_vecs = buckets.join(
+        df.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(F.col(id_col).alias("__id"), "band", "bh", F.col(vec_col).alias("__v"))
 
-    id_t = df.schema[id_col].dataType.simpleString()
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(m, axis=1)
+        ok = norms > 0
+        ids, m, norms = ids[ok], m[ok], norms[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        mn = m / norms[:, None]
+        sims = mn @ mn.T  # one BLAS gram matrix per bucket
+        ii, jj = np.nonzero(np.triu(sims >= min_sim, k=1))
+        pa, pb = ids[ii], ids[jj]
+        swap = pa > pb
+        pa2 = np.where(swap, pb, pa)
+        pb2 = np.where(swap, pa, pb)
+        return pd.DataFrame({"a": pa2, "b": pb2, "cosine": np.round(sims[ii, jj], 4)})
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ma = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__va"]])
-            mb = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
-            dots = np.einsum("ij,ij->i", ma, mb)
-            na = np.linalg.norm(ma, axis=1)
-            nb = np.linalg.norm(mb, axis=1)
-            denom = na * nb
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, dots / denom, np.nan)
-            keep = (denom > 0) & (cos >= min_sim)
-            yield pd.DataFrame(
-                {
-                    "a": pdf["a"][keep],
-                    "b": pdf["b"][keep],
-                    "cosine": np.round(cos[keep], 4),
-                }
-            )
-
-    # Arrow-batched numpy scorer: vectorized dot/norm per batch — the
-    # escape hatch for dense vector math Catalyst can't codegen
-    # (higher-order-function dot products are interpreted per element).
-    return paired.mapInPandas(score, schema=f"a {id_t}, b {id_t}, cosine double")
+    scored = banded_vecs.groupBy("band", "bh").applyInPandas(
+        bucket_pairs, schema=out_schema
+    )
+    # dedup across bands; max() of computations over identical inputs
+    return scored.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
 
 
 def brute_force_topk(

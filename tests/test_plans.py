@@ -106,7 +106,7 @@ def test_embedding_neardup_never_collects(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
     assert "embeddings.parquet" in plan  # vectors come from the scan...
     # ...and the only broadcast inputs are the tiny constant tables
     # (LSH coefficients), never the embeddings relation itself
