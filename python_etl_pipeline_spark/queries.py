@@ -2495,11 +2495,311 @@ def a8_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-2 widening: hamming near-dup, batch ANN, skew-salted agg, BPE-ish
+# tokens, sliding windows, SCD2 history, trailing range frames
+# ===========================================================================
+
+
+@register("dd7_simhash_hamming", None)  # filled by _finalize_dd7
+def dd7_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash hamming ball): pairs whose 16-bit signatures differ
+    by <= 1 bit. The scalable shape is neighborhood-explode: each doc
+    probes its signature plus all 16 one-bit flips (17 rows) and joins
+    probe == signature — an equi-join keyed on the signature, never an
+    all-pairs XOR scan (the oracle does the dumb O(N^2) XOR, which is
+    exactly what makes it a good independent check)."""
+    from .llm.dedup import simhash16
+
+    sig = simhash16(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    left = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    probe_arr = F.array(
+        F.col("sa"), *[F.col("sa").bitwiseXOR(F.lit(1 << b)) for b in range(16)]
+    )
+    probes = left.select("a", "sa", F.explode(probe_arr).alias("probe"))
+    right = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    return (
+        probes.join(right, probes.probe == right.sb)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .select(
+            "a", "b", F.expr("cast(bit_count(sa ^ sb) AS INT)").alias("hamming")
+        )
+    )
+
+
+def _finalize_dd7():
+    from .llm.dedup import simhash16_sql
+
+    REGISTRY["dd7_simhash_hamming"].sql = f"""
+    WITH sims AS ({simhash16_sql('documents', 'text', 'doc_id')})
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """
+
+
+_finalize_dd7()
+
+
+@register(
+    "ann3_batch_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    q AS (SELECT vec_id AS q, i, v AS qv FROM comp WHERE vec_id < 3),
+    dots AS (
+      SELECT c.vec_id, q.q, sum(c.v * q.qv) AS dot
+      FROM comp c JOIN q ON c.i = q.i GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY 1),
+    scored AS (
+      SELECT d.q, d.vec_id, d.dot / (nv.norm * nq.norm) AS cos_raw
+      FROM dots d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN norms nq ON nq.vec_id = d.q
+      WHERE d.vec_id <> d.q
+    )
+    SELECT q, vec_id, round(cos_raw, 4) AS cosine,
+           cast(row_number() OVER (PARTITION BY q ORDER BY cos_raw DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q ORDER BY cos_raw DESC, vec_id) <= 3
+    """,
+)
+def ann3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (batched): top-3 neighbors for EVERY query in a
+    query set, in one plan — the production ANN shape (queries arrive in
+    batches, not one at a time). The query-side components broadcast;
+    scoring is one groupBy; ranking is a per-query window."""
+    from .llm.similarity import _components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = _components(emb, "vec_id", "embedding")
+    q = comp.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q"), "i", F.col("v").alias("qv")
+    )
+    dots = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("vec_id", "q")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
+    qnorms = norms.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(qnorms), "q")
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id", (F.col("dot") / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "x17_salted_agg",
+    """
+    SELECT l_suppkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(l_orderkey) AS n_items
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x17_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: two-phase salted groupBy
+    (operators.aggregate.salted_agg) — phase 1 on (key, salt) bounds any
+    single reducer to ~1/16 of the hottest key, phase 2 re-combines.
+    The oracle is the plain single-phase aggregate: passing proves the
+    decomposition is exact for sum/count."""
+    from .operators.aggregate import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l, ["l_suppkey"], {"l_quantity": "sum", "l_orderkey": "count"}
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.col("count_l_orderkey").alias("n_items"),
+    )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "tx8_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens,
+           cast(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS n_unique
+    FROM documents
+    """,
+)
+def tx8_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counting: letter runs, digit runs, and
+    single punctuation marks (the GPT-2 pre-tokenizer's coarse shape) via
+    one regexp_extract_all — a pure projection, zero shuffles over a
+    100 TB document scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+    )
+
+
+@register(
+    "st3_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT make_timestamp(cast((floor((epoch(ts) - k * 900) / 3600) * 3600
+                                  + k * 900) * 1000000 AS BIGINT)) AS window_start,
+             value
+      FROM events, (VALUES (0), (1), (2), (3)) AS o(k)
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: SLIDING event-time windows (1 h window, 15 min
+    slide) — each event lands in 4 overlapping windows; same F.window
+    operator Structured Streaming uses. The oracle enumerates the 4
+    containing windows per event explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "i6_scd2_history",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus AS status FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.status AS s1, v2.status AS s2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT o_orderkey, s1 AS status, cast(1 AS BIGINT) AS valid_from,
+           cast(2 AS BIGINT) AS valid_to, false AS is_current
+    FROM j WHERE s1 IS NOT NULL AND (s2 IS NULL OR s1 <> s2)
+    UNION ALL
+    SELECT o_orderkey, s1, cast(1 AS BIGINT), cast(NULL AS BIGINT), true
+    FROM j WHERE s1 IS NOT NULL AND s2 = s1
+    UNION ALL
+    SELECT o_orderkey, s2, cast(2 AS BIGINT), cast(NULL AS BIGINT), true
+    FROM j WHERE s2 IS NOT NULL AND (s1 IS NULL OR s1 <> s2)
+    """,
+)
+def i6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: diff two snapshot
+    versions (same deterministic perturbation as x16) into
+    valid_from/valid_to/is_current rows — close changed/deleted rows,
+    open changed/new ones. One full-outer join on the PK + three
+    projection branches unioned; the union folds into one exchange
+    because all branches share the join output."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", F.col("o_orderstatus").alias("s1"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s2"),
+        )
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    lit_from = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    closed = j.filter(
+        F.col("s1").isNotNull() & (F.col("s2").isNull() | (F.col("s1") != F.col("s2")))
+    ).select(
+        "o_orderkey",
+        F.col("s1").alias("status"),
+        lit_from(1).alias("valid_from"),
+        lit_from(2).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    unchanged = j.filter(F.col("s2") == F.col("s1")).select(
+        "o_orderkey",
+        F.col("s1").alias("status"),
+        lit_from(1).alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    opened = j.filter(
+        F.col("s2").isNotNull() & (F.col("s1").isNull() | (F.col("s1") != F.col("s2")))
+    ).select(
+        "o_orderkey",
+        F.col("s2").alias("status"),
+        lit_from(2).alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(unchanged).unionByName(opened)
+
+
+@register(
+    "x20_trailing_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d
+    FROM orders
+    """,
+)
+def x20_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: 30-day trailing spend per customer.
+    A range frame (value-based bounds) is deterministic under timestamp
+    ties — all peers join the frame — unlike a ROWS frame. Partitioned
+    by customer: one keyed shuffle, per-partition sort, no global order."""
+    o = _t(spark, sf_dir, "orders")
+    # ANSI mode forbids timestamp->long casts; order on epoch DAYS
+    # (o_orderdate is date-aligned, so day frames == the oracle's
+    # INTERVAL 30 DAY timestamp frame)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.expr("unix_date(cast(o_orderdate AS DATE))"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
 # registry's definition order is kept for everything else.
 _EXPENSIVE_LAST = [
+    "dd7_simhash_hamming",
     "x9_resample_ffill",
     "x10_range_join",
     "dd2_minhash_lsh",
