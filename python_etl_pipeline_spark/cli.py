@@ -76,10 +76,8 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         for layer in ("staging", "transformed", "production"):
             counts = {}
             for entity in LOAD_ORDER:
-                try:
+                if pipe.wh.exists(layer, entity):
                     counts[entity] = pipe.wh.read(layer, entity).count()
-                except Exception:
-                    pass
             report[layer] = counts
         return report
     # schedule: the reference's poll loop, sequential by construction

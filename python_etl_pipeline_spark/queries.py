@@ -2794,11 +2794,286 @@ def x20_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Training-data curation round 2: decontamination, TF-IDF, bigram-LM
+# scoring, k-means IVF centroid training
+# ===========================================================================
+
+
+_SHINGLE4_SQL = None  # filled lazily by _decon_sql
+
+
+def _decon_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    sh = shingles_sql("text", 4)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 29 <> 0)
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM train t JOIN bench USING (s)
+    GROUP BY 1
+    """
+
+
+@register("dd8_decontaminate", None)  # sql attached below (needs import)
+def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 4-gram with a held-out benchmark set (here the deterministic
+    doc_id % 29 == 0 slice standing in for an eval suite). The scale
+    shape is the only one that works at 100 TB: the benchmark's distinct
+    shingle set is small and BROADCAST, the corpus side is a map-side
+    explode + broadcast-hash semi-match + one groupBy on doc_id — the
+    100 TB corpus is never shuffled on shingle text. Mirrors the n-gram
+    overlap decontamination procedure of GPT-3/PaLM appendix C."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 4))).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") % 29 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 29 != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+REGISTRY["dd8_decontaminate"].sql = _decon_sql()
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT cast(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n / dfq.df) AS raw
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, round(raw, 4) AS tfidf,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term)
+            AS BIGINT) AS rnk
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) <= 3
+"""
+
+
+@register("tx9_tfidf_keywords", _TFIDF_SQL)
+def tx9_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf x ln(N/df). Two aggregations (term frequency per doc, document
+    frequency per term — both map-side-combinable) + a broadcast of the
+    tiny corpus-size scalar + one per-doc window. The df table is
+    vocabulary-sized, not corpus-sized, so the join back to tf
+    broadcast-hashes at any corpus scale once AQE sees its stats."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("raw", 4).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _bigram_lm_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    bg = shingles_sql("text", 2)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, unnest({bg}) AS bg FROM documents
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM inst GROUP BY 1),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+      FROM c12 GROUP BY 1
+    )
+    SELECT i.doc_id,
+           round(avg(-ln(cast(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_nll,
+           count(*) AS n_bigrams
+    FROM inst i
+    JOIN c12 USING (bg)
+    JOIN c1 ON string_split(i.bg, ' ')[1] = c1.w1
+    GROUP BY 1
+    """
+
+
+@register("tx10_bigram_lm_score", None)  # sql attached below
+def tx10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a corpus bigram LM: each
+    document's average negative log-likelihood -avg ln c(w1 w2)/c(w1 ·)
+    under counts from the corpus itself (the cheap proxy for a
+    perplexity filter a la CCNet/Gopher). Two count aggregations build
+    the LM (bigram-vocabulary-sized, far smaller than the corpus); the
+    instance table joins them back on the bigram string — a hash join
+    keyed on vocabulary entries, then one groupBy(doc). Every bigram
+    exists in its own LM so no smoothing term is needed; scores are
+    deterministic and the DuckDB oracle replays the identical counts."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    inst = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
+    c12 = inst.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        c12.select(F.split(F.col("bg"), " ")[0].alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    scored = (
+        inst.join(c12, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.count("*").alias("n_bigrams"),
+    )
+
+
+REGISTRY["tx10_bigram_lm_score"].sql = _bigram_lm_sql()
+
+
+def _kmeans_iter_sql(prev: str, it: int) -> str:
+    """One Lloyd iteration as a CTE pair: assign each vector to the
+    nearest centroid of ``prev``, then average members per (cell, i)."""
+    return f"""
+    assign{it} AS (
+      SELECT comp.vec_id, {prev}.cell,
+             sum((comp.v - {prev}.v) * (comp.v - {prev}.v)) AS dist,
+             row_number() OVER (
+               PARTITION BY comp.vec_id
+               ORDER BY sum((comp.v - {prev}.v) * (comp.v - {prev}.v)), {prev}.cell
+             ) AS rn
+      FROM comp JOIN {prev} ON comp.i = {prev}.i
+      GROUP BY comp.vec_id, {prev}.cell
+    ),
+    cent{it} AS (
+      SELECT a.cell, comp.i, avg(comp.v) AS v
+      FROM assign{it} a JOIN comp ON comp.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2
+    )"""
+
+
+_KMEANS_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+),
+{_kmeans_iter_sql('cent0', 1)},
+{_kmeans_iter_sql('cent1', 2)},
+{_kmeans_iter_sql('cent2', 3)},
+members AS (
+  SELECT cell, count(*) AS n_members FROM assign3 WHERE rn = 1 GROUP BY 1
+),
+norms AS (
+  SELECT cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+  FROM cent2 GROUP BY 1
+)
+SELECT members.cell, members.n_members, norms.centroid_norm
+FROM members JOIN norms USING (cell)
+"""
+
+
+@register("ann4_kmeans_train", _KMEANS_SQL)
+def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING: two Lloyd's k-means iterations (k=4,
+    deterministic init = vectors 0..3) expressed entirely as DataFrame
+    ops — assignment is a component-join + argmin window, the update is
+    a per-(cell, dim) average. No vector ever reaches the driver; each
+    iteration is two keyed shuffles (vector-sized and k x d-sized).
+    Output: per-cell member count and centroid L2 norm. Completes the
+    IVF story: ann4 trains the cells ann2_ivf_topk probes. The DuckDB
+    oracle replays both iterations as CTE chains — the argmin tie-break
+    (distance, then cell) and the count/avg algebra are engine-exact."""
+    from .llm.similarity import _components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = _components(emb, "vec_id", "embedding")
+    cent = comp.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), "i", "v"
+    )
+    for _ in range(2):
+        c = cent.select("cell", "i", F.col("v").alias("cv"))
+        dists = (
+            comp.join(F.broadcast(c), "i")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        cent = (
+            comp.join(assign, "vec_id")
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("v"))
+        )
+    final_c = cent.select("cell", "i", F.col("v").alias("cv"))
+    dists = (
+        comp.join(F.broadcast(final_c), "i")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    norms = cent.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(norms, "cell")
+        .select("cell", "n_members", "centroid_norm")
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
 # registry's definition order is kept for everything else.
 _EXPENSIVE_LAST = [
+    "ann4_kmeans_train",
     "dd7_simhash_hamming",
     "x9_resample_ffill",
     "x10_range_join",

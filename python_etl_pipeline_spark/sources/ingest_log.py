@@ -45,11 +45,20 @@ class IngestLog:
         # the committer's _temporary staging path and can collide
         self._write_lock = threading.Lock()
 
+    def _exists(self) -> bool:
+        sc = self.spark.sparkContext
+        p = sc._jvm.org.apache.hadoop.fs.Path(self.log_dir)
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def _read(self):
-        try:
-            return self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir)
-        except Exception:
+        # Probe the filesystem instead of catching read errors: a missing
+        # log is first-run (empty frame), but a corrupt or unreadable log
+        # fails loudly — and spark.read on a nonexistent path logs a noisy
+        # FileStreamSink WARN stack trace we'd rather never trigger.
+        if not self._exists():
             return self.spark.createDataFrame([], LOG_SCHEMA)
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir)
 
     def seen(self) -> set[tuple[str, str]]:
         return {

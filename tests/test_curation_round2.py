@@ -1,0 +1,79 @@
+"""Round-2 curation operators: decontamination, TF-IDF, bigram-LM
+scoring, k-means centroid training — semantics + the plan shapes that
+matter at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from python_etl_pipeline_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    # The corpus side must NEVER shuffle on shingle text: the benchmark
+    # shingle set is the broadcast side of a BroadcastHashJoin, and the
+    # only hashpartitioning exchange is the final groupBy(doc_id).
+    plan = _plan(spark, sf_dir, "dd8_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_never_flags_benchmark_docs(spark, sf_dir):
+    out = REGISTRY["dd8_decontaminate"].spark(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % 29 == 0).count() == 0
+
+
+def test_tfidf_rank_bounds_and_idf_sign(spark, sf_dir):
+    out = REGISTRY["tx9_tfidf_keywords"].spark(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in by_doc.items():
+        ranks = sorted(r["rnk"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        # idf >= 0 always (df <= N) so scores are non-negative
+        assert all(r["tfidf"] >= 0 for r in rows)
+
+
+def test_bigram_lm_scores_nonnegative_and_cover_docs(spark, sf_dir):
+    out = REGISTRY["tx10_bigram_lm_score"].spark(spark, sf_dir)
+    rows = out.collect()
+    # every doc with >= 2 tokens gets a score; -ln(p) >= 0 since p <= 1
+    assert all(r["avg_nll"] >= 0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    docs = REGISTRY["tx9_tfidf_keywords"].spark(spark, sf_dir).select("doc_id").distinct().count()
+    assert len(rows) == docs  # same token threshold (>= 2 tokens -> >= 1 bigram)
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    out = REGISTRY["ann4_kmeans_train"].spark(spark, sf_dir)
+    rows = out.collect()
+    assert 1 <= len(rows) <= 4  # k=4 cells, empty cells may vanish
+    total = sum(r["n_members"] for r in rows)
+    n_vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert total == n_vecs  # assignment is a partition of the vectors
+    assert all(r["centroid_norm"] > 0 for r in rows)
+
+
+def test_kmeans_no_driver_collect_in_plan(spark, sf_dir):
+    # the trainer is pure DataFrame composition end-to-end: vectors that
+    # had been collected to the driver and re-parallelized would surface
+    # as ExistingRDD / LocalTableScan leaves in the plan
+    plan = _plan(spark, sf_dir, "ann4_kmeans_train")
+    assert "ExistingRDD" not in plan
+    assert "LocalTableScan" not in plan
