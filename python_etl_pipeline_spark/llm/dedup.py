@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow source out to cluster parallelism before CPU-heavy
+    per-document work (shingling, per-shingle md5).
+
+    Rationale: a table arriving in fewer input splits than the cluster
+    has cores (one small parquet file, one unsplittable row group) would
+    pin the whole shingle pipeline to those few tasks. One cheap
+    round-robin shuffle of the raw rows unlocks full-width execution of
+    the far more expensive downstream projection. At real corpus scale
+    the source has orders of magnitude more splits than cores, the
+    guard is false, and this is a no-op — no shuffle is ever added to a
+    100 TB scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: one row per distinct content hash with the surviving
     (minimum) id and the duplicate count."""
@@ -134,7 +152,7 @@ def minhash_lsh_pairs(
     their remaining bands, so recall degrades gracefully.
     """
     assert bands * rows == n_hashes
-    exploded = df.select(
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
@@ -202,11 +220,9 @@ def ngram_jaccard_pairs(
     bound of true Jaccard and pairs whose only overlap is ultra-common
     boilerplate drop out — which is the curation intent.
     """
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
-        )
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq is not None:
@@ -317,7 +333,9 @@ def _hexval(chr_col: Column) -> Column:
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """id -> 16-bit simhash (BIGINT). Explode tokens once, aggregate 16
     bit-sums in a single groupBy pass (one shuffle on id)."""
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h4 = F.substring(F.md5(F.col("tok")), 1, 4)
     with_bits = toks.select(
         id_col,

@@ -2829,10 +2829,10 @@ def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + broadcast-hash semi-match + one groupBy on doc_id — the
     100 TB corpus is never shuffled on shingle text. Mirrors the n-gram
     overlap decontamination procedure of GPT-3/PaLM appendix C."""
-    from .llm.dedup import shingles
+    from .llm.dedup import _spread, shingles
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
+    sh = _spread(d.select("doc_id", "text")).select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 4))).alias("s")
     )
     bench = sh.filter(F.col("doc_id") % 29 == 0).select("s").distinct()
@@ -2876,10 +2876,13 @@ def tx9_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny corpus-size scalar + one per-doc window. The df table is
     vocabulary-sized, not corpus-sized, so the join back to tf
     broadcast-hashes at any corpus scale once AQE sees its stats."""
+    from .llm.dedup import _spread
     from .llm.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tok = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").cast("double").alias("n"))
@@ -2939,10 +2942,12 @@ def tx10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on vocabulary entries, then one groupBy(doc). Every bigram
     exists in its own LM so no smoothing term is needed; scores are
     deterministic and the DuckDB oracle replays the identical counts."""
-    from .llm.dedup import shingles
+    from .llm.dedup import _spread, shingles
 
     d = _t(spark, sf_dir, "documents")
-    inst = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
+    inst = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    )
     c12 = inst.groupBy("bg").agg(F.count("*").alias("c12"))
     c1 = (
         c12.select(F.split(F.col("bg"), " ")[0].alias("w1"), "c12")
