@@ -640,7 +640,12 @@ def f2_safe_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated from o_orderdate and must all parse back to the original
     date. The oracle emits the original date directly — parity proves the
     parser inverts every format, pivot included."""
-    o = _t(spark, sf_dir, "orders")
+    from .llm.dedup import _spread
+
+    # regex-chain parse is CPU-bound: fan a narrow single-split source
+    # out to cluster width (no-op when the source already has >= cores
+    # splits — see dedup._spread)
+    o = _spread(_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
     d = F.col("o_orderdate")
     raw = (
         F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "dd-MM-yyyy"))
@@ -1980,18 +1985,34 @@ def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dd6_lsh_dup_clusters", None)  # iterative: rows-only check
+_DD6_SQL = f"""
+WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT label AS cluster_id, count(*) AS cluster_size, min(node) AS keep_id
+FROM labels GROUP BY label
+"""
+
+
+@register("dd6_lsh_dup_clusters", _DD6_SQL)
 def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (clusters): connected components over the MinHash-LSH
     candidate-pair graph via iterative min-label propagation — the
     canonical "pick one survivor per duplicate cluster" step.
 
-    Genuinely iterative (no single SQL equivalent → rows-only driver
-    check). Each round is one join + one groupBy, iterated to a FIXED
-    POINT (llm.dedup.connected_components) — a fixed round budget would
+    Each round is one join + one groupBy, iterated to a FIXED POINT
+    (llm.dedup.connected_components) — a fixed round budget would
     split any duplicate chain longer than the budget. At scale this is
     the standard large-graph CC recipe (alternate small-star /
-    large-star); here plain propagation suffices.
+    large-star); here plain propagation suffices. The DuckDB oracle
+    reaches the same fixed point by a different route — recursive-CTE
+    transitive closure + min-reach per node — so the hash match is an
+    independent check of the iterative Spark plan, not a replay of it.
     """
     from .llm.dedup import connected_components, minhash_lsh_pairs
 
@@ -3071,6 +3092,96 @@ def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms, "cell")
         .select("cell", "n_members", "centroid_norm")
     )
+
+
+_PACK_SQL = """
+WITH counted AS (
+  SELECT doc_id, source,
+         cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         cast(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS "offset"
+  FROM counted
+)
+SELECT doc_id, source, n_tokens, "offset",
+       cast(floor("offset" / 256) AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+@register("x18_sequence_packing", _PACK_SQL)
+def x18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are
+    concatenated in deterministic (source, doc_id) order and cut every
+    256 tokens; each doc's pack_id is the chunk its first token lands
+    in. The running token offset is ONE window per source shard — at
+    100 TB the corpus packs shard-parallel (source, or any hash bucket,
+    as the partition key), never through a global order. This is the
+    sequence-packing step every LLM pretraining pipeline runs between
+    curation and tokenization."""
+    from .llm.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = counted.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / 256).cast("bigint").alias("pack_id"),
+    )
+
+
+@register("x19_weighted_sample", None)  # sql attached below (hex helper)
+def x19_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep each doc with probability
+    proportional to a quality weight (here length-based, capped at 1) by
+    comparing an md5-derived uniform u in [0,1) against the weight.
+    Pure projection — zero shuffles, membership independent of
+    partitioning/append order (df.sample()'s per-partition seeding is
+    not), reproducible across runs and engines. The weighted analogue of
+    x11_train_val_test_split."""
+    from .llm.dedup import _hexint
+
+    d = _t(spark, sf_dir, "documents")
+    u = _hexint(F.md5(F.concat_ws("|", F.lit("ws"), F.col("doc_id"))), 8) / F.lit(
+        4294967296.0
+    )
+    w = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return (
+        d.select("doc_id", "lang", "n_chars", u.alias("u"), w.alias("w"))
+        .filter(F.col("u") < F.col("w"))
+        .select("doc_id", "lang", "n_chars", F.round("u", 6).alias("u"))
+    )
+
+
+def _finalize_x19():
+    from .llm.dedup import _hexint_sql
+
+    REGISTRY["x19_weighted_sample"].sql = f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             ({_hexint_sql("md5('ws' || '|' || cast(doc_id AS VARCHAR))", 8)}) / 4294967296.0 AS u,
+             least(n_chars / 400.0, 1.0) AS w
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(u, 6) AS u
+    FROM scored WHERE u < w
+    """
+
+
+_finalize_x19()
 
 
 # Queries with non-trivial wall time at the gate scale (multi-job
