@@ -41,6 +41,12 @@ HEADLINE = [
     "x10_range_join",
     "x11_train_val_test_split",
     "mm1_media_features",
+    "dd7_simhash_hamming",
+    "dd8_decontaminate",
+    "tx9_tfidf_keywords",
+    "tx10_bigram_lm_score",
+    "ann4_kmeans_train",
+    "x18_sequence_packing",
 ]
 
 

@@ -280,10 +280,19 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    # Partition count must track GRAPH size, not the session default: a
+    # dedup-pair graph is orders of magnitude smaller than the corpus it
+    # came from, and per-round fixed cost (tasks × rounds) dominates the
+    # fixed-point loop when every round schedules session-width tasks
+    # over a few thousand edges. ~2M edges per partition; the same
+    # formula widens naturally for a billion-edge graph.
+    n_parts = max(1, min(int(edges.count() // 2_000_000) + 1, 2000))
+    edges = edges.repartition(n_parts, "b").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -301,6 +310,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)  # cut the growing lineage per round
         )
         changed = (

@@ -6,6 +6,7 @@ from .file_stream import (
     running_user_totals,
     stream_stream_interval_join,
     stream_dedup_within_watermark,
+    stream_document_curation,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "running_user_totals",
     "stream_stream_interval_join",
     "stream_dedup_within_watermark",
+    "stream_document_curation",
 ]

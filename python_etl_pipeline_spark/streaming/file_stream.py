@@ -113,6 +113,41 @@ def stream_dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_document_curation(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    min_quality: float = 0.3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus curation: the batch `llm_curation_pipeline`'s
+    score → filter → exact-dedup stages, restated for an unbounded
+    document stream.
+
+    Quality scoring and language-ID are pure projections (stream-safe,
+    fused into the source micro-batch scan); exact dedup keys on the
+    md5 content hash via ``dropDuplicatesWithinWatermark`` so state stays
+    bounded by (watermark horizon × ingest rate) — the continuous-ingest
+    form of a training-data intake pipeline, where near-dup passes run
+    as periodic batch compaction over the curated sink (dd2/dd6), not
+    in-stream.
+    """
+    from pyspark.sql import functions as F
+
+    from ..llm.text import lang_id, quality_score
+
+    scored = stream.select(
+        "*",
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    )
+    kept = scored.filter(F.col("quality") >= min_quality)
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def running_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update.

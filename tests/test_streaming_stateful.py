@@ -167,3 +167,42 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     for k in p:
         assert s[k]["count_o_orderkey"] == p[k]["count_o_orderkey"]
         assert abs(s[k]["sum_o_totalprice"] - p[k]["sum_o_totalprice"]) < 1e-6
+
+
+def test_stream_document_curation(spark, tmp_path):
+    """Streaming score->filter->dedup must equal its batch equivalent."""
+    from python_etl_pipeline_spark.llm.text import quality_score
+    from python_etl_pipeline_spark.streaming import stream_document_curation
+
+    src = str(tmp_path / "doc_stream")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_ts = docs.select(
+        "doc_id", "text", F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ingest_ts")
+    )
+    # inject exact duplicates: re-deliver the first 5 docs with new ids
+    dup = with_ts.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    with_ts.unionByName(dup).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    curated = stream_document_curation(stream, min_quality=0.3)
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("memory").queryName("curated_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT content_hash, quality FROM curated_out")
+
+    batch = (
+        spark.read.parquet(src)
+        .select("text", quality_score("text").alias("quality"), F.md5("text").alias("content_hash"))
+        .filter(F.col("quality") >= 0.3)
+        .dropDuplicates(["content_hash"])
+    )
+    assert got.count() == batch.count()
+    assert got.count() == got.select("content_hash").distinct().count()
+    assert got.filter(F.col("quality") < 0.3).count() == 0
