@@ -126,6 +126,49 @@ def _h32_sql(md5_expr: str) -> str:
 
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bh) LSH bucket assignments — the persisted form of a
+    MinHash signature index. Computing this for a NEW batch and joining
+    it against a stored copy for the existing corpus is the incremental
+    dedup path: the corpus is never re-shingled, only the delta is
+    (queries.x21_incremental_neardup)."""
+    assert bands * rows == n_hashes
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    hashed = exploded.select(F.col(id_col), F.md5(F.col("s")).alias("m")).select(
+        F.col(id_col), _h32(F.col("m")).alias("h")
+    )
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    with_sig = hashed.groupBy(id_col).agg(*sig_aggs)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"s{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -152,31 +195,9 @@ def minhash_lsh_pairs(
     their remaining bands, so recall degrades gracefully.
     """
     assert bands * rows == n_hashes
-    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
-    )
-    hashed = exploded.select(F.col(id_col), F.md5(F.col("s")).alias("m")).select(
-        F.col(id_col), _h32(F.col("m")).alias("h")
-    )
-    sig_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
-        for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
-    ]
-    with_sig = hashed.groupBy(id_col).agg(*sig_aggs)
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"s{b * rows + r}").cast("string") for r in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = with_sig.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    banded = minhash_band_buckets(
+        df, text_col, id_col, n_hashes=n_hashes, bands=bands, rows=rows,
+        shingle_n=shingle_n,
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window

@@ -3184,6 +3184,102 @@ def _finalize_x19():
 _finalize_x19()
 
 
+def _dd9_sql() -> str:
+    n = 8
+    toks = "string_split_regex(trim(text), '\\s+')"
+    # positional shingles: (pos 1-based, 8-token window)
+    return f"""
+    WITH pos_sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len({toks}) - {n - 1}, 0) + 1),
+               i -> {{'i': i, 'g': array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')}}
+             )) AS u
+      FROM documents
+    ),
+    flat AS (SELECT doc_id, u.i AS pos, u.g AS g FROM pos_sh),
+    capped AS (
+      SELECT * FROM flat
+      QUALIFY count(DISTINCT doc_id) OVER (PARTITION BY g) <= 10
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           cast(a.pos AS BIGINT) AS pos_a, cast(b.pos AS BIGINT) AS pos_b
+    FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+    """
+
+
+@register("dd9_repeated_spans", None)  # sql attached below
+def dd9_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    operator's distributed restatement): every position pair where two
+    documents share a verbatim 8-token window — the input a surgical
+    span-REMOVAL pass needs (unlike dd3, which only scores whole-doc
+    overlap). Inverted-index join on the window text with a
+    doc-frequency cap (>10 docs = boilerplate, excluded — same guard as
+    dd3's posting lists). Suffix-array construction is the single-node
+    recipe; the window-hash inverted index is the shuffle-native one."""
+    from .llm.dedup import _spread, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(shingles(F.col("text"), 8)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    wdf = Window.partitionBy("g")
+    capped = (
+        sh.withColumn("__df", F.size(F.collect_set("doc_id").over(wdf)))
+        .filter(F.col("__df") <= 10)
+        .drop("__df")
+    )
+    a = capped.select(F.col("doc_id").alias("a"), F.col("pos").alias("pos_a"), "g")
+    b = capped.select(F.col("doc_id").alias("b"), F.col("pos").alias("pos_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.col("pos_a").cast("bigint").alias("pos_a"),
+            F.col("pos_b").cast("bigint").alias("pos_b"),
+        )
+    )
+
+
+REGISTRY["dd9_repeated_spans"].sql = _dd9_sql()
+
+
+_X21_SQL = f"""
+WITH {_minhash_ctes()}
+SELECT a AS new_id, b AS dup_of FROM mh_pairs WHERE a % 5 = 0 AND b % 5 <> 0
+UNION ALL
+SELECT b AS new_id, a AS dup_of FROM mh_pairs WHERE b % 5 = 0 AND a % 5 <> 0
+"""
+
+
+@register("x21_incremental_neardup", _X21_SQL)
+def x21_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedupe a NEW batch (doc_id % 5 == 0 stands
+    in for today's arrivals) against the EXISTING corpus without
+    re-processing it. The existing side's band buckets are the persisted
+    signature index (minhash_band_buckets — in production read back from
+    the signature table, here recomputed); only the delta is shingled,
+    and the join is new-buckets x stored-buckets keyed on (band, bh) —
+    cost scales with the batch, not the corpus. The oracle derives the
+    same pairs from the full self-join filtered to mixed membership,
+    which is exactly the set a from-scratch run would find."""
+    from .llm.dedup import minhash_band_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 5 == 0)
+    existing = d.filter(F.col("doc_id") % 5 != 0)
+    bb_new = minhash_band_buckets(new_docs, "text", "doc_id").select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    bb_old = minhash_band_buckets(existing, "text", "doc_id").select(
+        F.col("doc_id").alias("dup_of"), "band", "bh"
+    )
+    return bb_new.join(bb_old, ["band", "bh"]).select("new_id", "dup_of").distinct()
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
