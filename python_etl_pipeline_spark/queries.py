@@ -1068,6 +1068,47 @@ def s3_multifile_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s5_jdbc_partitioned",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def s5_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the reference's paginated database extract
+    (src/transform.py:150-168, LIMIT/OFFSET batches of 5000) as a real
+    partitioned JDBC read. customer is staged into an embedded Derby
+    database (whose driver ships inside Spark's own jars), then read
+    back through the range-partitioned JDBC source: each of the 4 tasks
+    pushes its own `WHERE c_custkey >= lo AND < hi` predicate to the
+    database — the parallel restatement of LIMIT/OFFSET pagination.
+    The oracle reads the same rows straight from parquet, proving the
+    round-trip is lossless."""
+    import tempfile
+
+    from .sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        jdbc_reader_partitioned,
+        jdbc_write,
+    )
+
+    props = {"driver": DERBY_DRIVER}
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    bounds = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    db = tempfile.mkdtemp(prefix="s5_derby_") + "/db"
+    url = derby_url(db)
+    jdbc_write(c, url, "CUSTOMER_STAGE", properties=props)
+    back = jdbc_reader_partitioned(
+        spark, url, "CUSTOMER_STAGE", "c_custkey",
+        bounds[0], bounds[1] + 1, num_partitions=4, properties=props,
+    ).load()
+    return back.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+@register(
     "s4_file_identity",
     "SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders",
 )
@@ -3295,6 +3336,8 @@ _EXPENSIVE_LAST = [
     "x8_unpivot",
     "llm_curation_pipeline",
     "dd5_embedding_neardup",
+    "dd9_repeated_spans",
+    "s5_jdbc_partitioned",
 ]
 
 
