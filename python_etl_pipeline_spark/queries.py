@@ -3321,6 +3321,114 @@ def x21_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bb_new.join(bb_old, ["band", "bh"]).select("new_id", "dup_of").distinct()
 
 
+@register(
+    "x22_rollup_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           cast(sum(n_chars) AS BIGINT) AS total_chars,
+           cast(grouping(lang, source) AS BIGINT) AS gid
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def x22_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical corpus accounting in ONE pass: per-(lang, source),
+    per-lang, and grand-total doc/char counts via ROLLUP — the
+    multi-granularity report a curation dashboard wants without three
+    separate scans. Spark expands grouping sets inside a single
+    aggregate (one shuffle keyed on the grouping-set id + keys), so the
+    cost at 100 TB is one pass over documents, not one per level."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+_X23_SQL = "SELECT source, " + ", ".join(
+    f"round(avg(n_chars) FILTER (lang = '{l}'), 2) AS {l}" for l in _LANGS
+) + " FROM documents GROUP BY source"
+
+
+@register("x23_pivot_lang", _X23_SQL)
+def x23_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide; x8_unpivot's inverse): avg doc length per
+    source with one column per language. The explicit value list
+    matters at scale — without it Spark runs an extra distinct() job
+    over the pivot column before it can even plan; with it the pivot is
+    a single conditional aggregate, one shuffle on source."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.groupBy("source").pivot("lang", _LANGS).agg(
+        F.round(F.avg("n_chars"), 2)
+    )
+    return out
+
+
+_DD10_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, cast(ceil(len(t) / 16.0) AS INT)),
+           i -> {'pos': i,
+                 'chunk': array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ')}
+         )) AS u
+  FROM toks
+),
+flat AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM chunks),
+ranked AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM flat
+)
+SELECT doc_id, count(*) AS n_chunks,
+       cast(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) * 1.0 / count(*), 4) AS retained_frac
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("dd10_chunk_dedup", _DD10_SQL)
+def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (paragraph dedup with synthetic 16-token
+    chunks as the paragraph stand-in, since the corpus has no newlines):
+    every verbatim-repeated chunk keeps only its first occurrence
+    (min (doc_id, pos) wins — row_number over the chunk text), and each
+    document reports how much of it survives. This is the removal-side
+    complement of dd9's span *detection*: a pipeline drops rows with low
+    retained_frac or reassembles kept chunks. One shuffle keyed on chunk
+    text (16-token strings, so the key space is huge and well-spread);
+    at 100 TB hash the chunk to a 128-bit key first so the exchange
+    carries 16 bytes, not the text."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunked.withColumn(
+        "kept", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.sum("kept") / F.count("*"), 4).alias("retained_frac"),
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
