@@ -102,3 +102,43 @@ def range_join(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot fact key over ``salts``
+    reducers (the join twin of ``aggregate.salted_agg``).
+
+    A plain shuffle join hashes both sides on the key, so ONE pathological
+    key (the null user, the default account, an empty-string id) lands its
+    every fact row on one reducer — the straggler that dominates stage
+    wall-time at 100 TB. Here the fact side gets a deterministic salt
+    derived from its whole row (``xxhash64`` — same-key rows spread
+    across salts), the dim side is replicated ``salts``× via explode, and
+    the exchange keys on (key, salt): the hot key now occupies ``salts``
+    reducers. Cost: dim shuffle volume × ``salts`` — use for fact-fact
+    joins or dims too big to broadcast but small enough to replicate;
+    AQE's skew-join split handles the moderate cases without any of this
+    (enabled in session.py), while salting also covers the single-giant-
+    key case AQE can't split (it cannot split one key's hash bucket on
+    the *build* side requirement).
+
+    Join-result equality with the plain join holds for inner/left joins
+    keyed on ``on``; the salt never changes which (fact row, dim row)
+    pairs match, only where they meet.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    fact_cols = [c for c in fact.columns]
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), salts)
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salts)]))
+    )
+    return salted_fact.join(replicated_dim, keys + ["__salt"], how).drop("__salt")

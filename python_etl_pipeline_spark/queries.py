@@ -3429,6 +3429,35 @@ def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x24_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def x24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-fact join: lineitem⨝orders through
+    salted_join (8 salts) — the oracle is the PLAIN join, proving the
+    salt decomposition is invisible to results. x17 covers salted
+    aggregation; this covers the join case, where one giant key is the
+    classic 100 TB straggler and even AQE's skew split can't divide a
+    single key's build-side bucket."""
+    from .operators.joins import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        l, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", salts=8
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the

@@ -7,6 +7,7 @@ from .file_stream import (
     stream_stream_interval_join,
     stream_dedup_within_watermark,
     stream_document_curation,
+    stream_upsert_available_now,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_dedup_within_watermark",
     "stream_document_curation",
+    "stream_upsert_available_now",
 ]

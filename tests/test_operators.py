@@ -60,3 +60,17 @@ def test_split_new_vs_existing(spark):
     new_rows, updated = split_new_vs_existing(incoming, existing, "pk")
     assert sorted(r["pk"] for r in new_rows.collect()) == ["1", "3"]
     assert sorted(r["pk"] for r in updated.collect()) == ["2"]
+
+
+def test_salted_join_matches_plain(spark):
+    from python_etl_pipeline_spark.operators.joins import salted_join
+
+    # 90% of fact rows share one hot key — the skew case salting targets
+    fact = spark.range(0, 1000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN id ELSE 7 END AS k", "id AS payload"
+    )
+    dim = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS dval")
+    plain = fact.join(dim, "k").select("k", "payload", "dval")
+    salted = salted_join(fact, dim, "k", salts=4).select("k", "payload", "dval")
+    assert "__salt" not in salted.columns
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
