@@ -74,3 +74,19 @@ def test_salted_join_matches_plain(spark):
     salted = salted_join(fact, dim, "k", salts=4).select("k", "payload", "dval")
     assert "__salt" not in salted.columns
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    from python_etl_pipeline_spark.sources.csv import read_csv_with_quarantine
+
+    p = tmp_path / "mixed.csv"
+    # row 3 has a dangling quote: univocity can't parse it against the schema
+    p.write_text('id,name,amount\n1,alice,10\n2,"bob,jr",20\n3,"broken,30\n4,carol,40\n')
+    good, bad = read_csv_with_quarantine(spark, str(p), ["id", "name", "amount"])
+    good_rows = {r["id"]: (r["name"], r["amount"]) for r in good.collect()}
+    assert set(good_rows) == {"1", "2", "4"}
+    assert good_rows["2"] == ("bob,jr", "20")
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "broken" in bad_rows[0]["raw_line"]
+    assert bad_rows[0]["source_file"].endswith("mixed.csv")
