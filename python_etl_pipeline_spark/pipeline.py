@@ -171,7 +171,7 @@ class Pipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         items = list(files_per_entity.items())
-        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as ex:
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(items)))) as ex:
             list(ex.map(lambda kv: self._extract_entity(*kv), items))
 
     def _extract_entity(self, entity: str, paths: list[str]) -> None:
@@ -214,8 +214,14 @@ class Pipeline:
         else:
             merged = df
         out = merged.drop("_ingest_seq")
+        # fold the row-count metric into the write job (Observation):
+        # the count is computed by the tasks that write, not a second job
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         self.wh.overwrite(out, "staging", entity)
-        self.metrics.extracted[entity] = self.wh.read("staging", entity).count()
+        self.metrics.extracted[entity] = obs.get["n"]
         self.ingest_log.mark_processed_batch([(p, 0) for p in new_paths])
 
     # -- transform: staging -> typed/enriched layer ---------------------------
@@ -225,7 +231,7 @@ class Pipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         ents = entities or LOAD_ORDER
-        with ThreadPoolExecutor(max_workers=min(4, len(ents))) as ex:
+        with ThreadPoolExecutor(max_workers=min(8, len(ents))) as ex:
             list(ex.map(self._transform_entity, ents))
 
     def _transform_entity(self, entity: str) -> None:
@@ -236,8 +242,12 @@ class Pipeline:
         staged = staged.withColumn("_seq", F.monotonically_increasing_id())
         deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
         typed = ENTITY_TRANSFORMS[entity](deduped)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        typed = typed.observe(obs, F.count(F.lit(1)).alias("n"))
         self.wh.overwrite(typed, "transformed", entity)
-        self.metrics.transformed[entity] = self.wh.read("transformed", entity).count()
+        self.metrics.transformed[entity] = obs.get["n"]
 
     # -- load: incremental append into production ----------------------------
     def run_load(self, entities: list[str] | None = None) -> None:
@@ -246,7 +256,8 @@ class Pipeline:
             if not self.wh.exists("transformed", entity):
                 continue  # entity had no input this run; read errors propagate
             src = self.wh.read("transformed", entity)
-            if self.wh.exists("production", entity):
+            incremental = self.wh.exists("production", entity)
+            if incremental:
                 target = self.wh.read("production", entity)
                 # materialize the delta before appending into the scanned dir
                 delta = incremental_append_antijoin(src, target, pk).localCheckpoint(eager=True)
@@ -261,10 +272,32 @@ class Pipeline:
                 delta = delta.withColumn(
                     "transaction_year", F.year("transaction_date")
                 ).repartition("transaction_year")
-            self.wh.append(delta, "production", entity, partition_by=part)
-            prod = self.wh.read("production", entity)
-            self.metrics.loaded[entity] = prod.count()
-            self.metrics.reconciliation[entity] = reconcile_counts(src, prod)
+            if not incremental:
+                # first load: delta IS src, and production after the append
+                # holds exactly these rows — one Observation folded into the
+                # write yields loaded, source, and target counts with no
+                # extra job. (The incremental branch keeps explicit counts:
+                # an observe node on src/target would sit inside the
+                # anti-join and block column pruning of the key-only side.)
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                delta = delta.observe(obs, F.count(F.lit(1)).alias("n"))
+                self.wh.append(delta, "production", entity, partition_by=part)
+                prod_count = src_count = int(obs.get["n"])
+            else:
+                self.wh.append(delta, "production", entity, partition_by=part)
+                # one read-back count serves both the loaded metric and the
+                # reconciliation target side (was two scans of production)
+                prod_count = self.wh.read("production", entity).count()
+                src_count = src.count()
+            self.metrics.loaded[entity] = prod_count
+            self.metrics.reconciliation[entity] = {
+                "source_count": src_count,
+                "target_count": prod_count,
+                "synced": src_count == prod_count,
+                "difference": src_count - prod_count,
+            }
 
     def run_full(self, files_per_entity: dict[str, list[str]]) -> dict:
         """Fail-fast phase runner with per-phase timing logs (M1/M3:
