@@ -3321,52 +3321,6 @@ def x21_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bb_new.join(bb_old, ["band", "bh"]).select("new_id", "dup_of").distinct()
 
 
-@register(
-    "x22_rollup_stats",
-    """
-    SELECT lang, source, count(*) AS n_docs,
-           cast(sum(n_chars) AS BIGINT) AS total_chars,
-           cast(grouping(lang, source) AS BIGINT) AS gid
-    FROM documents
-    GROUP BY ROLLUP (lang, source)
-    """,
-)
-def x22_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical corpus accounting in ONE pass: per-(lang, source),
-    per-lang, and grand-total doc/char counts via ROLLUP — the
-    multi-granularity report a curation dashboard wants without three
-    separate scans. Spark expands grouping sets inside a single
-    aggregate (one shuffle keyed on the grouping-set id + keys), so the
-    cost at 100 TB is one pass over documents, not one per level."""
-    d = _t(spark, sf_dir, "documents")
-    return d.rollup("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.grouping_id().cast("bigint").alias("gid"),
-    )
-
-
-_LANGS = ["de", "en", "es", "fr", "zh"]
-
-_X23_SQL = "SELECT source, " + ", ".join(
-    f"round(avg(n_chars) FILTER (lang = '{l}'), 2) AS {l}" for l in _LANGS
-) + " FROM documents GROUP BY source"
-
-
-@register("x23_pivot_lang", _X23_SQL)
-def x23_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT (long→wide; x8_unpivot's inverse): avg doc length per
-    source with one column per language. The explicit value list
-    matters at scale — without it Spark runs an extra distinct() job
-    over the pivot column before it can even plan; with it the pivot is
-    a single conditional aggregate, one shuffle on source."""
-    d = _t(spark, sf_dir, "documents")
-    out = d.groupBy("source").pivot("lang", _LANGS).agg(
-        F.round(F.avg("n_chars"), 2)
-    )
-    return out
-
-
 _DD10_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
