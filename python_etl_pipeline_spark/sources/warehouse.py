@@ -64,6 +64,55 @@ class Warehouse:
         """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
         df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)
 
+    def compact(
+        self,
+        layer: str,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, int]:
+        """Rewrite a table directory into ~``target_file_bytes`` files.
+
+        Small-file management is the tax every incremental-append sink
+        pays: each micro-batch/daily delta adds files, and a year of
+        appends turns a 100 TB table into millions of KB-sized parquet
+        files whose open/footer cost dominates scan time. Compaction
+        reads the current snapshot, coalesces to
+        ceil(bytes / target_file_bytes) output files, writes to a
+        side directory, and atomically swaps via FileSystem rename —
+        readers see the old or the new layout, never a partial one.
+        (Table formats make this a metadata-only OPTIMIZE; this is the
+        plain-parquet form.) Returns {files_before, files_after}.
+        """
+        import math
+
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        cur = jvm.org.apache.hadoop.fs.Path(self.path(layer, table))
+        fs = cur.getFileSystem(conf)
+        summary = fs.getContentSummary(cur)
+        total_bytes = summary.getLength()
+        files_before = sum(
+            1
+            for f in fs.listStatus(cur)
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        tmp = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_tmp")
+        df = self.read(layer, table)
+        # coalesce, not repartition: narrowing file count needs no shuffle
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+        old = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_old")
+        fs.rename(cur, old)
+        fs.rename(tmp, cur)
+        fs.delete(old, True)
+        files_after = sum(
+            1
+            for f in fs.listStatus(cur)
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        )
+        return {"files_before": files_before, "files_after": files_after}
+
 
 def create_table_from_schema(
     spark: SparkSession, db: str, table: str, schema, using: str = "parquet"

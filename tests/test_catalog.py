@@ -88,3 +88,24 @@ def test_jdbc_derby_roundtrip_partitioned(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction collapses an append-accumulated file pile into few
+    size-targeted files, atomically, without changing the data."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    for batch in range(6):
+        wh.append(
+            spark.range(batch * 100, (batch + 1) * 100).repartition(4),
+            "production", "t",
+        )
+    before = spark.read.parquet(wh.path("production", "t"))
+    n_before, sum_before = before.count(), before.agg({"id": "sum"}).first()[0]
+    stats = wh.compact("production", "t", target_file_bytes=64 << 20)
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(wh.path("production", "t"))
+    assert after.count() == n_before
+    assert after.agg({"id": "sum"}).first()[0] == sum_before
