@@ -1,10 +1,11 @@
 """Incremental / merge plans (SURVEY.md §2.9)."""
 
-from .merge import upsert_last_writer_wins
+from .merge import upsert_last_writer_wins, apply_cdc
 from .incremental import incremental_append_watermark, incremental_append_antijoin, reconcile_counts, merge_agg_state
 
 __all__ = [
     "upsert_last_writer_wins",
+    "apply_cdc",
     "incremental_append_watermark",
     "incremental_append_antijoin",
     "merge_agg_state",

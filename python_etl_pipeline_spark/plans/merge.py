@@ -54,3 +54,40 @@ def upsert_last_writer_wins(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    pk: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an insert/update/delete change feed to a snapshot — the
+    general MERGE the reference's upsert (extract.py:328-357) special-
+    cases to I/U only. ``changes`` carries the snapshot's columns plus
+    ``op_col`` in {'I','U','D'} and ``seq_col`` (commit sequence /
+    binlog position); the highest-seq change per key decides the key's
+    fate: D removes it, I/U set its final image.
+
+    One shuffle keyed on the PK (union is exchange-free, ranked dedup
+    and the tombstone filter ride the same window) — identical cost to
+    the plain upsert, so a CDC-fed 100 TB table pays nothing extra for
+    delete support. With Delta/Iceberg the same feed maps to
+    MERGE ... WHEN MATCHED AND op='D' THEN DELETE.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    data_cols = snapshot.columns
+    base = snapshot.select(
+        *data_cols,
+        F.lit("I").alias(op_col),
+        F.lit(None).cast(changes.schema[seq_col].dataType).alias(seq_col),
+    )
+    merged = base.unionByName(changes.select(*data_cols, op_col, seq_col))
+    # nulls_first: snapshot rows (seq NULL) lose to any change for the key
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc_nulls_last())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .select(*data_cols)
+    )

@@ -3412,6 +3412,65 @@ def x24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X25_SQL = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         'I' AS op, cast(NULL AS INT) AS seq
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+ch AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 'U' AS op, 1 AS seq
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I', 2
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'D', 3
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC NULLS LAST) AS rn
+  FROM (SELECT * FROM snap UNION ALL SELECT * FROM ch)
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("x25_cdc_apply", _X25_SQL)
+def x25_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: an insert/update/delete change feed (op, seq) folded
+    into a snapshot via plans.apply_cdc — the full MERGE semantics the
+    reference's I/U-only upsert lacks, at identical cost (one PK-keyed
+    shuffle; tombstones ride the same ranking window). Feed derivation
+    is deterministic: %7 keys get an update (status→'X'), %13 keys are
+    fresh inserts, %11 keys are deleted, commit order U < I < D."""
+    from .plans import apply_cdc
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshot = o.filter(F.col("o_orderkey") % 13 != 0)
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit("I").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    return apply_cdc(snapshot, changes, "o_orderkey", "seq")
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the

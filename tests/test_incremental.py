@@ -80,3 +80,24 @@ def test_read_csv_all_string(spark, tmp_path):
     # quoted comma preserved; empty string stays empty (keep_default_na=False)
     assert rows["QT0001"]["branch_name"] == "Viswanathan, Singh and Bhattacharyya Branch"
     assert rows["QT0002"]["branch_name"] == ""
+
+
+def test_apply_cdc_semantics(spark):
+    from python_etl_pipeline_spark.plans import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),   # update
+            (4, "d", "I", 1),    # insert
+            (3, None, "D", 1),   # delete
+            (2, "b3", "U", 2),   # later update wins
+            (5, "e", "I", 1),    # insert then delete: gone
+            (5, None, "D", 2),
+        ],
+        ["id", "val", "op", "seq"],
+    )
+    out = {r["id"]: r["val"] for r in apply_cdc(snap, changes, "id", "seq").collect()}
+    assert out == {1: "a", 2: "b3", 4: "d"}
