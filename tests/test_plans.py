@@ -119,3 +119,27 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x15_sessionize")
     assert plan.count("hashpartitioning") <= 2  # window + final agg at most
     assert "rangepartitioning" not in plan
+
+
+def test_salted_join_no_nested_loop(spark, sf_dir):
+    # the salt must keep the join a hash equi-join on (key, salt) — never
+    # a cartesian/nested-loop fallback, and no range sort anywhere
+    plan = _plan(spark, sf_dir, "x24_salted_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_chunk_dedup_two_shuffles(spark, sf_dir):
+    # dd10 = window keyed on chunk + groupBy doc_id: exactly two wide
+    # exchanges; the chunk explode itself must stay narrow
+    plan = _plan(spark, sf_dir, "dd10_chunk_dedup")
+    assert plan.count("hashpartitioning") == 2
+    assert "rangepartitioning" not in plan
+
+
+def test_cdc_apply_single_shuffle(spark, sf_dir):
+    # union is exchange-free; the ranking window pays the one PK shuffle
+    # and the tombstone filter rides it
+    plan = _plan(spark, sf_dir, "x25_cdc_apply")
+    assert plan.count("hashpartitioning") == 1
