@@ -47,6 +47,12 @@ HEADLINE = [
     "tx10_bigram_lm_score",
     "ann4_kmeans_train",
     "x18_sequence_packing",
+    "dd9_repeated_spans",
+    "dd10_chunk_dedup",
+    "x21_incremental_neardup",
+    "x24_salted_join",
+    "x25_cdc_apply",
+    "x26_fuzzy_match",
 ]
 
 
