@@ -3520,6 +3520,51 @@ def x26_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)]
+
+_X27_SQL = f"""
+WITH targets (lang, share) AS (
+  VALUES {', '.join(f"('{l}', {s})" for l, s in _MIX_TARGETS)}
+),
+budget AS (SELECT cast(round(count(*) * 0.5) AS BIGINT) AS total FROM documents),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN targets t ON r.lang = t.lang CROSS JOIN budget b
+WHERE r.rk <= cast(round(t.share * b.total) AS BIGINT)
+"""
+
+
+@register("x27_corpus_mix", _X27_SQL)
+def x27_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample each language to a TARGET share of a
+    fixed token/doc budget (half the corpus here) — the mixture step
+    every pretraining pipeline runs between curation and packing.
+    Selection is deterministic (per-language rank over md5(doc_id), keep
+    the first share×budget): re-runs and appends pick the same winners,
+    unlike df.sample's partition-seeded draw. The per-group rank is one
+    shuffle on lang; at 100 TB swap the exact rank for the pure-
+    projection hash-threshold form (keep where md5-fraction < rate,
+    rate = target/actual from a first-pass count) — no rank, no sort,
+    approximate counts within binomial noise."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    budget = round(total * 0.5)
+    targets = spark.createDataFrame(_MIX_TARGETS, "lang string, share double")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.round(F.col("share") * budget).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the

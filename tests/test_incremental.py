@@ -101,3 +101,31 @@ def test_apply_cdc_semantics(spark):
     )
     out = {r["id"]: r["val"] for r in apply_cdc(snap, changes, "id", "seq").collect()}
     assert out == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_apply_cdc_matches_python_replay(spark):
+    """Model-based check: a seeded random I/U/D feed applied via
+    apply_cdc equals a sequential Python replay of the same events."""
+    import random
+
+    from python_etl_pipeline_spark.plans import apply_cdc
+
+    rng = random.Random(42)
+    snap_rows = [(k, f"v{k}") for k in range(0, 40, 2)]  # even keys exist
+    events = []
+    for seq in range(1, 201):
+        k = rng.randrange(40)
+        op = rng.choice(["I", "U", "D"])
+        events.append((k, f"s{seq}", op, seq))
+
+    state = dict(snap_rows)
+    for k, val, op, _seq in events:  # already in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = val
+
+    snap = spark.createDataFrame(snap_rows, "id int, val string")
+    feed = spark.createDataFrame(events, "id int, val string, op string, seq int")
+    got = {r["id"]: r["val"] for r in apply_cdc(snap, feed, "id", "seq").collect()}
+    assert got == state
