@@ -148,3 +148,16 @@ def health_check(spark: SparkSession, db: str) -> dict[str, int]:
     (test.py:27-125 reimagined for the catalog)."""
     tables = [r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect()]
     return {t: spark.table(f"{db}.{t}").count() for t in tables}
+
+
+def read_evolved(spark: SparkSession, path: str):
+    """Schema-evolution read: one DataFrame over parquet batches whose
+    schemas drifted (columns added over time) — ``mergeSchema`` unions
+    the per-file footers and null-fills missing columns, so old batches
+    stay readable after the pipeline starts writing new fields.
+
+    Merge cost is footer-only (no data scan) but still one footer per
+    file; at 100 TB pin the expected schema with ``.schema(...)`` once
+    known and keep mergeSchema for the discovery/backfill path only.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)

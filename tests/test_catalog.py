@@ -109,3 +109,17 @@ def test_compact_small_files(spark, tmp_path):
     after = spark.read.parquet(wh.path("production", "t"))
     assert after.count() == n_before
     assert after.agg({"id": "sum"}).first()[0] == sum_before
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    from python_etl_pipeline_spark.sources.warehouse import read_evolved
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.mode(
+        "append"
+    ).parquet(p)
+    df = read_evolved(spark, p)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
