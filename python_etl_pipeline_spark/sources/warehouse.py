@@ -103,8 +103,12 @@ class Warehouse:
         # coalesce, not repartition: narrowing file count needs no shuffle
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
         old = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_old")
-        fs.rename(cur, old)
-        fs.rename(tmp, cur)
+        if not fs.rename(cur, old):
+            raise IOError(f"compact: could not move {cur} aside")
+        if not fs.rename(tmp, cur):
+            # roll back so the table stays readable
+            fs.rename(old, cur)
+            raise IOError(f"compact: could not swap {tmp} into place")
         fs.delete(old, True)
         files_after = sum(
             1
