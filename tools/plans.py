@@ -21,6 +21,10 @@ DEFAULT = [
     "p4_prune_valid_columns",
     "o2_dedup_keep_last",
     "dd2_minhash_lsh",
+    "dd10_chunk_dedup",
+    "x24_salted_join",
+    "x25_cdc_apply",
+    "x27_corpus_mix",
 ]
 
 
