@@ -3565,6 +3565,37 @@ def x27_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X28_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
+                                  '\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+@register("tx11_normalize_text", _X28_SQL)
+def tx11_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (the cleanup every corpus gets before
+    hashing/shingling so dedup keys aren't split by whitespace noise):
+    control chars → space, whitespace runs collapsed, ends trimmed.
+    Pure projection — fused into the scan, zero shuffles at any scale;
+    output is the normalized md5 + length, i.e. exactly the dedup key
+    dd1 would consume downstream."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[\\x00-\\x1F]", " "), "\\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
