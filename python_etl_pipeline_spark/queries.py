@@ -3565,7 +3565,7 @@ def x27_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X28_SQL = r"""
+_TX11_SQL = r"""
 SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F]', ' ', 'g'),
                                '\s+', ' ', 'g'))) AS norm_hash,
@@ -3575,7 +3575,7 @@ FROM documents
 """
 
 
-@register("tx11_normalize_text", _X28_SQL)
+@register("tx11_normalize_text", _TX11_SQL)
 def tx11_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization pass (the cleanup every corpus gets before
     hashing/shingling so dedup keys aren't split by whitespace noise):
@@ -3593,6 +3593,142 @@ def tx11_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+# The tx2 composite-quality expression, re-stated once for the curation
+# selection oracles below (DuckDB dialect; byte-identical to tx2's).
+_DUCK_QUALITY = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+           + 0.3 * least(len(list_filter({_DUCK_TOKS}, x -> list_contains({_EN}, x))) * 1.0
+                         / len({_DUCK_TOKS}) * 5.0, 1.0), 10)"""
+
+
+@register(
+    "x28_source_cap",
+    f"""
+    WITH q AS (
+      SELECT doc_id, source, {_DUCK_QUALITY} AS quality FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, quality, cast(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 15
+    """,
+)
+def x28_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution capping: keep the best K documents from
+    each source (quality desc, doc_id tiebreak) so no single crawl/dump
+    dominates the training mix — the standard guard against one domain
+    flooding the corpus.
+
+    One shuffle, keyed on source. At 100 TB the win is that only rank
+    state crosses the wire per group — but a mega-source still lands on
+    one reducer; the scale mitigation is a cheap pre-filter (per input
+    partition, keep the local top-K before the shuffle — K per map task
+    bounds the exchange at tasks*K rows per source), which AQE's skew
+    splitting cannot do for rank. K=15 caps every 25-doc source in the
+    test fixture so the pruning path is actually exercised."""
+    from .llm import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 15)
+    )
+
+
+@register(
+    "tx12_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+             {_DUCK_QUALITY} AS quality
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cast(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 8000
+    """,
+)
+def tx12_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget corpus selection: within each language take
+    documents best-first (quality desc, doc_id tiebreak) until the
+    running token count exceeds the per-language budget — how a corpus
+    is actually assembled against a token target rather than a doc
+    count. Running sum over a (quality, doc_id) total order is
+    deterministic on both engines; ROWS UNBOUNDED PRECEDING on each
+    side. One shuffle keyed on lang; the sort is the same one the rank
+    already needs, so the budget scan adds no extra exchange."""
+    from .llm import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 8000)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "tx13_quality_topfrac",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_DUCK_QUALITY} AS quality FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM q
+    )
+    SELECT doc_id, lang, quality FROM r WHERE rk * 2 <= n + 1
+    """,
+)
+def tx13_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-fraction quality filter: keep the best
+    ceil(n/2) documents of each language. Rank-based rather than
+    threshold-based on purpose — a quantile *value* cutoff compares
+    floats at the boundary where two engines' interpolation can differ
+    by 1 ulp, while rank over a (quality, doc_id) total order is exact
+    on both. Same single lang-keyed shuffle as tx12; rank and group
+    count come out of one window sort."""
+    from .llm import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+        .withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rk") * 2 <= F.col("n") + 1)
+        .select("doc_id", "lang", "quality")
     )
 
 
