@@ -147,6 +147,43 @@ def write_bucketed(
     )
 
 
+def analyze_table(
+    spark: SparkSession, db: str, table: str, columns: list[str] | None = None
+) -> dict:
+    """Collect table- and column-level statistics into the catalog
+    (ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]).
+
+    The reference's databases do this implicitly (MySQL/PG auto-analyze
+    feeds their planners); on Spark it is an explicit step, and at
+    100 TB it is what turns join planning from file-length guessing
+    into real cost-based decisions: accurate sizeInBytes/rowCount lets
+    the optimizer pick broadcast sides after filters, and column NDVs
+    drive join reordering under spark.sql.cbo.enabled. Run it after
+    each load phase on managed tables (bucketed dims especially — a
+    dim that *is* broadcast-sized should be known to be).
+
+    Returns {"size_bytes": int, "row_count": int | None} parsed back
+    from the catalog so callers (health checks, load-phase metrics)
+    can log what the planner will actually see.
+    """
+    import re
+
+    full = f"{db}.{table}"
+    spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect()
+    stats_line = next(
+        (r.data_type for r in rows if r.col_name == "Statistics"), ""
+    )
+    m = re.search(r"(\d+) bytes(?:, (\d+) rows)?", stats_line)
+    return {
+        "size_bytes": int(m.group(1)) if m else None,
+        "row_count": int(m.group(2)) if m and m.group(2) else None,
+    }
+
+
 def health_check(spark: SparkSession, db: str) -> dict[str, int]:
     """M4: connectivity/health probe — SHOW TABLES + per-table counts
     (test.py:27-125 reimagined for the catalog)."""

@@ -90,6 +90,47 @@ def test_jdbc_derby_roundtrip_partitioned(spark, tmp_path):
     )
 
 
+def test_analyze_table_feeds_planner_stats(spark, sf_dir):
+    """ANALYZE TABLE lands rowCount/sizeInBytes in the catalog and the
+    optimizer's relation stats pick up the analyzed rowCount — the
+    metadata the CBO sizes joins from."""
+    from python_etl_pipeline_spark.sources.warehouse import analyze_table
+
+    import shutil
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_t")
+    spark.sql("DROP TABLE IF EXISTS stats_t.nation")
+    # a crashed earlier run can leave an orphaned managed-table location
+    loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{loc}/stats_t.db/nation", ignore_errors=True)
+    nation.write.mode("overwrite").saveAsTable("stats_t.nation")
+    stats = analyze_table(spark, "stats_t", "nation", columns=["n_nationkey"])
+    assert stats["row_count"] == nation.count()
+    assert stats["size_bytes"] and stats["size_bytes"] > 0
+    # column-level stats (NDV) visible in the catalog
+    desc = {
+        r.info_name: r.info_value
+        for r in spark.sql("DESC EXTENDED stats_t.nation n_nationkey").collect()
+    }
+    assert int(desc["distinct_count"]) > 0
+    # with CBO on, the optimizer's relation stats carry the analyzed
+    # rowCount (without ANALYZE the planner only has file sizes)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        jstats = (
+            spark.table("stats_t.nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert jstats.rowCount().get() == nation.count()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.sql("DROP TABLE stats_t.nation")
+    spark.sql("DROP DATABASE stats_t")
+
+
 def test_compact_small_files(spark, tmp_path):
     """Compaction collapses an append-accumulated file pile into few
     size-targeted files, atomically, without changing the data."""
