@@ -143,3 +143,13 @@ def test_cdc_apply_single_shuffle(spark, sf_dir):
     # and the tombstone filter rides it
     plan = _plan(spark, sf_dir, "x25_cdc_apply")
     assert plan.count("hashpartitioning") == 1
+
+
+def test_corpus_selection_single_shuffle(spark, sf_dir):
+    # x28/tx12/tx13 each rank inside one partition key: exactly one
+    # hash-partition exchange (the window), no global sort, no join
+    for name in ("x28_source_cap", "tx12_token_budget", "tx13_quality_topfrac"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("hashpartitioning") == 1, (name, plan)
+        assert "rangepartitioning" not in plan, name
+        assert "Join" not in plan, name
