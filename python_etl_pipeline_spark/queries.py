@@ -3732,6 +3732,89 @@ def tx13_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x29_doc_chunks",
+    """
+    WITH s AS (
+      SELECT doc_id, text, unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           cast(start AS BIGINT) AS start,
+           substring(text, start + 1, 200) AS chunk,
+           cast(length(substring(text, start + 1, 200)) AS BIGINT) AS chunk_len
+    FROM s
+    """,
+)
+def x29_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (200-char windows, stride 150)
+    — the pre-embedding split every retrieval/embedding pipeline runs
+    over long documents, keeping the (doc_id, start) lineage so chunks
+    map back to source spans.
+
+    sequence+explode is a narrow map-side fan-out: zero shuffles at any
+    scale. The fan-out multiplies bytes ~len/stride×, so at 100 TB the
+    input split size is the knob — shrink
+    spark.sql.files.maxPartitionBytes so post-explode partitions still
+    fit in memory (same note as the shingle fan-out in dd2/dd3)."""
+    d = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(150)
+    )
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.expr("substring(text, start + 1, 200)").alias("chunk"),
+            F.length(F.expr("substring(text, start + 1, 200)"))
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "tx14_token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           cast(sum(c) AS BIGINT) AS n_tokens,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def tx14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document token distribution — the
+    gibberish/boilerplate signal: near-zero entropy is one token
+    repeated (degenerate text), high entropy at low n is random noise.
+    H = log2(n) - (Σ c·log2 c)/n, so one pass over (doc_id, tok) counts
+    suffices — no per-token probability column, no second scan.
+
+    Both groupBys key on doc_id (the second collapses the first's
+    grouping), so Spark plans ONE exchange: partial map-side counts,
+    then both final aggs colocated. Scales as a plain keyed agg."""
+    d = _t(spark, sf_dir, "documents")
+    from .llm import tokens
+
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("token_entropy"),
+    )
+
+
 # Queries with non-trivial wall time at the gate scale (multi-job
 # iterative plans, Python-worker stages, or large compare row counts),
 # ordered last so a time-budgeted gate maximizes checked queries; the
