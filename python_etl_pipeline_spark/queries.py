@@ -1935,10 +1935,17 @@ def x7_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x8_unpivot",
+    # UNION ALL, not UNPIVOT: DuckDB's UNPIVOT over a parquet view is
+    # ~100x slower than three projections (measured 6 s vs 0.05 s at
+    # sf0.01) and the gate pays oracle time too
     """
-    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
-    FROM lineitem
-    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_tax))
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           round(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           round(l_extendedprice, 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2) FROM lineitem
     """,
 )
 def x8_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
