@@ -2364,7 +2364,12 @@ def x15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     st2_session_window (session_window handles this natively)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp (not cast-to-long) so TIMESTAMP and TIMESTAMP_NTZ
+    # inputs both work: Spark 4 reads tz-less parquet as NTZ and forbids
+    # a direct NTZ->BIGINT cast. Only gap differences matter, so the
+    # session-tz interpretation cancels out.
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
     marked = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     )
