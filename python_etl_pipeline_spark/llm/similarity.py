@@ -147,6 +147,38 @@ def hyperplane_lsh_buckets(
     return bits.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
 
 
+def _gram_pair_fn(min_sim: float):
+    """applyInPandas kernel: one float64 BLAS gram matrix per group over
+    rows carrying (__id, __v); emits (a, b, cosine) with a < b and
+    cosine >= min_sim, zero-norm vectors excluded. Shared by the LSH
+    bucket scorer (:func:`cosine_pairs`) and the semantic-dedup cell
+    scorer (:func:`semantic_dedup`); extra grouping columns in the
+    input frame are ignored."""
+    import numpy as np
+    import pandas as pd
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(m, axis=1)
+        ok = norms > 0
+        ids, m, norms = ids[ok], m[ok], norms[ok]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        mn = m / norms[:, None]
+        sims = mn @ mn.T  # one BLAS gram matrix per group
+        ii, jj = np.nonzero(np.triu(sims >= min_sim, k=1))
+        pa, pb = ids[ii], ids[jj]
+        swap = pa > pb
+        pa2 = np.where(swap, pb, pa)
+        pb2 = np.where(swap, pa, pb)
+        return pd.DataFrame({"a": pa2, "b": pb2, "cosine": np.round(sims[ii, jj], 4)})
+
+    return pair_fn
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -238,27 +270,8 @@ def cosine_pairs(
         df.select(F.col(id_col), F.col(vec_col)), id_col
     ).select(F.col(id_col).alias("__id"), "band", "bh", F.col(vec_col).alias("__v"))
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = pdf["__id"].to_numpy()
-        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-        norms = np.linalg.norm(m, axis=1)
-        ok = norms > 0
-        ids, m, norms = ids[ok], m[ok], norms[ok]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        mn = m / norms[:, None]
-        sims = mn @ mn.T  # one BLAS gram matrix per bucket
-        ii, jj = np.nonzero(np.triu(sims >= min_sim, k=1))
-        pa, pb = ids[ii], ids[jj]
-        swap = pa > pb
-        pa2 = np.where(swap, pb, pa)
-        pb2 = np.where(swap, pa, pb)
-        return pd.DataFrame({"a": pa2, "b": pb2, "cosine": np.round(sims[ii, jj], 4)})
-
     scored = banded_vecs.groupBy("band", "bh").applyInPandas(
-        bucket_pairs, schema=out_schema
+        _gram_pair_fn(min_sim), schema=out_schema
     )
     # dedup across bands; max() of computations over identical inputs
     return scored.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
