@@ -1,0 +1,102 @@
+"""Scale-safe global dense sequences (SURVEY.md §2.5 AUTO_INCREMENT,
+§2.6 LIMIT/OFFSET).
+
+The reference materializes a MySQL AUTO_INCREMENT ``display_id``
+(src/transform.py:85) and pages result sets with LIMIT/OFFSET
+(src/load.py:188-193).  The naive Spark translation —
+``row_number() OVER (ORDER BY k)`` with no PARTITION BY — funnels every
+row through one task (``Exchange SinglePartition`` + a single WindowExec),
+which is a non-starter at 100 TB.
+
+This module implements the zipWithIndex decomposition with the DataFrame
+API, keeping *exact* dense-sequence semantics while every stage over the
+data stays fully parallel:
+
+1. approxQuantile on the leading order key picks ~equi-depth split
+   points; once collected they are frozen as literals, so bucket
+   assignment ``bucket(k) = #{b : b <= k}`` is a pure function of the
+   key — deterministic across jobs regardless of AQE re-planning.
+   (An earlier draft keyed on ``spark_partition_id()`` after
+   ``repartitionByRange``; AQE coalesces the range shuffle differently
+   per job, so partition ids drifted between the count job and the
+   ranking job.  Value-derived buckets cannot drift.)
+2. per-bucket row counts — O(num_buckets) rows — are collected to the
+   driver and folded into cumulative start offsets.  This is the only
+   driver-side step and is bounded by the bucket count (thousands),
+   never the row count; RDD ``zipWithIndex`` runs the identical job.
+3. local ``row_number`` windowed per bucket — one hash exchange on the
+   bucket id, each task ranks only its own ~1/N slice.
+4. ``seq = offset[bucket] + local_rank`` via a broadcast literal map.
+
+Keys equal to a split point all compare ``<= b`` identically, so ties
+never straddle buckets and the cross-bucket order is total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_sequence"]
+
+
+def _bucket_expr(key: str, boundaries: list[float]) -> Column:
+    """#{b in boundaries : b <= key} — a pure, codegen-friendly function
+    of the key value (boundaries are a tiny literal array, |B| =
+    num_buckets - 1)."""
+    if not boundaries:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in boundaries])
+    return F.size(F.filter(barr, lambda b: b <= F.col(key)))
+
+
+def with_global_sequence(
+    df: DataFrame,
+    order_cols: list[str],
+    name: str = "seq",
+    num_buckets: int | None = None,
+    start: int = 1,
+) -> DataFrame:
+    """Append a gap-free global sequence column ``name`` (``start``,
+    ``start+1``, …) following ``ORDER BY order_cols``, without ever
+    planning a single-partition window.
+
+    The leading order column must be numeric and non-null (it seeds the
+    equi-depth bucket boundaries); trailing order columns only break
+    ties.  Triggers two small Spark jobs at construction time (quantile
+    sketch + per-bucket counts); their results — and the literal map
+    shipped back — are O(num_buckets), not O(rows).
+    """
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    key = order_cols[0]
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    # Frozen as literals on the driver: even if the sketch re-ran
+    # differently, every downstream job sees these exact split points.
+    boundaries = sorted(set(df.approxQuantile(key, qs, 0.001))) if qs else []
+
+    tagged = df.withColumn("__bkt", _bucket_expr(key, boundaries))
+
+    # Tiny job: one output row per bucket (zipWithIndex's count pass).
+    counts = tagged.groupBy("__bkt").agg(F.count("*").alias("__cnt")).collect()
+    acc = start - 1
+    offsets: dict[int, int] = {}
+    for row in sorted(counts, key=lambda r: r["__bkt"]):
+        offsets[row["__bkt"]] = acc
+        acc += row["__cnt"]
+
+    mapping: Column = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("__bkt").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        tagged.withColumn("__local", F.row_number().over(w))
+        .withColumn(
+            name,
+            (F.element_at(mapping, F.col("__bkt")) + F.col("__local")).cast("bigint"),
+        )
+        .drop("__bkt", "__local")
+    )

@@ -46,6 +46,7 @@ from .operators import (
     range_join,
     pk_filter,
 )
+from .operators.sequence import with_global_sequence
 from .plans import upsert_last_writer_wins, incremental_append_watermark
 
 AS_OF = "2026-01-01"  # fixed reference date for age/tenure determinism
@@ -482,13 +483,17 @@ def o3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w1_display_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5: AUTO_INCREMENT display_id as a ranking window
-    (src/transform.py:85). Note: a single global window is a scale
-    anti-pattern — at 100 TB use zipWithIndex-style partition offsets; this
-    query pins the *semantics*."""
+    """§2.5: AUTO_INCREMENT display_id (src/transform.py:85) via
+    zipWithIndex-style partition-offset composition
+    (:func:`operators.sequence.with_global_sequence`): range-partition on
+    the key, rank locally per partition, add driver-computed cumulative
+    offsets (O(num_partitions) rows).  Exact dense-sequence semantics,
+    zero single-partition stages — the plan-guard test pins the absence
+    of ``Exchange SinglePartition``."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return o.select("o_orderkey", F.row_number().over(w).cast("bigint").alias("display_id"))
+    return with_global_sequence(
+        o.select("o_orderkey"), ["o_orderkey"], name="display_id"
+    ).select("o_orderkey", "display_id")
 
 
 @register(
@@ -1197,13 +1202,16 @@ def o5_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5/I3: the reference's LIMIT/OFFSET positional slice pinned as a
     ranked-window filter (src/load.py:188-193). The engine's incremental
     path prefers watermarks/anti-joins; this query preserves the exact
-    positional semantics for parity."""
+    positional semantics for parity.
+
+    The positional rank comes from the partition-offset composition
+    (:func:`operators.sequence.with_global_sequence`) — no
+    single-partition window; the slice predicate then prunes to the one
+    or two range partitions that overlap [offset, offset+limit)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.select("o_orderkey", F.row_number().over(w).cast("bigint").alias("rn"))
-        .filter((F.col("rn") > 1000) & (F.col("rn") <= 1100))
-    )
+    return with_global_sequence(
+        o.select("o_orderkey"), ["o_orderkey"], name="rn"
+    ).filter((F.col("rn") > 1000) & (F.col("rn") <= 1100)).select("o_orderkey", "rn")
 
 
 @register(
@@ -2364,14 +2372,15 @@ def x15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     st2_session_window (session_window handles this natively)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_timestamp (not cast-to-long) so TIMESTAMP and TIMESTAMP_NTZ
-    # inputs both work: Spark 4 reads tz-less parquet as NTZ and forbids
-    # a direct NTZ->BIGINT cast. Only gap differences matter, so the
-    # session-tz interpretation cancels out.
-    epoch = F.unix_timestamp(F.col("ts"))
-    gap = epoch - F.lag(epoch).over(w)
+    # Direct interval comparison (not unix_timestamp / cast-to-long):
+    # works for both TIMESTAMP and TIMESTAMP_NTZ (Spark 4 reads tz-less
+    # parquet as NTZ and forbids NTZ->BIGINT casts), keeps microsecond
+    # precision (unix_timestamp truncates to whole seconds), and is
+    # session-timezone-free — no DST edge even on non-UTC sessions.
+    gap = F.col("ts") - F.lag("ts").over(w)
     marked = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "new_sess",
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1).otherwise(0),
     )
     # event_id tiebreaks the running sum too: with ts-only ordering, equal
     # timestamps would make session numbering depend on an arbitrary tie

@@ -113,6 +113,18 @@ def test_embedding_neardup_never_collects(spark, sf_dir):
     assert "PushedFilters" in plan
 
 
+def test_global_sequence_no_single_partition_window(spark, sf_dir):
+    """w1/o5 pin AUTO_INCREMENT / LIMIT-OFFSET semantics; the
+    partition-offset composition must keep them fully parallel — the
+    old ``Window.orderBy`` form planned Exchange SinglePartition and
+    funneled every row through one task."""
+    for name in ("w1_display_id", "o5_offset_slice"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+        assert "Window" in plan  # still windowed, but keyed on the bucket
+        assert "hashpartitioning(__bkt" in plan, (name, plan)
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     # lag window, running-sum window, and the groupBy all share the
     # user_id partitioning -> one hash exchange end-to-end
