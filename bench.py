@@ -49,6 +49,7 @@ HEADLINE = [
     "x18_sequence_packing",
     "dd9_repeated_spans",
     "dd10_chunk_dedup",
+    "dd11_semantic_dedup",
     "x21_incremental_neardup",
     "x24_salted_join",
     "x25_cdc_apply",

@@ -277,6 +277,103 @@ def cosine_pairs(
     return scored.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
 
 
+def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """(id, cell): argmin squared-L2 assignment of every vector to a
+    centroid, ties broken by cell id. Centroids are k x d rows —
+    broadcast; the distance agg is one keyed shuffle."""
+    from pyspark.sql import Window
+
+    c = cent.select("cell", "i", F.col("v").alias("cv"))
+    dists = (
+        comp.join(F.broadcast(c), "i")
+        .groupBy(id_col, "cell")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("dist"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """(id, cell) after ``iters`` Lloyd iterations with deterministic
+    init (centroids = vectors with id < k), all DataFrame ops: no vector
+    ever reaches the driver. Each iteration is a broadcast component
+    join + argmin window + per-(cell, dim) average — two keyed shuffles
+    of vector-sized and (k x d)-sized data respectively."""
+    comp = _components(df, id_col, vec_col)
+    cent = comp.filter(F.col(id_col) < k).select(F.col(id_col).alias("cell"), "i", "v")
+    for _ in range(iters):
+        assign = _nearest_cell(comp, cent, id_col)
+        cent = (
+            comp.join(assign, id_col).groupBy("cell", "i").agg(F.avg("v").alias("v"))
+        )
+    return _nearest_cell(comp, cent, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    min_sim: float = 0.3,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into k cells with k-means,
+    then mark every vector that has an in-cell neighbor above
+    ``min_sim`` cosine with a LOWER id as a duplicate. Output:
+    (id, cell, is_kept) for every input vector — keep-min-id inside
+    each epsilon-ball, the deterministic variant of the paper's
+    keep-farthest-from-centroid rule.
+
+    Scale shape: the pairwise pass is per-cell (one BLAS gram matrix
+    per cell via :func:`_gram_pair_fn`), so k is the knob that bounds
+    task memory — pick k ~ N / target_cell_size (the paper runs 11k
+    cells over LAION). Cells larger than ``max_cell_size`` (if set) are
+    passed through un-scored (every member kept) rather than OOMing a
+    task; at production k the cap should never trigger.
+
+    The cluster step is :func:`kmeans_assign` (broadcast centroids);
+    the only O(N) shuffles are the assignment agg and the cell-keyed
+    gram pass."""
+    assign = kmeans_assign(df, id_col, vec_col, k, iters)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vecs = assign.join(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
+    )
+    if max_cell_size is not None:
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("cell")
+        vecs = (
+            vecs.withColumn("__csz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__csz") <= max_cell_size)
+            .drop("__csz")
+        )
+    pairs = vecs.groupBy("cell").applyInPandas(
+        _gram_pair_fn(min_sim), schema=f"a {id_t}, b {id_t}, cosine double"
+    )
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct()
+    return (
+        assign.join(dropped.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_id: int,

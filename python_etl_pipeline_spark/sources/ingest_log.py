@@ -5,12 +5,14 @@ SURVEY.md §2.1 S4 / §2.9 I1: the reference tracks (file_name, md5) in an
 files already ingested with unchanged content; changed content
 re-processes.
 
-Engine form: a small parquet log table keyed by (file_name, file_hash).
-``filter_new_files`` is driver-side over file *metadata* (one row per
-file, never per data row) so it stays cheap at any data scale — 100 TB
-of data is still only thousands of log rows. For streaming cadence the
-same idempotency comes from the file-source checkpoint
-(streaming/file_stream.py).
+Engine form: a parquet log table keyed by (file_name, file_hash).
+``new_files_df`` anti-joins the candidate list against the log with no
+driver-side materialization of either side — at 100 TB ingest the log
+is millions of rows, and candidate md5s (which read whole files) are
+computed on executors. ``filter_new_files`` is the list-in/list-out
+convenience wrapper; it collects only the new-path result, bounded by
+the batch being ingested. For streaming cadence the same idempotency
+comes from the file-source checkpoint (streaming/file_stream.py).
 """
 
 from __future__ import annotations
@@ -23,6 +25,16 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from ..functions.cleansing import file_md5
+
+def _md5_udf():
+    """Executor-side streaming file MD5 (same algorithm as
+    functions.cleansing.file_md5, F15). One invocation per candidate
+    FILE — IO-bound, so it runs where the data lives; never a per-row
+    hot path."""
+    from pyspark.sql import functions as F
+
+    return F.udf(lambda p: file_md5(p), T.StringType())
+
 
 LOG_SCHEMA = T.StructType([
     T.StructField("file_name", T.StringType(), False),
@@ -60,25 +72,41 @@ class IngestLog:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.log_dir)
 
-    def seen(self) -> set[tuple[str, str]]:
-        return {
-            (r["file_name"], r["file_hash"])
-            for r in self._read().select("file_name", "file_hash").collect()
-        }
+    def new_files_df(self, paths: list[str]):
+        """(path, file_name, file_hash) for candidates NOT yet ingested
+        with identical content — a left-anti join of the candidate list
+        against the log, entirely distributed: the log is never
+        collected into driver memory (at 100 TB ingest the log is
+        millions of rows), and each candidate's md5 is computed on an
+        executor (one task row per FILE — the hash must read the whole
+        file, so this is IO-bound work that belongs on the cluster, not
+        the driver). The log side of the join is small relative to data
+        but unbounded over time; the anti-join broadcasts the candidate
+        side when it is the smaller one."""
+        from pyspark.sql import functions as F
+
+        cand = self.spark.createDataFrame(
+            [(p, os.path.basename(p)) for p in paths],
+            "path string, file_name string",
+        )
+        hashed = cand.withColumn("file_hash", _md5_udf()(F.col("path")))
+        log = self._read().select("file_name", "file_hash")
+        return hashed.join(log, ["file_name", "file_hash"], "left_anti")
 
     def filter_new_files(self, paths: list[str]) -> list[str]:
         """Return only paths not yet ingested with identical content.
 
         Same-name-changed-content files pass through (re-process), exactly
-        matching src/extract.py:222-244.
+        matching src/extract.py:222-244. The list-in/list-out signature
+        collects only the NEW paths (bounded by the batch the caller is
+        about to ingest) — the log itself stays distributed
+        (:meth:`new_files_df`).
         """
-        seen = self.seen()
-        out = []
-        for p in paths:
-            key = (os.path.basename(p), file_md5(p))
-            if key not in seen:
-                out.append(p)
-        return out
+        if not paths:
+            return []
+        order = {p: i for i, p in enumerate(paths)}
+        out = [r["path"] for r in self.new_files_df(paths).select("path").collect()]
+        return sorted(out, key=order.__getitem__)
 
     def mark_processed(self, path: str, record_count: int) -> None:
         """Append one log row for an ingested file (src/extract.py:246-270)."""

@@ -67,6 +67,31 @@ def test_ingest_log_idempotency(spark, tmp_path):
     assert summary["n_files"] == 1 and summary["sum_records"] == 2
 
 
+def test_ingest_log_batch_path_never_collects_log(spark, tmp_path):
+    """new_files_df must stay distributed: building the candidate-vs-log
+    anti-join may not pull the log (or anything else) to the driver, and
+    the plan must be a LeftAnti join — the old implementation collected
+    the whole log into a Python set per call."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    f = tmp_path / "a.csv"
+    f.write_text("x\n1\n")
+    log = IngestLog(spark, str(tmp_path / "_ingest_log"))
+    log.mark_processed(str(f), record_count=1)
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side materialization while building the anti-join")
+
+    with mock.patch.object(DataFrame, "collect", _banned), mock.patch.object(
+        DataFrame, "toPandas", _banned
+    ):
+        df = log.new_files_df([str(f)])
+    assert "LeftAnti" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 0  # identical content -> filtered by the join
+
+
 def test_read_csv_all_string(spark, tmp_path):
     p = tmp_path / "branches.csv"
     with open(p, "w", newline="") as fh:

@@ -90,3 +90,23 @@ def test_csv_quarantine_split(spark, tmp_path):
     assert len(bad_rows) == 1
     assert "broken" in bad_rows[0]["raw_line"]
     assert bad_rows[0]["source_file"].endswith("mixed.csv")
+
+
+def test_group_zscore_grouped_map_matches_expression(spark, sf_dir):
+    """§2.11 grouped-map surface: the applyInPandas z-score twin must
+    match the registered expression form bit-for-bit (same rounding,
+    same ddof) — the UDF machinery demo, not the production path."""
+    from python_etl_pipeline_spark.queries import (
+        x7_group_zscore,
+        x7_group_zscore_grouped_map,
+    )
+
+    expr = {
+        r["o_orderkey"]: r["zscore"]
+        for r in x7_group_zscore(spark, sf_dir).collect()
+    }
+    udf = {
+        r["o_orderkey"]: r["zscore"]
+        for r in x7_group_zscore_grouped_map(spark, sf_dir).collect()
+    }
+    assert expr == udf

@@ -165,3 +165,12 @@ def test_corpus_selection_single_shuffle(spark, sf_dir):
         assert plan.count("hashpartitioning") == 1, (name, plan)
         assert "rangepartitioning" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_group_zscore_no_python_worker(spark, sf_dir):
+    # x7's registered form must stay JVM-side: tiny stats agg broadcast
+    # back to the rows — no Arrow/Python stage, no num-groups straggler
+    plan = _plan(spark, sf_dir, "x7_group_zscore")
+    for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
