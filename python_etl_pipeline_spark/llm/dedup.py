@@ -274,6 +274,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_containment: float = 0.3,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: n-gram containment C(A→B) = |S_A ∩ S_B| / |S_A|.
+
+    Jaccard misses the quote/superset case — a short document fully
+    embedded in a long one scores |A|/|B| ≈ 0 symmetric overlap but
+    C(A→B) = 1. Emits one row per unordered pair (a < b) carrying BOTH
+    directions (``c_ab``, ``c_ba``), kept when either side reaches
+    ``min_containment`` — the curation signal for "this doc is mostly a
+    copy of part of that one".
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — explode
+    distinct shingles, self-join on the shingle, one (a, b) count agg —
+    and the same ``max_doc_freq`` posting-list cap bounding any one
+    shingle's D(D-1)/2 join fan-out. Capped containment is a strict
+    lower bound of true containment (sizes still count every shingle).
+    """
+    sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        ws = Window.partitionBy("s")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(ws))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    a = sh.select(F.col(id_col).alias("a"), "s")
+    b = sh.select(F.col(id_col).alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    c_ab = F.col("i") / F.col("na")
+    c_ba = F.col("i") / F.col("nb")
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.greatest(c_ab, c_ba) >= min_containment)
+        .select(
+            "a",
+            "b",
+            F.round(c_ab, 4).alias("c_ab"),
+            F.round(c_ba, 4).alias("c_ba"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",

@@ -297,18 +297,20 @@ def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
-) -> DataFrame:
-    """(id, cell) after ``iters`` Lloyd iterations with deterministic
-    init (centroids = vectors with id < k), all DataFrame ops: no vector
-    ever reaches the driver. Each iteration is a broadcast component
-    join + argmin window + per-(cell, dim) average — two keyed shuffles
-    of vector-sized and (k x d)-sized data respectively."""
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) after ``iters`` Lloyd iterations with
+    deterministic init (centroids = vectors with id < k), all DataFrame
+    ops: no vector ever reaches the driver. Each iteration is a
+    broadcast component join + argmin window + per-(cell, dim) average —
+    two keyed shuffles of vector-sized and (k x d)-sized data
+    respectively. Centroids come back in long form (cell, i, v);
+    assignment is (id, cell) against the FINAL centroids."""
     comp = _components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < k).select(F.col(id_col).alias("cell"), "i", "v")
     for _ in range(iters):
@@ -316,7 +318,18 @@ def kmeans_assign(
         cent = (
             comp.join(assign, id_col).groupBy("cell", "i").agg(F.avg("v").alias("v"))
         )
-    return _nearest_cell(comp, cent, id_col)
+    return cent, _nearest_cell(comp, cent, id_col)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """(id, cell): the assignment half of :func:`kmeans_fit`."""
+    return kmeans_fit(df, id_col, vec_col, k, iters)[1]
 
 
 def semantic_dedup(

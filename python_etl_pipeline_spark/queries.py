@@ -1642,6 +1642,43 @@ def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_containment_sql(min_containment: float, max_doc_freq: int) -> str:
+    from .llm.dedup import shingles_sql
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    capped AS (SELECT doc_id, s FROM sh
+               QUALIFY count(*) OVER (PARTITION BY s) <= {max_doc_freq}),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(i * 1.0 / sa.n, 4) AS c_ab, round(i * 1.0 / sb.n, 4) AS c_ba
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n) >= {min_containment}
+    """
+
+
+@register("dd12_ngram_containment", _ngram_containment_sql(0.3, 100))
+def dd12_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (asymmetric containment): C(A→B) = |S_A ∩ S_B| / |S_A| —
+    catches the quote/superset case symmetric Jaccard (dd3) misses: a
+    short doc fully embedded in a long one has near-zero Jaccard but
+    containment 1. One row per pair with both directions; the same
+    inverted-index join and df-100 posting-list cap as dd3."""
+    from .llm.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq=100
+    )
+
+
 @register("dd4_simhash", None)  # placeholder replaced below
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (SimHash): 16-bit majority-vote signature — near-dups land on
@@ -3161,44 +3198,13 @@ def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-cell member count and centroid L2 norm. Completes the
     IVF story: ann4 trains the cells ann2_ivf_topk probes. The DuckDB
     oracle replays both iterations as CTE chains — the argmin tie-break
-    (distance, then cell) and the count/avg algebra are engine-exact."""
-    from .llm.similarity import _components
+    (distance, then cell) and the count/avg algebra are engine-exact.
+    The Lloyd loop itself is :func:`llm.similarity.kmeans_fit` — the
+    same trainer dd11_semantic_dedup clusters with."""
+    from .llm.similarity import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    comp = _components(emb, "vec_id", "embedding")
-    cent = comp.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("cell"), "i", "v"
-    )
-    for _ in range(2):
-        c = cent.select("cell", "i", F.col("v").alias("cv"))
-        dists = (
-            comp.join(F.broadcast(c), "i")
-            .groupBy("vec_id", "cell")
-            .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-        assign = (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell")
-        )
-        cent = (
-            comp.join(assign, "vec_id")
-            .groupBy("cell", "i")
-            .agg(F.avg("v").alias("v"))
-        )
-    final_c = cent.select("cell", "i", F.col("v").alias("cv"))
-    dists = (
-        comp.join(F.broadcast(final_c), "i")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("dist"))
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    assign = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    cent, assign = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
     norms = cent.groupBy("cell").agg(
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
     )

@@ -60,6 +60,25 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(layer, table))
 
+    def overwrite_partitions(self, df: DataFrame, layer: str, table: str,
+                             partition_by: list[str]) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, leave every other partition untouched — the
+        incremental-refresh sink (reload one day/source without
+        rewriting the table). Static overwrite mode would truncate the
+        whole table first; at 100 TB that turns a one-partition backfill
+        into a full rewrite. Scoped config flip, restored afterward, so
+        the session default stays static for plain ``overwrite``."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, "STATIC")
+        self.spark.conf.set(key, "dynamic")
+        try:
+            (df.write.mode("overwrite")
+             .partitionBy(*partition_by)
+             .parquet(self.path(layer, table)))
+        finally:
+            self.spark.conf.set(key, prev)
+
     def export_csv(self, df: DataFrame, out_dir: str) -> None:
         """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
         df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)

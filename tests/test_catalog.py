@@ -152,6 +152,31 @@ def test_compact_small_files(spark, tmp_path):
     assert after.agg({"id": "sum"}).first()[0] == sum_before
 
 
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: a one-partition backfill must
+    replace only that partition — static mode truncates the whole
+    table, turning a daily reload into a 100 TB rewrite."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(2020, 1), (2020, 2), (2021, 10), (2022, 100)], ["year", "v"]
+    )
+    wh.overwrite(base, "production", "t", partition_by=["year"])
+
+    fix = spark.createDataFrame([(2021, 99), (2021, 98)], ["year", "v"])
+    wh.overwrite_partitions(fix, "production", "t", partition_by=["year"])
+
+    after = {
+        (r["year"], r["v"])
+        for r in spark.read.parquet(wh.path("production", "t")).collect()
+    }
+    # 2020/2022 untouched; 2021 fully replaced (old v=10 gone)
+    assert after == {(2020, 1), (2020, 2), (2021, 99), (2021, 98), (2022, 100)}
+    # session default restored: plain overwrite stays static
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
 def test_schema_evolution_read(spark, tmp_path):
     from python_etl_pipeline_spark.sources.warehouse import read_evolved
 
