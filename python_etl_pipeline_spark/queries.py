@@ -2117,6 +2117,71 @@ def x9_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x30_histogram",
+    """
+    SELECT cast(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           cast(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           round(avg(o_totalprice), 2) AS bin_avg
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def x30_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling: equi-width value histogram — the data-distribution
+    summary every warehouse profiler ships (and the input to choosing
+    salting/bucketing strategies). One map-side-combinable aggregate
+    keyed on the bin: the shuffle carries one row per (mapper, bin), so
+    cost is bin-count-bounded at any data scale."""
+    o = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        b.cast("bigint").alias("bin"),
+        (b * 50000).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("bin_avg"),
+    )
+
+
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "x31_column_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct
+        FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+)
+def x31_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling: per-column null and exact distinct counts in long form
+    (M2/M4 generalized — the column-health report). The table is melted
+    ONCE into (column_name, value) via ``stack`` — a narrow x5 row
+    fan-out, no per-column scan — then a single two-phase distinct agg:
+    Spark rewrites countDistinct as partial dedup keyed on
+    (column_name, value) followed by the final count keyed on
+    column_name, so parallelism follows value cardinality, not the
+    5-row output. Values are stringified for the melt; IEEE
+    shortest-roundtrip formatting is injective, so distinct counts are
+    unchanged. At 100 TB swap countDistinct for approx_count_distinct
+    (x6) — exact is kept here for the cross-engine oracle."""
+    c = _t(spark, sf_dir, "customer")
+    n = len(_PROFILE_COLS)
+    stack_expr = "stack({}, {}) as (column_name, value)".format(
+        n, ", ".join(f"'{col}', cast({col} AS string)" for col in _PROFILE_COLS)
+    )
+    long = c.select(F.expr(stack_expr))
+    return long.groupBy("column_name").agg(
+        (F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
 @register("x6_approx_stats", None)  # sketch-based: engine-specific results
 def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch aggregates for 100 TB interactive profiling —
