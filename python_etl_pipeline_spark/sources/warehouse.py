@@ -88,6 +88,7 @@ class Warehouse:
         layer: str,
         table: str,
         target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
     ) -> dict[str, int]:
         """Rewrite a table directory into ~``target_file_bytes`` files.
 
@@ -101,6 +102,14 @@ class Warehouse:
         readers see the old or the new layout, never a partial one.
         (Table formats make this a metadata-only OPTIMIZE; this is the
         plain-parquet form.) Returns {files_before, files_after}.
+
+        For a partitioned table pass ``partition_by``: the rewrite then
+        repartitions on the partition keys (one shuffle — unavoidable,
+        rows for one directory must colocate to produce one file each)
+        and preserves the directory layout; omitting it on a partitioned
+        table would flatten the partition columns into the data files
+        and destroy pruning. files_before/after then count files
+        recursively across partition directories.
         """
         import math
 
@@ -111,16 +120,26 @@ class Warehouse:
         fs = cur.getFileSystem(conf)
         summary = fs.getContentSummary(cur)
         total_bytes = summary.getLength()
-        files_before = sum(
-            1
-            for f in fs.listStatus(cur)
-            if f.isFile() and not f.getPath().getName().startswith("_")
-        )
+
+        def _count_files(p) -> int:
+            n = 0
+            for f in fs.listStatus(p):
+                if f.isFile():
+                    n += 0 if f.getPath().getName().startswith("_") else 1
+                else:
+                    n += _count_files(f.getPath())
+            return n
+
+        files_before = _count_files(cur)
         n_files = max(1, math.ceil(total_bytes / target_file_bytes))
         tmp = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_tmp")
         df = self.read(layer, table)
-        # coalesce, not repartition: narrowing file count needs no shuffle
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
+        if partition_by:
+            w = df.repartition(*partition_by).write.mode("overwrite")
+            w.partitionBy(*partition_by).parquet(tmp.toString())
+        else:
+            # coalesce, not repartition: narrowing file count needs no shuffle
+            df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())
         old = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_old")
         if not fs.rename(cur, old):
             raise IOError(f"compact: could not move {cur} aside")
@@ -129,12 +148,7 @@ class Warehouse:
             fs.rename(old, cur)
             raise IOError(f"compact: could not swap {tmp} into place")
         fs.delete(old, True)
-        files_after = sum(
-            1
-            for f in fs.listStatus(cur)
-            if f.isFile() and not f.getPath().getName().startswith("_")
-        )
-        return {"files_before": files_before, "files_after": files_after}
+        return {"files_before": files_before, "files_after": _count_files(cur)}
 
 
 def create_table_from_schema(

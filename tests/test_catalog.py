@@ -152,6 +152,40 @@ def test_compact_small_files(spark, tmp_path):
     assert after.agg({"id": "sum"}).first()[0] == sum_before
 
 
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a partitioned table must keep the directory layout
+    (partition pruning depends on it) and still collapse the per-append
+    file pile to one file per partition."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(y, batch * 10 + i) for y in (2020, 2021) for i in range(3)],
+            ["year", "v"],
+        ).repartition(2)
+        wh.append(df, "production", "t", partition_by=["year"])
+    before = spark.read.parquet(wh.path("production", "t"))
+    n_before, sum_before = before.count(), before.agg({"v": "sum"}).first()[0]
+
+    stats = wh.compact("production", "t", partition_by=["year"])
+    assert stats["files_before"] > stats["files_after"]
+
+    import os
+
+    root = wh.path("production", "t")
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("year=")
+    ) == ["year=2020", "year=2021"]
+    after = spark.read.parquet(root)
+    assert after.count() == n_before
+    assert after.agg({"v": "sum"}).first()[0] == sum_before
+    # partition pruning still works against the compacted layout
+    pruned = after.filter(F.col("year") == 2021)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+
+
 def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     """Dynamic partition overwrite: a one-partition backfill must
     replace only that partition — static mode truncates the whole
