@@ -110,3 +110,30 @@ def test_group_zscore_grouped_map_matches_expression(spark, sf_dir):
         for r in x7_group_zscore_grouped_map(spark, sf_dir).collect()
     }
     assert expr == udf
+
+
+def test_global_sequence_properties(spark):
+    """with_global_sequence must emit a gap-free permutation of 1..N
+    ordered by the key, for uniform, heavily-duplicated (all rows in
+    one quantile bucket), tiny, and singleton inputs."""
+    import random
+
+    from python_etl_pipeline_spark.operators.sequence import with_global_sequence
+
+    rng = random.Random(7)
+    cases = [
+        [(i,) for i in rng.sample(range(10_000), 500)],        # uniform
+        [(rng.choice([1, 2, 3]),) for _ in range(300)],        # 3 hot keys
+        [(42,)] * 50,                                          # one key
+        [(5,)],                                                # singleton
+        [(i % 7,) for i in range(200)],                        # cyclic dups
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k long")
+        out = with_global_sequence(df, ["k"], name="seq").collect()
+        n = len(rows)
+        seqs = sorted(r["seq"] for r in out)
+        assert seqs == list(range(1, n + 1)), "gap-free permutation"
+        # monotone: ordering rows by seq must order keys non-decreasingly
+        by_seq = [r["k"] for r in sorted(out, key=lambda r: r["seq"])]
+        assert by_seq == sorted(by_seq), "sequence follows key order"
