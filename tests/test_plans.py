@@ -174,3 +174,52 @@ def test_group_zscore_no_python_worker(spark, sf_dir):
     for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_never_collects(spark, sf_dir):
+    """dd11's construction must stay distributed (k-means assignment and
+    the cell-keyed gram pass are DataFrame ops; no vector on the driver),
+    and the only Python stage is the per-cell gram kernel."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side collect during query construction")
+
+    with mock.patch.object(DataFrame, "collect", _banned), mock.patch.object(
+        DataFrame, "toPandas", _banned
+    ), mock.patch.object(DataFrame, "head", _banned), mock.patch.object(
+        DataFrame, "take", _banned
+    ):
+        df = REGISTRY["dd11_semantic_dedup"].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one physical node (formatted output lists it twice: once
+    # in the tree, once in the details section) — the gram kernel only
+    assert 1 <= plan.count("FlatMapGroupsInPandas") <= 2
+    assert "embeddings.parquet" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_is_equi_join(spark, sf_dir):
+    # dd12 must stay an inverted-index equi-join on the shingle — the
+    # all-pairs cross product must never materialize
+    plan = _plan(spark, sf_dir, "dd12_ngram_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profiling_ops_shapes(spark, sf_dir):
+    # x30: one keyed agg — a single hash exchange, combinable map-side
+    plan = _plan(spark, sf_dir, "x30_histogram")
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    # x31: single melt + two-phase distinct agg, fully JVM-side
+    plan = _plan(spark, sf_dir, "x31_column_profile")
+    for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "Expand" not in plan  # melt is stack (Generate), not the
+    # multi-countDistinct Expand that would x5 the scan rows per distinct agg
