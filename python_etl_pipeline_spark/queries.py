@@ -3332,6 +3332,85 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+),
+{_kmeans_iter_sql('cent0', 1)},
+{_kmeans_iter_sql('cent1', 2)},
+{_kmeans_iter_sql('cent2', 3)},
+asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
+  FROM cand c
+  JOIN comp ca ON ca.vec_id = c.a
+  JOIN comp cb ON cb.vec_id = c.b AND cb.i = ca.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.a, dots.b, round(dot / (na.norm * nb.norm), 4) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = dots.a
+  JOIN norms nb ON nb.vec_id = dots.b
+  WHERE na.norm > 0 AND nb.norm > 0
+)
+SELECT a AS vec_id, b AS neighbor, cosine,
+       cast(row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS BIGINT) AS rnk
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) <= 3
+"""
+
+
+@register("ann5_knn_graph", _KNN_SQL)
+def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: the k-NN GRAPH — top-3 cosine neighbors for
+    EVERY vector, restricted to its IVF cell (ann1/ann3 answer one
+    query or a query set; this materializes the all-nodes graph that
+    clustering, graph-based dedup, and diversity sampling consume).
+
+    IVF-cell restriction is the scale contract: cells bound the
+    per-task pairwise work exactly as in dd11, so the graph build is
+    k-means assignment + one per-cell gram + a per-vector top-k window
+    keyed on the vector id. Recall is cell-local (the IVF
+    approximation); raise k-means k to shrink cells, or probe multiple
+    cells for higher recall. Both directions of each in-cell pair are
+    ranked, ties broken by neighbor id on the 4-dp rounded cosine in
+    BOTH engines (ordering by the raw value would let sub-rounding
+    noise pick different top-3 sets)."""
+    from .llm.similarity import _gram_pair_fn, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
+    )
+    # min_sim below any cosine: keep every in-cell pair (a < b), then
+    # mirror to both directions for the per-vector ranking
+    pairs = vecs.groupBy("cell").applyInPandas(
+        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor"),
+            "cosine",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 _PACK_SQL = """
 WITH counted AS (
   SELECT doc_id, source,
