@@ -60,3 +60,44 @@ def test_allpairs_matches_bruteforce(spark):
     # the bucketed path returns a subset of the exact pair set
     bucketed = {(r["a"], r["b"]) for r in cosine_pairs(df, min_sim=0.5).collect()}
     assert bucketed <= expected
+
+
+def test_semantic_dedup_drops_planted_dups_and_caps_cells(spark):
+    """semantic_dedup keeps the min id of each planted near-dup pair and
+    marks the copy dropped; with max_cell_size below any cell's
+    population every vector passes through unscored (all kept)."""
+    from python_etl_pipeline_spark.llm.similarity import semantic_dedup
+
+    df = _corpus(spark)
+    out = {r["vec_id"]: r["is_kept"] for r in semantic_dedup(
+        df, k=4, iters=1, min_sim=0.99
+    ).collect()}
+    assert len(out) == 25
+    for j in range(5):
+        assert out[j] is True, "original (lower id) kept"
+        assert out[100 + j] is False, "planted near-dup dropped"
+    capped = semantic_dedup(df, k=4, iters=1, min_sim=0.99, max_cell_size=1)
+    assert all(r["is_kept"] for r in capped.collect()), \
+        "oversized cells pass through unscored"
+
+
+def test_ngram_containment_asymmetry(spark):
+    """A short doc fully embedded in a long one: containment 1.0 in the
+    short->long direction, low Jaccard — the case dd3 misses."""
+    from python_etl_pipeline_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id bigint, text string"
+    )
+    rows = ngram_containment_pairs(df, "text", "doc_id", 0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["c_ab"] == 1.0        # every shingle of the short doc is in the long
+    assert r["c_ba"] < 0.15        # the long doc is mostly its own content
+    assert ngram_jaccard_pairs(df, "text", "doc_id", 0.5).count() == 0
