@@ -98,6 +98,46 @@ def extract_features(df: DataFrame, decoder=None) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
-    """Frame-sampling plumbing: keep every Nth media row (by id) — the
-    shape of a video frame sampler without a real container parser."""
+    """Row-level media sampling: keep every Nth media row (by id)."""
     return df.filter(F.col("media_id") % every_nth == 0)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame_len", T.LongType(), True),
+    T.StructField("frame_digest", T.StringType(), True),
+])
+
+
+def sample_frames(
+    df: DataFrame, stride: int = 64, window: int = 16
+) -> DataFrame:
+    """Per-payload frame sampling: one media row fans out to one row per
+    sampled frame — the 1-to-N batch shape a video frame sampler has at
+    scale (a container parser would seek keyframes; this deterministic
+    stand-in slices the payload every ``stride`` bytes and fingerprints
+    a ``window``-byte frame). The fan-out happens INSIDE the Arrow
+    batch on the executor: payload bytes never shuffle, only the small
+    (media_id, frame_idx, digest) rows come out, and the operator is
+    embarrassingly parallel over media rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(0, (max(len(b) - 1, 0) // stride) + 1):
+                    frame = b[k * stride: k * stride + window]
+                    ids.append(mid)
+                    idxs.append(k)
+                    lens.append(len(frame))
+                    digs.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_len": pd.Series(lens, dtype="int64"),
+                "frame_digest": pd.Series(digs, dtype="object"),
+            })
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -2376,6 +2376,39 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "byte_len", "digest")
 
 
+@register(
+    "mm2_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             cast(octet_length(encode(text)) AS BIGINT) AS blen, text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    idx AS (
+      SELECT media_id, blen, text,
+             unnest(generate_series(0, cast(floor((blen - 1) / 64) AS BIGINT))) AS frame_idx
+      FROM f
+    )
+    SELECT media_id,
+           cast(frame_idx AS BIGINT) AS frame_idx,
+           cast(least(16, blen - frame_idx * 64) AS BIGINT) AS frame_len,
+           md5(substr(text, cast(frame_idx * 64 + 1 AS BIGINT), 16)) AS frame_digest
+    FROM idx
+    """,
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling as a first-class query: every payload
+    fans out to one row per sampled frame (stride 64, 16-byte window),
+    fingerprinted inside the Arrow batch — payload bytes never shuffle.
+    The oracle replays the byte slicing with substr/md5 (the fixture
+    text is pure ASCII, so char offsets == byte offsets — asserted by
+    octet_length in the oracle itself feeding the same windows)."""
+    from .llm.multimodal import attach_binary_payload, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return sample_frames(attach_binary_payload(d, "text", "doc_id"))
+
+
 from .operators.sampling import (  # noqa: E402  (needs hash helpers above)
     hash_bucket_sql,
     stratified_hash_sample,
