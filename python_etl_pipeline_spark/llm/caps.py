@@ -1,0 +1,122 @@
+"""Data-derived blow-up caps for the dedup/similarity bucket guards.
+
+dd2/dd3/dd5/dd11 all bound their pair fan-out with a size cap (LSH
+bucket population, shingle posting-list length, k-means cell size). A
+literal cap is tuned for one corpus size: at 100x the data a legitimate
+posting-list tail crosses any fixed constant (the sf0.1 shingle
+doc-freq fence is already 5x the sf0.01 one), while on a tiny corpus an
+over-generous constant silently stops guarding. This module derives
+the cap FROM the size distribution itself:
+
+    cap = clamp(q3 + k * (q3 - q1),  floor,  hard_max)
+
+* **q1/q3 are discrete (type-1) quantiles** computed from the size
+  histogram — `min(size where cum_count >= ceil(p * n))` — pure integer
+  arithmetic, so a SQL oracle reproduces the cap bit-exactly (an
+  interpolated quantile would race float rounding across engines).
+* **`floor`** is the recall guarantee: duplicate clusters smaller than
+  the floor are never dropped, however spiky the distribution (a
+  clean corpus has q3 = IQR = 1 and a bare fence would cap at 1,
+  discarding every real duplicate bucket).
+* **`hard_max`** is the task-memory ceiling for the operators whose
+  per-group work is quadratic (the BLAS gram kernels): whatever the
+  distribution says, one group must fit one executor's memory.
+
+Scale shape: the histogram is one keyed agg over the (already grouped)
+size frame, the quantile pass runs over the tiny histogram (distinct
+size values — bounded by the cap itself at steady state), and the cap
+joins back as a 1-row broadcast scalar. Nothing reaches the driver;
+the whole derivation stays in the lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["derived_cap", "tukey_cap_sql_ctes", "filter_by_derived_cap"]
+
+
+def derived_cap(
+    sizes: DataFrame,
+    size_col: str,
+    floor: int,
+    hard_max: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """One-row frame with ``__cap`` = clamp(q3 + k*IQR, floor, hard_max)
+    over the values of ``sizes[size_col]`` (discrete quantiles — see
+    module docstring). Fully lazy; the single-partition window runs
+    over the size HISTOGRAM (distinct size values), never the data."""
+    hist = sizes.groupBy(size_col).agg(F.count("*").alias("__c"))
+    w_cum = Window.orderBy(size_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col(size_col).alias("__sz"),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    qs = cum.agg(
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.col("__n") * 0.25), F.col("__sz"))
+        ).alias("__q1"),
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.col("__n") * 0.75), F.col("__sz"))
+        ).alias("__q3"),
+    )
+    cap = F.greatest(
+        F.col("__q3") + F.lit(k) * (F.col("__q3") - F.col("__q1")), F.lit(floor)
+    )
+    if hard_max is not None:
+        cap = F.least(cap, F.lit(hard_max))
+    return qs.select(cap.cast("bigint").alias("__cap"))
+
+
+def filter_by_derived_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    floor: int,
+    hard_max: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Drop every group of ``df`` (keyed by ``group_cols``) whose row
+    count exceeds the :func:`derived_cap` of the group-size
+    distribution. One keyed agg for sizes, the tiny quantile plan, a
+    1-row broadcast cross join, and a semi-join back — no collect."""
+    sizes = df.groupBy(*group_cols).agg(F.count("*").alias("__gsz"))
+    cap = derived_cap(sizes.select("__gsz"), "__gsz", floor, hard_max, k)
+    keep = (
+        sizes.crossJoin(F.broadcast(cap))
+        .filter(F.col("__gsz") <= F.col("__cap"))
+        .select(*group_cols)
+    )
+    return df.join(keep, group_cols, "left_semi")
+
+
+def tukey_cap_sql_ctes(
+    src: str,
+    keys: str,
+    floor: int,
+    hard_max: int | None = None,
+    k: int = 3,
+    out: str = "capped",
+) -> str:
+    """DuckDB twin of :func:`filter_by_derived_cap`, kept adjacent so
+    the two stay in lock-step: CTE chain ending in ``{out}`` = the rows
+    of CTE ``src`` whose (``keys``)-group size is within the derived
+    cap. Append after a WITH chain that already defines ``src``."""
+    cap_expr = f"greatest(__q3 + {k} * (__q3 - __q1), {floor})"
+    if hard_max is not None:
+        cap_expr = f"least({cap_expr}, {hard_max})"
+    return f"""
+    __bsz AS (SELECT {keys}, count(*) AS __gsz FROM {src} GROUP BY {keys}),
+    __hist AS (SELECT __gsz, count(*) AS __c FROM __bsz GROUP BY __gsz),
+    __cum AS (SELECT __gsz, sum(__c) OVER (ORDER BY __gsz) AS __cum,
+                     sum(__c) OVER () AS __n FROM __hist),
+    __qs AS (SELECT min(CASE WHEN __cum >= ceil(0.25 * __n) THEN __gsz END) AS __q1,
+                    min(CASE WHEN __cum >= ceil(0.75 * __n) THEN __gsz END) AS __q3
+             FROM __cum),
+    __capv AS (SELECT {cap_expr} AS __cap FROM __qs),
+    {out} AS (SELECT {src}.* FROM {src} JOIN __bsz USING ({keys}), __capv
+              WHERE __gsz <= __cap)"""

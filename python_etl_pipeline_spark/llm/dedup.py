@@ -177,7 +177,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows: int = 4,
     shingle_n: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
+    cap_floor: int = 100,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash + LSH banding.
 
@@ -193,13 +194,22 @@ def minhash_lsh_pairs(
     no extra shuffle beyond the one the join pays anyway). Documents in
     an oversized bucket usually co-occur in other, smaller buckets of
     their remaining bands, so recall degrades gracefully.
+
+    ``max_bucket_size="auto"`` derives the cap from the bucket-size
+    distribution itself (Tukey fence q3 + 3*IQR, never below
+    ``cap_floor`` — see :mod:`..llm.caps`), so the same query text is
+    safe at any corpus size without retuning the literal.
     """
     assert bands * rows == n_hashes
     banded = minhash_band_buckets(
         df, text_col, id_col, n_hashes=n_hashes, bands=bands, rows=rows,
         shingle_n=shingle_n,
     )
-    if max_bucket_size is not None:
+    if max_bucket_size == "auto":
+        from .caps import filter_by_derived_cap
+
+        banded = filter_by_derived_cap(banded, ["band", "bh"], floor=cap_floor)
+    elif max_bucket_size is not None:
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bh")
@@ -224,7 +234,8 @@ def ngram_jaccard_pairs(
     id_col: str,
     min_jaccard: float = 0.3,
     shingle_n: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = None,
+    cap_floor: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
 
@@ -240,13 +251,23 @@ def ngram_jaccard_pairs(
     sizes still count every shingle, so capped Jaccard is a strict lower
     bound of true Jaccard and pairs whose only overlap is ultra-common
     boilerplate drop out — which is the curation intent.
+
+    ``max_doc_freq="auto"`` derives the cap from the doc-frequency
+    distribution (Tukey fence q3 + 3*IQR, floor ``cap_floor`` — see
+    :mod:`..llm.caps`): a corpus 100x bigger has proportionally longer
+    legitimate posting lists, and the derived cap tracks that without
+    retuning the literal.
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    if max_doc_freq is not None:
+    if max_doc_freq == "auto":
+        from .caps import filter_by_derived_cap
+
+        sh = filter_by_derived_cap(sh, ["s"], floor=cap_floor)
+    elif max_doc_freq is not None:
         from pyspark.sql import Window
 
         ws = Window.partitionBy("s")
@@ -280,7 +301,8 @@ def ngram_containment_pairs(
     id_col: str,
     min_containment: float = 0.3,
     shingle_n: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = None,
+    cap_floor: int = 100,
 ) -> DataFrame:
     """Asymmetric near-dup: n-gram containment C(A→B) = |S_A ∩ S_B| / |S_A|.
 
@@ -294,15 +316,21 @@ def ngram_containment_pairs(
     Same inverted-index shape as :func:`ngram_jaccard_pairs` — explode
     distinct shingles, self-join on the shingle, one (a, b) count agg —
     and the same ``max_doc_freq`` posting-list cap bounding any one
-    shingle's D(D-1)/2 join fan-out. Capped containment is a strict
-    lower bound of true containment (sizes still count every shingle).
+    shingle's D(D-1)/2 join fan-out ("auto" derives it from the
+    doc-frequency distribution, floor ``cap_floor`` — :mod:`..llm.caps`).
+    Capped containment is a strict lower bound of true containment
+    (sizes still count every shingle).
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    if max_doc_freq is not None:
+    if max_doc_freq == "auto":
+        from .caps import filter_by_derived_cap
+
+        sh = filter_by_derived_cap(sh, ["s"], floor=cap_floor)
+    elif max_doc_freq is not None:
         from pyspark.sql import Window
 
         ws = Window.partitionBy("s")

@@ -120,14 +120,21 @@ def sample_frames(
     a ``window``-byte frame). The fan-out happens INSIDE the Arrow
     batch on the executor: payload bytes never shuffle, only the small
     (media_id, frame_idx, digest) rows come out, and the operator is
-    embarrassingly parallel over media rows."""
+    embarrassingly parallel over media rows.
+
+    Empty (or null) payloads emit ZERO frames — there is nothing to
+    sample. This matches the arithmetic a SQL twin naturally writes
+    (``generate_series(0, floor((byte_len - 1) / stride))`` is empty at
+    byte_len = 0), so the operator and any oracle agree on the edge."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, lens, digs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                for k in range(0, (max(len(b) - 1, 0) // stride) + 1):
+                b = b"" if payload is None else bytes(payload)
+                if not b:
+                    continue
+                for k in range(0, ((len(b) - 1) // stride) + 1):
                     frame = b[k * stride: k * stride + window]
                     ids.append(mid)
                     idxs.append(k)

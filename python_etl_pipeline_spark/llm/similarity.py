@@ -147,6 +147,44 @@ def hyperplane_lsh_buckets(
     return bits.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
 
 
+def lsh_params_for(
+    min_sim: float, target_recall: float = 0.9, max_planes: int = 64
+) -> tuple[int, int]:
+    """(n_planes, bands) achieving >= ``target_recall`` pair recall at
+    cosine ``min_sim`` — the collision formula from the dd5 docstring
+    solved for the band layout instead of hand-tuned.
+
+    A pair at cosine c agrees on one hyperplane sign bit with
+    probability p = 1 - arccos(c)/pi; a band of r bits matches with
+    p^r; recall over b bands is 1 - (1 - p^r)^b. More, narrower bands
+    raise recall at the cost of bigger buckets, so this picks the
+    LARGEST rows-per-band r (most selective buckets) whose required
+    band count still fits the ``max_planes`` projection budget.
+
+    Examples: min_sim=0.9 -> (56, 7) (8-bit bands, recall ~0.92);
+    min_sim=0.25 -> (33, 11) (3-bit bands, recall ~0.91 — the default
+    4x4 layout is ~39% there). Cost scales linearly: n_planes
+    projections per vector, bands bucket rows per vector.
+    """
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(max(min(min_sim, 1.0), -1.0)) / math.pi
+    for r in range(8, 0, -1):
+        pr = p**r
+        if pr >= 1.0:
+            return (r, 1)
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b * r <= max_planes:
+            return (b * r, b)
+    raise ValueError(
+        f"no band layout within {max_planes} planes reaches recall "
+        f"{target_recall} at min_sim={min_sim}; raise max_planes or use "
+        "allow_all_pairs"
+    )
+
+
 def _gram_pair_fn(min_sim: float):
     """applyInPandas kernel: one float64 BLAS gram matrix per group over
     rows carrying (__id, __v); emits (a, b, cosine) with a < b and
@@ -186,11 +224,19 @@ def cosine_pairs(
     min_sim: float = 0.9,
     n_planes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
     allow_all_pairs: bool = False,
+    preset: str | None = None,
+    cap_floor: int = 200,
+    cap_hard_max: int = 5000,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= min_sim, a < b — embedding
     near-dup detection, fully distributed.
+
+    ``preset="high_recall"`` derives (n_planes, bands) from ``min_sim``
+    via :func:`lsh_params_for` (>=90% pair recall at the threshold)
+    instead of the explicit n_planes/bands — the guard against silently
+    running a low threshold at the default 4x4 layout's ~39% recall.
 
     Default path (the 100 TB shape): hyperplane-LSH band buckets
     (:func:`hyperplane_lsh_buckets`) -> candidate pairs via a self-join
@@ -253,11 +299,24 @@ def cosine_pairs(
     # bands x |table| rows, far less traffic than materializing candidate
     # pairs with both vectors attached — and run one BLAS gram matrix per
     # bucket (applyInPandas); group size is bounded by the bucket
-    # population (cap degenerate ones with max_bucket_size). A pair
+    # population (cap degenerate ones with max_bucket_size; "auto"
+    # derives the cap from the bucket-size distribution — Tukey fence,
+    # floor cap_floor, ceiling cap_hard_max = the gram kernel's task
+    # memory bound; see llm.caps). A pair
     # sharing several buckets is scored in each; the final groupBy on
     # (a, b) dedups to one row (max over identical-input computations).
+    if preset == "high_recall":
+        n_planes, bands = lsh_params_for(min_sim)
+    elif preset is not None:
+        raise ValueError(f"unknown preset {preset!r}; use 'high_recall'")
     buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, bands)
-    if max_bucket_size is not None:
+    if max_bucket_size == "auto":
+        from .caps import filter_by_derived_cap
+
+        buckets = filter_by_derived_cap(
+            buckets, ["band", "bh"], floor=cap_floor, hard_max=cap_hard_max
+        )
+    elif max_bucket_size is not None:
         from pyspark.sql import Window
 
         wb = Window.partitionBy("band", "bh")
@@ -339,7 +398,9 @@ def semantic_dedup(
     k: int = 4,
     iters: int = 2,
     min_sim: float = 0.3,
-    max_cell_size: int | None = None,
+    max_cell_size: int | str | None = None,
+    cap_floor: int = 200,
+    cap_hard_max: int = 5000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k cells with k-means,
@@ -355,6 +416,11 @@ def semantic_dedup(
     cells over LAION). Cells larger than ``max_cell_size`` (if set) are
     passed through un-scored (every member kept) rather than OOMing a
     task; at production k the cap should never trigger.
+    ``max_cell_size="auto"`` derives the cap from the cell-size
+    distribution (Tukey fence, floor ``cap_floor``, ceiling
+    ``cap_hard_max`` = the gram kernel's memory bound; see
+    :mod:`..llm.caps`) — balanced cells always pass, only a skew
+    blow-out trips it, at any corpus size.
 
     The cluster step is :func:`kmeans_assign` (broadcast centroids);
     the only O(N) shuffles are the assignment agg and the cell-keyed
@@ -364,7 +430,13 @@ def semantic_dedup(
     vecs = assign.join(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
     )
-    if max_cell_size is not None:
+    if max_cell_size == "auto":
+        from .caps import filter_by_derived_cap
+
+        vecs = filter_by_derived_cap(
+            vecs, ["cell"], floor=cap_floor, hard_max=cap_hard_max
+        )
+    elif max_cell_size is not None:
         from pyspark.sql import Window
 
         wc = Window.partitionBy("cell")

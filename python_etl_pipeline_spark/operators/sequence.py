@@ -61,11 +61,16 @@ def with_global_sequence(
     ``start+1``, …) following ``ORDER BY order_cols``, without ever
     planning a single-partition window.
 
-    The leading order column must be numeric and non-null (it seeds the
+    The leading order column must be numeric and NON-NULL (it seeds the
     equi-depth bucket boundaries); trailing order columns only break
-    ties.  Triggers two small Spark jobs at construction time (quantile
-    sketch + per-bucket counts); their results — and the literal map
-    shipped back — are O(num_buckets), not O(rows).
+    ties.  A null leading key raises at execution time rather than being
+    silently sequenced first: ``b <= NULL`` filters every boundary, so a
+    null would land in bucket 0 and corrupt the order contract without
+    the guard.  Empty input short-circuits (no quantile/count jobs) and
+    returns an empty frame with the sequence column appended.  Triggers
+    two small Spark jobs at construction time (quantile sketch +
+    per-bucket counts); their results — and the literal map shipped
+    back — are O(num_buckets), not O(rows).
     """
     if num_buckets is None:
         num_buckets = int(
@@ -78,10 +83,23 @@ def with_global_sequence(
     # differently, every downstream job sees these exact split points.
     boundaries = sorted(set(df.approxQuantile(key, qs, 0.001))) if qs else []
 
-    tagged = df.withColumn("__bkt", _bucket_expr(key, boundaries))
+    # Null-key guard, woven into the bucket value so Catalyst cannot
+    # prune it: assert_true returns NULL when the check passes, so
+    # when(isNull, bucket) == bucket, and a null key fails the job with
+    # this message instead of quietly sequencing first.
+    bucket = F.when(
+        F.assert_true(
+            F.col(key).isNotNull(),
+            F.lit(f"with_global_sequence: null in leading order column '{key}'"),
+        ).isNull(),
+        _bucket_expr(key, boundaries),
+    )
+    tagged = df.withColumn("__bkt", bucket)
 
     # Tiny job: one output row per bucket (zipWithIndex's count pass).
     counts = tagged.groupBy("__bkt").agg(F.count("*").alias("__cnt")).collect()
+    if not counts:  # empty input: nothing to rank, no offsets to build
+        return df.withColumn(name, F.lit(None).cast("bigint"))
     acc = start - 1
     offsets: dict[int, int] = {}
     for row in sorted(counts, key=lambda r: r["__bkt"]):

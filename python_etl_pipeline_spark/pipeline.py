@@ -167,16 +167,38 @@ class Pipeline:
         """Entities are independent DAGs, so their (small) Spark jobs run
         concurrently from a driver-side thread pool — overlapping job
         scheduling/IO latency; the cluster's task scheduler interleaves
-        the stages. Results land in per-entity dict slots (thread-safe)."""
+        the stages. Results land in per-entity dict slots (thread-safe).
+
+        The ingest log is consulted ONCE for the whole batch (one
+        anti-join job over every entity's candidate files, executor-side
+        md5s) and appended ONCE after all entities land — not per entity.
+        Per-entity log jobs were pure scheduling overhead (5 anti-joins +
+        5 appends for one batch), and the batched append reuses the
+        hashes the anti-join already computed, so no file is read twice
+        for hashing. Failure semantics: if any entity fails, NOTHING is
+        logged, and the next run re-ingests the whole batch — safe, the
+        staging write is an idempotent overwrite."""
         from concurrent.futures import ThreadPoolExecutor
 
-        items = list(files_per_entity.items())
+        all_paths = [p for ps in files_per_entity.values() for p in ps]
+        new_rows = (
+            self.ingest_log.new_files_df(all_paths).collect() if all_paths else []
+        )
+        new_set = {r["path"] for r in new_rows}
+        hashes = {r["path"]: r["file_hash"] for r in new_rows}
+
+        items = [
+            (entity, [p for p in paths if p in new_set])
+            for entity, paths in files_per_entity.items()
+        ]
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(items)))) as ex:
             list(ex.map(lambda kv: self._extract_entity(*kv), items))
+        self.ingest_log.mark_processed_batch(
+            [(p, 0) for p in sorted(new_set)], hashes=hashes
+        )
 
-    def _extract_entity(self, entity: str, paths: list[str]) -> None:
+    def _extract_entity(self, entity: str, new_paths: list[str]) -> None:
         pk = PRIMARY_KEYS[entity]
-        new_paths = self.ingest_log.filter_new_files(paths)
         if not new_paths:
             self.metrics.extracted[entity] = 0
             return
@@ -222,7 +244,6 @@ class Pipeline:
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         self.wh.overwrite(out, "staging", entity)
         self.metrics.extracted[entity] = obs.get["n"]
-        self.ingest_log.mark_processed_batch([(p, 0) for p in new_paths])
 
     # -- transform: staging -> typed/enriched layer ---------------------------
     def run_transform(self, entities: list[str] | None = None) -> None:

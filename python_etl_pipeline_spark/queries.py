@@ -1537,11 +1537,18 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_ctes(
-    n_hashes: int = 16, bands: int = 4, rows: int = 4, max_bucket_size: int | None = None
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket_size: int | str | None = None,
+    cap_floor: int = 100,
 ) -> str:
     """The MinHash+LSH candidate-pair pipeline as a reusable CTE body
     (ends with ``mh_pairs(a, b)``) — shared by dd2 and the curation
-    composite so their oracles stay in lock-step."""
+    composite so their oracles stay in lock-step.
+    ``max_bucket_size="auto"`` emits the derived-cap CTE chain
+    (llm.caps.tukey_cap_sql_ctes) instead of a literal QUALIFY."""
+    from .llm.caps import tukey_cap_sql_ctes
     from .llm.dedup import MINHASH_AB, MINHASH_P, _h32_sql, shingles_sql
 
     sig_exprs = ", ".join(
@@ -1557,12 +1564,15 @@ def _minhash_ctes(
         )
         for b in range(bands)
     )
-    cap = (
-        f"capped AS (SELECT doc_id, band, bh FROM bands "
-        f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket_size})"
-        if max_bucket_size is not None
-        else "capped AS (SELECT * FROM bands)"
-    )
+    if max_bucket_size == "auto":
+        cap = tukey_cap_sql_ctes("bands", "band, bh", floor=cap_floor).lstrip()
+    elif max_bucket_size is not None:
+        cap = (
+            f"capped AS (SELECT doc_id, band, bh FROM bands "
+            f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket_size})"
+        )
+    else:
+        cap = "capped AS (SELECT * FROM bands)"
     return f"""
     sh AS (
       SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
@@ -1579,7 +1589,10 @@ def _minhash_ctes(
 
 
 def _minhash_sql(
-    n_hashes: int = 16, bands: int = 4, rows: int = 4, max_bucket_size: int | None = None
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket_size: int | str | None = None,
 ) -> str:
     return f"""
     WITH {_minhash_ctes(n_hashes, bands, rows, max_bucket_size)}
@@ -1587,28 +1600,36 @@ def _minhash_sql(
     """
 
 
-@register("dd2_minhash_lsh", _minhash_sql(max_bucket_size=100))
+@register("dd2_minhash_lsh", _minhash_sql(max_bucket_size="auto"))
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (MinHash+LSH): shingle → 16 md5-min-hashes → 4 bands × 4 rows
-    → bucket self-join, degenerate buckets (>100 docs) dropped before the
-    join. The scalable near-dup path: no all-pairs compare, shuffle keyed
-    on (band, bucket), pair fan-out bounded by the bucket cap."""
+    → bucket self-join, degenerate buckets dropped before the join. The
+    scalable near-dup path: no all-pairs compare, shuffle keyed on
+    (band, bucket), pair fan-out bounded by the bucket cap — DERIVED
+    from the bucket-size distribution (Tukey fence q3+3*IQR, floor 100;
+    llm/caps.py) rather than a literal, so the same query text stays
+    safe at any corpus size. The oracle reproduces the derived cap with
+    integer-exact discrete quantiles."""
     from .llm.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket_size=100
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket_size="auto"
     )
 
 
-def _ngram_jaccard_sql(max_doc_freq: int | None = None) -> str:
+def _ngram_jaccard_sql(max_doc_freq: int | str | None = None) -> str:
+    from .llm.caps import tukey_cap_sql_ctes
     from .llm.dedup import shingles_sql
 
-    cap = (
-        f"capped AS (SELECT doc_id, s FROM sh "
-        f"QUALIFY count(*) OVER (PARTITION BY s) <= {max_doc_freq}),"
-        if max_doc_freq is not None
-        else "capped AS (SELECT * FROM sh),"
-    )
+    if max_doc_freq == "auto":
+        cap = tukey_cap_sql_ctes("sh", "s", floor=100).lstrip() + ","
+    elif max_doc_freq is not None:
+        cap = (
+            f"capped AS (SELECT doc_id, s FROM sh "
+            f"QUALIFY count(*) OVER (PARTITION BY s) <= {max_doc_freq}),"
+        )
+    else:
+        cap = "capped AS (SELECT * FROM sh),"
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
@@ -1628,17 +1649,20 @@ def _ngram_jaccard_sql(max_doc_freq: int | None = None) -> str:
     """
 
 
-@register("dd3_ngram_jaccard", _ngram_jaccard_sql(max_doc_freq=100))
+@register("dd3_ngram_jaccard", _ngram_jaccard_sql(max_doc_freq="auto"))
 def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (n-gram Jaccard): exact set similarity over the
     inverted-index join — only pairs sharing a shingle are scored, and
-    shingles in >100 documents are excluded from the join (posting-list
-    cap: bounds per-shingle pair fan-out; capped Jaccard is a lower
-    bound, so boilerplate-only overlaps drop out)."""
+    ultra-common shingles are excluded from the join (posting-list cap:
+    bounds per-shingle pair fan-out; capped Jaccard is a lower bound, so
+    boilerplate-only overlaps drop out). The cap is DERIVED from the
+    doc-frequency distribution (Tukey fence, floor 100; llm/caps.py):
+    the sf0.1 fence is already 5x the sf0.01 one, so a literal tuned at
+    one scale mis-caps at the next — the derived cap tracks the corpus."""
     from .llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq=100
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq="auto"
     )
 
 
@@ -1706,12 +1730,15 @@ def _hyperplane_lsh_sql(
     min_sim: float,
     n_planes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | str | None = None,
 ) -> str:
     """DuckDB twin of cosine_pairs' default bucketed path: identical
     md5-derived hyperplane coefficients -> identical sign-bit band
     buckets -> identical candidate set (including the degenerate-bucket
-    cap when ``max_bucket_size`` is set); exact cosine on candidates."""
+    cap when ``max_bucket_size`` is set — "auto" emits the derived-cap
+    CTE chain with cosine_pairs' floor/ceiling); exact cosine on
+    candidates."""
+    from .llm.caps import tukey_cap_sql_ctes
     from .llm.dedup import _hexint_sql
 
     rows_per_band = n_planes // bands
@@ -1746,16 +1773,25 @@ def _hyperplane_lsh_sql(
     proj AS (SELECT vec_id, {proj_exprs} FROM coef GROUP BY vec_id),
     bits AS (SELECT vec_id, {bit_exprs} FROM proj),
     bands AS ({band_selects}),
-    kept AS (
-      SELECT band, bh FROM bands GROUP BY 1, 2
-      {'HAVING count(*) <= ' + str(max_bucket_size) if max_bucket_size is not None else ''}
-    ),
+    {
+        tukey_cap_sql_ctes("bands", "band, bh", floor=200, hard_max=5000).lstrip()
+        if max_bucket_size == "auto"
+        else (
+            "kept AS (SELECT band, bh FROM bands GROUP BY 1, 2"
+            + (
+                f" HAVING count(*) <= {max_bucket_size}"
+                if max_bucket_size is not None
+                else ""
+            )
+            + "), capped AS (SELECT bands.* FROM bands "
+            "JOIN kept USING (band, bh))"
+        )
+    },
     cand AS (
       SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-      FROM bands x
-      JOIN kept k ON x.band = k.band AND x.bh = k.bh
-      JOIN bands y ON x.band = y.band AND x.bh = y.bh
-                   AND x.vec_id < y.vec_id
+      FROM capped x
+      JOIN capped y ON x.band = y.band AND x.bh = y.bh
+                    AND x.vec_id < y.vec_id
     ),
     norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
     dots AS (
@@ -1774,7 +1810,7 @@ def _hyperplane_lsh_sql(
     """
 
 
-@register("dd5_embedding_neardup", _hyperplane_lsh_sql(0.25, max_bucket_size=200))
+@register("dd5_embedding_neardup", _hyperplane_lsh_sql(0.25, max_bucket_size="auto"))
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding cosine): near-dup pairs above a cosine threshold
     via the default BUCKETED path — hyperplane-LSH candidates, exact
@@ -1786,17 +1822,19 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine c collides in at least one band with probability
     1 - (1 - (1 - arccos(c)/pi)^4)^4 — >99.9% at c=0.9, ~39% at this
     query's deliberately-low c=0.25. Low thresholds are inherently
-    hostile to hyperplane LSH: raise ``bands`` (more, narrower bands =
-    higher recall, bigger buckets) or use ``allow_all_pairs`` for exact
-    recall on bounded inputs. ``max_bucket_size=200`` drops degenerate
-    buckets (>~40% of the table in one 4-bit bucket at gate scale)
-    before the pairwise pass — the OOM guard a 100 TB run needs; the
-    oracle applies the identical cap so the pruning is verified, not
-    just claimed."""
+    hostile to hyperplane LSH: use ``preset="high_recall"`` (derives the
+    band layout from ``min_sim`` via lsh_params_for — 0.25 -> 11 bands
+    of 3 bits, ~91% recall) or ``allow_all_pairs`` for exact recall on
+    bounded inputs. ``max_bucket_size="auto"`` derives the
+    degenerate-bucket cap from the bucket-size distribution (Tukey
+    fence, floor 200, hard ceiling 5000 = the gram kernel's task-memory
+    bound; llm/caps.py) — the OOM guard a 100 TB run needs, now
+    scale-adaptive; the oracle reproduces the identical derived cap so
+    the pruning is verified, not just claimed."""
     from .llm import cosine_pairs
 
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), min_sim=0.25, max_bucket_size=200
+        _t(spark, sf_dir, "embeddings"), min_sim=0.25, max_bucket_size="auto"
     )
 
 
@@ -3323,10 +3361,11 @@ cent0 AS (
 {_kmeans_iter_sql('cent1', 2)},
 {_kmeans_iter_sql('cent2', 3)},
 asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+{{CELL_CAP}},
 norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
 cand AS (
   SELECT x.vec_id AS a, y.vec_id AS b
-  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  FROM capped x JOIN capped y ON x.cell = y.cell AND x.vec_id < y.vec_id
 ),
 dots AS (
   SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
@@ -3348,21 +3387,39 @@ FROM asg LEFT JOIN dup ON asg.vec_id = dup.b
 """
 
 
-@register("dd11_semantic_dedup", _SEMDEDUP_SQL)
+def _semdedup_sql() -> str:
+    from .llm.caps import tukey_cap_sql_ctes
+
+    return _SEMDEDUP_SQL.replace(
+        "{CELL_CAP}",
+        tukey_cap_sql_ctes("asg", "cell", floor=200, hard_max=5000).strip(),
+    )
+
+
+@register("dd11_semantic_dedup", None)  # finalized below (needs cap CTEs)
 def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (semantic, SemDeDup-style): k-means cells + one BLAS gram
     matrix per cell; vectors with an in-cell neighbor above 0.3 cosine
     and a lower id are dropped (is_kept = false). Composes the two
     halves that already exist — :func:`llm.similarity.kmeans_assign`
     (= ann4's trainer, broadcast centroids) and the per-group gram
-    kernel shared with dd5. The oracle replays both Lloyd iterations
-    as CTE chains and the in-cell pair scoring exactly — assignment,
-    candidate set, and keep/drop decisions are all hash-checked."""
+    kernel shared with dd5. ``max_cell_size="auto"`` turns the OOM
+    guard on with a cap derived from the cell-size distribution (Tukey
+    fence, floor 200, ceiling 5000; llm/caps.py): balanced cells always
+    pass, a skew blow-out is excluded from the gram pass (its members
+    stay in the output, un-scored). The oracle replays both Lloyd
+    iterations as CTE chains, the derived cap, and the in-cell pair
+    scoring exactly — assignment, candidate set, and keep/drop
+    decisions are all hash-checked."""
     from .llm.similarity import semantic_dedup
 
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), k=4, iters=2, min_sim=0.3
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, min_sim=0.3,
+        max_cell_size="auto",
     )
+
+
+REGISTRY["dd11_semantic_dedup"].sql = _semdedup_sql()
 
 
 _KNN_SQL = f"""

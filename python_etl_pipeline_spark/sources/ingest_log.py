@@ -112,18 +112,26 @@ class IngestLog:
         """Append one log row for an ingested file (src/extract.py:246-270)."""
         self.mark_processed_batch([(path, record_count)])
 
-    def mark_processed_batch(self, entries: list[tuple[str, int]]) -> None:
+    def mark_processed_batch(
+        self,
+        entries: list[tuple[str, int]],
+        hashes: dict[str, str] | None = None,
+    ) -> None:
         """Append log rows for a batch of ingested files in one write —
-        one tiny Spark job per batch, not per file."""
+        one tiny Spark job per batch, not per file. Pass ``hashes``
+        (path -> md5) when the caller already computed them (e.g. from
+        :meth:`new_files_df`): hashing means reading the whole file, so
+        re-hashing here would double the ingest's IO."""
         if not entries:
             return
         now = datetime.now(timezone.utc).replace(tzinfo=None)
+        hashes = hashes or {}
         rows = []
         for path, record_count in entries:
             p = Path(path)
             rows.append(
-                (p.name, file_md5(p), p.stat().st_size / (1024 * 1024),
-                 record_count, now)
+                (p.name, hashes.get(path) or file_md5(p),
+                 p.stat().st_size / (1024 * 1024), record_count, now)
             )
         # repartition(1), NOT coalesce(1): coalescing a 32-slice local
         # relation into one task walks every empty slice sequentially

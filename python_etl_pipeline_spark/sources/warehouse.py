@@ -104,14 +104,24 @@ class Warehouse:
         plain-parquet form.) Returns {files_before, files_after}.
 
         For a partitioned table pass ``partition_by``: the rewrite then
-        repartitions on the partition keys (one shuffle — unavoidable,
-        rows for one directory must colocate to produce one file each)
-        and preserves the directory layout; omitting it on a partitioned
+        preserves the directory layout (omitting it on a partitioned
         table would flatten the partition columns into the data files
-        and destroy pruning. files_before/after then count files
+        and destroy pruning) and still honors ``target_file_bytes``
+        per DIRECTORY: each partition gets
+        ceil(partition_bytes / target_file_bytes) files, estimated from
+        per-partition row counts x the table's mean row width (one tiny
+        agg — no extra data shuffle). Rows are salted with a
+        deterministic hash of the whole row into that many buckets and
+        the write repartitions on (partition keys, salt), so a skewed
+        10 GB partition becomes ~80 x 128 MB files while tiny partitions
+        stay at one file each. (A non-deterministic salt — rand() — is
+        unsafe under task retry with repartition: a re-executed stage
+        could re-salt rows mid-write.) files_before/after count files
         recursively across partition directories.
         """
         import math
+
+        from pyspark.sql import Window, functions as F
 
         sc = self.spark.sparkContext
         jvm = sc._jvm
@@ -135,8 +145,39 @@ class Warehouse:
         tmp = jvm.org.apache.hadoop.fs.Path(self.path(layer, table) + "__compact_tmp")
         df = self.read(layer, table)
         if partition_by:
-            w = df.repartition(*partition_by).write.mode("overwrite")
-            w.partitionBy(*partition_by).parquet(tmp.toString())
+            # Per-directory file budget: rows_p * (total_bytes / total_rows)
+            # estimates partition bytes (exact per-dir byte listing would
+            # work too but couples this to the physical layout; the row
+            # estimate is layout-independent and one keyed agg). The agg
+            # output is one row per partition directory — broadcast.
+            sizes = df.groupBy(*partition_by).agg(F.count("*").alias("__rows"))
+            sizes = sizes.withColumn(
+                "__nf",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.col("__rows")
+                        * F.lit(float(total_bytes))
+                        / F.sum("__rows").over(Window.partitionBy())
+                        / F.lit(float(target_file_bytes))
+                    ),
+                ).cast("int"),
+            ).drop("__rows")
+            salted = (
+                df.join(F.broadcast(sizes), partition_by)
+                .withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64(*df.columns), F.col("__nf")).cast("int"),
+                )
+                .drop("__nf")
+            )
+            (
+                salted.repartition(*partition_by, "__salt")
+                .drop("__salt")
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(tmp.toString())
+            )
         else:
             # coalesce, not repartition: narrowing file count needs no shuffle
             df.coalesce(n_files).write.mode("overwrite").parquet(tmp.toString())

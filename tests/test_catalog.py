@@ -223,3 +223,43 @@ def test_schema_evolution_read(spark, tmp_path):
     assert set(df.columns) == {"id", "v1", "v2"}
     rows = {r["id"]: (r["v1"], r["v2"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_partitioned_splits_skewed_partition(spark, tmp_path):
+    """The partitioned compact path honors target_file_bytes per
+    DIRECTORY: a partition ~N times the target splits into ~N files,
+    a tiny partition stays at one — not one file per directory
+    regardless of size."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    big = spark.range(0, 200_000).select(
+        F.lit("big").alias("part"), F.col("id").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    small = spark.range(0, 10).select(
+        F.lit("small").alias("part"), F.col("id").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    wh.append(big.unionAll(small), "production", "t", partition_by=["part"])
+    total = spark.read.parquet(wh.path("production", "t")).count()
+
+    # target ~1/4 of the big partition's bytes -> >= 3 files for it
+    import os
+
+    root = wh.path("production", "t")
+    table_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(root) for f in fs if not f.startswith("_")
+    )
+    wh.compact("production", "t", target_file_bytes=table_bytes // 4,
+               partition_by=["part"])
+
+    def files_in(d):
+        return [f for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")]
+
+    assert len(files_in("part=big")) >= 3
+    assert len(files_in("part=small")) == 1
+    after = spark.read.parquet(root)
+    assert after.count() == total

@@ -137,3 +137,25 @@ def test_global_sequence_properties(spark):
         # monotone: ordering rows by seq must order keys non-decreasingly
         by_seq = [r["k"] for r in sorted(out, key=lambda r: r["seq"])]
         assert by_seq == sorted(by_seq), "sequence follows key order"
+
+
+def test_global_sequence_rejects_null_leading_key(spark):
+    """A null leading order key would silently land in bucket 0 and be
+    sequenced first; the guard raises at execution instead."""
+    import pytest
+    from python_etl_pipeline_spark.operators.sequence import with_global_sequence
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, "c")], "k double, v string"
+    )
+    with pytest.raises(Exception, match="null in leading order column"):
+        with_global_sequence(df, ["k"], name="seq").collect()
+
+
+def test_global_sequence_empty_input_short_circuits(spark):
+    from python_etl_pipeline_spark.operators.sequence import with_global_sequence
+
+    df = spark.createDataFrame([], "k double, v string")
+    out = with_global_sequence(df, ["k"], name="seq")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["k", "v", "seq"]

@@ -131,3 +131,18 @@ def test_stream_upsert_batch_rerun_idempotent(spark, tmp_path):
     merge_batch(b1, 1)
     assert sorted(map(tuple, wh.read("production", "items").collect())) == snapshot
     assert dict(snapshot) == {1: "x", 2: "y2", 3: "z"}
+
+
+def test_sample_frames_skips_empty_payloads(spark):
+    """Zero-byte (and null) payloads emit ZERO frames — the same edge a
+    SQL twin's generate_series(0, floor((len-1)/stride)) produces, so
+    operator and oracle agree by construction."""
+    from python_etl_pipeline_spark.llm.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None), (3, bytearray(b"x" * 70))],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(df, stride=64, window=16).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1]
