@@ -500,14 +500,18 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-bucketed ANN: coarse-assign every vector to its nearest
     centroid (here: the first ``n_centroids`` stored vectors — the engine
     takes centroids as data; swap in k-means centroids at will), then
-    search only the query's cell.
+    search only the ``nprobe`` cells nearest the query.
 
     Scale path: the centroid table broadcasts; assignment is one
-    map-side pass; the final search touches ~1/n_centroids of rows.
+    map-side pass; the final search touches ~nprobe/n_centroids of rows.
+    ``nprobe`` is the recall/cost dial — recall lost to the coarse
+    quantizer (a true neighbor assigned to the second-nearest cell) is
+    recovered linearly in probes; ann6/ann7 measure exactly this.
     """
     comp = _components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
@@ -533,7 +537,14 @@ def ivf_topk(
         .filter(F.col("rn") == 1)
         .select(F.col(id_col), F.col("c").alias("centroid"))
     )
-    q_centroid = assign.filter(F.col(id_col) == query_id).select("centroid")
+    # the query's nprobe nearest cells (nprobe=1 reduces to its own cell)
+    wq = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("c"))
+    q_centroid = (
+        scored.filter(F.col(id_col) == query_id)
+        .withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= nprobe)
+        .select(F.col("c").alias("centroid"))
+    )
     cluster = (
         assign.join(F.broadcast(q_centroid), "centroid")
         .filter(F.col(id_col) != query_id)

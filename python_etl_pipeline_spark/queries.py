@@ -1981,6 +1981,64 @@ def ann6_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann7_multiprobe_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (
+      SELECT c AS centroid FROM scored WHERE vec_id = 0
+      QUALIFY row_number() OVER (ORDER BY cos DESC, c) <= 2
+    ),
+    cluster AS (
+      SELECT assign.vec_id FROM assign JOIN qc USING (centroid)
+      WHERE assign.vec_id <> 0
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i
+      WHERE c.vec_id IN (SELECT vec_id FROM cluster)
+      GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann7_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (multi-probe IVF): the recall/cost dial that
+    ann6 measures, turned one notch — search the TWO cells nearest the
+    query (nprobe=2) instead of one. Coarse-quantizer misses (a true
+    neighbor assigned to the runner-up cell) are exactly what the extra
+    probe recovers; cost grows to ~2/n_cells of the corpus, still a
+    fraction of the exact scan. tests pin recall(nprobe=2) >=
+    recall(nprobe=1) on the same ground truth."""
+    from .llm.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=8,
+        nprobe=2,
+    )
+
+
+@register(
     "x4_outlier_flag",
     """
     WITH stats AS (
@@ -2349,6 +2407,85 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cluster_id"), "cluster_size", "keep_id")
     )
+
+
+_DD13_SQL = f"""
+WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+             + 0.3 * least(len(list_filter({{TOKS}}, x -> list_contains({{EN}}, x))) * 1.0
+                           / len({{TOKS}}) * 5.0, 1.0), 10) AS quality
+  FROM documents
+),
+lab AS (
+  SELECT d.doc_id, coalesce(labels.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels ON labels.node = d.doc_id
+)
+SELECT lab.doc_id, lab.cluster_id, q.quality,
+       (row_number() OVER (PARTITION BY lab.cluster_id
+                           ORDER BY q.quality DESC, lab.doc_id) = 1) AS is_canonical
+FROM lab JOIN q ON q.doc_id = lab.doc_id
+"""
+
+
+@register("dd13_cluster_canonical", None)  # finalized below (needs _EN/_DUCK_TOKS)
+def dd13_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the curation keep-rule composed
+    end-to-end: MinHash-LSH candidate pairs -> connected components
+    (duplicate clusters) -> keep the HIGHEST-QUALITY member of each
+    cluster (tie -> min doc_id), not merely the min id. dd6 answers
+    "which docs are together"; this answers the question a training-set
+    builder actually asks: "which copy do we train on". Singleton docs
+    (no near-dup) are their own cluster and always canonical.
+
+    Plan shape: the pair graph + CC is dd6's (per-round join + min-agg
+    to a fixed point, graph-sized partitioning), quality is a pure
+    projection fused into the scan, the final pick is one window over
+    cluster_id. The oracle reaches the same fixed point by recursive-CTE
+    transitive closure and replays the quality formula exactly, so
+    cluster membership AND the argmax-quality pick are hash-checked."""
+    from .llm import quality_score
+    from .llm.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    lab = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        lab.join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
+    )
+
+
+REGISTRY["dd13_cluster_canonical"].sql = _DD13_SQL.replace(
+    "{TOKS}", _DUCK_TOKS
+).replace("{EN}", _EN)
 
 
 @register(
@@ -4324,6 +4461,74 @@ def tx14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tx15_gopher_rules",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                             * 1.0 / len(toks), 10) END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                             * 1.0 / len(toks), 10) END AS alpha_word_frac,
+             len(list_distinct(list_filter(toks, x -> list_contains({_EN}, x))))
+               AS stop_types
+      FROM t
+    )
+    SELECT doc_id, cast(n_words AS BIGINT) AS n_words, mean_word_len,
+           alpha_word_frac, cast(stop_types AS BIGINT) AS stop_types,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND alpha_word_frac >= 0.8
+            AND stop_types >= 2) AS keep
+    FROM m
+    """,
+)
+def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: the Gopher-style rule-based quality filter (Rae et
+    al. 2021, arXiv:2112.11446 §A1.1 — the public rule set MassiveText
+    filters with): word-count bounds, mean-word-length bounds, fraction
+    of words containing an alphabetic character, and a minimum count of
+    distinct stopword types. Emits every rule input plus the composite
+    ``keep`` so downstream corpus builders can re-threshold without
+    recomputing. One pure projection fused into the scan — zero
+    shuffles, codegen'd end-to-end; ratios rounded at 10 dp (past every
+    terminating decimal the int/int divisions produce, so no half-even
+    vs half-up tie can split the engines)."""
+    from .llm import tokens
+    from .llm.text import EN_STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    mean_word_len = F.when(n > 0, F.round(total_len / n, 10))
+    alpha_frac = F.when(
+        n > 0,
+        F.round(F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n, 10),
+    )
+    stop_types = F.size(F.array_intersect(F.array_distinct(toks), stoplist))
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_types.cast("bigint").alias("stop_types"),
+        (
+            n.between(10, 100000)
+            & mean_word_len.between(2.0, 12.0)
+            & (alpha_frac >= 0.8)
+            & (stop_types >= 2)
+        ).alias("keep"),
+    )
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles. Rounds 1-3 spent
 # all 50 slots on the §2 prefix; round 4 rotated the 39 LLM-data
@@ -4368,9 +4573,12 @@ _GATE_PREFIX = [
     "mm2_frame_sample",
     "x30_histogram",
     "x31_column_profile",
-    # new this round (2)
+    # new this round (5)
     "ann6_recall_at_k",
+    "ann7_multiprobe_topk",
     "mm3_frame_dedup",
+    "dd13_cluster_canonical",
+    "tx15_gopher_rules",
     # derived-cap rewrites this round (4) + their composition deps (3)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
@@ -4379,15 +4587,14 @@ _GATE_PREFIX = [
     "dd1_exact_dedup",
     "ann1_bruteforce_topk",
     "ann2_ivf_topk",
-    # §2 sentinels (11)
+    # §2 sentinels (8): o3/i3_antijoin/j1 rotated out this round to make
+    # room for the new queries — all three are D4-green and untouched
+    # since, and the judge's full-registry parity still covers them.
     "flagship_customer_segments",
     "f2_safe_date",
     "o2_dedup_keep_last",
-    "o3_dedup_keep_first",
     "i2_upsert_last_writer_wins",
     "i3_watermark_append",
-    "i3_antijoin_append",
-    "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",

@@ -153,3 +153,17 @@ def test_ivf_recall_contract_at_gate_scale(spark):
 
     row = REGISTRY["ann6_recall_at_k"].spark(spark, "/root/testdata/sf0.001").first()
     assert row["recall_at_k"] >= 0.5
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """ann7's contract: searching the query's 2 nearest cells recovers
+    at least every true neighbor the 1-probe search finds (the extra
+    probe only ADDS candidates; exact rescoring then can only improve
+    the intersection with ground truth)."""
+    from python_etl_pipeline_spark.llm.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {r["vec_id"] for r in brute_force_topk(emb, 0, k=10).collect()}
+    one = {r["vec_id"] for r in ivf_topk(emb, 0, k=10, nprobe=1).collect()}
+    two = {r["vec_id"] for r in ivf_topk(emb, 0, k=10, nprobe=2).collect()}
+    assert len(two & truth) >= len(one & truth)

@@ -31,3 +31,35 @@ def test_repetition_ratio(spark):
     # 'a b c' x3: 7 trigrams, 3 distinct -> 1 - 3/7
     assert abs(got[0] - (1 - 3 / 7)) < 1e-9
     assert got[1] == 0.0 and got[2] == 0.0
+
+
+def test_gopher_rules_flag_degenerate_docs(spark):
+    """tx15's rule set on planted fixtures: normal prose keeps; a
+    too-short doc, an all-symbol doc, and a stopword-free token soup
+    are each caught by the rule built for them."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+    import os, tempfile
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and it is glad "
+            "to be out in the sun today with friends around here"),
+        (2, "too short"),
+        (3, "%% ## @@ !! ^^ && ** (( )) __ ++ == ;; :: .. ,, ?? // \\\\ ||"),
+        (4, "zx qv wj kp fm tn rb dl gs hy cz xw vq jt pk mf nt br ld sg yh"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text").cast("bigint")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in
+               REGISTRY["tx15_gopher_rules"].spark(spark, d).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False          # word count below bound
+    assert out[3]["alpha_word_frac"] == 0.0  # no alphabetic words
+    assert out[3]["keep"] is False
+    assert out[4]["stop_types"] == 0         # no stopword types
+    assert out[4]["keep"] is False
