@@ -179,6 +179,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | str | None = None,
     cap_floor: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash + LSH banding.
 
@@ -199,12 +200,23 @@ def minhash_lsh_pairs(
     distribution itself (Tukey fence q3 + 3*IQR, never below
     ``cap_floor`` — see :mod:`..llm.caps`), so the same query text is
     safe at any corpus size without retuning the literal.
+
+    ``materialize=True`` (default) checkpoints the band-bucket table
+    before it fans out: the self-join consumes it twice (three+ times
+    with the auto cap), and without materialization Spark re-executes
+    the whole shingle -> md5 -> 16-minhash pipeline per consumer —
+    recompute of exactly the stage that dominates at corpus scale. The
+    bucket table is 4 rows x ~24 bytes per document (the persisted
+    signature index x21 stores), orders of magnitude smaller than the
+    text it came from, so executor-local materialization is cheap.
     """
     assert bands * rows == n_hashes
     banded = minhash_band_buckets(
         df, text_col, id_col, n_hashes=n_hashes, bands=bands, rows=rows,
         shingle_n=shingle_n,
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     if max_bucket_size == "auto":
         from .caps import filter_by_derived_cap
 

@@ -229,6 +229,7 @@ def cosine_pairs(
     preset: str | None = None,
     cap_floor: int = 200,
     cap_hard_max: int = 5000,
+    materialize: bool = True,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= min_sim, a < b — embedding
     near-dup detection, fully distributed.
@@ -310,6 +311,11 @@ def cosine_pairs(
     elif preset is not None:
         raise ValueError(f"unknown preset {preset!r}; use 'high_recall'")
     buckets = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes, bands)
+    if materialize:
+        # the bucket table fans out to the cap branches + the vector
+        # join; without this the n_planes-sum projection re-executes per
+        # consumer. (id, band, bh) rows are tiny — cheap to pin.
+        buckets = buckets.localCheckpoint(eager=True)
     if max_bucket_size == "auto":
         from .caps import filter_by_derived_cap
 
@@ -401,6 +407,7 @@ def semantic_dedup(
     max_cell_size: int | str | None = None,
     cap_floor: int = 200,
     cap_hard_max: int = 5000,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k cells with k-means,
@@ -424,8 +431,12 @@ def semantic_dedup(
 
     The cluster step is :func:`kmeans_assign` (broadcast centroids);
     the only O(N) shuffles are the assignment agg and the cell-keyed
-    gram pass."""
+    gram pass. ``materialize=True`` checkpoints the (id, cell)
+    assignment — it is consumed twice (gram input + final output join)
+    and re-running it would repeat every Lloyd iteration."""
     assign = kmeans_assign(df, id_col, vec_col, k, iters)
+    if materialize:
+        assign = assign.localCheckpoint(eager=True)
     id_t = df.schema[id_col].dataType.simpleString()
     vecs = assign.join(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
         F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
