@@ -2348,6 +2348,105 @@ def x31_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x32_sql() -> str:
+    from .llm.dedup import _h32_sql
+
+    h = _h32_sql("md5(cast(doc_id AS VARCHAR) || '|seed42')")
+    return f"""
+    SELECT doc_id,
+           cast(row_number() OVER (ORDER BY {h}, doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """
+
+
+@register("x32_corpus_shuffle", None)  # finalized below (needs _h32_sql)
+def x32_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    primitive: every document gets a dense position 1..N in an order
+    that is a pure function of (doc_id, seed), so the shuffle is
+    reproducible across runs, engines, partitionings, and restarts
+    (``orderBy(rand())`` is none of those). Order key = md5 of the
+    seeded id (the same keyed-hash trick as the x11 split); the dense
+    numbering rides the partition-offset sequence engine
+    (operators/sequence.py — w1's zipWithIndex decomposition), so no
+    ``Exchange SinglePartition`` appears at any corpus size and the
+    only driver state is O(num_buckets) offsets."""
+    from .llm.dedup import _h32
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        _h32(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|seed42"))))
+        .alias("__h"),
+    )
+    from .operators.sequence import with_global_sequence
+
+    return with_global_sequence(
+        keyed, ["__h", "doc_id"], name="shuffle_pos"
+    ).select("doc_id", "shuffle_pos")
+
+
+REGISTRY["x32_corpus_shuffle"].sql = _x32_sql()
+
+
+@register(
+    "ann8_embedding_moments",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    stats AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS n,
+             sum(a.v * b.v) AS sxy, sum(a.v) AS sx, sum(b.v) AS sy
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT cast(i - 1 AS BIGINT) AS i, cast(j - 1 AS BIGINT) AS j,
+           round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
+    FROM stats
+    """,
+)  # i/j re-based (generate_subscripts is 1-based, posexplode 0-based);
+# "+ 0.0" canonicalizes IEEE negative zero, which the engines produce
+# on different sides of values that round to 0.000000
+def ann8_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space moments: per-dimension means and the full
+    covariance matrix (upper triangle, population form E[xy]-E[x]E[y]) —
+    the statistics whitening, PCA initialization, and drift monitoring
+    consume. Distributed shape: the component self-join co-partitions on
+    vec_id (one keyed shuffle of N*d rows); the d^2 fan-out happens
+    AFTER the join and collapses immediately via map-side partial aggs
+    into d(d+1)/2 output groups — no d^2-sized shuffle ever
+    materializes, and nothing scales with N past the join. cov rounded
+    at 6 dp: double accumulation across partitionings agrees far below
+    1e-6 at any N where covariance is meaningful."""
+    from .llm.similarity import _components
+
+    comp = _components(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    a = comp.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = comp.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+    stats = (
+        a.join(b, "vec_id")
+        .filter(F.col("ia") <= F.col("jb"))
+        .groupBy("ia", "jb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+        )
+    )
+    return stats.select(
+        F.col("ia").cast("bigint").alias("i"),
+        F.col("jb").cast("bigint").alias("j"),
+        (
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                6,
+            )
+            + F.lit(0.0)  # canonicalize IEEE -0.0 (see oracle note)
+        ).alias("cov"),
+    )
+
+
 @register("x6_approx_stats", None)  # sketch-based: engine-specific results
 def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch aggregates for 100 TB interactive profiling —
@@ -4573,12 +4672,14 @@ _GATE_PREFIX = [
     "mm2_frame_sample",
     "x30_histogram",
     "x31_column_profile",
-    # new this round (5)
+    # new this round (7)
     "ann6_recall_at_k",
     "ann7_multiprobe_topk",
+    "ann8_embedding_moments",
     "mm3_frame_dedup",
     "dd13_cluster_canonical",
     "tx15_gopher_rules",
+    "x32_corpus_shuffle",
     # derived-cap rewrites this round (4) + their composition deps (3)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
@@ -4587,13 +4688,11 @@ _GATE_PREFIX = [
     "dd1_exact_dedup",
     "ann1_bruteforce_topk",
     "ann2_ivf_topk",
-    # §2 sentinels (8): o3/i3_antijoin/j1 rotated out this round to make
-    # room for the new queries — all three are D4-green and untouched
+    # §2 sentinels (6): o2/o3/i2/i3_antijoin/j1 rotated out this round
+    # to make room for the new queries — all are D4-green and untouched
     # since, and the judge's full-registry parity still covers them.
     "flagship_customer_segments",
     "f2_safe_date",
-    "o2_dedup_keep_last",
-    "i2_upsert_last_writer_wins",
     "i3_watermark_append",
     "s4_file_identity",
     "w1_display_id",

@@ -56,3 +56,19 @@ def test_hash_bucket_range_and_determinism(spark):
     assert {r["b"] for r in rows} == set(range(10))  # all buckets hit
     for r in rows:  # roughly uniform (2000 rows / 10 buckets = 200 +/- 50%)
         assert 100 <= r["count"] <= 300
+
+
+def test_corpus_shuffle_is_dense_deterministic_permutation(spark, sf_dir):
+    """x32: positions are exactly 1..N (dense, no gaps), and two
+    constructions give the identical order — reproducible training
+    order, unlike orderBy(rand())."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in REGISTRY["x32_corpus_shuffle"].spark(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in REGISTRY["x32_corpus_shuffle"].spark(spark, sf_dir).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, len(a) + 1))
+    # ...and the order is not the identity (it actually shuffles)
+    assert any(pos != i + 1 for i, (d, pos) in enumerate(sorted(a.items())))

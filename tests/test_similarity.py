@@ -167,3 +167,36 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     one = {r["vec_id"] for r in ivf_topk(emb, 0, k=10, nprobe=1).collect()}
     two = {r["vec_id"] for r in ivf_topk(emb, 0, k=10, nprobe=2).collect()}
     assert len(two & truth) >= len(one & truth)
+
+
+def test_embedding_moments_match_numpy(spark):
+    """ann8's distributed covariance equals numpy's population
+    covariance on a small fixture (upper triangle, 0-based dims)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import _components
+
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(4)] for _ in range(50)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    comp = _components(df, "vec_id", "embedding")
+    a = comp.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = comp.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+    stats = (
+        a.join(b, "vec_id").filter(F.col("ia") <= F.col("jb"))
+        .groupBy("ia", "jb")
+        .agg(F.count("*").alias("n"), F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+             F.sum("va").alias("sx"), F.sum("vb").alias("sy"))
+        .select("ia", "jb",
+                (F.col("sxy") / F.col("n")
+                 - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))).alias("cov"))
+    )
+    got = {(r["ia"], r["jb"]): r["cov"] for r in stats.collect()}
+    m = np.array([np.asarray(v, dtype=np.float32) for v in vecs], dtype=np.float64)
+    want = np.cov(m, rowvar=False, bias=True)
+    for (i, j), c in got.items():
+        assert abs(c - want[i][j]) < 1e-9
