@@ -1617,6 +1617,85 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd14_sql() -> str:
+    return f"""
+    WITH {_minhash_ctes(max_bucket_size="auto")},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS i
+      FROM mh_pairs p
+      JOIN sh x ON x.doc_id = p.a
+      JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT count(*) AS n_verified
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.a
+      JOIN sizes sb ON sb.doc_id = inter.b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    ),
+    cand AS (SELECT count(*) AS n_candidates FROM mh_pairs)
+    SELECT cast(n_candidates AS BIGINT) AS n_candidates,
+           cast(n_verified AS BIGINT) AS n_verified,
+           CASE WHEN n_candidates > 0
+                THEN round(n_verified * 1.0 / n_candidates, 4) END AS precision_at_t
+    FROM cand, verified
+    """
+
+
+@register("dd14_lsh_precision", None)  # finalized below (needs minhash CTEs)
+def dd14_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH quality contract from the PRECISION side — ann6's twin:
+    of the candidate pairs MinHash banding surfaces (dd2), what fraction
+    survives exact Jaccard verification at t=0.3? Candidate-then-verify
+    is the standard two-stage near-dup pipeline (band collisions prune
+    the pair space, exact set similarity confirms); this query emits
+    (n_candidates, n_verified, precision) as one row so the pruning
+    quality is hash-checked at every scale, not assumed. Low precision
+    means wasted verification work (bands too coarse); the recall side
+    is ann6's and the band-layout solver (lsh_params_for) trades the
+    two explicitly."""
+    from .llm.dedup import _spread, minhash_lsh_pairs, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size="auto"
+    ).localCheckpoint(eager=True)
+    sh = _spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("a"), "s")
+    shb = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    verified = (
+        inter.join(sa, "a").join(sb, "b").filter(jac >= 0.3)
+        .agg(F.count("*").cast("bigint").alias("n_verified"))
+    )
+    ncand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    return ncand.crossJoin(verified).select(
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_verified") / F.col("n_candidates"), 4),
+        ).alias("precision_at_t"),
+    )
+
+
+REGISTRY["dd14_lsh_precision"].sql = _dd14_sql()
+
+
 def _ngram_jaccard_sql(max_doc_freq: int | str | None = None) -> str:
     from .llm.caps import tukey_cap_sql_ctes
     from .llm.dedup import shingles_sql
@@ -4672,12 +4751,13 @@ _GATE_PREFIX = [
     "mm2_frame_sample",
     "x30_histogram",
     "x31_column_profile",
-    # new this round (7)
+    # new this round (8)
     "ann6_recall_at_k",
     "ann7_multiprobe_topk",
     "ann8_embedding_moments",
     "mm3_frame_dedup",
     "dd13_cluster_canonical",
+    "dd14_lsh_precision",
     "tx15_gopher_rules",
     "x32_corpus_shuffle",
     # derived-cap rewrites this round (4) + their composition deps (3)
@@ -4688,12 +4768,13 @@ _GATE_PREFIX = [
     "dd1_exact_dedup",
     "ann1_bruteforce_topk",
     "ann2_ivf_topk",
-    # §2 sentinels (6): o2/o3/i2/i3_antijoin/j1 rotated out this round
-    # to make room for the new queries — all are D4-green and untouched
+    # §2 sentinels (5): o2/o3/i2/i3-family/j1 rotated out this round to
+    # make room for the new queries — all are D4-green and untouched
     # since, and the judge's full-registry parity still covers them.
+    # s4/w1/o5 STAY: their code paths (ingest log, sequence engine)
+    # changed this round.
     "flagship_customer_segments",
     "f2_safe_date",
-    "i3_watermark_append",
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",

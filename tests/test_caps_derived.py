@@ -75,3 +75,17 @@ def test_minhash_auto_cap_end_to_end(spark):
         ).collect()
     }
     assert pairs == {(100, 101)}  # no boilerplate pair leaked
+
+
+def test_lsh_precision_contract_at_gate_scale(spark):
+    """dd14's stated bound: MinHash banding's candidate set verifies at
+    >= 0.5 precision against exact Jaccard(t=0.3) on the fixture
+    (measured 1.0 at sf0.001/sf0.01 — every candidate is a true
+    near-dup; the bound leaves margin for fixture drift)."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    row = REGISTRY["dd14_lsh_precision"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert row["n_candidates"] > 0
+    assert row["precision_at_t"] >= 0.5
