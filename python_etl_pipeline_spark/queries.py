@@ -2526,6 +2526,83 @@ def ann8_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _x33_sql() -> str:
+    # bin = clamp(floor((x - min) * 256 / (max - min + 1e-9)), 255); the
+    # z-key interleaves the two 8-bit bins, custkey bits in the odd
+    # positions. Pure arithmetic — identical doubles, identical floors.
+    def bin_expr(col, mn, mx):
+        return f"least(cast(floor(({col} - {mn}) * 256.0 / ({mx} - {mn} + 1e-9)) AS BIGINT), 255)"
+
+    z = " + ".join(
+        f"((zx // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((zy // {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(8)
+    )
+    return f"""
+    WITH stats AS (
+      SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+             min(o_totalprice) AS mn1, max(o_totalprice) AS mx1
+      FROM orders
+    ),
+    binned AS (
+      SELECT o_orderkey,
+             {bin_expr('o_custkey', 'mn0', 'mx0')} AS zx,
+             {bin_expr('o_totalprice', 'mn1', 'mx1')} AS zy
+      FROM orders, stats
+    )
+    SELECT o_orderkey, cast(zx AS BIGINT) AS zx, cast(zy AS BIGINT) AS zy,
+           cast({z} AS BIGINT) AS zkey
+    FROM binned
+    """
+
+
+@register("x33_zorder_key", None)  # finalized below
+def x33_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering key — the Z-order (Morton) curve
+    that table formats' OPTIMIZE ZORDER BY implements, as a pure
+    DataFrame expression: 8-bit equi-width bins per dimension
+    (min/max from one tiny agg, broadcast back as a 1-row scalar),
+    bits interleaved arithmetically into a 16-bit key. Writing the
+    table with ``repartitionByRange("zkey").sortWithinPartitions``
+    gives every parquet file a tight min/max envelope in BOTH
+    dimensions, so predicates on either column prune files — single-
+    column range sort only skips on its leading column. The key is a
+    pure function of the row + two global constants: deterministic
+    across engines (integer bit arithmetic; the only doubles are the
+    identical bin divisions), partitionings, and appends."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_custkey").alias("mn0"), F.max("o_custkey").alias("mx0"),
+        F.min("o_totalprice").alias("mn1"), F.max("o_totalprice").alias("mx1"),
+    )
+
+    def bin_expr(col, mn, mx):
+        return F.least(
+            F.floor(
+                (F.col(col) - F.col(mn)) * 256.0 / (F.col(mx) - F.col(mn) + 1e-9)
+            ).cast("bigint"),
+            F.lit(255).cast("bigint"),
+        )
+
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        bin_expr("o_custkey", "mn0", "mx0").alias("zx"),
+        bin_expr("o_totalprice", "mn1", "mx1").alias("zy"),
+    )
+    z = None
+    for b in range(8):
+        term = (F.floor(F.col("zx") / (1 << b)).cast("bigint") % 2) * (
+            1 << (2 * b + 1)
+        ) + (F.floor(F.col("zy") / (1 << b)).cast("bigint") % 2) * (1 << (2 * b))
+        z = term if z is None else z + term
+    return binned.select(
+        "o_orderkey", "zx", "zy", z.cast("bigint").alias("zkey")
+    )
+
+
+REGISTRY["x33_zorder_key"].sql = _x33_sql()
+
+
 @register("x6_approx_stats", None)  # sketch-based: engine-specific results
 def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch aggregates for 100 TB interactive profiling —
@@ -4760,6 +4837,7 @@ _GATE_PREFIX = [
     "dd14_lsh_precision",
     "tx15_gopher_rules",
     "x32_corpus_shuffle",
+    "x33_zorder_key",
     # derived-cap rewrites this round (4) + their composition deps (3)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
@@ -4768,13 +4846,12 @@ _GATE_PREFIX = [
     "dd1_exact_dedup",
     "ann1_bruteforce_topk",
     "ann2_ivf_topk",
-    # §2 sentinels (5): o2/o3/i2/i3-family/j1 rotated out this round to
-    # make room for the new queries — all are D4-green and untouched
+    # §2 sentinels (4): o2/o3/i2/i3-family/j1/f2 rotated out this round
+    # to make room for the new queries — all are D4-green and untouched
     # since, and the judge's full-registry parity still covers them.
     # s4/w1/o5 STAY: their code paths (ingest log, sequence engine)
     # changed this round.
     "flagship_customer_segments",
-    "f2_safe_date",
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",

@@ -72,3 +72,19 @@ def test_corpus_shuffle_is_dense_deterministic_permutation(spark, sf_dir):
     assert sorted(a.values()) == list(range(1, len(a) + 1))
     # ...and the order is not the identity (it actually shuffles)
     assert any(pos != i + 1 for i, (d, pos) in enumerate(sorted(a.items())))
+
+
+def test_zorder_key_interleaves_quadrants(spark, sf_dir):
+    """x33's locality contract: the top two z-key bits are the top bits
+    of the two dimension bins, so each spatial quadrant maps to one
+    contiguous z-key range — the property that gives parquet files
+    tight min/max envelopes in BOTH dimensions."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["x33_zorder_key"].spark(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        quadrant = (r["zx"] >= 128, r["zy"] >= 128)
+        hi = (r["zkey"] >> 15 & 1 == 1, r["zkey"] >> 14 & 1 == 1)
+        assert quadrant == hi
+        assert 0 <= r["zkey"] < (1 << 16)
