@@ -34,7 +34,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["derived_cap", "tukey_cap_sql_ctes", "filter_by_derived_cap"]
+__all__ = [
+    "derived_cap",
+    "discrete_quantiles",
+    "tukey_cap_sql_ctes",
+    "filter_by_derived_cap",
+]
+
+
+def discrete_quantiles(
+    values: DataFrame, col: str, ps: list[float]
+) -> DataFrame:
+    """One-row frame with ``__q0 .. __q{len(ps)-1}`` = the discrete
+    (type-1) quantiles of ``values[col]``: q_p = min(v : cum_count(v) >=
+    ceil(p * n)), computed from the value histogram. Integer-exact (no
+    interpolation), so a SQL twin reproduces each quantile bit-for-bit.
+    Fully lazy; the single-partition window runs over the HISTOGRAM
+    (distinct values), never the data."""
+    hist = values.groupBy(col).agg(F.count("*").alias("__c"))
+    w_cum = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        F.col(col).alias("__v"),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    return cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)), F.col("__v")
+                )
+            ).alias(f"__q{i}")
+            for i, p in enumerate(ps)
+        ]
+    )
 
 
 def derived_cap(
@@ -46,27 +81,10 @@ def derived_cap(
 ) -> DataFrame:
     """One-row frame with ``__cap`` = clamp(q3 + k*IQR, floor, hard_max)
     over the values of ``sizes[size_col]`` (discrete quantiles — see
-    module docstring). Fully lazy; the single-partition window runs
-    over the size HISTOGRAM (distinct size values), never the data."""
-    hist = sizes.groupBy(size_col).agg(F.count("*").alias("__c"))
-    w_cum = Window.orderBy(size_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        F.col(size_col).alias("__sz"),
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(Window.partitionBy()).alias("__n"),
-    )
-    qs = cum.agg(
-        F.min(
-            F.when(F.col("__cum") >= F.ceil(F.col("__n") * 0.25), F.col("__sz"))
-        ).alias("__q1"),
-        F.min(
-            F.when(F.col("__cum") >= F.ceil(F.col("__n") * 0.75), F.col("__sz"))
-        ).alias("__q3"),
-    )
+    :func:`discrete_quantiles`)."""
+    qs = discrete_quantiles(sizes, size_col, [0.25, 0.75])
     cap = F.greatest(
-        F.col("__q3") + F.lit(k) * (F.col("__q3") - F.col("__q1")), F.lit(floor)
+        F.col("__q1") + F.lit(k) * (F.col("__q1") - F.col("__q0")), F.lit(floor)
     )
     if hard_max is not None:
         cap = F.least(cap, F.lit(hard_max))

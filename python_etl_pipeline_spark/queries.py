@@ -4085,6 +4085,65 @@ def x18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x34_length_buckets",
+    """
+    WITH counted AS (
+      SELECT doc_id,
+             cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    hist AS (SELECT n_tokens AS v, count(*) AS c FROM counted GROUP BY 1),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hist),
+    qs AS (
+      SELECT min(CASE WHEN cum >= ceil(n * 0.125) THEN v END) AS q0,
+             min(CASE WHEN cum >= ceil(n * 0.25)  THEN v END) AS q1,
+             min(CASE WHEN cum >= ceil(n * 0.375) THEN v END) AS q2,
+             min(CASE WHEN cum >= ceil(n * 0.5)   THEN v END) AS q3,
+             min(CASE WHEN cum >= ceil(n * 0.625) THEN v END) AS q4,
+             min(CASE WHEN cum >= ceil(n * 0.75)  THEN v END) AS q5,
+             min(CASE WHEN cum >= ceil(n * 0.875) THEN v END) AS q6
+      FROM cum
+    )
+    SELECT doc_id, n_tokens,
+           cast(1 + (n_tokens > q0)::int + (n_tokens > q1)::int
+                  + (n_tokens > q2)::int + (n_tokens > q3)::int
+                  + (n_tokens > q4)::int + (n_tokens > q5)::int
+                  + (n_tokens > q6)::int AS BIGINT) AS bucket
+    FROM counted, qs
+    """,
+)
+def x34_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bucketing — the batching-prep op that groups documents of
+    similar token length so fixed-size training batches waste minimal
+    padding (the dynamic-batching counterpart of x18's concat-packing).
+
+    NOT ntile: a global ntile window is Exchange SinglePartition — the
+    anti-pattern the sequence engine exists to avoid. Buckets come from
+    the 7 discrete octile boundaries of the token-count distribution
+    (llm/caps.discrete_quantiles — integer-exact from the histogram, so
+    the oracle reproduces them bit-for-bit), broadcast as a 1-row
+    scalar; assignment is then a pure map-side comparison. Equi-depth
+    up to ties, every equal length lands in the same bucket (better for
+    padding homogeneity than ntile's tie-splitting), and the plan stays
+    fully parallel at any corpus size."""
+    from .llm.caps import discrete_quantiles
+    from .llm.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select("doc_id", token_count("text").alias("n_tokens"))
+    qs = discrete_quantiles(
+        counted.select("n_tokens"), "n_tokens", [i / 8 for i in range(1, 8)]
+    )
+    bucket = F.lit(1)
+    for i in range(7):
+        bucket = bucket + (F.col("n_tokens") > F.col(f"__q{i}")).cast("int")
+    return (
+        counted.crossJoin(F.broadcast(qs))
+        .select("doc_id", "n_tokens", bucket.cast("bigint").alias("bucket"))
+    )
+
+
 @register("x19_weighted_sample", None)  # sql attached below (hex helper)
 def x19_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling: keep each doc with probability
@@ -4838,14 +4897,16 @@ _GATE_PREFIX = [
     "tx15_gopher_rules",
     "x32_corpus_shuffle",
     "x33_zorder_key",
+    "x34_length_buckets",
     # derived-cap rewrites this round (4) + their composition deps (3)
+    # (ann2 rotated out: ann7 drives the same ivf_topk path with
+    # nprobe, and ann6's oracle re-derives ann2's whole pipeline)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
     "dd5_embedding_neardup",
     "dd11_semantic_dedup",
     "dd1_exact_dedup",
     "ann1_bruteforce_topk",
-    "ann2_ivf_topk",
     # §2 sentinels (4): o2/o3/i2/i3-family/j1/f2 rotated out this round
     # to make room for the new queries — all are D4-green and untouched
     # since, and the judge's full-registry parity still covers them.
