@@ -111,7 +111,10 @@ FRAME_SCHEMA = T.StructType([
 
 
 def sample_frames(
-    df: DataFrame, stride: int = 64, window: int = 16
+    df: DataFrame,
+    stride: int = 64,
+    window: int = 16,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-payload frame sampling: one media row fans out to one row per
     sampled frame — the 1-to-N batch shape a video frame sampler has at
@@ -125,12 +128,24 @@ def sample_frames(
     Empty (or null) payloads emit ZERO frames — there is nothing to
     sample. This matches the arithmetic a SQL twin naturally writes
     (``generate_series(0, floor((byte_len - 1) / stride))`` is empty at
-    byte_len = 0), so the operator and any oracle agree on the edge."""
+    byte_len = 0), so the operator and any oracle agree on the edge.
+
+    ``passthrough`` names extra input columns replicated onto every
+    emitted frame row (e.g. an event-time column so a STREAMING
+    consumer can watermark the frame stream) — the fan-out stays inside
+    the Arrow batch either way."""
+    schema = T.StructType(
+        list(FRAME_SCHEMA.fields)
+        + [df.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, lens, digs = [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            extra: dict[str, list] = {c: [] for c in passthrough}
+            for row_i, (mid, payload) in enumerate(
+                zip(pdf["media_id"], pdf["payload"])
+            ):
                 b = b"" if payload is None else bytes(payload)
                 if not b:
                     continue
@@ -140,11 +155,18 @@ def sample_frames(
                     idxs.append(k)
                     lens.append(len(frame))
                     digs.append(hashlib.md5(frame).hexdigest())
-            yield pd.DataFrame({
+                    for c in passthrough:
+                        extra[c].append(pdf[c].iloc[row_i])
+            if not ids:
+                continue  # avoid dtype-less empty Series for passthrough
+            out = {
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int64"),
                 "frame_len": pd.Series(lens, dtype="int64"),
                 "frame_digest": pd.Series(digs, dtype="object"),
-            })
+            }
+            for c in passthrough:
+                out[c] = pd.Series(extra[c])
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+    return df.mapInPandas(run, schema=schema)

@@ -148,6 +148,37 @@ def stream_document_curation(
     )
 
 
+def stream_frame_dedup(
+    media_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    stride: int = 64,
+    window: int = 16,
+) -> DataFrame:
+    """Streaming multimodal frame dedup — mm3's continuous-ingest form:
+    each arriving media payload fans out to fingerprinted frames INSIDE
+    the Arrow batch (``llm.multimodal.sample_frames``, a mapInPandas
+    operator — stream-safe, payload bytes never enter the state store),
+    then ``dropDuplicatesWithinWatermark`` keeps each frame digest's
+    FIRST occurrence with state bounded by (watermark horizon × frame
+    rate). The event-time column rides through the sampler via
+    ``passthrough`` so the frame stream stays watermarkable.
+
+    Output: one row per first-seen frame (media_id, frame_idx,
+    frame_len, frame_digest, ts). Per-media retention (drop media whose
+    frames are mostly dups) is a batch decision over this sink —
+    exactly how the batch pipeline splits it (mm2 sample → dd1 dedup →
+    mm3 retention)."""
+    from ..llm.multimodal import sample_frames
+
+    frames = sample_frames(
+        media_stream, stride=stride, window=window, passthrough=(ts_col,)
+    )
+    return frames.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["frame_digest"]
+    )
+
+
 def stream_upsert_available_now(
     spark: SparkSession,
     src_dir: str,

@@ -176,3 +176,49 @@ def test_frame_dedup_drops_later_duplicate_media(spark):
     )
     kept = {r["media_id"]: r["is_kept"] for r in per.collect()}
     assert kept == {1: True, 2: False, 3: True}
+
+
+def test_stream_frame_dedup_first_occurrence_wins(spark, tmp_path):
+    """st4 shape: a media stream where file 2 replays file 1's payload —
+    frames dedup on digest with bounded state; only first-seen frames
+    survive, and the event-time column rides through the sampler."""
+    import datetime
+
+    from python_etl_pipeline_spark.streaming.file_stream import stream_frame_dedup
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ])
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "media"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, bytearray(b"A" * 130), t0)], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, bytearray(b"A" * 130), t0 + datetime.timedelta(minutes=1)),
+         (3, bytearray(b"B" * 70), t0 + datetime.timedelta(minutes=2))],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    deduped = stream_frame_dedup(stream, ts_col="ingest_ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("frame_dedup_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM frame_dedup_sink").collect()
+    # media 1: 3 frames of 'A'*130 -> ONE distinct digest (all windows
+    # identical) -> 1 surviving row; media 2 replays it -> 0 rows;
+    # media 3: 2 frames, both 'B'*16 windows -> 1 more distinct digest
+    digests = {r["frame_digest"] for r in rows}
+    assert len(digests) == len(rows)  # no digest survives twice
+    assert {r["media_id"] for r in rows} <= {1, 3}
+    assert all(r["ingest_ts"] is not None for r in rows)
