@@ -504,6 +504,122 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_codes: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ building block, Jégou et
+    al. 2011): split each vector into 2 subspaces, k-means each
+    subspace into ``n_codes`` centroids (deterministic init = first
+    ``n_codes`` vectors' halves), store each vector as a 2-code tuple,
+    and score a query by ASYMMETRIC distance: a per-subspace lookup
+    table of query-to-centroid dots (2 x n_codes scalars — broadcast),
+    so approx_dot(x) = table0[code0(x)] + table1[code1(x)]. Approx
+    cosine divides by the EXACT stored norms; output is the top-k by
+    (approx cosine desc, id).
+
+    The 100 TB shape: codes are a pure projection once centroids are
+    trained (the memory win — 2 bytes per vector instead of d floats),
+    the lookup table is O(n_codes) per query, and scoring is a
+    broadcast join + top-k — no full-vector arithmetic per candidate.
+    Everything here is DataFrame ops on the long component form; the
+    subspace split derives from max(i) declaratively (no driver
+    collect). Recall loss vs exact is the quantization error;
+    ann1/ann6-style ground truth applies."""
+    from pyspark.sql import Window
+
+    comp = _components(df, id_col, vec_col)
+    half = comp.agg(
+        F.floor((F.max("i") + 1) / 2).cast("int").alias("__d2")
+    )
+    comp = comp.crossJoin(F.broadcast(half))
+    subs = [comp.filter(F.col("i") < F.col("__d2")).drop("__d2"),
+            comp.filter(F.col("i") >= F.col("__d2")).drop("__d2")]
+    contribs = []
+    for s, comp_s in enumerate(subs):
+        cent = comp_s.filter(F.col(id_col) < n_codes).select(
+            F.col(id_col).alias("cell"), "i", "v"
+        )
+        for _ in range(iters):
+            assign = _nearest_cell(comp_s, cent, id_col)
+            cent = (
+                comp_s.join(assign, id_col)
+                .groupBy("cell", "i")
+                .agg(F.avg("v").alias("v"))
+            )
+        code = _nearest_cell(comp_s, cent, id_col)
+        q_s = comp_s.filter(F.col(id_col) == query_id).select(
+            "i", F.col("v").alias("qv")
+        )
+        table = (
+            cent.join(q_s, "i")
+            .groupBy("cell")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias(f"t{s}"))
+        )
+        contribs.append(code.join(F.broadcast(table), "cell").select(id_col, f"t{s}"))
+    approx = contribs[0].join(contribs[1], id_col).select(
+        id_col, (F.col("t0") + F.col("t1")).alias("adot")
+    )
+    norms = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    )
+    qnorm = norms.filter(F.col(id_col) == query_id).select(
+        F.col("norm").alias("qnorm")
+    )
+    scored = (
+        approx.join(norms, id_col)
+        .crossJoin(F.broadcast(qnorm))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(F.col("adot") / (F.col("norm") * F.col("qnorm")), 4).alias(
+                "approx_cosine"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("approx_cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 100,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pipeline: :func:`pq_topk`'s asymmetric-distance
+    scan shortlists ``shortlist`` candidates from compressed codes
+    (cheap — table lookups, no vector arithmetic), then ONLY those
+    candidates are rescored with exact cosine and the true top-k
+    emitted. Quantization error is confined to the shortlist boundary:
+    with a generous shortlist the output matches exact search on
+    everything the shortlist caught (recall ~0.8 at shortlist=20% of
+    the gate corpus vs ~0.2 for raw PQ ranking — random-ish vectors are
+    PQ's worst case). The shortlist orders by the 4-dp ROUNDED approx
+    score with id tie-break, so the cut is engine-deterministic."""
+    short = pq_topk(
+        df, query_id, k=shortlist, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    return (
+        df.join(short, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,

@@ -2059,6 +2059,108 @@ def ann6_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_iter_sql(prev: str, it: int, comp: str, sfx: str) -> str:
+    """One Lloyd iteration scoped to a PQ subspace: same math as
+    _kmeans_iter_sql but parameterized on the component CTE and a
+    name suffix so two subspaces can train in one WITH chain."""
+    return f"""
+    assign{it}{sfx} AS (
+      SELECT {comp}.vec_id, {prev}.cell,
+             row_number() OVER (
+               PARTITION BY {comp}.vec_id
+               ORDER BY sum(({comp}.v - {prev}.v) * ({comp}.v - {prev}.v)), {prev}.cell
+             ) AS rn
+      FROM {comp} JOIN {prev} ON {comp}.i = {prev}.i
+      GROUP BY {comp}.vec_id, {prev}.cell
+    ),
+    cent{it}{sfx} AS (
+      SELECT a.cell, {comp}.i, avg({comp}.v) AS v
+      FROM assign{it}{sfx} a JOIN {comp} ON {comp}.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2
+    )"""
+
+
+def _ann9_sql() -> str:
+    # split conditions are 1-based (generate_subscripts): i <= d2 with
+    # d2 = floor(max_i/2) matches Spark's 0-based i < floor((max_i+1)/2)
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id <> 0
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 100
+    ),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann9_pq_topk", None)  # finalized below (composed CTE chain)
+def ann9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — the IVF-PQ code
+    path) in its production shape: vectors compress to a 2-code tuple
+    (one k-means code per half-space, 16 codes each), the query scans
+    CODES via a broadcast lookup table of query-to-centroid dots
+    (approx_dot = t0[code0] + t1[code1] — no vector arithmetic per
+    candidate), the top-100 shortlist is then rescored with EXACT
+    cosine and the true top-10 emitted. The memory/IO win at 100 TB:
+    the code scan touches 1 byte/subspace per vector instead of 256
+    float bytes; exact work is confined to the shortlist. Quantization
+    error only moves the shortlist boundary (recall ~0.8 here vs ~0.2
+    for raw PQ ranking on these near-random vectors — PQ's worst
+    case). Oracle replays both subspace trainings, code assignment,
+    lookup tables, the 4-dp-rounded shortlist cut, and the exact
+    rerank."""
+    from .llm.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=100,
+        n_codes=16,
+    )
+
+
+REGISTRY["ann9_pq_topk"].sql = _ann9_sql()
+
+
 @register(
     "ann7_multiprobe_topk",
     f"""
@@ -4887,10 +4989,11 @@ _GATE_PREFIX = [
     "mm2_frame_sample",
     "x30_histogram",
     "x31_column_profile",
-    # new this round (8)
+    # new this round (9)
     "ann6_recall_at_k",
     "ann7_multiprobe_topk",
     "ann8_embedding_moments",
+    "ann9_pq_topk",
     "mm3_frame_dedup",
     "dd13_cluster_canonical",
     "dd14_lsh_precision",
@@ -4899,14 +5002,13 @@ _GATE_PREFIX = [
     "x33_zorder_key",
     "x34_length_buckets",
     # derived-cap rewrites this round (4) + their composition deps (3)
-    # (ann2 rotated out: ann7 drives the same ivf_topk path with
-    # nprobe, and ann6's oracle re-derives ann2's whole pipeline)
+    # (ann1/ann2 rotated out: ann7 drives the same ivf_topk path, and
+    # ann6's oracle re-derives both pipelines as its ground truth)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
     "dd5_embedding_neardup",
     "dd11_semantic_dedup",
     "dd1_exact_dedup",
-    "ann1_bruteforce_topk",
     # §2 sentinels (4): o2/o3/i2/i3-family/j1/f2 rotated out this round
     # to make room for the new queries — all are D4-green and untouched
     # since, and the judge's full-registry parity still covers them.

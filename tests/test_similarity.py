@@ -200,3 +200,20 @@ def test_embedding_moments_match_numpy(spark):
     want = np.cov(m, rowvar=False, bias=True)
     for (i, j), c in got.items():
         assert abs(c - want[i][j]) < 1e-9
+
+
+def test_pq_rerank_recall_beats_raw_pq(spark):
+    """ann9's contract: the PQ-shortlist + exact-rerank pipeline
+    recovers most of the exact top-10 (>= 0.5 here; measured 0.8),
+    and strictly dominates ranking by raw quantized scores on the
+    same code budget."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        brute_force_topk, pq_rerank_topk, pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    truth = {r["vec_id"] for r in brute_force_topk(emb, 0, k=10).collect()}
+    raw = {r["vec_id"] for r in pq_topk(emb, 0, k=10, n_codes=16).collect()}
+    rr = {r["vec_id"] for r in pq_rerank_topk(emb, 0, k=10, n_codes=16).collect()}
+    assert len(rr & truth) >= 5
+    assert len(rr & truth) >= len(raw & truth)
