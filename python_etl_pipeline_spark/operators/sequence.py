@@ -66,7 +66,8 @@ def with_global_sequence(
     ties.  A null leading key raises at execution time rather than being
     silently sequenced first: ``b <= NULL`` filters every boundary, so a
     null would land in bucket 0 and corrupt the order contract without
-    the guard.  Empty input short-circuits (no quantile/count jobs) and
+    the guard.  Empty input short-circuits before the quantile sketch
+    (one cheap ``limit(1)`` probe job, no quantile/count jobs) and
     returns an empty frame with the sequence column appended.  Triggers
     two small Spark jobs at construction time (quantile sketch +
     per-bucket counts); their results — and the literal map shipped
@@ -77,6 +78,12 @@ def with_global_sequence(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     key = order_cols[0]
+
+    # Empty-input probe BEFORE the quantile sketch: approxQuantile on an
+    # empty frame would still run a full scan job (and return no
+    # boundaries); the limit(1) probe touches at most one partition.
+    if df.isEmpty():
+        return df.withColumn(name, F.lit(None).cast("bigint"))
 
     qs = [i / num_buckets for i in range(1, num_buckets)]
     # Frozen as literals on the driver: even if the sketch re-ran

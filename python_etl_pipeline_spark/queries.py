@@ -429,15 +429,22 @@ def set1_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def o1_digit_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/F14: digit-concatenation sort key ('Customer#000000042' -> 42)
-    with an observable total order (src/extract.py:272-294)."""
+    with an observable total order (src/extract.py:272-294).
+
+    The dense numbering rides the partition-offset sequence engine
+    (operators/sequence.py) exactly like w1/o5/x32 — a bare
+    ``row_number() OVER (ORDER BY ...)`` plans ``Exchange
+    SinglePartition`` and funnels the whole table through one task,
+    which was the last data-sized single-partition window in the
+    registry (VERDICT r5 §What's wrong #1)."""
+    from .operators.sequence import with_global_sequence
+
     c = _t(spark, sf_dir, "customer")
     key = numeric_id(F.col("c_name")).cast("bigint")
-    w = Window.orderBy(key, F.col("c_custkey"))
-    return c.select(
-        "c_custkey",
-        key.alias("sort_key"),
-        F.row_number().over(w).cast("bigint").alias("rn"),
-    )
+    keyed = c.select("c_custkey", key.alias("sort_key"))
+    return with_global_sequence(
+        keyed, ["sort_key", "c_custkey"], name="rn"
+    ).select("c_custkey", "sort_key", "rn")
 
 
 @register(

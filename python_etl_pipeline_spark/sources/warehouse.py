@@ -163,14 +163,27 @@ class Warehouse:
                     ),
                 ).cast("int"),
             ).drop("__rows")
-            salted = (
-                df.join(F.broadcast(sizes), partition_by)
-                .withColumn(
-                    "__salt",
-                    F.pmod(F.xxhash64(*df.columns), F.col("__nf")).cast("int"),
-                )
-                .drop("__nf")
+            # Null-safe join: partition keys CAN be null (e.g. a
+            # transaction_year derived from a dirty date parses to NULL
+            # and lands in the __HIVE_DEFAULT_PARTITION__ directory). A
+            # plain equi-join would silently drop those rows from the
+            # rewrite and the swap would then delete them — eqNullSafe
+            # keeps the null partition in the compacted output.
+            sizes = sizes.select(
+                *[F.col(c).alias(f"__k_{c}") for c in partition_by], "__nf"
             )
+            cond = [
+                F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in partition_by
+            ]
+            salted = df.join(F.broadcast(sizes), cond).drop(
+                *[f"__k_{c}" for c in partition_by]
+            )
+            salted = salted.withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*[df[c] for c in df.columns]), F.col("__nf")
+                ).cast("int"),
+            ).drop("__nf")
             (
                 salted.repartition(*partition_by, "__salt")
                 .drop("__salt")

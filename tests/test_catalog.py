@@ -186,6 +186,33 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(year" in plan
 
 
+def test_compact_keeps_null_partition_rows(spark, tmp_path):
+    """Compacting a partitioned table must not lose rows whose partition
+    key is NULL (the __HIVE_DEFAULT_PARTITION__ directory). This is
+    reachable in the reference pipeline: transaction_year comes from
+    safe_date(), which yields NULL for dirty dates, so dirty-date rows
+    all land in the null partition. A plain equi-join on the partition
+    columns drops them (null != null) and the atomic swap would then
+    delete them permanently."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(2020, 1), (2020, 2), (None, 7), (None, 8), (2021, 3)],
+        "year int, v int",
+    )
+    wh.append(df, "production", "t", partition_by=["year"])
+    before = spark.read.parquet(wh.path("production", "t"))
+    n_before, sum_before = before.count(), before.agg({"v": "sum"}).first()[0]
+    assert n_before == 5
+
+    wh.compact("production", "t", partition_by=["year"])
+    after = spark.read.parquet(wh.path("production", "t"))
+    assert after.count() == n_before
+    assert after.agg({"v": "sum"}).first()[0] == sum_before
+    assert after.filter(F.col("year").isNull()).count() == 2
+
+
 def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     """Dynamic partition overwrite: a one-partition backfill must
     replace only that partition — static mode truncates the whole

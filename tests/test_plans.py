@@ -118,7 +118,7 @@ def test_global_sequence_no_single_partition_window(spark, sf_dir):
     partition-offset composition must keep them fully parallel — the
     old ``Window.orderBy`` form planned Exchange SinglePartition and
     funneled every row through one task."""
-    for name in ("w1_display_id", "o5_offset_slice"):
+    for name in ("w1_display_id", "o5_offset_slice", "o1_digit_sort"):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange SinglePartition" not in plan, (name, plan)
         assert "Window" in plan  # still windowed, but keyed on the bucket
