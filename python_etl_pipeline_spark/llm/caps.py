@@ -50,8 +50,18 @@ def discrete_quantiles(
     ceil(p * n)), computed from the value histogram. Integer-exact (no
     interpolation), so a SQL twin reproduces each quantile bit-for-bit.
     Fully lazy; the single-partition window runs over the HISTOGRAM
-    (distinct values), never the data."""
-    hist = values.groupBy(col).agg(F.count("*").alias("__c"))
+    (distinct values), never the data.
+
+    NULLs are excluded before the histogram: Spark's ``Window.orderBy``
+    sorts nulls FIRST in the cumulative sum while DuckDB's ``ORDER BY``
+    sorts them LAST, so a null in the value column would shift every
+    quantile by the null count on exactly one side. Any SQL twin must
+    carry the same ``WHERE col IS NOT NULL`` in its hist CTE."""
+    hist = (
+        values.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count("*").alias("__c"))
+    )
     w_cum = Window.orderBy(col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -2712,18 +2712,53 @@ def x33_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x33_zorder_key"].sql = _x33_sql()
 
 
-@register("x6_approx_stats", None)  # sketch-based: engine-specific results
+@register(
+    "x6_approx_stats",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS distinct_within_3pct,
+           TRUE AS median_within_1pct,
+           TRUE AS p99_within_2pct
+    FROM lineitem GROUP BY 1
+    """,
+)
 def x6_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch aggregates for 100 TB interactive profiling —
-    HyperLogLog++ distinct counts and quantile sketches. Results are
-    sketch-algorithm-specific (no cross-engine oracle -> rows-only
-    check); accuracy is asserted against exact values in
+    HyperLogLog++ distinct counts and quantile sketches (mergeable, one
+    pass, bounded memory — the only affordable profile at 100 TB).
+
+    Sketch outputs are engine-specific, so raw values have no
+    cross-engine oracle. Instead the registered form emits the sketch's
+    ACCURACY CONTRACT in-plan: per group, booleans asserting the
+    HLL++ distinct count is within 3% of the exact count (rsd=0.01 →
+    3 sigma) and the KLL-style quantile sketch is within 1% (median) /
+    2% (p99) of the exact percentile, plus the exact distinct count
+    itself. DuckDB computes the exact side and literal TRUEs, so the
+    hash match fails iff any bound is violated or the exact counts
+    drift — a real driver-gate check instead of the old rows-only row
+    (VERDICT r5 next-round #4). Sketch internals stay pinned in
     tests/test_approx.py."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    g = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("median_price_approx"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price_approx"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("med_a"),
+        F.percentile("l_extendedprice", 0.5).alias("med_e"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_a"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_e"),
+    )
+    within = lambda a, e, tol: (
+        F.abs(F.col(a).cast("double") - F.col(e)) <= F.lit(tol) * F.abs(F.col(e))
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        within("approx_orders", "exact_orders", 0.03).alias(
+            "distinct_within_3pct"
+        ),
+        within("med_a", "med_e", 0.01).alias("median_within_1pct"),
+        within("p99_a", "p99_e", 0.02).alias("p99_within_2pct"),
     )
 
 
@@ -4202,7 +4237,8 @@ def x18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
-    hist AS (SELECT n_tokens AS v, count(*) AS c FROM counted GROUP BY 1),
+    hist AS (SELECT n_tokens AS v, count(*) AS c FROM counted
+             WHERE n_tokens IS NOT NULL GROUP BY 1),
     cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM hist),
     qs AS (
       SELECT min(CASE WHEN cum >= ceil(n * 0.125) THEN v END) AS q0,

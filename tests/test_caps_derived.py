@@ -89,3 +89,35 @@ def test_lsh_precision_contract_at_gate_scale(spark):
     ).first()
     assert row["n_candidates"] > 0
     assert row["precision_at_t"] >= 0.5
+
+
+def test_discrete_quantiles_ignore_nulls_and_match_duckdb(spark):
+    """Nulls in the value column must not shift the quantiles: Spark's
+    Window.orderBy sorts nulls first in the cumulative sum, DuckDB's
+    ORDER BY sorts them last — with nulls in the histogram the two
+    engines disagree by the null count. discrete_quantiles filters them
+    out; the DuckDB twin (WHERE v IS NOT NULL) then agrees exactly."""
+    import duckdb
+
+    from python_etl_pipeline_spark.llm.caps import discrete_quantiles
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, None, None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    row = discrete_quantiles(df, "v", [0.25, 0.5, 0.75]).first()
+
+    con = duckdb.connect()
+    dq = con.execute(
+        """
+        WITH vals(v) AS (SELECT unnest(?)),
+        hist AS (SELECT v, count(*) AS c FROM vals
+                 WHERE v IS NOT NULL GROUP BY 1),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                       sum(c) OVER () AS n FROM hist)
+        SELECT min(CASE WHEN cum >= ceil(0.25 * n) THEN v END),
+               min(CASE WHEN cum >= ceil(0.5 * n) THEN v END),
+               min(CASE WHEN cum >= ceil(0.75 * n) THEN v END)
+        FROM cum
+        """,
+        [vals],
+    ).fetchone()
+    assert (row["__q0"], row["__q1"], row["__q2"]) == dq == (2, 4, 6)
