@@ -169,6 +169,25 @@ def minhash_band_buckets(
     )
 
 
+def neardup_against_index(
+    bb_new: DataFrame, index: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One incremental near-dup step: join a NEW batch's band buckets
+    (``minhash_band_buckets`` output) against the persisted signature
+    index -> distinct ``(new_id, dup_of)`` candidate pairs.
+
+    This is the operation a continuously-ingesting training-data
+    pipeline runs per arrival batch: only the delta is shingled, the
+    join shuffles on (band, bh) keys the index is already stored under,
+    and cost scales with the batch — never the corpus. Used by both the
+    batch fold (queries.x21/x35) and the streaming foreachBatch sink
+    (streaming.file_stream.stream_neardup_available_now), so the driver
+    gate verifies the exact step the stream executes."""
+    a = bb_new.select(F.col(id_col).alias("new_id"), "band", "bh")
+    b = index.select(F.col(id_col).alias("dup_of"), "band", "bh")
+    return a.join(b, ["band", "bh"]).select("new_id", "dup_of").distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

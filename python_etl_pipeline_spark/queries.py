@@ -4412,18 +4412,54 @@ def x21_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost scales with the batch, not the corpus. The oracle derives the
     same pairs from the full self-join filtered to mixed membership,
     which is exactly the set a from-scratch run would find."""
-    from .llm.dedup import minhash_band_buckets
+    from .llm.dedup import minhash_band_buckets, neardup_against_index
 
     d = _t(spark, sf_dir, "documents")
     new_docs = d.filter(F.col("doc_id") % 5 == 0)
     existing = d.filter(F.col("doc_id") % 5 != 0)
-    bb_new = minhash_band_buckets(new_docs, "text", "doc_id").select(
-        F.col("doc_id").alias("new_id"), "band", "bh"
-    )
-    bb_old = minhash_band_buckets(existing, "text", "doc_id").select(
-        F.col("doc_id").alias("dup_of"), "band", "bh"
-    )
-    return bb_new.join(bb_old, ["band", "bh"]).select("new_id", "dup_of").distinct()
+    bb_new = minhash_band_buckets(new_docs, "text", "doc_id")
+    bb_old = minhash_band_buckets(existing, "text", "doc_id")
+    return neardup_against_index(bb_new, bb_old)
+
+
+_X35_SQL = f"""
+WITH {_minhash_ctes()}
+SELECT CASE WHEN a % 3 > b % 3 THEN a ELSE b END AS new_id,
+       CASE WHEN a % 3 > b % 3 THEN b ELSE a END AS dup_of
+FROM mh_pairs WHERE a % 3 <> b % 3
+"""
+
+
+@register("x35_stream_neardup", _X35_SQL)
+def x35_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CORRECTNESS twin of the streaming incremental near-dup
+    sink (streaming.file_stream.stream_neardup_available_now): the
+    documents table arrives as three batches (doc_id % 3 stands in for
+    arrival order); each batch's band buckets join against the index
+    accumulated from every EARLIER batch via the same
+    llm.dedup.neardup_against_index step the foreachBatch sink runs,
+    then append to the index. Emits every (new_id, dup_of) pair the
+    fold detects. The oracle derives the identical set from the full
+    corpus-wide candidate pairs: a cross-batch pair (a, b) is detected
+    exactly when its LATER member arrives — so mh_pairs restricted to
+    mixed batches, oriented later-as-new_id, is the fold's output.
+    Same-batch pairs are intentionally absent both sides (within-batch
+    dedup is the batch dd2 pass's job)."""
+    from .llm.dedup import minhash_band_buckets, neardup_against_index
+
+    d = _t(spark, sf_dir, "documents")
+    bb = [
+        minhash_band_buckets(
+            d.filter(F.col("doc_id") % 3 == k), "text", "doc_id"
+        ).localCheckpoint(eager=True)  # each feeds a join AND later unions
+        for k in range(3)
+    ]
+    index = bb[0]
+    outs = []
+    for k in (1, 2):
+        outs.append(neardup_against_index(bb[k], index))
+        index = index.unionByName(bb[k])
+    return outs[0].unionByName(outs[1])
 
 
 _DD10_SQL = """
