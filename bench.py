@@ -54,6 +54,9 @@ HEADLINE = [
     "x24_salted_join",
     "x25_cdc_apply",
     "x26_fuzzy_match",
+    # round 6 additions
+    "dd15_line_dedup",
+    "x35_stream_neardup",
 ]
 
 

@@ -4524,6 +4524,134 @@ def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DD15_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, cast(ceil(len(t) / 16.0) AS INT)),
+           i -> {'pos': i,
+                 'chunk': array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ')}
+         )) AS u
+  FROM toks
+),
+flat AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM chunks),
+ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM flat
+),
+reasm AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n_chunks FROM flat GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       cast(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       cast(c.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM counts c LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+@register("dd15_line_dedup", _DD15_SQL)
+def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup with REASSEMBLY — the CCNet/RefinedWeb corpus
+    stage that strips boilerplate repeated across pages (nav bars,
+    cookie banners, license headers) by deleting every non-first
+    occurrence of a repeated line and stitching the survivors back into
+    the document. Restated on 16-token windows ("lines"), since the
+    synthetic corpus has no newlines — the same chunking as dd10, whose
+    output is the retention REPORT where this emits the cleaned TEXT.
+
+    Distributed shape: one shuffle keyed on chunk text for the global
+    first-occurrence ranking (at 100 TB hash the chunk to 128 bits
+    first so the exchange carries 16 bytes/row), one doc_id shuffle for
+    reassembly; order restored by sorting each doc's surviving (pos,
+    chunk) pairs inside the aggregate — no global sort, no window
+    without partitioning. Docs whose every chunk was seen earlier
+    collapse to an empty clean_text (kept, so the corpus row count is
+    stable; a curation pipeline then drops empties by filter)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunked.withColumn("rn", F.row_number().over(w))
+    reasm = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+    )
+    # n_chunks is a pure projection of the token count — no second
+    # explode, no aggregation shuffle for the left side of the join
+    counts = d.select("doc_id", nchunks.cast("bigint").alias("n_chunks"))
+    return counts.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "x36_dedup_rate_by_source",
+    """
+    WITH ranked AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 4)
+             AS dup_rate
+    FROM ranked GROUP BY source
+    """,
+)
+def x36_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation diagnostic: per-source duplicate rate — which ingest
+    sources are redundant (mirror sites, scraped re-posts) and how much
+    of each source's volume exact-dedup would remove. The decision
+    input for per-source caps (x28) and crawl re-prioritization. One
+    shuffle on the 16-byte content hash (bodies never shuffle), one on
+    the small source key."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    ranked = d.select(
+        "source", "doc_id", F.md5("text").alias("__h")
+    ).withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_rate"),
+    )
+
+
 @register(
     "x24_salted_join",
     """
@@ -5045,15 +5173,19 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at staleness >= 4 rounds (including brand-new queries, never
 # verified) is missing from this prefix.
 _GATE_PREFIX = [
-    # (1) added/changed this round (5): o1 rewritten onto the sequence
+    # (1) added/changed this round (7): o1 rewritten onto the sequence
     # engine, x6 reworked to the oracle-verifiable accuracy contract,
     # x34's oracle gained the null filter, x21 refactored onto
-    # neardup_against_index, x35 new (streaming near-dup batch twin)
+    # neardup_against_index, x35 new (streaming near-dup batch twin),
+    # dd15 new (line dedup with reassembly), x36 new (per-source dup
+    # rate)
     "o1_digit_sort",
     "x6_approx_stats",
     "x34_length_buckets",
     "x21_incremental_neardup",
     "x35_stream_neardup",
+    "dd15_line_dedup",
+    "x36_dedup_rate_by_source",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5067,11 +5199,12 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (33): the r3 cohort — every slot below last got
+    # (3) rotating fill (31): the r3 cohort — every slot below last got
     # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 4 left over (a6_dedup_counters, f13_boolean_recast,
-    # k4_export_nafill, x1_pivot) hit staleness 4 next round and the
-    # policy test will force them into the r7 prefix.
+    # the 6 left over (a6_dedup_counters, f13_boolean_recast,
+    # k4_export_nafill, x1_pivot, s2_partitioned_scan,
+    # s3_multifile_glob) hit staleness 4 next round and the policy test
+    # will force them into the r7 prefix.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
@@ -5103,8 +5236,6 @@ _GATE_PREFIX = [
     "i4_reconcile_counts",
     "st1_tumbling_window",
     "s1_allstring_scan",
-    "s2_partitioned_scan",
-    "s3_multifile_glob",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
