@@ -4524,6 +4524,88 @@ def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X37_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         cast(len({_DUCK_TOKS}) AS BIGINT) AS nt,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+             + 0.3 * least(len(list_filter({_DUCK_TOKS}, x -> list_contains({_EN}, x))) * 1.0
+                           / len({_DUCK_TOKS}) * 5.0, 1.0), 10) AS q,
+         CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n_docs, cast(sum(nt) AS BIGINT) AS total_tokens,
+         round(sum(is_dup) / count(*), 4) AS dup_rate,
+         round(avg(q), 4) AS mean_quality
+  FROM base GROUP BY lang
+),
+hist AS (SELECT lang, nt, count(*) AS c FROM base GROUP BY lang, nt),
+cum AS (SELECT lang, nt, sum(c) OVER (PARTITION BY lang ORDER BY nt) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+med AS (SELECT lang, min(CASE WHEN cum >= ceil(0.5 * n) THEN nt END) AS median_tokens
+        FROM cum GROUP BY lang)
+SELECT lang, n_docs, total_tokens, median_tokens, dup_rate, mean_quality
+FROM agg JOIN med USING (lang)
+"""
+
+
+@register("x37_corpus_datacard", _X37_SQL)
+def x37_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datacard — the per-language summary a dataset datasheet
+    (Gebru et al., Datasheets for Datasets) reports and a curation run
+    re-emits after every pipeline change: volume (docs, tokens), central
+    length (discrete median — same type-1 definition as llm/caps, so
+    the oracle matches bit-exactly), exact-duplicate rate, and mean
+    quality score. Composes tx1/tx2/dd1/x34 primitives in ONE pass over
+    the corpus: a projection computes tokens/quality/content-hash, one
+    16-byte-hash shuffle ranks duplicates, then a lang-keyed agg plus a
+    lang-keyed histogram window (distinct (lang, n_tokens) rows — tiny)
+    produce the card. Nothing here scales super-linearly, and the
+    output is num_languages rows."""
+    from .llm import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    base = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("__h"),
+            token_count(F.col("text")).alias("nt"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    )
+    agg = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_rate"),
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+    )
+    hist = base.groupBy("lang", "nt").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("nt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lang",
+        "nt",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    med = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("nt"))
+        ).alias("median_tokens")
+    )
+    return agg.join(med, "lang").select(
+        "lang", "n_docs", "total_tokens", "median_tokens", "dup_rate",
+        "mean_quality",
+    )
+
+
 _DD15_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -5173,12 +5255,12 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at staleness >= 4 rounds (including brand-new queries, never
 # verified) is missing from this prefix.
 _GATE_PREFIX = [
-    # (1) added/changed this round (7): o1 rewritten onto the sequence
+    # (1) added/changed this round (8): o1 rewritten onto the sequence
     # engine, x6 reworked to the oracle-verifiable accuracy contract,
     # x34's oracle gained the null filter, x21 refactored onto
     # neardup_against_index, x35 new (streaming near-dup batch twin),
     # dd15 new (line dedup with reassembly), x36 new (per-source dup
-    # rate)
+    # rate), x37 new (corpus datacard)
     "o1_digit_sort",
     "x6_approx_stats",
     "x34_length_buckets",
@@ -5186,6 +5268,7 @@ _GATE_PREFIX = [
     "x35_stream_neardup",
     "dd15_line_dedup",
     "x36_dedup_rate_by_source",
+    "x37_corpus_datacard",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5199,12 +5282,12 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (31): the r3 cohort — every slot below last got
+    # (3) rotating fill (30): the r3 cohort — every slot below last got
     # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 6 left over (a6_dedup_counters, f13_boolean_recast,
-    # k4_export_nafill, x1_pivot, s2_partitioned_scan,
-    # s3_multifile_glob) hit staleness 4 next round and the policy test
-    # will force them into the r7 prefix.
+    # the 7 left over (a6_dedup_counters, f13_boolean_recast,
+    # k4_export_nafill, x1_pivot, s1_allstring_scan,
+    # s2_partitioned_scan, s3_multifile_glob) hit staleness 4 next
+    # round and the policy test will force them into the r7 prefix.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
@@ -5235,7 +5318,6 @@ _GATE_PREFIX = [
     "f16_case_norms",
     "i4_reconcile_counts",
     "st1_tumbling_window",
-    "s1_allstring_scan",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
