@@ -125,6 +125,27 @@ def test_global_sequence_no_single_partition_window(spark, sf_dir):
         assert "hashpartitioning(__bkt" in plan, (name, plan)
 
 
+def test_line_dedup_two_shuffles_no_single_partition(spark, sf_dir):
+    # dd15 = chunk-keyed first-occurrence window + doc_id reassembly
+    # agg: exactly two wide exchanges, n_chunks as pure projection (no
+    # third agg), and never a data-sized single partition
+    plan = _plan(spark, sf_dir, "dd15_line_dedup")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+    # the rn==1 filter must push the group-limit below the exchange so
+    # duplicate chunks are dropped map-side, not shuffled
+    assert "WindowGroupLimit" in plan
+
+
+def test_datacard_windows_only_over_histogram(spark, sf_dir):
+    # x37's median window runs over the (lang, n_tokens) histogram —
+    # distinct values, never the corpus; the only data-sized exchanges
+    # are the content-hash ranking and the lang agg
+    plan = _plan(spark, sf_dir, "x37_corpus_datacard")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     # lag window, running-sum window, and the groupBy all share the
     # user_id partitioning -> one hash exchange end-to-end
