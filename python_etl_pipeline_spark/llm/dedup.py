@@ -267,6 +267,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_doc_freq: int | str | None = None,
     cap_floor: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
 
@@ -288,11 +289,22 @@ def ngram_jaccard_pairs(
     :mod:`..llm.caps`): a corpus 100x bigger has proportionally longer
     legitimate posting lists, and the derived cap tracks that without
     retuning the literal.
+
+    ``materialize=True`` (default) checkpoints the exploded shingle
+    table: its three consumers (per-doc sizes, the cap derivation, the
+    inverted-index join) shuffle on three DIFFERENT keys, so without
+    materialization Spark re-runs the explode once per consumer —
+    measured 21% of dd3's wall at sf0.1 (3.87 → 3.07 s median). The
+    posting table is the size the join shuffles anyway; a production
+    corpus persists it as the inverted index (the same trade as dd2's
+    band-bucket table).
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq == "auto":
         from .caps import filter_by_derived_cap
@@ -334,6 +346,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     max_doc_freq: int | str | None = None,
     cap_floor: int = 100,
+    materialize: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: n-gram containment C(A→B) = |S_A ∩ S_B| / |S_A|.
 
@@ -350,12 +363,16 @@ def ngram_containment_pairs(
     shingle's D(D-1)/2 join fan-out ("auto" derives it from the
     doc-frequency distribution, floor ``cap_floor`` — :mod:`..llm.caps`).
     Capped containment is a strict lower bound of true containment
-    (sizes still count every shingle).
+    (sizes still count every shingle). ``materialize`` checkpoints the
+    shingle table exactly as in :func:`ngram_jaccard_pairs` (same
+    three-consumer shape).
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq == "auto":
         from .caps import filter_by_derived_cap
