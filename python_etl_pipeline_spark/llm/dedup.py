@@ -170,7 +170,10 @@ def minhash_band_buckets(
 
 
 def neardup_against_index(
-    bb_new: DataFrame, index: DataFrame, id_col: str = "doc_id"
+    bb_new: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """One incremental near-dup step: join a NEW batch's band buckets
     (``minhash_band_buckets`` output) against the persisted signature
@@ -182,9 +185,27 @@ def neardup_against_index(
     and cost scales with the batch — never the corpus. Used by both the
     batch fold (queries.x21/x35) and the streaming foreachBatch sink
     (streaming.file_stream.stream_neardup_available_now), so the driver
-    gate verifies the exact step the stream executes."""
+    gate verifies the exact step the stream executes.
+
+    ``max_bucket_size`` caps the INDEX side per (band, bh): a
+    degenerate bucket (empty docs, boilerplate) otherwise taxes every
+    future batch with its full population of candidate rows, forever.
+    A production deployment derives the cap once per corpus alongside
+    the persisted index (llm.caps.derived_cap over the stored bucket
+    sizes — computed at index-build time, not per batch) and passes the
+    literal here; the registered gate queries run uncapped so the
+    oracle stays a plain join."""
     a = bb_new.select(F.col(id_col).alias("new_id"), "band", "bh")
     b = index.select(F.col(id_col).alias("dup_of"), "band", "bh")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bh")
+        b = (
+            b.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     return a.join(b, ["band", "bh"]).select("new_id", "dup_of").distinct()
 
 

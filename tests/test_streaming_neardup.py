@@ -124,3 +124,32 @@ def test_neardup_batch_step_is_idempotent(spark, tmp_path):
     assert dup_pairs == {(6, 1)}
     step(b1, 1)  # crash re-delivery of the same batch
     assert state() == first
+
+
+def test_index_bucket_cap_bounds_degenerate_fanout(spark):
+    """A degenerate index bucket (many docs sharing a band bucket —
+    empty/boilerplate text) must be excludable from the incremental
+    join: with the cap, a new doc landing in that bucket produces no
+    candidate pairs from it; legitimate small buckets still match."""
+    from python_etl_pipeline_spark.llm.dedup import (
+        minhash_band_buckets,
+        neardup_against_index,
+    )
+
+    # 50 identical boilerplate docs -> one degenerate bucket per band;
+    # 2 distinct docs form a small legitimate bucket pair
+    rows = [(i, "word " * 30) for i in range(50)] + [
+        (100, T1),
+        (101, T3),
+    ]
+    corpus = spark.createDataFrame(rows, SCHEMA)
+    index = minhash_band_buckets(corpus, "text", "doc_id")
+    new = spark.createDataFrame([(200, "word " * 30), (201, T1)], SCHEMA)
+    bb_new = minhash_band_buckets(new, "text", "doc_id")
+
+    uncapped = neardup_against_index(bb_new, index)
+    capped = neardup_against_index(bb_new, index, max_bucket_size=10)
+    un = {(r["new_id"], r["dup_of"]) for r in uncapped.collect()}
+    cp = {(r["new_id"], r["dup_of"]) for r in capped.collect()}
+    assert len(un) == 51  # 200 pairs with all 50 boilerplate + (201,100)
+    assert cp == {(201, 100)}  # degenerate bucket excluded, real dup kept
