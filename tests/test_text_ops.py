@@ -63,3 +63,22 @@ def test_gopher_rules_flag_degenerate_docs(spark):
     assert out[3]["keep"] is False
     assert out[4]["stop_types"] == 0         # no stopword types
     assert out[4]["keep"] is False
+
+
+def test_line_dedup_reassembles_undropped_docs_verbatim(spark, sf_dir):
+    """dd15 invariant beyond the oracle: a document that loses no chunk
+    must reassemble to exactly its whitespace-normalized text (order
+    preserved, nothing duplicated or lost by the sort-inside-agg)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["dd15_line_dedup"].spark(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm"),
+    )
+    joined = out.filter(F.col("n_dropped") == 0).join(d, "doc_id")
+    total = joined.count()
+    assert total > 0  # fixture has unique docs
+    assert joined.filter(F.col("clean_text") != F.col("norm")).count() == 0
