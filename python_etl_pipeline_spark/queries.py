@@ -4448,12 +4448,15 @@ def x35_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import minhash_band_buckets, neardup_against_index
 
     d = _t(spark, sf_dir, "documents")
-    bb = [
-        minhash_band_buckets(
-            d.filter(F.col("doc_id") % 3 == k), "text", "doc_id"
-        ).localCheckpoint(eager=True)  # each feeds a join AND later unions
-        for k in range(3)
-    ]
+    # One signature pass over the whole corpus, checkpointed, then
+    # per-batch slices are cheap filters of it — the shingle+minhash
+    # pipeline (the dominant cost) runs once, not once per batch. The
+    # real stream gets the same economy for free: each batch is
+    # signatured exactly once and persisted (neardup_batch_writer).
+    bb_all = minhash_band_buckets(d, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    bb = [bb_all.filter(F.col("doc_id") % 3 == k) for k in range(3)]
     index = bb[0]
     outs = []
     for k in (1, 2):
