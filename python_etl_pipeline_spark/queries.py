@@ -4415,10 +4415,15 @@ def x21_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import minhash_band_buckets, neardup_against_index
 
     d = _t(spark, sf_dir, "documents")
-    new_docs = d.filter(F.col("doc_id") % 5 == 0)
-    existing = d.filter(F.col("doc_id") % 5 != 0)
-    bb_new = minhash_band_buckets(new_docs, "text", "doc_id")
-    bb_old = minhash_band_buckets(existing, "text", "doc_id")
+    # One signature pass, sliced by membership: in production bb_old is
+    # a parquet READ of the stored index (zero recompute) and only
+    # new_docs is signatured; here both sides come from one corpus scan
+    # rather than two independent shingle+minhash pipelines.
+    bb_all = minhash_band_buckets(d, "text", "doc_id").localCheckpoint(
+        eager=True
+    )
+    bb_new = bb_all.filter(F.col("doc_id") % 5 == 0)
+    bb_old = bb_all.filter(F.col("doc_id") % 5 != 0)
     return neardup_against_index(bb_new, bb_old)
 
 
