@@ -4532,6 +4532,53 @@ def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X38_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM counted
+)
+SELECT cast((rn - 1) % 8 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM ranked GROUP BY 1
+"""
+
+
+@register("x38_token_sharding", _X38_SQL)
+def x38_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding for data-parallel training: assign every
+    document to one of 8 shards so per-shard token totals are nearly
+    equal. Greedy bin-packing is inherently sequential; the scalable
+    restatement is longest-processing-time round-robin — rank documents
+    by token count descending and deal rank k to shard (k-1) mod 8,
+    which bounds shard imbalance by one document's tokens per cycle.
+    The global rank rides the partition-offset sequence engine
+    (operators/sequence.py, like o1/w1/x32), so no single-partition
+    window at any corpus size; output is 8 rows (the balance report —
+    the per-doc assignment is the same frame before the final agg)."""
+    from .operators.sequence import with_global_sequence
+
+    from .llm.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    ).withColumn("neg_nt", -F.col("n_tokens"))
+    ranked = with_global_sequence(counted, ["neg_nt", "doc_id"], name="rn")
+    return (
+        ranked.groupBy(F.pmod(F.col("rn") - 1, F.lit(8)).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 _X37_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang,
@@ -5263,12 +5310,12 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at staleness >= 4 rounds (including brand-new queries, never
 # verified) is missing from this prefix.
 _GATE_PREFIX = [
-    # (1) added/changed this round (8): o1 rewritten onto the sequence
+    # (1) added/changed this round (9): o1 rewritten onto the sequence
     # engine, x6 reworked to the oracle-verifiable accuracy contract,
     # x34's oracle gained the null filter, x21 refactored onto
     # neardup_against_index, x35 new (streaming near-dup batch twin),
     # dd15 new (line dedup with reassembly), x36 new (per-source dup
-    # rate), x37 new (corpus datacard)
+    # rate), x37 new (corpus datacard), x38 new (token sharding)
     "o1_digit_sort",
     "x6_approx_stats",
     "x34_length_buckets",
@@ -5277,6 +5324,7 @@ _GATE_PREFIX = [
     "dd15_line_dedup",
     "x36_dedup_rate_by_source",
     "x37_corpus_datacard",
+    "x38_token_sharding",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5290,12 +5338,13 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (30): the r3 cohort — every slot below last got
+    # (3) rotating fill (29): the r3 cohort — every slot below last got
     # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 7 left over (a6_dedup_counters, f13_boolean_recast,
+    # the 8 left over (a6_dedup_counters, f13_boolean_recast,
     # k4_export_nafill, x1_pivot, s1_allstring_scan,
-    # s2_partitioned_scan, s3_multifile_glob) hit staleness 4 next
-    # round and the policy test will force them into the r7 prefix.
+    # s2_partitioned_scan, s3_multifile_glob, st1_tumbling_window) hit
+    # staleness 4 next round and the policy test will force them into
+    # the r7 prefix.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
@@ -5325,7 +5374,6 @@ _GATE_PREFIX = [
     "f15_md5_hash",
     "f16_case_norms",
     "i4_reconcile_counts",
-    "st1_tumbling_window",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
