@@ -80,31 +80,15 @@ def main():
             except Exception:
                 pass  # warmup is best-effort; the timed run decides
 
-    # Per-query: one warm-up execution at the TARGET sf (beyond the
-    # sf0.001 compile pass above — it also warms the page cache for the
-    # real input files), then median-of-3 timed runs. The median defeats
-    # the +/-50% single-shot noise this harness has shown (tx10 moved
-    # 3.76s -> 1.63s across rounds with no code change); the spread is
-    # recorded so a verdict can tell regression from noise without a
-    # re-run.
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spec.spark(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs.append(time.time() - t0)
-        runs.sort()
-        timings[name] = round(runs[1], 3)
-        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     # end-to-end banking pipeline at the reference's exact volume (107k
-    # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s)
+    # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s).
+    # Measured BEFORE the query sweep: 35 queries x 4 executions leave
+    # the session with accumulated JVM heap/GC and Python-worker state
+    # that was measured to inflate a subsequent e2e run from ~4.9s to
+    # ~8.6s — each block is timed right after its own warmup instead.
     import shutil
     import tempfile
 
@@ -138,6 +122,27 @@ def main():
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # Per-query: one warm-up execution at the TARGET sf (beyond the
+    # sf0.001 compile pass above — it also warms the page cache for the
+    # real input files), then median-of-3 timed runs. The median defeats
+    # the +/-50% single-shot noise this harness has shown (tx10 moved
+    # 3.76s -> 1.63s across rounds with no code change); the spread is
+    # recorded so a verdict can tell regression from noise without a
+    # re-run.
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
