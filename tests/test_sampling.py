@@ -88,3 +88,25 @@ def test_zorder_key_interleaves_quadrants(spark, sf_dir):
         hi = (r["zkey"] >> 15 & 1 == 1, r["zkey"] >> 14 & 1 == 1)
         assert quadrant == hi
         assert 0 <= r["zkey"] < (1 << 16)
+
+
+def test_token_sharding_balance_bound(spark, sf_dir):
+    """x38 contract: LPT round-robin bounds per-shard token imbalance —
+    max-min shard total can never exceed 8 documents' worth of the
+    largest per-deal token count; on real data it should be far tighter
+    than naive hashing. Assert the hard invariant (max-min <= max doc
+    tokens * 1) that the deal order guarantees."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    out = REGISTRY["x38_token_sharding"].spark(spark, sf_dir).collect()
+    assert len(out) == 8
+    totals = [r["total_tokens"] for r in out]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_doc = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max(totals) - min(totals) <= max_doc
