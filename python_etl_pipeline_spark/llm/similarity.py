@@ -438,24 +438,32 @@ def semantic_dedup(
     if materialize:
         assign = assign.localCheckpoint(eager=True)
     id_t = df.schema[id_col].dataType.simpleString()
-    vecs = assign.join(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
-        F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
-    )
+    # The cap depends only on CELL SIZES, which the (id, cell)
+    # assignment already carries — apply it there, before the vector
+    # join, so the cap's two extra consumers (size agg + semi-join) run
+    # over the checkpointed two-column assignment instead of re-joining
+    # the full embedding vectors per consumer.
+    scored = assign  # members of capped-out cells stay in `assign`
+    # (they are passed through un-scored, every member kept) — only the
+    # GRAM input is filtered.
     if max_cell_size == "auto":
         from .caps import filter_by_derived_cap
 
-        vecs = filter_by_derived_cap(
-            vecs, ["cell"], floor=cap_floor, hard_max=cap_hard_max
+        scored = filter_by_derived_cap(
+            scored, ["cell"], floor=cap_floor, hard_max=cap_hard_max
         )
     elif max_cell_size is not None:
         from pyspark.sql import Window
 
         wc = Window.partitionBy("cell")
-        vecs = (
-            vecs.withColumn("__csz", F.count(F.lit(1)).over(wc))
+        scored = (
+            scored.withColumn("__csz", F.count(F.lit(1)).over(wc))
             .filter(F.col("__csz") <= max_cell_size)
             .drop("__csz")
         )
+    vecs = scored.join(df.select(F.col(id_col), F.col(vec_col)), id_col).select(
+        F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
+    )
     pairs = vecs.groupBy("cell").applyInPandas(
         _gram_pair_fn(min_sim), schema=f"a {id_t}, b {id_t}, cosine double"
     )
