@@ -31,7 +31,7 @@ the whole derivation stays in the lazy plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -49,36 +49,59 @@ def discrete_quantiles(
     (type-1) quantiles of ``values[col]``: q_p = min(v : cum_count(v) >=
     ceil(p * n)), computed from the value histogram. Integer-exact (no
     interpolation), so a SQL twin reproduces each quantile bit-for-bit.
-    Fully lazy; the single-partition window runs over the HISTOGRAM
-    (distinct values), never the data.
 
-    NULLs are excluded before the histogram: Spark's ``Window.orderBy``
-    sorts nulls FIRST in the cumulative sum while DuckDB's ``ORDER BY``
-    sorts them LAST, so a null in the value column would shift every
-    quantile by the null count on exactly one side. Any SQL twin must
-    carry the same ``WHERE col IS NOT NULL`` in its hist CTE."""
+    Plan shape: one keyed agg builds the histogram (distinct values —
+    bounded by the cap itself at steady state for the size
+    distributions this module serves), then a single global agg packs
+    it into a sorted array and every quantile is a pure ``aggregate``
+    fold over that array. No window at all — the earlier cumulative-sum
+    window ran unpartitioned and tripped Spark's "No Partition Defined"
+    alarm hundreds of times per bench run even though its input was
+    histogram-sized; the fold computes the identical cum-count walk
+    inside one expression.
+
+    NULLs are excluded before the histogram: a cumulative walk that
+    included them would shift every quantile by the null count on
+    exactly one side of a SQL twin (engines disagree on null sort
+    order). Any SQL twin must carry the same ``WHERE col IS NOT NULL``
+    in its hist CTE."""
+    vt = values.schema[col].dataType
     hist = (
         values.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count("*").alias("__c"))
     )
-    w_cum = Window.orderBy(col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    packed = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(col).alias("v"), F.col("__c").alias("c")))
+        ).alias("__h")
+    ).select(
+        "__h",
+        F.aggregate(
+            "__h", F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+        ).alias("__n"),
     )
-    cum = hist.select(
-        F.col(col).alias("__v"),
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(Window.partitionBy()).alias("__n"),
-    )
-    return cum.agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)), F.col("__v")
-                )
-            ).alias(f"__q{i}")
-            for i, p in enumerate(ps)
-        ]
+
+    def q_expr(p: float):
+        target = F.ceil(F.col("__n") * F.lit(p))
+        zero = F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast(vt).alias("q"),
+        )
+        walk = F.aggregate(
+            "__h",
+            zero,
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.coalesce(
+                    acc["q"], F.when(acc["cum"] + x["c"] >= target, x["v"])
+                ).alias("q"),
+            ),
+        )
+        return walk["q"]
+
+    return packed.select(
+        *[q_expr(p).alias(f"__q{i}") for i, p in enumerate(ps)]
     )
 
 

@@ -121,7 +121,7 @@ class Warehouse:
         """
         import math
 
-        from pyspark.sql import Window, functions as F
+        from pyspark.sql import functions as F
 
         sc = self.spark.sparkContext
         jvm = sc._jvm
@@ -151,18 +151,27 @@ class Warehouse:
             # estimate is layout-independent and one keyed agg). The agg
             # output is one row per partition directory — broadcast.
             sizes = df.groupBy(*partition_by).agg(F.count("*").alias("__rows"))
-            sizes = sizes.withColumn(
-                "__nf",
-                F.greatest(
-                    F.lit(1),
-                    F.ceil(
-                        F.col("__rows")
-                        * F.lit(float(total_bytes))
-                        / F.sum("__rows").over(Window.partitionBy())
-                        / F.lit(float(target_file_bytes))
-                    ),
-                ).cast("int"),
-            ).drop("__rows")
+            # total row count as a 1-row broadcast scalar (a windowed
+            # total over the tiny sizes frame would plan an
+            # unpartitioned WindowExec and trip Spark's single-partition
+            # alarm for what is a per-directory metadata frame)
+            tot = sizes.agg(F.sum("__rows").alias("__tot"))
+            sizes = (
+                sizes.crossJoin(F.broadcast(tot))
+                .withColumn(
+                    "__nf",
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            F.col("__rows")
+                            * F.lit(float(total_bytes))
+                            / F.col("__tot")
+                            / F.lit(float(target_file_bytes))
+                        ),
+                    ).cast("int"),
+                )
+                .drop("__rows", "__tot")
+            )
             # Null-safe join: partition keys CAN be null (e.g. a
             # transaction_year derived from a dirty date parses to NULL
             # and lands in the __HIVE_DEFAULT_PARTITION__ directory). A
