@@ -628,6 +628,60 @@ def pq_rerank_topk(
     )
 
 
+def ivf_query_from_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    query_id: int,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a PERSISTED IVF index — the ANN analog of x21's stored
+    signature index: ``centroids`` (cell, i, v) and ``assign``
+    (id, cell) are :func:`kmeans_fit` outputs written to parquet at
+    index-build time and read back here, so a query never re-clusters
+    the corpus. Per query: one broadcast of the k x d centroid table to
+    rank the probe cells by cosine against the query vector, a semi-join
+    of the stored assignment to the ``nprobe`` chosen cells, and an
+    exact rerank over only those members (~nprobe/k of the corpus) —
+    the index-build cost (Lloyd iterations over 100 TB of vectors) is
+    paid once, queries pay cell-sized work. Deterministic: cells tie-
+    break ascending, rerank orders (cosine desc, id asc)."""
+    comp = _components(df, id_col, vec_col)
+    q = comp.filter(F.col(id_col) == query_id).select("i", F.col("v").alias("qv"))
+    cent = centroids.select("cell", "i", F.col("v").alias("cv"))
+    cell_scores = (
+        cent.join(F.broadcast(q), "i")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.col("cv") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm"),
+        )
+        .select("cell", (F.col("dot") / F.col("cnorm")).alias("score"))
+    )
+    # TakeOrderedAndProject over the k-row cell table — no window
+    probe = (
+        cell_scores.orderBy(F.col("score").desc(), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    members = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    candidates = df.join(members, id_col, "left_semi")
+    return brute_force_topk(
+        candidates.unionByName(df.filter(F.col(id_col) == query_id)),
+        query_id,
+        k,
+        id_col,
+        vec_col,
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,

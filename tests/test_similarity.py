@@ -217,3 +217,42 @@ def test_pq_rerank_recall_beats_raw_pq(spark):
     rr = {r["vec_id"] for r in pq_rerank_topk(emb, 0, k=10, n_codes=16).collect()}
     assert len(rr & truth) >= 5
     assert len(rr & truth) >= len(raw & truth)
+
+
+def test_ivf_index_persist_and_query_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once / query-many: kmeans_fit's (centroids, assignment)
+    written to parquet and read back must answer queries identically to
+    the in-memory index, and the candidate set must come only from the
+    probed cells."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        ivf_query_from_index,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, assign = kmeans_fit(emb, k=4, iters=2)
+    cent.write.parquet(str(tmp_path / "cent"))
+    assign.write.parquet(str(tmp_path / "assign"))
+
+    cent2 = spark.read.parquet(str(tmp_path / "cent"))
+    assign2 = spark.read.parquet(str(tmp_path / "assign"))
+
+    qid = 7
+    mem = ivf_query_from_index(emb, cent, assign, qid, k=5, nprobe=2)
+    stored = ivf_query_from_index(emb, cent2, assign2, qid, k=5, nprobe=2)
+    m = [(r["vec_id"], round(r["cosine"], 9)) for r in mem.collect()]
+    s = [(r["vec_id"], round(r["cosine"], 9)) for r in stored.collect()]
+    assert m == s and len(s) == 5
+    # results are ordered by cosine desc and come from the probed cells
+    cos = [c for _, c in s]
+    assert cos == sorted(cos, reverse=True)
+    probed = {
+        r["cell"]
+        for r in assign2.filter(F.col("vec_id").isin([i for i, _ in s]))
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    assert len(probed) <= 2
