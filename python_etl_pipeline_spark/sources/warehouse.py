@@ -23,8 +23,19 @@ class Warehouse:
         assert layer in LAYERS, layer
         return f"{self.root}/{layer}/{table}"
 
-    def read(self, layer: str, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(layer, table))
+    def read(
+        self, layer: str, table: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """``merge_schema=True`` reconciles files written under evolved
+        schemas (a daily append that gained a column): the union schema
+        is read, pre-evolution rows surface the new column as NULL.
+        Off by default — schema merging footer-scans every file, a real
+        cost on a 100 TB table, and the common case is a stable schema
+        enforced by the pipeline's validated projections (P1)."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(layer, table))
 
     def exists(self, layer: str, table: str) -> bool:
         """Filesystem probe via the Hadoop FS API (scheme-agnostic: local,

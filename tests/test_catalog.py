@@ -290,3 +290,26 @@ def test_compact_partitioned_splits_skewed_partition(spark, tmp_path):
     assert len(files_in("part=small")) == 1
     after = spark.read.parquet(root)
     assert after.count() == total
+
+
+def test_append_schema_evolution_merge_read(spark, tmp_path):
+    """A daily append that gained a column must stay readable: with
+    merge_schema the union schema comes back and pre-evolution rows
+    surface the new column as NULL; the default read stays cheap (no
+    footer sweep) and keeps serving the original schema."""
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.append(spark.createDataFrame([(1, "a")], "id int, v string"),
+              "production", "t")
+    wh.append(
+        spark.createDataFrame(
+            [(2, "b", 0.5)], "id int, v string, score double"
+        ),
+        "production", "t",
+    )
+    merged = wh.read("production", "t", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 0.5
