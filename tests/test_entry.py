@@ -28,3 +28,13 @@ def test_oracle_sql_runs_on_duckdb(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     for name, sql in entrymod.oracle_sql().items():
         con.execute(sql).fetchall()
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py is the driver's perf gate: a renamed query must fail CI
+    here, not silently drop out of the headline set at bench time."""
+    import bench
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
