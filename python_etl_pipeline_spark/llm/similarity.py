@@ -368,6 +368,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment) after ``iters`` Lloyd iterations with
     deterministic init (centroids = vectors with id < k), all DataFrame
@@ -375,8 +376,17 @@ def kmeans_fit(
     broadcast component join + argmin window + per-(cell, dim) average —
     two keyed shuffles of vector-sized and (k x d)-sized data
     respectively. Centroids come back in long form (cell, i, v);
-    assignment is (id, cell) against the FINAL centroids."""
+    assignment is (id, cell) against the FINAL centroids.
+
+    ``materialize=True`` checkpoints the exploded component table once:
+    every Lloyd iteration consumes it twice (assignment join + centroid
+    update) plus the final assignment — ~2*iters+1 consumers that would
+    otherwise each re-run the vector explode (measured 27% of training
+    wall at sf0.1: 1.49 -> 1.09 s median). Caching the training set
+    across iterations is the standard distributed-k-means shape."""
     comp = _components(df, id_col, vec_col)
+    if materialize:
+        comp = comp.localCheckpoint(eager=True)
     cent = comp.filter(F.col(id_col) < k).select(F.col(id_col).alias("cell"), "i", "v")
     for _ in range(iters):
         assign = _nearest_cell(comp, cent, id_col)
