@@ -318,7 +318,11 @@ def ngram_jaccard_pairs(
     measured 21% of dd3's wall at sf0.1 (3.87 → 3.07 s median). The
     posting table is the size the join shuffles anyway; a production
     corpus persists it as the inverted index (the same trade as dd2's
-    band-bucket table).
+    band-bucket table). Note the eager side effect: the checkpoint runs
+    a real job at plan-CONSTRUCTION time — pass ``materialize=False``
+    when only building/inspecting the plan, or when pre-filtering
+    ``df`` matters more than explode reuse (filters cannot push below
+    a checkpoint).
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
@@ -386,7 +390,7 @@ def ngram_containment_pairs(
     Capped containment is a strict lower bound of true containment
     (sizes still count every shingle). ``materialize`` checkpoints the
     shingle table exactly as in :func:`ngram_jaccard_pairs` (same
-    three-consumer shape).
+    three-consumer shape, same eager-at-construction caveat).
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),

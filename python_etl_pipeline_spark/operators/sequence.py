@@ -104,9 +104,10 @@ def with_global_sequence(
     tagged = df.withColumn("__bkt", bucket)
 
     # Tiny job: one output row per bucket (zipWithIndex's count pass).
+    # Non-empty by construction: the isEmpty() probe above already
+    # returned for empty input, and a null leading key fails the job
+    # via assert_true rather than yielding empty counts.
     counts = tagged.groupBy("__bkt").agg(F.count("*").alias("__cnt")).collect()
-    if not counts:  # empty input: nothing to rank, no offsets to build
-        return df.withColumn(name, F.lit(None).cast("bigint"))
     acc = start - 1
     offsets: dict[int, int] = {}
     for row in sorted(counts, key=lambda r: r["__bkt"]):

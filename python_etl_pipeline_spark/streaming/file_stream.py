@@ -209,14 +209,23 @@ def neardup_batch_writer(
         bb_new = minhash_band_buckets(
             batch_df, text_col, id_col
         ).localCheckpoint(eager=True)  # consumed twice: join + append
-        import glob
         import os
 
-        prior = [
-            p
-            for p in glob.glob(os.path.join(index_dir, "batch_id=*"))
-            if int(p.rsplit("=", 1)[1]) < batch_id
-        ]
+        # Hadoop FS listing, not local glob: index_dir is an
+        # hdfs://-or-s3a:// URI in production and a local-FS glob would
+        # silently see no prior batches there (same scheme-agnostic
+        # pattern as Warehouse.exists).
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        prior = []
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith("batch_id=") and (
+                    int(name.split("=", 1)[1]) < batch_id
+                ):
+                    prior.append(st.getPath().toString())
         if prior:
             index = spark.read.option("basePath", index_dir).parquet(*prior)
             dups = neardup_against_index(bb_new, index, id_col=id_col)

@@ -26,7 +26,7 @@ def test_approx_stats_accuracy(spark, sf_dir):
     assert rows.keys() == exact.keys()
     for flag, a in rows.items():
         assert a["exact_orders"] == exact[flag]
-        assert a["distinct_within_3pct"]
+        assert a["distinct_within_5pct"]
         assert a["median_within_1pct"]
         assert a["p99_within_2pct"]
 
