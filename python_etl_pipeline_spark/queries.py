@@ -2819,6 +2819,68 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.sampling import hash_bucket_sql as _hb_sql  # noqa: E402
+
+_X39_SQL = f"""
+WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+),
+b AS (SELECT doc_id, rep, {_hb_sql('rep', 100)} AS bucket FROM rep)
+SELECT doc_id, cast(rep AS BIGINT) AS rep,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("x39_leakage_safe_split", _X39_SQL)
+def x39_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    land on the SAME side of the split, or evaluation scores are
+    contaminated by memorized training text — the failure mode a plain
+    per-document hash split (x11) cannot prevent when the corpus holds
+    near-dups. Split unit = the near-dup CLUSTER: connected components
+    over the MinHash-LSH candidate graph (dd6's machinery), each
+    document keyed by its cluster representative (min doc_id; singleton
+    docs represent themselves), and the 80/10/10 hash rule applied to
+    the REPRESENTATIVE — one cluster, one side, deterministically.
+    Scale shape: the CC fixed-point is the only iterative part (same
+    plan as dd6); everything after is a left join against the
+    cluster-label table plus a pure projection."""
+    from .llm.dedup import connected_components, minhash_lsh_pairs
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", max_bucket_size=100
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "label"
+    )
+    rep = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("rep")
+    )
+    bucket = hash_bucket(F.col("rep"), 100)
+    return rep.select(
+        "doc_id",
+        F.col("rep").cast("bigint").alias("rep"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 _DD13_SQL = f"""
 WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
 edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
@@ -5318,12 +5380,13 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at staleness >= 4 rounds (including brand-new queries, never
 # verified) is missing from this prefix.
 _GATE_PREFIX = [
-    # (1) added/changed this round (9): o1 rewritten onto the sequence
+    # (1) added/changed this round (10): o1 rewritten onto the sequence
     # engine, x6 reworked to the oracle-verifiable accuracy contract,
     # x34's oracle gained the null filter, x21 refactored onto
     # neardup_against_index, x35 new (streaming near-dup batch twin),
     # dd15 new (line dedup with reassembly), x36 new (per-source dup
-    # rate), x37 new (corpus datacard), x38 new (token sharding)
+    # rate), x37 new (corpus datacard), x38 new (token sharding),
+    # x39 new (leakage-safe split)
     "o1_digit_sort",
     "x6_approx_stats",
     "x34_length_buckets",
@@ -5333,6 +5396,7 @@ _GATE_PREFIX = [
     "x36_dedup_rate_by_source",
     "x37_corpus_datacard",
     "x38_token_sharding",
+    "x39_leakage_safe_split",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5346,13 +5410,13 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (29): the r3 cohort — every slot below last got
+    # (3) rotating fill (28): the r3 cohort — every slot below last got
     # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 8 left over (a6_dedup_counters, f13_boolean_recast,
+    # the 9 left over (a6_dedup_counters, f13_boolean_recast,
     # k4_export_nafill, x1_pivot, s1_allstring_scan,
-    # s2_partitioned_scan, s3_multifile_glob, st1_tumbling_window) hit
-    # staleness 4 next round and the policy test will force them into
-    # the r7 prefix.
+    # s2_partitioned_scan, s3_multifile_glob, st1_tumbling_window,
+    # i4_reconcile_counts) hit staleness 4 next round and the policy
+    # test will force them into the r7 prefix.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
@@ -5381,7 +5445,6 @@ _GATE_PREFIX = [
     "f12_fraud_flag",
     "f15_md5_hash",
     "f16_case_norms",
-    "i4_reconcile_counts",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

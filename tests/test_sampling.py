@@ -110,3 +110,29 @@ def test_token_sharding_balance_bound(spark, sf_dir):
         .first()[0]
     )
     assert max(totals) - min(totals) <= max_doc
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
+    """The property x39 exists for: every near-dup candidate pair must
+    land on the same side of the split (a plain per-doc hash split
+    leaks eval text into train through near-duplicates)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.dedup import minhash_lsh_pairs
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    split = REGISTRY["x39_leakage_safe_split"].spark(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=100)
+    joined = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")),
+            "a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("sb")),
+            "b",
+        )
+    )
+    assert joined.count() > 0  # fixture has near-dups
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
