@@ -244,3 +244,53 @@ def test_profiling_ops_shapes(spark, sf_dir):
         assert marker not in plan
     assert "Expand" not in plan  # melt is stack (Generate), not the
     # multi-countDistinct Expand that would x5 the scan rows per distinct agg
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """The engine's stated skew story has two layers: explicit salting
+    (x24) for aggregations AQE can't fix, and AQE skew-join for plain
+    joins. Pin the second layer actually engaging: a join where one key
+    holds ~all rows must show skew-handled shuffle reads in the final
+    adaptive plan."""
+    from pyspark.sql import functions as F
+
+    # force tiny thresholds so the 200k-row fixture trips the skew logic
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("r")
+        )
+        # count() drives THIS Dataset's QueryExecution to completion so
+        # its executedPlan is the final adaptive plan (a noop write
+        # would execute a separate QueryExecution and leave this one
+        # unfinalized)
+        # bare join output: a downstream groupBy would re-require hash
+        # distribution on k and legally veto the skew split
+        joined = left.join(right, "k")
+        joined.collect()  # collect() runs THIS Dataset's QueryExecution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # the two AQE skew markers: the join tagged skew=true and the
+        # shuffle read split into skewed sub-partitions
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -25,6 +25,11 @@ DEFAULT = [
     "x24_salted_join",
     "x25_cdc_apply",
     "x27_corpus_mix",
+    # round 6
+    "o1_digit_sort",
+    "dd15_line_dedup",
+    "x37_corpus_datacard",
+    "x38_token_sharding",
 ]
 
 
