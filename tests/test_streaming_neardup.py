@@ -153,3 +153,20 @@ def test_index_bucket_cap_bounds_degenerate_fanout(spark):
     cp = {(r["new_id"], r["dup_of"]) for r in capped.collect()}
     assert len(un) == 51  # 200 pairs with all 50 boilerplate + (201,100)
     assert cp == {(201, 100)}  # degenerate bucket excluded, real dup kept
+
+
+def test_batch_writer_handles_scheme_uris(spark, tmp_path):
+    """The index listing goes through the Hadoop FS API precisely so
+    scheme'd URIs (hdfs://, s3a://) work; pin that with file:// — a
+    local-glob implementation would see zero prior batches here and
+    silently report no duplicates."""
+    index_dir = f"file://{tmp_path}/index"
+    dups_dir = f"file://{tmp_path}/dups"
+    step = neardup_batch_writer(spark, index_dir, dups_dir)
+    step(spark.createDataFrame([(1, T1)], SCHEMA), 0)
+    step(spark.createDataFrame([(6, T1)], SCHEMA), 1)
+    pairs = {
+        (r["new_id"], r["dup_of"])
+        for r in spark.read.parquet(dups_dir).collect()
+    }
+    assert pairs == {(6, 1)}
