@@ -1452,6 +1452,64 @@ def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx16_langid_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains({_EN}, x))) AS en,
+             len(list_filter(toks, x -> list_contains({_DE}, x))) AS de,
+             len(list_filter(toks, x -> list_contains({_ES}, x))) AS es
+      FROM t
+    ),
+    p AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN en >= de AND en >= es THEN 'en'
+                  WHEN de >= es THEN 'de'
+                  ELSE 'es' END AS pred_lang
+      FROM s
+    ),
+    m AS (SELECT labeled_lang, pred_lang, count(*) AS n_docs
+          FROM p GROUP BY 1, 2)
+    SELECT labeled_lang, pred_lang, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY labeled_lang), 4)
+             AS frac_of_label
+    FROM m
+    """,
+)
+def tx16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata consistency check — the confusion matrix
+    between the SOURCE-ASSIGNED language tag and the text-derived
+    classifier prediction (tx3's heuristic). CCNet-style curation runs
+    exactly this QA step: a source whose metadata disagrees with the
+    classifier on most documents has broken tagging and its lang-based
+    routing (corpus mix x27, per-lang budgets tx12) is garbage-in.
+    Per (labeled, predicted) cell: document count and the row-relative
+    fraction. One projection + one tiny (lang x lang) agg; the fraction
+    window runs over the ~25-row matrix, never the corpus."""
+    from .llm import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "frac_of_label"
+        ),
+    )
+
+
+@register(
     "tx4_fingerprint",
     """
     SELECT doc_id,
@@ -5380,13 +5438,13 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at staleness >= 4 rounds (including brand-new queries, never
 # verified) is missing from this prefix.
 _GATE_PREFIX = [
-    # (1) added/changed this round (10): o1 rewritten onto the sequence
+    # (1) added/changed this round (11): o1 rewritten onto the sequence
     # engine, x6 reworked to the oracle-verifiable accuracy contract,
     # x34's oracle gained the null filter, x21 refactored onto
     # neardup_against_index, x35 new (streaming near-dup batch twin),
     # dd15 new (line dedup with reassembly), x36 new (per-source dup
     # rate), x37 new (corpus datacard), x38 new (token sharding),
-    # x39 new (leakage-safe split)
+    # x39 new (leakage-safe split), tx16 new (lang-id confusion)
     "o1_digit_sort",
     "x6_approx_stats",
     "x34_length_buckets",
@@ -5397,6 +5455,7 @@ _GATE_PREFIX = [
     "x37_corpus_datacard",
     "x38_token_sharding",
     "x39_leakage_safe_split",
+    "tx16_langid_confusion",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5410,13 +5469,13 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (28): the r3 cohort — every slot below last got
+    # (3) rotating fill (27): the r3 cohort — every slot below last got
     # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 9 left over (a6_dedup_counters, f13_boolean_recast,
+    # the 10 left over (a6_dedup_counters, f13_boolean_recast,
     # k4_export_nafill, x1_pivot, s1_allstring_scan,
     # s2_partitioned_scan, s3_multifile_glob, st1_tumbling_window,
-    # i4_reconcile_counts) hit staleness 4 next round and the policy
-    # test will force them into the r7 prefix.
+    # i4_reconcile_counts, f16_case_norms) hit staleness 4 next round
+    # and the policy test will force them into the r7 prefix.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
@@ -5444,7 +5503,6 @@ _GATE_PREFIX = [
     "f11_transaction_category",
     "f12_fraud_flag",
     "f15_md5_hash",
-    "f16_case_norms",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
