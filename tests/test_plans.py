@@ -294,3 +294,21 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_confusion_matrix_window_over_matrix_only(spark, sf_dir):
+    # tx16's fraction window partitions by labeled_lang over the
+    # (lang x lang) aggregate — never an unpartitioned window, never a
+    # data-sized range sort
+    plan = _plan(spark, sf_dir, "tx16_langid_confusion")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_leakage_split_reads_corpus_once_per_side(spark, sf_dir):
+    # x39 = CC over the candidate graph + one left join + projection;
+    # the split assignment itself must add no extra wide exchange over
+    # the label join and no single-partition stage
+    plan = _plan(spark, sf_dir, "x39_leakage_safe_split")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
