@@ -638,6 +638,29 @@ def pq_rerank_topk(
     )
 
 
+def _rerank_members(
+    df: DataFrame,
+    members: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared probe tail for the IVF paths: exact brute-force top-k over
+    ``members`` (a one-column frame of candidate ids, query excluded)
+    plus the query's own row. Kept in one place so the self-exclusion
+    and tie-break rules cannot drift between the in-memory and
+    persisted-index paths."""
+    candidates = df.join(members, id_col, "left_semi")
+    return brute_force_topk(
+        candidates.unionByName(df.filter(F.col(id_col) == query_id)),
+        query_id,
+        k,
+        id_col,
+        vec_col,
+    )
+
+
 def ivf_query_from_index(
     df: DataFrame,
     centroids: DataFrame,
@@ -653,43 +676,34 @@ def ivf_query_from_index(
     (id, cell) are :func:`kmeans_fit` outputs written to parquet at
     index-build time and read back here, so a query never re-clusters
     the corpus. Per query: one broadcast of the k x d centroid table to
-    rank the probe cells by cosine against the query vector, a semi-join
-    of the stored assignment to the ``nprobe`` chosen cells, and an
-    exact rerank over only those members (~nprobe/k of the corpus) —
-    the index-build cost (Lloyd iterations over 100 TB of vectors) is
-    paid once, queries pay cell-sized work. Deterministic: cells tie-
-    break ascending, rerank orders (cosine desc, id asc)."""
+    rank the probe cells, a semi-join of the stored assignment to the
+    ``nprobe`` chosen cells, and an exact rerank over only those
+    members (~nprobe/k of the corpus) — the index-build cost (Lloyd
+    iterations over 100 TB of vectors) is paid once, queries pay
+    cell-sized work.
+
+    Probe metric = squared L2, the SAME metric :func:`kmeans_fit`'s
+    ``_nearest_cell`` assigned members with. Ranking probe cells by a
+    different metric (an earlier draft used cosine) can skip the
+    query's OWN cell on unnormalized embeddings, excluding its co-cell
+    neighbors from the rerank entirely. Deterministic: cells tie-break
+    ascending, rerank orders (cosine desc, id asc)."""
     comp = _components(df, id_col, vec_col)
     q = comp.filter(F.col(id_col) == query_id).select("i", F.col("v").alias("qv"))
     cent = centroids.select("cell", "i", F.col("v").alias("cv"))
     cell_scores = (
         cent.join(F.broadcast(q), "i")
         .groupBy("cell")
-        .agg(
-            F.sum(F.col("cv") * F.col("qv")).alias("dot"),
-            F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm"),
-        )
-        .select("cell", (F.col("dot") / F.col("cnorm")).alias("score"))
+        .agg(F.sum((F.col("cv") - F.col("qv")) ** 2).alias("dist"))
     )
     # TakeOrderedAndProject over the k-row cell table — no window
-    probe = (
-        cell_scores.orderBy(F.col("score").desc(), "cell")
-        .limit(nprobe)
-        .select("cell")
-    )
+    probe = cell_scores.orderBy("dist", "cell").limit(nprobe).select("cell")
     members = (
         assign.join(F.broadcast(probe), "cell")
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
-    candidates = df.join(members, id_col, "left_semi")
-    return brute_force_topk(
-        candidates.unionByName(df.filter(F.col(id_col) == query_id)),
-        query_id,
-        k,
-        id_col,
-        vec_col,
-    )
+    return _rerank_members(df, members, query_id, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -749,11 +763,4 @@ def ivf_topk(
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
-    members = df.join(cluster, id_col, "left_semi")
-    return brute_force_topk(
-        members.unionByName(df.filter(F.col(id_col) == query_id)),
-        query_id,
-        k,
-        id_col,
-        vec_col,
-    )
+    return _rerank_members(df, cluster, query_id, k, id_col, vec_col)

@@ -4732,7 +4732,7 @@ cum AS (SELECT lang, nt, sum(c) OVER (PARTITION BY lang ORDER BY nt) AS cum,
 med AS (SELECT lang, min(CASE WHEN cum >= ceil(0.5 * n) THEN nt END) AS median_tokens
         FROM cum GROUP BY lang)
 SELECT lang, n_docs, total_tokens, median_tokens, dup_rate, mean_quality
-FROM agg JOIN med USING (lang)
+FROM agg LEFT JOIN med USING (lang)
 """
 
 
@@ -4791,7 +4791,11 @@ def x37_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("nt"))
         ).alias("median_tokens")
     )
-    return agg.join(med, "lang").select(
+    # LEFT join: a language whose every document has NULL text still
+    # appears in the datacard (median_tokens NULL) instead of silently
+    # vanishing — the datacard's job is to report the corpus, including
+    # its broken slices.
+    return agg.join(med, "lang", "left").select(
         "lang", "n_docs", "total_tokens", "median_tokens", "dup_rate",
         "mean_quality",
     )

@@ -256,3 +256,26 @@ def test_ivf_index_persist_and_query_roundtrip(spark, sf_dir, tmp_path):
         .collect()
     }
     assert len(probed) <= 2
+
+    # ground truth, not self-comparison: probing EVERY cell must equal
+    # exact brute-force top-k over the whole corpus — any systematic
+    # defect in the probe/rerank path (e.g. a probe metric that skips
+    # the query's own cell) breaks this, where the stored-vs-in-memory
+    # equality above cannot
+    from python_etl_pipeline_spark.llm.similarity import brute_force_topk
+
+    full = ivf_query_from_index(emb, cent2, assign2, qid, k=5, nprobe=4)
+    exact = brute_force_topk(emb, qid, k=5)
+    f = [(r["vec_id"], round(r["cosine"], 9)) for r in full.collect()]
+    e = [(r["vec_id"], round(r["cosine"], 9)) for r in exact.collect()]
+    assert f == e
+
+    # and with nprobe=1 the query's own cell must be the probed one
+    own = ivf_query_from_index(emb, cent2, assign2, qid, k=5, nprobe=1)
+    own_ids = [r["vec_id"] for r in own.collect()]
+    q_cell = assign2.filter(F.col("vec_id") == qid).first()["cell"]
+    member_cells = {
+        r["cell"]
+        for r in assign2.filter(F.col("vec_id").isin(own_ids)).collect()
+    }
+    assert member_cells == {q_cell}
