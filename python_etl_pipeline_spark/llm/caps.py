@@ -43,7 +43,7 @@ __all__ = [
 
 
 def discrete_quantiles(
-    values: DataFrame, col: str, ps: list[float]
+    values: DataFrame, col: str, ps: list[float], max_distinct: int = 1_000_000
 ) -> DataFrame:
     """One-row frame with ``__q0 .. __q{len(ps)-1}`` = the discrete
     (type-1) quantiles of ``values[col]``: q_p = min(v : cum_count(v) >=
@@ -64,12 +64,36 @@ def discrete_quantiles(
     included them would shift every quantile by the null count on
     exactly one side of a SQL twin (engines disagree on null sort
     order). Any SQL twin must carry the same ``WHERE col IS NOT NULL``
-    in its hist CTE."""
+    in its hist CTE.
+
+    ``max_distinct`` is the single-task memory guard: the packed
+    histogram is one array in one row, so the hard memory bound is the
+    column's DISTINCT-value count, not its row count. The size
+    distributions this module serves are discrete and cap-bounded
+    (thousands of distinct values at steady state), but a caller
+    pointing this at a high-cardinality continuous metric would
+    otherwise OOM one task with no warning — the guard fails the job
+    with an explicit message instead (woven into ``__n`` via
+    ``assert_true`` so Catalyst cannot prune it). The check runs on the
+    packed array, so memory up to O(max_distinct) struct entries is
+    still briefly allocated before it fires — the default 1M entries is
+    ~32 MB, far under task memory; raise it only with that arithmetic
+    in hand. For genuinely high-cardinality inputs use
+    ``DataFrame.approxQuantile`` — the sketch trades the bit-exact
+    oracle twin for bounded memory."""
     vt = values.schema[col].dataType
     hist = (
         values.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count("*").alias("__c"))
+    )
+    guard = F.assert_true(
+        F.size("__h") <= F.lit(max_distinct),
+        F.lit(
+            f"discrete_quantiles: histogram of '{col}' exceeds "
+            f"max_distinct={max_distinct} distinct values; use "
+            f"approxQuantile for high-cardinality columns"
+        ),
     )
     packed = hist.agg(
         F.sort_array(
@@ -77,8 +101,11 @@ def discrete_quantiles(
         ).alias("__h")
     ).select(
         "__h",
-        F.aggregate(
-            "__h", F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+        F.when(
+            guard.isNull(),
+            F.aggregate(
+                "__h", F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+            ),
         ).alias("__n"),
     )
 

@@ -219,7 +219,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | str | None = None,
     cap_floor: int = 100,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via MinHash + LSH banding.
 
@@ -241,14 +241,18 @@ def minhash_lsh_pairs(
     ``cap_floor`` — see :mod:`..llm.caps`), so the same query text is
     safe at any corpus size without retuning the literal.
 
-    ``materialize=True`` (default) checkpoints the band-bucket table
-    before it fans out: the self-join consumes it twice (three+ times
-    with the auto cap), and without materialization Spark re-executes
-    the whole shingle -> md5 -> 16-minhash pipeline per consumer —
-    recompute of exactly the stage that dominates at corpus scale. The
-    bucket table is 4 rows x ~24 bytes per document (the persisted
-    signature index x21 stores), orders of magnitude smaller than the
-    text it came from, so executor-local materialization is cheap.
+    ``materialize=True`` checkpoints the band-bucket table before it
+    fans out: the self-join consumes it twice (three+ times with the
+    auto cap), and without materialization Spark re-executes the whole
+    shingle -> md5 -> 16-minhash pipeline per consumer — recompute of
+    exactly the stage that dominates at corpus scale. The bucket table
+    is 4 rows x ~24 bytes per document (the persisted signature index
+    x21 stores), orders of magnitude smaller than the text it came
+    from, so executor-local materialization is cheap. It is OFF by
+    default because the checkpoint is an EAGER side effect — a real
+    Spark job at plan-construction time — and a plan-builder API must
+    stay lazy unless the caller opts in; every registered query that
+    executes the plan immediately passes ``materialize=True``.
     """
     assert bands * rows == n_hashes
     banded = minhash_band_buckets(
@@ -288,7 +292,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     max_doc_freq: int | str | None = None,
     cap_floor: int = 100,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
 
@@ -311,18 +315,18 @@ def ngram_jaccard_pairs(
     legitimate posting lists, and the derived cap tracks that without
     retuning the literal.
 
-    ``materialize=True`` (default) checkpoints the exploded shingle
-    table: its three consumers (per-doc sizes, the cap derivation, the
+    ``materialize=True`` checkpoints the exploded shingle table: its
+    three consumers (per-doc sizes, the cap derivation, the
     inverted-index join) shuffle on three DIFFERENT keys, so without
     materialization Spark re-runs the explode once per consumer —
     measured 21% of dd3's wall at sf0.1 (3.87 → 3.07 s median). The
     posting table is the size the join shuffles anyway; a production
     corpus persists it as the inverted index (the same trade as dd2's
-    band-bucket table). Note the eager side effect: the checkpoint runs
-    a real job at plan-CONSTRUCTION time — pass ``materialize=False``
-    when only building/inspecting the plan, or when pre-filtering
-    ``df`` matters more than explode reuse (filters cannot push below
-    a checkpoint).
+    band-bucket table). OFF by default: the checkpoint is an EAGER
+    side effect (a real job at plan-CONSTRUCTION time), surprising
+    from a plan builder, and filters cannot push below a checkpoint —
+    registered queries that execute immediately opt in with
+    ``materialize=True``.
     """
     sh = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
@@ -371,7 +375,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     max_doc_freq: int | str | None = None,
     cap_floor: int = 100,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Asymmetric near-dup: n-gram containment C(A→B) = |S_A ∩ S_B| / |S_A|.
 

@@ -229,7 +229,7 @@ def cosine_pairs(
     preset: str | None = None,
     cap_floor: int = 200,
     cap_hard_max: int = 5000,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine >= min_sim, a < b — embedding
     near-dup detection, fully distributed.
@@ -368,7 +368,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment) after ``iters`` Lloyd iterations with
     deterministic init (centroids = vectors with id < k), all DataFrame
@@ -383,7 +383,9 @@ def kmeans_fit(
     update) plus the final assignment — ~2*iters+1 consumers that would
     otherwise each re-run the vector explode (measured 27% of training
     wall at sf0.1: 1.49 -> 1.09 s median). Caching the training set
-    across iterations is the standard distributed-k-means shape."""
+    across iterations is the standard distributed-k-means shape. OFF
+    by default — the checkpoint is an eager job at plan-construction
+    time; executing callers (ann4, dd11) opt in."""
     comp = _components(df, id_col, vec_col)
     if materialize:
         comp = comp.localCheckpoint(eager=True)
@@ -402,9 +404,12 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
-    """(id, cell): the assignment half of :func:`kmeans_fit`."""
-    return kmeans_fit(df, id_col, vec_col, k, iters)[1]
+    """(id, cell): the assignment half of :func:`kmeans_fit`.
+    ``materialize`` is passed through to the trainer (checkpoint the
+    exploded component table the Lloyd loop re-consumes)."""
+    return kmeans_fit(df, id_col, vec_col, k, iters, materialize=materialize)[1]
 
 
 def semantic_dedup(
@@ -417,7 +422,7 @@ def semantic_dedup(
     max_cell_size: int | str | None = None,
     cap_floor: int = 200,
     cap_hard_max: int = 5000,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into k cells with k-means,
@@ -444,7 +449,7 @@ def semantic_dedup(
     gram pass. ``materialize=True`` checkpoints the (id, cell)
     assignment — it is consumed twice (gram input + final output join)
     and re-running it would repeat every Lloyd iteration."""
-    assign = kmeans_assign(df, id_col, vec_col, k, iters)
+    assign = kmeans_assign(df, id_col, vec_col, k, iters, materialize=materialize)
     if materialize:
         assign = assign.localCheckpoint(eager=True)
     id_t = df.schema[id_col].dataType.simpleString()

@@ -66,24 +66,22 @@ def with_global_sequence(
     ties.  A null leading key raises at execution time rather than being
     silently sequenced first: ``b <= NULL`` filters every boundary, so a
     null would land in bucket 0 and corrupt the order contract without
-    the guard.  Empty input short-circuits before the quantile sketch
-    (one cheap ``limit(1)`` probe job, no quantile/count jobs) and
-    returns an empty frame with the sequence column appended.  Triggers
-    two small Spark jobs at construction time (quantile sketch +
-    per-bucket counts); their results — and the literal map shipped
-    back — are O(num_buckets), not O(rows).
+    the guard.  Empty input returns an empty frame with the sequence
+    column appended — detected from the per-bucket counts collect the
+    non-empty path runs anyway (an earlier draft probed ``isEmpty()``
+    up front, but that re-executed the upstream plan's first partition
+    on EVERY call, taxing the common non-empty path to protect the rare
+    empty one; the quantile sketch over an empty input is itself a
+    near-free zero-row scan).  Triggers two small Spark jobs at
+    construction time (quantile sketch + per-bucket counts); their
+    results — and the literal map shipped back — are O(num_buckets),
+    not O(rows).
     """
     if num_buckets is None:
         num_buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     key = order_cols[0]
-
-    # Empty-input probe BEFORE the quantile sketch: approxQuantile on an
-    # empty frame would still run a full scan job (and return no
-    # boundaries); the limit(1) probe touches at most one partition.
-    if df.isEmpty():
-        return df.withColumn(name, F.lit(None).cast("bigint"))
 
     qs = [i / num_buckets for i in range(1, num_buckets)]
     # Frozen as literals on the driver: even if the sketch re-ran
@@ -104,10 +102,12 @@ def with_global_sequence(
     tagged = df.withColumn("__bkt", bucket)
 
     # Tiny job: one output row per bucket (zipWithIndex's count pass).
-    # Non-empty by construction: the isEmpty() probe above already
-    # returned for empty input, and a null leading key fails the job
-    # via assert_true rather than yielding empty counts.
+    # This collect doubles as the empty-input detector — no counts means
+    # no rows (a null leading key fails this very job via assert_true,
+    # it never yields empty counts).
     counts = tagged.groupBy("__bkt").agg(F.count("*").alias("__cnt")).collect()
+    if not counts:
+        return df.withColumn(name, F.lit(None).cast("bigint"))
     acc = start - 1
     offsets: dict[int, int] = {}
     for row in sorted(counts, key=lambda r: r["__bkt"]):

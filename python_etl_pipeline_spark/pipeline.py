@@ -161,6 +161,9 @@ class Pipeline:
         self.wh = Warehouse(spark, warehouse_root)
         self.ingest_log = IngestLog(spark, f"{warehouse_root}/_ingest_log")
         self.metrics = PipelineMetrics()
+        # path -> raw record count for the batch in flight (filled by
+        # _extract_entity Observations, consumed by the log append)
+        self._file_record_counts: dict[str, int] = {}
 
     # -- extract: CSV files -> all-string staging layer ----------------------
     def run_extract(self, files_per_entity: dict[str, list[str]]) -> None:
@@ -177,7 +180,16 @@ class Pipeline:
         hashes the anti-join already computed, so no file is read twice
         for hashing. Failure semantics: if any entity fails, NOTHING is
         logged, and the next run re-ingests the whole batch — safe, the
-        staging write is an idempotent overwrite."""
+        staging write is an idempotent overwrite.
+
+        Each log row carries the file's REAL raw record count (the
+        reference tracker stores rows-per-file, extract.py:246-270, and
+        its summary sums them, extract.py:573-580): per-file counts are
+        folded into each entity's staging-write job as Observation
+        metrics over the raw frame — one count expression per batch
+        file, zero extra scans (an earlier version logged 0 for every
+        file, so IngestLog.summary() reported an empty warehouse after
+        a real run)."""
         from concurrent.futures import ThreadPoolExecutor
 
         all_paths = [p for ps in files_per_entity.values() for p in ps]
@@ -187,6 +199,7 @@ class Pipeline:
         new_set = {r["path"] for r in new_rows}
         hashes = {r["path"]: r["file_hash"] for r in new_rows}
 
+        self._file_record_counts: dict[str, int] = {}
         items = [
             (entity, [p for p in paths if p in new_set])
             for entity, paths in files_per_entity.items()
@@ -194,7 +207,8 @@ class Pipeline:
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(items)))) as ex:
             list(ex.map(lambda kv: self._extract_entity(*kv), items))
         self.ingest_log.mark_processed_batch(
-            [(p, 0) for p in sorted(new_set)], hashes=hashes
+            [(p, self._file_record_counts.get(p, 0)) for p in sorted(new_set)],
+            hashes=hashes,
         )
 
     def _extract_entity(self, entity: str, new_paths: list[str]) -> None:
@@ -203,6 +217,25 @@ class Pipeline:
             self.metrics.extracted[entity] = 0
             return
         raw = read_csv_all_string(self.spark, new_paths, STAGING_COLUMNS[entity])
+        # Per-file raw record counts, observed at the point in the plan
+        # BEFORE any filter/dedup drops rows — every raw row flows
+        # through this observe during the staging write, so the counts
+        # cost no extra scan. One count expression per batch file:
+        # bounded by the batch's file list, never the row count.
+        from pyspark.sql import Observation
+
+        file_obs = Observation()
+        raw = raw.observe(
+            file_obs,
+            *[
+                F.count(
+                    F.when(
+                        F.input_file_name() == self.wh.qualified_uri(p), 1
+                    )
+                ).alias(f"f{i}")
+                for i, p in enumerate(new_paths)
+            ],
+        )
         df = validate_and_project(raw, STAGING_COLUMNS[entity])
         df = normalize_nulls(df)
         df = pk_filter(df, pk)
@@ -244,6 +277,12 @@ class Pipeline:
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         self.wh.overwrite(out, "staging", entity)
         self.metrics.extracted[entity] = obs.get["n"]
+        # entities write DISJOINT path keys, so concurrent updates from
+        # the extract thread pool never collide
+        fc = file_obs.get
+        self._file_record_counts.update(
+            {p: fc[f"f{i}"] for i, p in enumerate(new_paths)}
+        )
 
     # -- transform: staging -> typed/enriched layer ---------------------------
     def run_transform(self, entities: list[str] | None = None) -> None:

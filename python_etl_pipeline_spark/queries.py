@@ -1685,7 +1685,8 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_bucket_size="auto"
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_bucket_size="auto", materialize=True,
     )
 
 
@@ -1732,7 +1733,7 @@ def dd14_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", max_bucket_size="auto"
+        docs, "text", "doc_id", max_bucket_size="auto", materialize=True
     ).localCheckpoint(eager=True)
     sh = _spread(docs.select("doc_id", "text")).select(
         "doc_id",
@@ -1813,7 +1814,8 @@ def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq="auto"
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3,
+        max_doc_freq="auto", materialize=True,
     )
 
 
@@ -1850,7 +1852,8 @@ def dd12_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3, max_doc_freq=100
+        _t(spark, sf_dir, "documents"), "text", "doc_id", 0.3,
+        max_doc_freq=100, materialize=True,
     )
 
 
@@ -1985,7 +1988,8 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import cosine_pairs
 
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), min_sim=0.25, max_bucket_size="auto"
+        _t(spark, sf_dir, "embeddings"), min_sim=0.25,
+        max_bucket_size="auto", materialize=True,
     )
 
 
@@ -2864,7 +2868,7 @@ def dd6_lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, "text", "doc_id", max_bucket_size=100
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
     ).localCheckpoint(eager=True)
     labels = connected_components(pairs)
     return (
@@ -2920,7 +2924,7 @@ def x39_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        d, "text", "doc_id", max_bucket_size=100
+        d, "text", "doc_id", max_bucket_size=100, materialize=True
     ).localCheckpoint(eager=True)
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "label"
@@ -2988,7 +2992,7 @@ def dd13_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, "text", "doc_id", max_bucket_size=100
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
     ).localCheckpoint(eager=True)
     labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
     lab = (
@@ -3074,7 +3078,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     pairs = minhash_lsh_pairs(
-        d, "text", "doc_id", max_bucket_size=100
+        d, "text", "doc_id", max_bucket_size=100, materialize=True
     ).localCheckpoint(eager=True)
     neardup_drop = (
         connected_components(pairs)
@@ -4150,7 +4154,9 @@ def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    cent, assign = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    cent, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
     norms = cent.groupBy("cell").agg(
         F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
     )
@@ -4225,7 +4231,7 @@ def dd11_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"), k=4, iters=2, min_sim=0.3,
-        max_cell_size="auto",
+        max_cell_size="auto", materialize=True,
     )
 
 
@@ -4286,7 +4292,9 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import _gram_pair_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    _, assign = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    _, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
     )
@@ -4667,6 +4675,7 @@ _X38_SQL = f"""
 WITH counted AS (
   SELECT doc_id, cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
   FROM documents
+  WHERE len({_DUCK_TOKS}) IS NOT NULL
 ),
 ranked AS (
   SELECT doc_id, n_tokens,
@@ -4680,34 +4689,87 @@ FROM ranked GROUP BY 1
 """
 
 
-@register("x38_token_sharding", _X38_SQL)
-def x38_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced corpus sharding for data-parallel training: assign every
-    document to one of 8 shards so per-shard token totals are nearly
-    equal. Greedy bin-packing is inherently sequential; the scalable
-    restatement is longest-processing-time round-robin — rank documents
-    by token count descending and deal rank k to shard (k-1) mod 8,
-    which bounds shard imbalance by one document's tokens per cycle.
-    The global rank rides the partition-offset sequence engine
-    (operators/sequence.py, like o1/w1/x32), so no single-partition
-    window at any corpus size; output is 8 rows (the balance report —
-    the per-doc assignment is the same frame before the final agg)."""
+def lpt_shard_assignment(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """(doc_id, n_tokens, shard): longest-processing-time round-robin
+    shard assignment — rank documents by token count descending (global
+    rank via the partition-offset sequence engine, no single-partition
+    window) and deal rank k to shard (k-1) mod n_shards. Round-robin
+    over a descending sequence telescopes: any two shard totals differ
+    by at most ONE maximum document's tokens (the invariant pinned in
+    tests). Shared spine of x38 (the balance report) and x40 (the
+    per-doc assignment a training job consumes).
+
+    NULL texts (token_count = NULL) are excluded SYMMETRICALLY with the
+    oracles (same convention as x18/x34/x37): without the filter the
+    sequence engine's null-leading-key assert fails the Spark side
+    while a SQL twin silently ranks NULLs."""
     from .operators.sequence import with_global_sequence
 
     from .llm.text import token_count
 
     d = _t(spark, sf_dir, "documents")
-    counted = d.select(
-        "doc_id", token_count("text").alias("n_tokens")
-    ).withColumn("neg_nt", -F.col("n_tokens"))
+    counted = (
+        d.select("doc_id", token_count("text").alias("n_tokens"))
+        .filter(F.col("n_tokens").isNotNull())
+        .withColumn("neg_nt", -F.col("n_tokens"))
+    )
     ranked = with_global_sequence(counted, ["neg_nt", "doc_id"], name="rn")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        F.pmod(F.col("rn") - 1, F.lit(n_shards)).cast("bigint").alias("shard"),
+    )
+
+
+@register("x38_token_sharding", _X38_SQL)
+def x38_token_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding for data-parallel training: assign every
+    document to one of 8 shards so per-shard token totals are nearly
+    equal. Greedy bin-packing is inherently sequential; the scalable
+    restatement is longest-processing-time round-robin (see
+    :func:`lpt_shard_assignment`, the shared spine with x40), which
+    bounds shard imbalance by one document's tokens. Output is 8 rows —
+    the balance report."""
     return (
-        ranked.groupBy(F.pmod(F.col("rn") - 1, F.lit(8)).cast("bigint").alias("shard"))
+        lpt_shard_assignment(spark, sf_dir, 8)
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+_X40_SQL = f"""
+WITH counted AS (
+  SELECT doc_id, cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_DUCK_TOKS}) IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM counted
+)
+SELECT doc_id, n_tokens, cast((rn - 1) % 8 AS BIGINT) AS shard
+FROM ranked
+"""
+
+
+@register("x40_shard_assignment", _X40_SQL)
+def x40_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shard assignment — the form a training job actually
+    consumes (x38 is the balance REPORT over this frame): one row per
+    document with its LPT round-robin shard. Downstream, the frame is
+    written shard-bucketed (Warehouse.write_bucketed on ``shard``, see
+    test_sampling.py::test_shard_assignment_materialized_balance) so
+    each data-parallel reader opens only its own files — the layout is
+    part of the operator, not an afterthought. Same distributed shape
+    as x38: the global rank rides the sequence engine, so no
+    single-partition window at any corpus size."""
+    return lpt_shard_assignment(spark, sf_dir, 8)
 
 
 _X37_SQL = f"""
@@ -4795,6 +4857,138 @@ def x37_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears in the datacard (median_tokens NULL) instead of silently
     # vanishing — the datacard's job is to report the corpus, including
     # its broken slices.
+    return agg.join(med, "lang", "left").select(
+        "lang", "n_docs", "total_tokens", "median_tokens", "dup_rate",
+        "mean_quality",
+    )
+
+
+# x41's oracle IS x37's full-recompute SQL: the query must prove that
+# folding a delta batch into persisted partial aggregates reproduces
+# the from-scratch datacard bit-for-bit.
+@register("x41_datacard_incremental", _X37_SQL)
+def x41_datacard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental datacard maintenance — x37 recomputes the corpus
+    datacard from scratch; at 100 TB a curation pipeline instead FOLDS
+    each ingest batch into persisted per-language partial aggregates.
+    This query proves the fold algebra: the corpus is split into a
+    "history" partition (doc_id % 5 != 0) and a "new batch" (% 5 == 0),
+    partial states are built independently per side, merged with the
+    same commutative-monoid algebra as i5 (plans.merge_agg_state for
+    counts/sums), and the final card is derived ONLY from merged state
+    — the oracle is the full recompute, so every number (including the
+    histogram-derived median and the cross-batch duplicate rate) is
+    hash-checked equal.
+
+    The three persisted states and their merges:
+      * lang-level counts/sums (n_docs, sum_tokens, sum_quality,
+        n_quality) — merge = sum (merge_agg_state);
+      * per-(lang, token-count) histogram — merge = sum of counts; the
+        type-1 median then reads off the merged histogram exactly as
+        x37 does (this is why the datacard stores a histogram, not a
+        median: medians don't merge, histograms do);
+      * per-(lang, content-hash) dedup state (count, min doc_id) —
+        merge = (sum, min); a document is a duplicate iff its hash's
+        GLOBAL min doc_id (min over the merged state) belongs to an
+        earlier document, so dup counts stay exact ACROSS batches.
+        This state is precisely the exact-dedup index a production
+        corpus persists anyway — hash-cardinality sized, no text.
+
+    Scale shape: each state is aggregate-sized (languages, distinct
+    lengths, distinct hashes), the merge touches |state| + |delta|
+    rows, and the null-safe hash join that resolves global firsts is
+    keyed on the 16-byte hash. Nothing rescans history."""
+    from .llm import quality_score, token_count
+    from .plans import merge_agg_state
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("__h"),
+        token_count(F.col("text")).alias("nt"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    history = base.filter(F.col("doc_id") % 5 != 0)
+    delta = base.filter(F.col("doc_id") % 5 == 0)
+
+    def lang_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").alias("sum_nt"),
+            F.sum("q").alias("sum_q"),
+            F.count("q").cast("bigint").alias("n_q"),
+        )
+
+    def hist_state(df: DataFrame) -> DataFrame:
+        # NULL token counts excluded from the histogram on BOTH sides —
+        # same guard as x37/llm.caps
+        return (
+            df.filter(F.col("nt").isNotNull())
+            .groupBy("lang", "nt")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    def dup_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang", "__h").agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("doc_id").alias("min_doc"),
+        )
+
+    lang = merge_agg_state(
+        lang_state(history), lang_state(delta), ["lang"],
+        count_col="n_docs", sum_cols=["sum_nt", "sum_q", "n_q"],
+    )
+    hist = merge_agg_state(
+        hist_state(history), hist_state(delta), ["lang", "nt"], count_col="c"
+    )
+    dups = (
+        dup_state(history)
+        .unionByName(dup_state(delta))
+        .groupBy("lang", "__h")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.min("min_doc").alias("min_doc"),
+        )
+    )
+    # global first occurrence per content hash; eqNullSafe keeps the
+    # NULL-text hash group (md5(NULL) = NULL) — x37 counts its 2nd+
+    # members as duplicates too, and a plain equi-join would drop them
+    firsts = dups.groupBy("__h").agg(F.min("min_doc").alias("gmin"))
+    ndups = (
+        dups.alias("s")
+        .join(firsts.alias("g"), F.col("s.__h").eqNullSafe(F.col("g.__h")))
+        .select(
+            F.col("s.lang").alias("lang"),
+            (
+                F.col("s.cnt")
+                - F.when(F.col("s.min_doc") == F.col("g.gmin"), 1).otherwise(0)
+            ).alias("dup_c"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("dup_c").cast("bigint").alias("n_dups"))
+    )
+    w_cum = Window.partitionBy("lang").orderBy("nt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lang",
+        "nt",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    med = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("nt"))
+        ).alias("median_tokens")
+    )
+    agg = lang.join(ndups, "lang").select(
+        "lang",
+        "n_docs",
+        F.col("sum_nt").cast("bigint").alias("total_tokens"),
+        F.round(F.col("n_dups") / F.col("n_docs"), 4).alias("dup_rate"),
+        F.round(F.col("sum_q") / F.col("n_q"), 4).alias("mean_quality"),
+    )
     return agg.join(med, "lang", "left").select(
         "lang", "n_docs", "total_tokens", "median_tokens", "dup_rate",
         "mean_quality",
@@ -5424,7 +5618,9 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
-# STANDING GATE-ROTATION POLICY (adopted round 6, per the r5 verdict):
+# STANDING GATE-ROTATION POLICY (adopted round 6, per the r5 verdict;
+# staleness anchored to _GATE_ROUND and horizon raised to 4 in round 7
+# — arithmetic in tests/test_gate_policy.py's module docstring):
 # every round, _GATE_PREFIX =
 #   (1) every query ADDED or whose code/oracle CHANGED that round —
 #       a prior green row stops vouching the moment the code moves;
@@ -5435,31 +5631,49 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       easiest to silently regress;
 #   (3) rotating fill, oldest last-driver-row first, so no query's
 #       last hard verification ages out.
-# The staleness contract — no REGISTRY entry goes more than 3 rounds
-# without a driver row — is ENFORCED in tests/test_gate_policy.py,
+# The staleness contract is ENFORCED in tests/test_gate_policy.py,
 # which recomputes each query's last-verified round from the
-# CORRECTNESS_r*.json files in the repo root and fails CI if a query
-# at staleness >= 4 rounds (including brand-new queries, never
+# CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
+# if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
+_GATE_ROUND = 7  # the round this prefix was built for
+
 _GATE_PREFIX = [
-    # (1) added/changed this round (11): o1 rewritten onto the sequence
-    # engine, x6 reworked to the oracle-verifiable accuracy contract,
-    # x34's oracle gained the null filter, x21 refactored onto
-    # neardup_against_index, x35 new (streaming near-dup batch twin),
-    # dd15 new (line dedup with reassembly), x36 new (per-source dup
-    # rate), x37 new (corpus datacard), x38 new (token sharding),
-    # x39 new (leakage-safe split), tx16 new (lang-id confusion)
-    "o1_digit_sort",
-    "x6_approx_stats",
-    "x34_length_buckets",
+    # (1) added/changed this round (21):
+    #  - materialize default flipped to lazy; these queries' call
+    #    sites now opt in explicitly (identical plans, but the code
+    #    moved): dd2 dd14 dd3 dd12 dd5 dd6 dd13 llm_curation ann4
+    #    dd11 ann5
+    #  - caps.py gained the discrete-quantile cardinality guard
+    #    (derived-cap consumers re-verified): x21 x35
+    #  - sequence.py dropped the per-call isEmpty probe (sequence-
+    #    engine consumers re-verified): o1 x32 x18 (+ w1/o5 below)
+    #  - x38 gained the symmetric NULL-token guard
+    #  - new: x40 per-doc shard assignment, x41 incremental datacard
+    #  - a3 re-verified alongside the ingest-log record-count fix
+    #    (its semantics twin — the log a real run writes now carries
+    #    real per-file counts, pinned in test_pipeline.py)
+    "dd2_minhash_lsh",
+    "dd3_ngram_jaccard",
+    "dd5_embedding_neardup",
+    "dd6_lsh_dup_clusters",
+    "dd11_semantic_dedup",
+    "dd12_ngram_containment",
+    "dd13_cluster_canonical",
+    "dd14_lsh_precision",
+    "llm_curation_pipeline",
+    "ann4_kmeans_train",
+    "ann5_knn_graph",
     "x21_incremental_neardup",
     "x35_stream_neardup",
-    "dd15_line_dedup",
-    "x36_dedup_rate_by_source",
-    "x37_corpus_datacard",
+    "o1_digit_sort",
+    "x32_corpus_shuffle",
+    "x18_sequence_packing",
     "x38_token_sharding",
+    "x40_shard_assignment",
+    "x41_datacard_incremental",
     "x39_leakage_safe_split",
-    "tx16_langid_confusion",
+    "a3_multiagg_summary",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5473,40 +5687,27 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotating fill (27): the r3 cohort — every slot below last got
-    # a driver row in round 3 and is at the 3-round staleness boundary;
-    # the 10 left over (a6_dedup_counters, f13_boolean_recast,
-    # k4_export_nafill, x1_pivot, s1_allstring_scan,
-    # s2_partitioned_scan, s3_multifile_glob, st1_tumbling_window,
-    # i4_reconcile_counts, f16_case_norms) hit staleness 4 next round
-    # and the policy test will force them into the r7 prefix.
-    "a0_pricing_summary",
-    "a1_table_counts",
-    "a2_max_watermark",
-    "a3_multiagg_summary",
-    "a4_distinct_keys",
-    "a5_metrics_fold",
-    "p1_projection_reorder",
-    "p2_pk_filter",
-    "p3_null_sentinels",
-    "p4_prune_valid_columns",
-    "p5_date_range_guard",
-    "j3_fact_dim_join",
-    "set1_except_intersect",
-    "w2_running_sum",
-    "w3_topk_per_group",
-    "f1_safe_val",
-    "f3_safe_num",
-    "f4_calc_age",
-    "f5_tenure_days",
-    "f6_customer_segment",
-    "f7_region_map",
-    "f8_gender_norm",
-    "f9_duration_months",
-    "f10_risk_category",
-    "f11_transaction_category",
-    "f12_fraud_flag",
-    "f15_md5_hash",
+    # (3) rotation (17): first the 10 queries whose last driver row is
+    # round 3 (the oldest cohort, flagged by the r6 verdict), then the
+    # oldest r4-cohort slots — mm1 explicitly (its r6 bench regression
+    # needs a fresh driver row alongside the isolated re-measure).
+    "a6_dedup_counters",
+    "f13_boolean_recast",
+    "f16_case_norms",
+    "i4_reconcile_counts",
+    "k4_export_nafill",
+    "s1_allstring_scan",
+    "s2_partitioned_scan",
+    "s3_multifile_glob",
+    "st1_tumbling_window",
+    "x1_pivot",
+    "mm1_media_features",
+    "ann1_bruteforce_topk",
+    "ann2_ivf_topk",
+    "ann3_batch_topk",
+    "dd4_simhash",
+    "dd8_decontaminate",
+    "dd10_chunk_dedup",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -5528,7 +5729,8 @@ assert len(_GATE_PREFIX) == len(set(_GATE_PREFIX)) == 50, (
     f"_GATE_PREFIX must hold exactly the driver's 50 slots, "
     f"got {len(_GATE_PREFIX)}"
 )
-assert not set(_GATE_PREFIX) & set(_EXPENSIVE_LAST)
+# _GATE_PREFIX may temporarily absorb an expensive-tail query (the
+# round it is re-gated); _ordered_names drops it from the tail then.
 
 
 def _ordered_names() -> list[str]:

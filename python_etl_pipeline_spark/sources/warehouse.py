@@ -49,11 +49,17 @@ class Warehouse:
 
     def qualified_uri(self, path: str) -> str:
         """Fully-qualified URI for ``path`` exactly as Spark's
-        ``input_file_name()`` reports it (Hadoop Path normalization)."""
+        ``input_file_name()`` reports it. input_file_name returns the
+        URL-ENCODED ``toUri().toString()`` form (``file:///a%20b``);
+        Hadoop ``Path.toString()`` renders ``file:/a b`` — comparing
+        against the latter silently matches NOTHING, which let the
+        cross-file keep-last rank fall back to monotonic-id enumeration
+        order (correct only by local-mode accident) and zeroed every
+        observed per-file record count."""
         sc = self.spark.sparkContext
         p = sc._jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
-        return fs.makeQualified(p).toString()
+        return fs.makeQualified(p).toUri().toString()
 
     def overwrite(self, df: DataFrame, layer: str, table: str,
                   partition_by: list[str] | None = None) -> None:

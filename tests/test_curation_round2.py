@@ -73,19 +73,19 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
 def test_kmeans_no_driver_collect_in_plan(spark, sf_dir):
     # the trainer is pure DataFrame composition end-to-end: vectors that
     # had been collected to the driver and re-parallelized would surface
-    # as ExistingRDD / LocalTableScan leaves in the plan. Checked with
-    # materialize=False because the default's localCheckpoint (an
-    # EXECUTOR-local cache of the component table, not driver data)
-    # also truncates the plan to a Scan ExistingRDD leaf — the
-    # checkpointed fast path is equivalent by construction to this
-    # verified pure plan.
+    # as ExistingRDD / LocalTableScan leaves in the plan. This checks
+    # the DEFAULT (lazy, materialize=False) path directly; the opt-in
+    # materialize=True fast path used by ann4/dd11 localCheckpoints the
+    # component table (an EXECUTOR-local cache, not driver data), which
+    # legitimately truncates the plan to a Scan ExistingRDD leaf and is
+    # equivalent by construction to this verified pure plan.
     import contextlib
     import io
 
     from python_etl_pipeline_spark.llm.similarity import kmeans_fit
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cent, assign = kmeans_fit(emb, materialize=False)
+    cent, assign = kmeans_fit(emb)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         assign.explain("formatted")

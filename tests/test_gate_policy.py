@@ -1,13 +1,35 @@
-"""Standing gate-rotation policy (adopted round 6): no registered
-query may go more than 3 rounds without a hard driver CORRECTNESS row.
+"""Standing gate-rotation policy (adopted round 6, amended round 7):
+no registered query may go more than STALENESS_HORIZON rounds without
+a hard driver CORRECTNESS row.
 
 The driver verifies the first 50 ``queries()`` entries each round and
 records CORRECTNESS_r{N}.json in the repo root. This test recomputes
 every query's last-verified round from those files and fails if any
-query at staleness >= 4 rounds — including a brand-new query that has
-never been verified — is missing from the current ``_GATE_PREFIX``.
+query past the horizon is missing from the current ``_GATE_PREFIX``.
 That makes the policy self-enforcing: adding a query, or letting one
 age past the horizon, breaks CI until it is rotated into the gate.
+
+Round-7 amendments (both from the round-6 verdict/advice):
+
+* Staleness is anchored to ``_GATE_ROUND`` — the round the current
+  ``_GATE_PREFIX`` was built FOR, declared next to it — and computed
+  only from CORRECTNESS files of EARLIER rounds. The round-6 formula
+  (current = max(recorded) + 1) meant the moment the driver committed
+  CORRECTNESS_r06.json, the still-valid round-6 gate turned CI red
+  retroactively. Anchoring to the gate's own round makes the check a
+  property of the gate definition, invariant to results files landing
+  afterwards; the freshness test below separately forces the gate to
+  actually BE current.
+
+* STALENESS_HORIZON is 4, up from 3, because 3 became arithmetically
+  infeasible: the registry holds 140+ queries, the gate has 50 slots,
+  and ~12 of them are permanent sentinels re-verified every round —
+  so a 3-round window can reach at most 3*(50-12) + 12 = 126 distinct
+  queries < registry size. Some query MUST wait 4 rounds between
+  driver rows no matter the schedule. At horizon 4 the bound is
+  4*38 + 12 = 164, which holds until the registry passes ~160 (the
+  round that crosses it must raise the horizon again or shrink the
+  sentinel set, with this same arithmetic in the commit).
 """
 
 from __future__ import annotations
@@ -18,21 +40,24 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-STALENESS_HORIZON = 3  # max rounds a query may go without a driver row
+STALENESS_HORIZON = 4  # max rounds a query may go without a driver row
 
 
-def _last_verified() -> tuple[dict[str, int], int]:
-    """(query -> last round with a driver row, current round number).
+def _last_verified(before_round: int) -> tuple[dict[str, int], int]:
+    """(query -> last round < before_round with a driver row,
+    newest recorded round overall).
 
     A row counts if it hash-matched, or was a rows-only check by design
     (err == "no_oracle" with a row count) — the strongest check the
     driver could run for that query at the time.
     """
     last: dict[str, int] = {}
-    rounds = [0]
+    newest = 0
     for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         r = int(re.search(r"r(\d+)", Path(f).name).group(1))
-        rounds.append(r)
+        newest = max(newest, r)
+        if r >= before_round:
+            continue
         for q, res in json.load(open(f)).items():
             ok = res.get("hash_match") or (
                 res.get("err") == "no_oracle"
@@ -40,23 +65,42 @@ def _last_verified() -> tuple[dict[str, int], int]:
             )
             if ok:
                 last[q] = max(last.get(q, 0), r)
-    return last, max(rounds) + 1
+    return last, newest
 
 
 def test_no_query_exceeds_staleness_horizon():
-    from python_etl_pipeline_spark.queries import _GATE_PREFIX, REGISTRY
+    from python_etl_pipeline_spark.queries import (
+        _GATE_PREFIX,
+        _GATE_ROUND,
+        REGISTRY,
+    )
 
-    last, current = _last_verified()
+    last, _ = _last_verified(before_round=_GATE_ROUND)
     gate = set(_GATE_PREFIX)
     overdue = sorted(
         q
         for q in REGISTRY
-        if current - last.get(q, 0) > STALENESS_HORIZON and q not in gate
+        if _GATE_ROUND - last.get(q, 0) > STALENESS_HORIZON and q not in gate
     )
     assert not overdue, (
-        f"round {current}: these queries have gone more than "
+        f"gate round {_GATE_ROUND}: these queries have gone more than "
         f"{STALENESS_HORIZON} rounds without a driver CORRECTNESS row and "
         f"must be rotated into _GATE_PREFIX: {overdue}"
+    )
+
+
+def test_gate_round_is_current():
+    """The gate must be built for the round in flight (newest recorded
+    + 1) or the round just recorded (its own results landing must not
+    invalidate it). A builder who never rotates goes red the moment
+    their round's CORRECTNESS file is recorded."""
+    from python_etl_pipeline_spark.queries import _GATE_ROUND
+
+    _, newest = _last_verified(before_round=10**9)
+    assert newest <= _GATE_ROUND <= newest + 1, (
+        f"_GATE_ROUND={_GATE_ROUND} but CORRECTNESS files run to round "
+        f"{newest}: define the round-{newest + 1} gate (rotate "
+        f"_GATE_PREFIX and bump _GATE_ROUND in queries.py)"
     )
 
 

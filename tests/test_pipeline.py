@@ -94,10 +94,21 @@ def test_full_pipeline(spark, tmp_path):
     assert summary["status"] == "SUCCESS"
     assert summary["total_loaded"] == summary["total_transformed"]
 
+    # the ingest log records each file's REAL raw record count (the
+    # reference tracker's rows-per-file, extract.py:246-270): summing
+    # the log must give the CSV data-row total, not 0 (the r6-verdict
+    # defect: a real run used to log record_count=0 for every file)
+    raw_rows = 3 + 5 + 3 + 2  # branches + customers + loans + transactions
+    log1 = pipe.ingest_log.summary().first()
+    assert log1["n_files"] == 4
+    assert log1["sum_records"] == raw_rows
+
     # idempotent re-run: same files skipped, counts unchanged
     summary2 = pipe.run_full(files)
     assert pipe.wh.read("production", "customers").count() == 3
     assert summary2["status"] == "SUCCESS"
+    log2 = pipe.ingest_log.summary().first()
+    assert (log2["n_files"], log2["sum_records"]) == (4, raw_rows)
 
     # incremental batch: one new customer appended, existing not duplicated
     p2 = tmp_path / "in" / "customers_2.csv"
@@ -107,9 +118,29 @@ def test_full_pipeline(spark, tmp_path):
     )
     pipe.run_full({"customers": [str(files["customers"][0]), str(p2)]})
     assert pipe.wh.read("production", "customers").count() == 4
+    # only the new file's (real) count is appended to the log
+    log3 = pipe.ingest_log.summary().first()
+    assert (log3["n_files"], log3["sum_records"]) == (5, raw_rows + 1)
 
 
 CUST_HEADER = "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
+
+
+def test_qualified_uri_matches_input_file_name(spark, tmp_path):
+    """The file-rank map and per-file record counts both key on
+    input_file_name() equality; Hadoop Path.toString() (file:/a b) vs
+    the URL-encoded URI (file:///a%20b) silently matches nothing, so
+    pin the exact round-trip — including a path that needs encoding."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    p = tmp_path / "has space" / "t.csv"
+    p.parent.mkdir()
+    p.write_text("a,b\n1,2\n")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    got = spark.read.csv(str(p), header=True).select(F.input_file_name()).first()[0]
+    assert wh.qualified_uri(str(p)) == got
 
 
 def test_cross_file_later_wins(spark, tmp_path):

@@ -41,6 +41,52 @@ def test_global_sequence_constant_key_single_bucket_degenerate(spark):
     assert all(r["seq"] == r["id"] + 1 for r in out)
 
 
+def test_discrete_quantiles_cardinality_guard(spark):
+    """The packed-histogram fold is single-task on the distinct-value
+    histogram; pointing it at a high-cardinality column must fail with
+    an explicit message, not OOM silently."""
+    import pytest
+
+    df = spark.range(50).selectExpr("id as v")
+    with pytest.raises(Exception, match="max_distinct"):
+        discrete_quantiles(df, "v", [0.5], max_distinct=10).collect()
+    # and just-under-the-cap inputs still compute
+    row = discrete_quantiles(df, "v", [1.0], max_distinct=50).first()
+    assert row["__q0"] == 49
+
+
+def test_global_sequence_deterministic_across_runs(spark):
+    """Cross-run determinism contract: re-running with_global_sequence
+    on the SAME data yields the IDENTICAL id -> seq mapping, even
+    though each run re-derives its quantile boundaries (approxQuantile
+    is deterministic for a given input, and once collected the
+    boundaries are frozen as literals — value-derived buckets cannot
+    drift with AQE re-planning, partition order, or job retries).
+
+    The contract is PER-SNAPSHOT: appending rows between runs re-derives
+    boundaries AND shifts ranks of everything after the insertion point
+    (any dense global sequence does), so sequences must never be used
+    as durable cross-run identity — which is exactly why the I3
+    incremental paths key on watermarks/anti-joins, not sequence
+    numbers, and why I2's upsert keys on the natural PK."""
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 30)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(8)
+    first = {
+        r["id"]: r["seq"]
+        for r in with_global_sequence(df, ["k", "id"], name="seq").collect()
+    }
+    # second run: fresh plan over a differently-partitioned but
+    # value-identical frame — boundary derivation and bucket counts
+    # re-run from scratch
+    df2 = spark.createDataFrame(rows, "id long, k long").repartition(3)
+    second = {
+        r["id"]: r["seq"]
+        for r in with_global_sequence(df2, ["k", "id"], name="seq").collect()
+    }
+    assert first == second
+
+
 def test_discrete_quantiles_match_sorted_model(spark):
     """q_p = min(v : cum_count >= ceil(p*n)) == the ceil(p*n)-th
     smallest element; randomized multisets across sizes 1..200."""

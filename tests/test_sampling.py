@@ -112,6 +112,49 @@ def test_token_sharding_balance_bound(spark, sf_dir):
     assert max(totals) - min(totals) <= max_doc
 
 
+def test_shard_assignment_materialized_balance(spark, sf_dir):
+    """x40 end-to-end: the per-doc LPT assignment written through
+    Warehouse.write_bucketed (bucketed BY shard, so each data-parallel
+    reader opens only its own bucket files) must still satisfy the
+    balance invariant ON THE MATERIALIZED TABLE — per-shard token
+    totals read back from disk differ by at most one maximum document's
+    tokens — and must be a partition of the corpus (every non-null-text
+    doc exactly once)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+    from python_etl_pipeline_spark.sources.warehouse import write_bucketed
+
+    assign = REGISTRY["x40_shard_assignment"].spark(spark, sf_dir)
+    write_bucketed(assign, "bkt", "shard_assignment", 8, "shard")
+    back = spark.table("bkt.shard_assignment")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+
+    totals = {
+        r["shard"]: r["t"]
+        for r in back.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert sorted(totals) == list(range(8))
+    max_doc = (
+        docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert max(totals.values()) - min(totals.values()) <= max_doc
+
+    # layout-real: the catalog records the bucket spec a reader prunes by
+    desc = spark.sql("DESCRIBE EXTENDED bkt.shard_assignment").collect()
+    kv = {r["col_name"]: r["data_type"] for r in desc}
+    assert "8" in kv.get("Num Buckets", "")
+    assert "shard" in kv.get("Bucket Columns", "")
+
+
 def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
     """The property x39 exists for: every near-dup candidate pair must
     land on the same side of the split (a plain per-doc hash split
