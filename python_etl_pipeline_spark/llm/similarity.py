@@ -527,35 +527,33 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
-def pq_topk(
+def pq_approx_scores(
     df: DataFrame,
     query_id: int,
-    k: int = 10,
     n_codes: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization ANN (the IVF-PQ building block, Jégou et
-    al. 2011): split each vector into 2 subspaces, k-means each
-    subspace into ``n_codes`` centroids (deterministic init = first
-    ``n_codes`` vectors' halves), store each vector as a 2-code tuple,
-    and score a query by ASYMMETRIC distance: a per-subspace lookup
-    table of query-to-centroid dots (2 x n_codes scalars — broadcast),
-    so approx_dot(x) = table0[code0(x)] + table1[code1(x)]. Approx
-    cosine divides by the EXACT stored norms; output is the top-k by
-    (approx cosine desc, id).
+    """(id, approx_cosine) for every vector except the query, scored by
+    product-quantization asymmetric distance (Jégou et al. 2011): split
+    each vector into 2 subspaces, k-means each subspace into
+    ``n_codes`` centroids (deterministic init = first ``n_codes``
+    vectors' halves), store each vector as a 2-code tuple, and score
+    the query via a per-subspace lookup table of query-to-centroid dots
+    (2 x n_codes scalars — broadcast), so approx_dot(x) =
+    table0[code0(x)] + table1[code1(x)]. Approx cosine divides by the
+    EXACT stored norms; scores come back 4-dp rounded so any downstream
+    cut is engine-deterministic. Shared spine of :func:`pq_topk`,
+    :func:`pq_rerank_topk`, and :func:`ivfpq_topk`.
 
     The 100 TB shape: codes are a pure projection once centroids are
     trained (the memory win — 2 bytes per vector instead of d floats),
     the lookup table is O(n_codes) per query, and scoring is a
-    broadcast join + top-k — no full-vector arithmetic per candidate.
+    broadcast join — no full-vector arithmetic per candidate.
     Everything here is DataFrame ops on the long component form; the
     subspace split derives from max(i) declaratively (no driver
-    collect). Recall loss vs exact is the quantization error;
-    ann1/ann6-style ground truth applies."""
-    from pyspark.sql import Window
-
+    collect)."""
     comp = _components(df, id_col, vec_col)
     half = comp.agg(
         F.floor((F.max("i") + 1) / 2).cast("int").alias("__d2")
@@ -594,7 +592,7 @@ def pq_topk(
     qnorm = norms.filter(F.col(id_col) == query_id).select(
         F.col("norm").alias("qnorm")
     )
-    scored = (
+    return (
         approx.join(norms, id_col)
         .crossJoin(F.broadcast(qnorm))
         .filter(F.col(id_col) != query_id)
@@ -605,6 +603,21 @@ def pq_topk(
             ),
         )
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_codes: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ approximate cosine (:func:`pq_approx_scores`),
+    ordered (approx cosine desc, id). Recall loss vs exact is the
+    quantization error; ann1/ann6-style ground truth applies."""
+    scored = pq_approx_scores(df, query_id, n_codes, iters, id_col, vec_col)
     return scored.orderBy(F.col("approx_cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -711,26 +724,19 @@ def ivf_query_from_index(
     return _rerank_members(df, members, query_id, k, id_col, vec_col)
 
 
-def ivf_topk(
+def _ivf_cluster_members(
     df: DataFrame,
     query_id: int,
-    k: int = 5,
     n_centroids: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed ANN: coarse-assign every vector to its nearest
-    centroid (here: the first ``n_centroids`` stored vectors — the engine
-    takes centroids as data; swap in k-means centroids at will), then
-    search only the ``nprobe`` cells nearest the query.
-
-    Scale path: the centroid table broadcasts; assignment is one
-    map-side pass; the final search touches ~nprobe/n_centroids of rows.
-    ``nprobe`` is the recall/cost dial — recall lost to the coarse
-    quantizer (a true neighbor assigned to the second-nearest cell) is
-    recovered linearly in probes; ann6/ann7 measure exactly this.
-    """
+    """One-column frame of the ids assigned to the query's ``nprobe``
+    nearest coarse cells (query excluded) — coarse-assign every vector
+    to its nearest of the first ``n_centroids`` stored vectors by
+    cosine. Shared spine of :func:`ivf_topk` (exact rerank over
+    members) and :func:`ivfpq_topk` (PQ-shortlist over members)."""
     comp = _components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("c"), "i", F.col("v").alias("cv")
@@ -763,9 +769,89 @@ def ivf_topk(
         .filter(F.col("qrn") <= nprobe)
         .select(F.col("c").alias("centroid"))
     )
-    cluster = (
+    return (
         assign.join(F.broadcast(q_centroid), "centroid")
         .filter(F.col(id_col) != query_id)
         .select(id_col)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-bucketed ANN: coarse-assign every vector to its nearest
+    centroid (here: the first ``n_centroids`` stored vectors — the engine
+    takes centroids as data; swap in k-means centroids at will), then
+    search only the ``nprobe`` cells nearest the query.
+
+    Scale path: the centroid table broadcasts; assignment is one
+    map-side pass; the final search touches ~nprobe/n_centroids of rows.
+    ``nprobe`` is the recall/cost dial — recall lost to the coarse
+    quantizer (a true neighbor assigned to the second-nearest cell) is
+    recovered linearly in probes; ann6/ann7 measure exactly this.
+    """
+    cluster = _ivf_cluster_members(
+        df, query_id, n_centroids, nprobe, id_col, vec_col
+    )
     return _rerank_members(df, cluster, query_id, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    n_codes: int = 16,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ ANN (Jégou et al. 2011, the FAISS IVFPQ layout):
+    the coarse quantizer restricts the search to the query's ``nprobe``
+    cells (:func:`_ivf_cluster_members` — ~nprobe/n_centroids of the
+    corpus), PQ asymmetric distance ranks ONLY those members from their
+    compressed codes (:func:`pq_approx_scores` — table lookups, no
+    vector arithmetic), the top-``shortlist`` survivors are rescored
+    with exact cosine, and the true top-k is emitted.
+
+    This is the shape a 100 TB vector store actually serves: per query
+    the IO is one broadcast centroid table + the probed cells' CODE
+    rows (bytes per vector) + ``shortlist`` full vectors for the exact
+    rerank. PQ codes are trained on the FULL corpus (a pure projection
+    once trained, exactly as a persisted index stores them), so cell
+    membership only FILTERS the code scan — the same codes serve every
+    query and every cell. Both cuts (shortlist and final top-k) order
+    by 4-dp-rounded score with id tie-break, so the result is
+    engine-deterministic and the DuckDB oracle replays coarse
+    assignment, both subspace trainings, lookup tables, the in-cell
+    shortlist, and the exact rerank."""
+    members = _ivf_cluster_members(
+        df, query_id, n_centroids, nprobe, id_col, vec_col
+    )
+    scores = pq_approx_scores(
+        df, query_id, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    short = (
+        scores.join(members, id_col, "left_semi")
+        .orderBy(F.col("approx_cosine").desc(), F.col(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    return (
+        df.join(short, id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

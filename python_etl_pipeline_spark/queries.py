@@ -2237,6 +2237,107 @@ def ann9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann9_pq_topk"].sql = _ann9_sql()
 
 
+def _ann10_sql() -> str:
+    # ann9's PQ chain (full-corpus codes + lookup tables) composed with
+    # ann2's coarse-cell chain; the shortlist is cut INSIDE the query's
+    # cell. Sub-CTE names are disjoint by construction (PQ uses
+    # {comp,cent,assign}N{a,b}; IVF uses centc/cross_dots/scoredc/...).
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    centc AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, centc.c, sum(comp.v * centc.cv) AS dot
+      FROM comp JOIN centc ON comp.i = centc.i GROUP BY 1, 2
+    ),
+    scoredc AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assignc AS (
+      SELECT vec_id, c AS centroid FROM scoredc
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assignc WHERE vec_id = 0),
+    cluster AS (
+      SELECT assignc.vec_id FROM assignc, qc
+      WHERE assignc.centroid = qc.centroid AND assignc.vec_id <> 0
+    ),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id <> 0
+        AND adot.vec_id IN (SELECT vec_id FROM cluster)
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 50
+    ),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann10_ivfpq_topk", None)  # finalized below (composed CTE chain)
+def ann10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ ANN (Jégou et al. 2011 — the FAISS IVFPQ layout,
+    composing ann2's coarse quantizer with ann9's product quantizer):
+    the query probes its coarse cell, PQ asymmetric distance ranks ONLY
+    that cell's members from compressed codes, the in-cell top-50
+    shortlist is rescored with exact cosine, and the true top-10 is
+    emitted. Per-query IO at 100 TB: one broadcast centroid table, the
+    probed cell's CODE rows (bytes/vector), 50 full vectors. The PQ
+    codes are trained on the full corpus — cell membership only filters
+    the code scan, exactly how a persisted IVFPQ index serves every
+    query from one code table. The oracle replays coarse assignment,
+    both subspace trainings, the lookup tables, the 4-dp-rounded
+    in-cell shortlist cut, and the exact rerank."""
+    from .llm.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50,
+        n_codes=16, n_centroids=8,
+    )
+
+
+REGISTRY["ann10_ivfpq_topk"].sql = _ann10_sql()
+
+
 @register(
     "ann7_multiprobe_topk",
     f"""
@@ -4096,6 +4197,101 @@ def tx10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx10_bigram_lm_score"].sql = _bigram_lm_sql()
 
 
+def _tx17_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    bg = shingles_sql("text", 2)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, unnest({bg}) AS bg FROM documents
+    ),
+    c12 AS (SELECT bg, count(*) AS c12 FROM inst GROUP BY 1),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+      FROM c12 GROUP BY 1
+    ),
+    scored AS (
+      SELECT i.doc_id,
+             round(avg(-ln(cast(c12.c12 AS DOUBLE) / c1.c1)), 4) AS avg_nll
+      FROM inst i
+      JOIN c12 USING (bg)
+      JOIN c1 ON string_split(i.bg, ' ')[1] = c1.w1
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, avg_nll,
+             row_number() OVER (ORDER BY avg_nll, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, avg_nll,
+           CASE WHEN rn <= ceil(n / 3.0) THEN 'head'
+                WHEN rn <= ceil(2 * n / 3.0) THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """
+
+
+@register("tx17_perplexity_buckets", None)  # sql attached below
+def tx17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank every document by its LM score (tx10's
+    corpus bigram LM as the stand-in for the KenLM wiki model) and
+    split the corpus into equal head/middle/tail terciles — head =
+    lowest perplexity. CCNet trains on head+middle and drops or
+    down-weights tail; the bucket column is the knob.
+
+    Distributed shape: the LM scoring is tx10's plan (two
+    vocabulary-sized count aggs + a hash join back); the doc-level
+    score table is corpus-ROW-sized but tiny in bytes, checkpointed
+    once, then the global tercile rank rides the partition-offset
+    sequence engine — NOT a bare row_number()/ntile() over () — and the
+    corpus count joins back as a 1-row broadcast. Scores are rounded to
+    4 decimals BEFORE ranking on both sides so the rank (and thus every
+    bucket boundary) is engine-stable: distinct rounded values differ
+    by >= 1e-4, far above float noise, and exact ties break by doc_id."""
+    from .llm.dedup import _spread, shingles
+    from .operators.sequence import with_global_sequence
+
+    d = _t(spark, sf_dir, "documents")
+    inst = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
+    )
+    c12 = inst.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        c12.select(F.split(F.col("bg"), " ")[0].alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    scored = (
+        inst.join(c12, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c12").cast("double") / F.col("c1"))), 4
+            ).alias("avg_nll")
+        )
+        # the LM join is the expensive stage and its doc-level output
+        # feeds BOTH the rank and the corpus count — pin it once
+        .localCheckpoint(eager=True)
+    )
+    ranked = with_global_sequence(scored, ["avg_nll", "doc_id"], name="rn")
+    n = scored.agg(F.count("*").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "avg_nll",
+        F.when(F.col("rn") <= F.ceil(F.col("__n") / 3.0), "head")
+        .when(F.col("rn") <= F.ceil(2 * F.col("__n") / 3.0), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+REGISTRY["tx17_perplexity_buckets"].sql = _tx17_sql()
+
+
 def _kmeans_iter_sql(prev: str, it: int) -> str:
     """One Lloyd iteration as a CTE pair: assign each vector to the
     nearest centroid of ``prev``, then average members per (cell, i)."""
@@ -4880,118 +5076,37 @@ def x41_datacard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram-derived median and the cross-batch duplicate rate) is
     hash-checked equal.
 
-    The three persisted states and their merges:
-      * lang-level counts/sums (n_docs, sum_tokens, sum_quality,
-        n_quality) — merge = sum (merge_agg_state);
-      * per-(lang, token-count) histogram — merge = sum of counts; the
-        type-1 median then reads off the merged histogram exactly as
-        x37 does (this is why the datacard stores a histogram, not a
-        median: medians don't merge, histograms do);
-      * per-(lang, content-hash) dedup state (count, min doc_id) —
-        merge = (sum, min); a document is a duplicate iff its hash's
-        GLOBAL min doc_id (min over the merged state) belongs to an
-        earlier document, so dup counts stay exact ACROSS batches.
-        This state is precisely the exact-dedup index a production
-        corpus persists anyway — hash-cardinality sized, no text.
+    The state algebra lives in :mod:`llm.datacard` (lang-level
+    counts/sums, the (lang, token-count) histogram the type-1 median
+    reads off — medians don't merge, histograms do — and the
+    (lang, content-hash) dedup state whose (sum, min) merge keeps
+    duplicate rates exact ACROSS batches); the streaming sink
+    (streaming.file_stream.stream_datacard_available_now) folds the
+    SAME functions per micro-batch, so this query is its batch
+    CORRECTNESS twin exactly as x35 is for the near-dup sink.
 
     Scale shape: each state is aggregate-sized (languages, distinct
     lengths, distinct hashes), the merge touches |state| + |delta|
     rows, and the null-safe hash join that resolves global firsts is
     keyed on the 16-byte hash. Nothing rescans history."""
-    from .llm import quality_score, token_count
-    from .plans import merge_agg_state
-
-    d = _t(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("__h"),
-        token_count(F.col("text")).alias("nt"),
-        quality_score(F.col("text")).alias("q"),
+    from .llm.datacard import (
+        datacard_base,
+        datacard_from_states,
+        dup_state,
+        hist_state,
+        lang_state,
+        merge_dup_states,
+        merge_hist_states,
+        merge_lang_states,
     )
+
+    base = datacard_base(_t(spark, sf_dir, "documents"))
     history = base.filter(F.col("doc_id") % 5 != 0)
     delta = base.filter(F.col("doc_id") % 5 == 0)
-
-    def lang_state(df: DataFrame) -> DataFrame:
-        return df.groupBy("lang").agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("nt").alias("sum_nt"),
-            F.sum("q").alias("sum_q"),
-            F.count("q").cast("bigint").alias("n_q"),
-        )
-
-    def hist_state(df: DataFrame) -> DataFrame:
-        # NULL token counts excluded from the histogram on BOTH sides —
-        # same guard as x37/llm.caps
-        return (
-            df.filter(F.col("nt").isNotNull())
-            .groupBy("lang", "nt")
-            .agg(F.count("*").cast("bigint").alias("c"))
-        )
-
-    def dup_state(df: DataFrame) -> DataFrame:
-        return df.groupBy("lang", "__h").agg(
-            F.count("*").cast("bigint").alias("cnt"),
-            F.min("doc_id").alias("min_doc"),
-        )
-
-    lang = merge_agg_state(
-        lang_state(history), lang_state(delta), ["lang"],
-        count_col="n_docs", sum_cols=["sum_nt", "sum_q", "n_q"],
-    )
-    hist = merge_agg_state(
-        hist_state(history), hist_state(delta), ["lang", "nt"], count_col="c"
-    )
-    dups = (
-        dup_state(history)
-        .unionByName(dup_state(delta))
-        .groupBy("lang", "__h")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("cnt"),
-            F.min("min_doc").alias("min_doc"),
-        )
-    )
-    # global first occurrence per content hash; eqNullSafe keeps the
-    # NULL-text hash group (md5(NULL) = NULL) — x37 counts its 2nd+
-    # members as duplicates too, and a plain equi-join would drop them
-    firsts = dups.groupBy("__h").agg(F.min("min_doc").alias("gmin"))
-    ndups = (
-        dups.alias("s")
-        .join(firsts.alias("g"), F.col("s.__h").eqNullSafe(F.col("g.__h")))
-        .select(
-            F.col("s.lang").alias("lang"),
-            (
-                F.col("s.cnt")
-                - F.when(F.col("s.min_doc") == F.col("g.gmin"), 1).otherwise(0)
-            ).alias("dup_c"),
-        )
-        .groupBy("lang")
-        .agg(F.sum("dup_c").cast("bigint").alias("n_dups"))
-    )
-    w_cum = Window.partitionBy("lang").orderBy("nt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "lang",
-        "nt",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
-    )
-    med = cum.groupBy("lang").agg(
-        F.min(
-            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("nt"))
-        ).alias("median_tokens")
-    )
-    agg = lang.join(ndups, "lang").select(
-        "lang",
-        "n_docs",
-        F.col("sum_nt").cast("bigint").alias("total_tokens"),
-        F.round(F.col("n_dups") / F.col("n_docs"), 4).alias("dup_rate"),
-        F.round(F.col("sum_q") / F.col("n_q"), 4).alias("mean_quality"),
-    )
-    return agg.join(med, "lang", "left").select(
-        "lang", "n_docs", "total_tokens", "median_tokens", "dup_rate",
-        "mean_quality",
+    return datacard_from_states(
+        merge_lang_states(lang_state(history), lang_state(delta)),
+        merge_hist_states(hist_state(history), hist_state(delta)),
+        merge_dup_states(dup_state(history), dup_state(delta)),
     )
 
 
@@ -5687,10 +5802,21 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (3) rotation (17): first the 10 queries whose last driver row is
-    # round 3 (the oldest cohort, flagged by the r6 verdict), then the
-    # oldest r4-cohort slots — mm1 explicitly (its r6 bench regression
-    # needs a fresh driver row alongside the isolated re-measure).
+    # (1b) added/changed later in round 7: tx17 + ann10 are NEW;
+    # ann2/ann6/ann7/ann9 re-verified because the IVF/PQ internals they
+    # call were refactored into shared spines (_ivf_cluster_members,
+    # pq_approx_scores) for ann10.
+    "tx17_perplexity_buckets",
+    "ann10_ivfpq_topk",
+    "ann2_ivf_topk",
+    "ann6_recall_at_k",
+    "ann7_multiprobe_topk",
+    "ann9_pq_topk",
+    # (3) rotation (11): first the 10 queries whose last driver row is
+    # round 3 (the oldest cohort, flagged by the r6 verdict), then mm1
+    # (its r6 bench regression needs a fresh driver row alongside the
+    # isolated re-measure). ann1/ann3/dd4/dd8/dd10 were displaced by
+    # (1b) — r4 cohort, due for forced rotation in round 9.
     "a6_dedup_counters",
     "f13_boolean_recast",
     "f16_case_norms",
@@ -5702,12 +5828,6 @@ _GATE_PREFIX = [
     "st1_tumbling_window",
     "x1_pivot",
     "mm1_media_features",
-    "ann1_bruteforce_topk",
-    "ann2_ivf_topk",
-    "ann3_batch_topk",
-    "dd4_simhash",
-    "dd8_decontaminate",
-    "dd10_chunk_dedup",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
