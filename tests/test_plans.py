@@ -312,3 +312,27 @@ def test_leakage_split_reads_corpus_once_per_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x39_leakage_safe_split")
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_round7_queries_no_single_partition(spark, sf_dir):
+    """Round-7 additions: every global ordering rides the sequence
+    engine (tx17 terciles, x40 shard ranks, x42 curriculum positions),
+    x41's median window runs over the merged histogram (distinct
+    (lang, nt) rows), tx18's majority window over <=3 rows per doc, and
+    ann10's two cuts compile to TakeOrderedAndProject — so none of them
+    may plan a single-partition exchange or a global range sort."""
+    for name in (
+        "tx17_perplexity_buckets",
+        "tx18_lang_consistency",
+        "x40_shard_assignment",
+        "x41_datacard_incremental",
+        "x42_curriculum_order",
+        "ann10_ivfpq_topk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
+    # the sequence-engine consumers still window on the bucket key
+    for name in ("x40_shard_assignment", "x42_curriculum_order"):
+        plan = _plan(spark, sf_dir, name)
+        assert "hashpartitioning(__bkt" in plan, name

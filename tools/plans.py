@@ -30,6 +30,13 @@ DEFAULT = [
     "dd15_line_dedup",
     "x37_corpus_datacard",
     "x38_token_sharding",
+    # round 7
+    "x40_shard_assignment",
+    "x41_datacard_incremental",
+    "x42_curriculum_order",
+    "tx17_perplexity_buckets",
+    "tx18_lang_consistency",
+    "ann10_ivfpq_topk",
 ]
 
 
