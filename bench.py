@@ -63,6 +63,13 @@ HEADLINE = [
     # round 6 additions
     "dd15_line_dedup",
     "x35_stream_neardup",
+    # round 7 additions
+    "x40_shard_assignment",
+    "x41_datacard_incremental",
+    "x42_curriculum_order",
+    "tx17_perplexity_buckets",
+    "tx18_lang_consistency",
+    "ann10_ivfpq_topk",
 ]
 
 

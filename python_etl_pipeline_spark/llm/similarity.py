@@ -554,6 +554,30 @@ def pq_approx_scores(
     Everything here is DataFrame ops on the long component form; the
     subspace split derives from max(i) declaratively (no driver
     collect)."""
+    codes, cent_a, cent_b = pq_train(df, n_codes, iters, id_col, vec_col)
+    return pq_scores_from_index(
+        df, codes, cent_a, cent_b, query_id, id_col, vec_col
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    n_codes: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PQ index-BUILD half: (codes, cent_a, cent_b) where codes =
+    (id, code0, code1, norm) — every vector compressed to its two
+    subspace code ids plus its exact norm — and cent_a/cent_b are the
+    trained per-subspace centroid tables (cell, i, v). These three
+    frames ARE the persisted IVFPQ index a 100 TB vector store writes
+    to parquet once (bytes per vector + 2 tiny centroid tables) and
+    serves every query from (:func:`pq_scores_from_index`) — the Lloyd
+    iterations over the full corpus never re-run per query. Training:
+    2 subspaces from a declarative max(i) split, k-means each into
+    ``n_codes`` cells with deterministic init (first ``n_codes``
+    vectors' halves)."""
     comp = _components(df, id_col, vec_col)
     half = comp.agg(
         F.floor((F.max("i") + 1) / 2).cast("int").alias("__d2")
@@ -561,7 +585,7 @@ def pq_approx_scores(
     comp = comp.crossJoin(F.broadcast(half))
     subs = [comp.filter(F.col("i") < F.col("__d2")).drop("__d2"),
             comp.filter(F.col("i") >= F.col("__d2")).drop("__d2")]
-    contribs = []
+    cents, codes = [], []
     for s, comp_s in enumerate(subs):
         cent = comp_s.filter(F.col(id_col) < n_codes).select(
             F.col(id_col).alias("cell"), "i", "v"
@@ -573,34 +597,62 @@ def pq_approx_scores(
                 .groupBy("cell", "i")
                 .agg(F.avg("v").alias("v"))
             )
-        code = _nearest_cell(comp_s, cent, id_col)
-        q_s = comp_s.filter(F.col(id_col) == query_id).select(
-            "i", F.col("v").alias("qv")
+        cents.append(cent)
+        codes.append(
+            _nearest_cell(comp_s, cent, id_col).withColumnRenamed(
+                "cell", f"code{s}"
+            )
         )
-        table = (
-            cent.join(q_s, "i")
-            .groupBy("cell")
-            .agg(F.sum(F.col("v") * F.col("qv")).alias(f"t{s}"))
-        )
-        contribs.append(code.join(F.broadcast(table), "cell").select(id_col, f"t{s}"))
-    approx = contribs[0].join(contribs[1], id_col).select(
-        id_col, (F.col("t0") + F.col("t1")).alias("adot")
-    )
     norms = comp.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
     )
-    qnorm = norms.filter(F.col(id_col) == query_id).select(
-        F.col("norm").alias("qnorm")
+    code_tbl = codes[0].join(codes[1], id_col).join(norms, id_col)
+    return code_tbl, cents[0], cents[1]
+
+
+def pq_scores_from_index(
+    df: DataFrame,
+    codes: DataFrame,
+    cent_a: DataFrame,
+    cent_b: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ query-SERVE half: (id, approx_cosine) for every coded
+    vector except the query, from a PERSISTED index (:func:`pq_train`'s
+    codes + centroid tables read back from parquet). Per query: the
+    query vector's components split at the same max(i) boundary the
+    centroid tables encode (each table carries its own i range), two
+    O(n_codes) lookup tables of query-to-centroid dots are built and
+    broadcast, and scoring is one broadcast join against the CODE table
+    — bytes per candidate, no corpus vector is ever read. ``df`` is
+    consulted ONLY for the query's own row."""
+    qcomp = _components(
+        df.filter(F.col(id_col) == query_id), id_col, vec_col
+    ).select("i", F.col("v").alias("qv"))
+    tables = []
+    for s, cent in enumerate((cent_a, cent_b)):
+        tables.append(
+            cent.join(qcomp, "i")
+            .groupBy("cell")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias(f"t{s}"))
+            .withColumnRenamed("cell", f"code{s}")
+        )
+    qnorm = (
+        codes.filter(F.col(id_col) == query_id)
+        .select(F.col("norm").alias("qnorm"))
     )
     return (
-        approx.join(norms, id_col)
+        codes.join(F.broadcast(tables[0]), "code0")
+        .join(F.broadcast(tables[1]), "code1")
         .crossJoin(F.broadcast(qnorm))
         .filter(F.col(id_col) != query_id)
         .select(
             id_col,
-            F.round(F.col("adot") / (F.col("norm") * F.col("qnorm")), 4).alias(
-                "approx_cosine"
-            ),
+            F.round(
+                (F.col("t0") + F.col("t1")) / (F.col("norm") * F.col("qnorm")), 4
+            ).alias("approx_cosine"),
         )
     )
 

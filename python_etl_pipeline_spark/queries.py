@@ -6014,6 +6014,11 @@ _EXPENSIVE_LAST = [
     "ann4_kmeans_train",
     "tx10_bigram_lm_score",
     "dd7_simhash_hamming",
+    # round-7 heavies (in the r7 gate, so tail-ordered only once they
+    # rotate out): ann10 runs two subspace trainings + coarse assign;
+    # tx17 re-runs tx10's LM join before the tercile rank
+    "ann10_ivfpq_topk",
+    "tx17_perplexity_buckets",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would

@@ -219,6 +219,40 @@ def test_pq_rerank_recall_beats_raw_pq(spark):
     assert len(rr & truth) >= len(raw & truth)
 
 
+def test_pq_index_persist_and_query_roundtrip(spark, sf_dir, tmp_path):
+    """PQ build-once / query-many: pq_train's (codes, cent_a, cent_b)
+    written to parquet and read back must score queries identically to
+    the inline-training path (pq_approx_scores), for MULTIPLE query ids
+    against the SAME stored index — the Lloyd iterations never re-run
+    per query."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        pq_approx_scores,
+        pq_scores_from_index,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, ca, cb = pq_train(emb, n_codes=16)
+    codes.write.parquet(str(tmp_path / "codes"))
+    ca.write.parquet(str(tmp_path / "ca"))
+    cb.write.parquet(str(tmp_path / "cb"))
+    codes2 = spark.read.parquet(str(tmp_path / "codes"))
+    ca2 = spark.read.parquet(str(tmp_path / "ca"))
+    cb2 = spark.read.parquet(str(tmp_path / "cb"))
+
+    for qid in (0, 7):
+        inline = {
+            r["vec_id"]: r["approx_cosine"]
+            for r in pq_approx_scores(emb, qid, n_codes=16).collect()
+        }
+        stored = {
+            r["vec_id"]: r["approx_cosine"]
+            for r in pq_scores_from_index(emb, codes2, ca2, cb2, qid).collect()
+        }
+        assert stored == inline and qid not in stored
+        assert len(stored) == emb.count() - 1
+
+
 def test_ivf_index_persist_and_query_roundtrip(spark, sf_dir, tmp_path):
     """Build-once / query-many: kmeans_fit's (centroids, assignment)
     written to parquet and read back must answer queries identically to
