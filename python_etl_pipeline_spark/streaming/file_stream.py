@@ -332,6 +332,50 @@ def datacard_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def compact_datacard_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance job: fold every batch partition of each datacard
+    state into ONE, so the state log stops growing with batch count
+    (the derived numbers cannot change — the compaction groupBy IS the
+    merge the derivation already runs, pinned by
+    test_streaming_datacard.py).
+
+    Crash-safety contract: this is a STOP-THE-WORLD maintenance step —
+    run it between streaming runs (AvailableNow naturally yields such
+    windows), never concurrently with the sink. The swap is two
+    directory renames (state -> .trash, staging -> state): each rename
+    is atomic on HDFS/local FS, the pair is not, and a crash between
+    them leaves the state root missing with a complete .trash copy to
+    restore — detectable, never silently double-counted. A
+    transactional table format (Delta/Iceberg, env-gated in
+    sources/table_formats.py) would make the swap a single commit;
+    this is the layout-level form of the same operation."""
+    from ..llm.datacard import merge_dup_states, merge_hist_states, merge_lang_states
+
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop.fs.Path
+    mergers = {
+        "lang": merge_lang_states,
+        "hist": merge_hist_states,
+        "dup": merge_dup_states,
+    }
+    for name, merge in mergers.items():
+        root = f"{state_dir}/{name}"
+        staging = f"{state_dir}/.compact_{name}"
+        state = spark.read.parquet(root)
+        # merge(x, empty) canonicalizes: one groupBy over all partials
+        merged = merge(state, state.limit(0)).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+        p_root = hadoop(root)
+        p_stage = hadoop(staging)
+        p_trash = hadoop(f"{state_dir}/.trash_{name}")
+        fs = p_root.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(p_trash):
+            fs.delete(p_trash, True)
+        fs.rename(p_root, p_trash)
+        fs.rename(p_stage, p_root)
+        fs.delete(p_trash, True)
+
+
 def stream_datacard_available_now(
     spark: SparkSession,
     src_dir: str,

@@ -103,6 +103,39 @@ def test_stream_datacard_matches_full_recompute(spark, tmp_path):
     assert got3["de"]["dup_rate"] > 0
 
 
+def test_compaction_changes_no_number_and_future_batches_fold(spark, tmp_path):
+    """compact_datacard_state folds the batch log into one partition
+    per state: the derived card must be bit-identical before/after, the
+    per-state partition count must drop to 1, and batches arriving
+    AFTER compaction must keep folding correctly."""
+    import glob
+
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_datacard_state,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(str(src / "b1.parquet"), ROWS1)
+    _write_batch(str(src / "b2.parquet"), ROWS2)
+    stream_datacard_available_now(spark, str(src), SCHEMA, state_dir, ckpt)
+    before = _card(datacard_from_state_dir(spark, state_dir))
+
+    compact_datacard_state(spark, state_dir)
+    assert _card(datacard_from_state_dir(spark, state_dir)) == before
+    for name in ("lang", "hist", "dup"):
+        parts = glob.glob(f"{state_dir}/{name}/batch_id=*")
+        assert len(parts) == 1, parts
+
+    # post-compaction arrivals fold against the compacted state
+    _write_batch(str(src / "b3.parquet"), ROWS3)
+    stream_datacard_available_now(spark, str(src), SCHEMA, state_dir, ckpt)
+    got = _card(datacard_from_state_dir(spark, state_dir))
+    assert got == _card(_full_recompute(spark, ROWS1 + ROWS2 + ROWS3))
+
+
 def test_datacard_batch_writer_idempotent_on_redelivery(spark, tmp_path):
     """foreachBatch may re-run a batch after a crash: re-invoking the
     step with the same batch_id must overwrite, not double-count."""
