@@ -332,6 +332,40 @@ def datacard_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def _swap_compacted(spark: SparkSession, root: str, staging: str) -> None:
+    """Replace ``root`` with ``staging`` via two atomic directory
+    renames (root -> .trash, staging -> root). The pair is not jointly
+    atomic: a crash between them leaves root missing with a complete
+    trash copy to restore — detectable, never silently double-counted."""
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop.fs.Path
+    p_root, p_stage, p_trash = hadoop(root), hadoop(staging), hadoop(root + ".trash")
+    fs = p_root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(p_trash):
+        fs.delete(p_trash, True)
+    fs.rename(p_root, p_trash)
+    fs.rename(p_stage, p_root)
+    fs.delete(p_trash, True)
+
+
+def compact_neardup_index(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance job for the streaming near-dup signature index: fold
+    every ``batch_id=N`` partition into one (``batch_id=-1``) so file
+    count stops growing with batch count. The index is a plain row log
+    (doc_id, band, bh) — compaction is a rewrite, no merge semantics —
+    and the sink's prior-batch filter keeps working because -1 sorts
+    before every real batch id. Same stop-the-world contract as
+    :func:`compact_datacard_state`: run between streaming runs only
+    (after awaitTermination, when every delivered batch is committed),
+    never concurrently with the sink."""
+    staging = index_dir.rstrip("/") + ".compact"
+    rows = spark.read.parquet(index_dir).drop("batch_id").localCheckpoint(
+        eager=True
+    )
+    rows.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, index_dir, staging)
+
+
 def compact_datacard_state(spark: SparkSession, state_dir: str) -> None:
     """Maintenance job: fold every batch partition of each datacard
     state into ONE, so the state log stops growing with batch count
@@ -346,13 +380,12 @@ def compact_datacard_state(spark: SparkSession, state_dir: str) -> None:
     is atomic on HDFS/local FS, the pair is not, and a crash between
     them leaves the state root missing with a complete .trash copy to
     restore — detectable, never silently double-counted. A
-    transactional table format (Delta/Iceberg, env-gated in
-    sources/table_formats.py) would make the swap a single commit;
-    this is the layout-level form of the same operation."""
+    Crash-safety via :func:`_swap_compacted`; the transactional
+    single-commit form is Delta/Iceberg (env-gated in
+    sources/table_formats.py) — this is the layout-level form of the
+    same operation."""
     from ..llm.datacard import merge_dup_states, merge_hist_states, merge_lang_states
 
-    sc = spark.sparkContext
-    hadoop = sc._jvm.org.apache.hadoop.fs.Path
     mergers = {
         "lang": merge_lang_states,
         "hist": merge_hist_states,
@@ -365,15 +398,7 @@ def compact_datacard_state(spark: SparkSession, state_dir: str) -> None:
         # merge(x, empty) canonicalizes: one groupBy over all partials
         merged = merge(state, state.limit(0)).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
-        p_root = hadoop(root)
-        p_stage = hadoop(staging)
-        p_trash = hadoop(f"{state_dir}/.trash_{name}")
-        fs = p_root.getFileSystem(sc._jsc.hadoopConfiguration())
-        if fs.exists(p_trash):
-            fs.delete(p_trash, True)
-        fs.rename(p_root, p_trash)
-        fs.rename(p_stage, p_root)
-        fs.delete(p_trash, True)
+        _swap_compacted(spark, root, staging)
 
 
 def stream_datacard_available_now(

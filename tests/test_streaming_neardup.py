@@ -92,6 +92,50 @@ def test_stream_neardup_exactly_once(spark, tmp_path):
     assert all(n == 6 for n, _ in pairs)  # doc 7 is novel text
 
 
+def test_neardup_index_compaction_preserves_detection(spark, tmp_path):
+    """compact_neardup_index folds the batch log into one partition:
+    the stored signatures are unchanged as a SET, and a batch arriving
+    after compaction still detects its dups against the compacted
+    index (the -1 partition passes the prior-batch filter)."""
+    import glob
+
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_neardup_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    dups_dir = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, str(src / "b1.parquet"), [(1, T1), (2, T2)])
+    _write_batch(spark, str(src / "b2.parquet"), [(3, T3)])
+    stream_neardup_available_now(spark, str(src), SCHEMA, index_dir, dups_dir, ckpt)
+
+    def sigs():
+        return {
+            (r["doc_id"], r["band"], r["bh"])
+            for r in spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .select("doc_id", "band", "bh")
+            .collect()
+        }
+
+    before = sigs()
+    compact_neardup_index(spark, index_dir)
+    assert sigs() == before
+    assert glob.glob(f"{index_dir}/batch_id=*") == [f"{index_dir}/batch_id=-1"]
+
+    # post-compaction arrival: doc 6 repeats doc 1 (stored pre-compaction)
+    _write_batch(spark, str(src / "b3.parquet"), [(6, T1)])
+    stream_neardup_available_now(spark, str(src), SCHEMA, index_dir, dups_dir, ckpt)
+    pairs = {
+        (r["new_id"], r["dup_of"])
+        for r in spark.read.parquet(dups_dir).collect()
+    }
+    assert (6, 1) in pairs
+
+
 def test_neardup_batch_step_is_idempotent(spark, tmp_path):
     """foreachBatch may re-deliver a batch after a crash: re-running the
     same (batch_df, batch_id) must leave index and dups byte-identical —
