@@ -248,9 +248,25 @@ def write_bucketed(
     """K6: the scalable analog of the reference's secondary FK indexes
     (src/load.py:107-122): bucket the table on the join key so later
     joins/aggregations on that key are exchange-free (bucket pruning +
-    co-located join)."""
+    co-located join).
+
+    Overwrite must survive a catalog restart: with the default
+    session-scoped (in-memory) catalog, a managed table's LOCATION
+    outlives its metadata, and a fresh session's ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS instead of overwriting. Drop
+    any same-name table and clear a stale orphaned location first —
+    overwrite means overwrite. (With a persistent Hive/Glue metastore
+    the DROP alone covers it; the location sweep is the no-metastore
+    fallback, scheme-agnostic via the Hadoop FS API.)"""
     spark = df.sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+    sc = spark.sparkContext
+    wh_root = spark.conf.get("spark.sql.warehouse.dir")
+    loc = sc._jvm.org.apache.hadoop.fs.Path(f"{wh_root}/{db}.db/{table}")
+    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)
