@@ -148,6 +148,59 @@ class PipelineMetrics:
             "status": "SUCCESS" if synced and accuracy >= 100.0 else "PARTIAL",
         }
 
+    def format_report(self, phase_seconds: dict[str, float] | None = None) -> list[str]:
+        """The reference's human-readable run report (M3,
+        src/logger.py:169-251 log_pipeline_summary + the per-phase stat
+        formatters at :74/:94/:123/:147), re-expressed over this
+        engine's metrics: per-table lines per phase, phase totals,
+        end-to-end success rate, per-table sync status from the count
+        reconciliation, and per-phase wall seconds. Returned as lines
+        so callers choose the sink (logger, stdout, a file)."""
+        bar = "=" * 70
+        lines = [bar, "COMPLETE PIPELINE SUMMARY", bar, "", "EXTRACTION PHASE:"]
+        for t, n in sorted(self.extracted.items()):
+            lines.append(f"  {t}: {n:,} records staged")
+        lines.append(f"  TOTAL EXTRACTED: {sum(self.extracted.values()):,} records")
+        lines += ["", "TRANSFORMATION PHASE:"]
+        for t, n in sorted(self.transformed.items()):
+            staged = self.extracted.get(t, 0)
+            dropped = max(staged - n, 0)
+            lines.append(
+                f"  {t}: {n:,} transformed ({dropped:,} deduplicated/dropped)"
+            )
+        lines.append(
+            f"  TOTAL TRANSFORMED: {sum(self.transformed.values()):,} records"
+        )
+        lines += ["", "LOADING PHASE:"]
+        for t, n in sorted(self.loaded.items()):
+            mode = "incremental" if self.reconciliation.get(t) else "full"
+            lines.append(f"  {t}: {n:,} records loaded ({mode})")
+        lines.append(f"  TOTAL LOADED: {sum(self.loaded.values()):,} records")
+        if self.reconciliation:
+            lines += ["", "SYNC STATUS:"]
+            for t, r in sorted(self.reconciliation.items()):
+                mark = "OK synchronized" if r["synced"] else (
+                    f"OUT OF SYNC (diff {r['difference']:+,})"
+                )
+                lines.append(
+                    f"  {t}: source {r['source_count']:,} vs target "
+                    f"{r['target_count']:,} — {mark}"
+                )
+        s = self.summary()
+        lines += [
+            "",
+            f"END-TO-END: {s['status']} — "
+            f"{s['total_loaded']:,} loaded / {s['total_extracted']:,} extracted "
+            f"({s['end_to_end_accuracy_pct']:.1f}% of extracted rows survived "
+            f"cleansing+dedup)",
+        ]
+        if phase_seconds:
+            total = sum(phase_seconds.values())
+            per = ", ".join(f"{p} {v:.1f}s" for p, v in phase_seconds.items())
+            lines.append(f"DURATION: {total:.1f}s ({per})")
+        lines.append(bar)
+        return lines
+
 
 # ---------------------------------------------------------------------------
 # Phases
@@ -378,5 +431,7 @@ class Pipeline:
             log.info("phase %s done in %.1fs", phase, timings[phase])
         summary = self.metrics.summary()
         summary["phase_seconds"] = timings
+        for line in self.metrics.format_report(timings):
+            log.info("%s", line)
         log.info("pipeline %s: %s", summary["status"], summary)
         return summary

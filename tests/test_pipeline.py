@@ -126,6 +126,34 @@ def test_full_pipeline(spark, tmp_path):
 CUST_HEADER = "customer_id,branch_id,first_name,last_name,dob,gender,email,phone,address,account_open_date\n"
 
 
+def test_format_report_mirrors_reference_summary(spark, tmp_path):
+    """M3 fidelity: the human-readable run report carries what the
+    reference's log_pipeline_summary + per-phase formatters print —
+    per-table lines per phase, phase totals, per-table sync status, an
+    end-to-end status line, and per-phase durations."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    files = _write_files(tmp_path / "in")
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    summary = pipe.run_full(files)
+    report = pipe.metrics.format_report(summary["phase_seconds"])
+    text = "\n".join(report)
+    for section in (
+        "COMPLETE PIPELINE SUMMARY",
+        "EXTRACTION PHASE:",
+        "TRANSFORMATION PHASE:",
+        "LOADING PHASE:",
+        "SYNC STATUS:",
+        "END-TO-END:",
+        "DURATION:",
+    ):
+        assert section in text, section
+    for t in ("branches", "customers", "loans", "transactions"):
+        assert f"  {t}:" in text
+    assert "TOTAL EXTRACTED:" in text and "TOTAL LOADED:" in text
+    assert "OK synchronized" in text and "OUT OF SYNC" not in text
+    assert f"END-TO-END: {summary['status']}" in text
+
+
 def test_qualified_uri_matches_input_file_name(spark, tmp_path):
     """The file-rank map and per-file record counts both key on
     input_file_name() equality; Hadoop Path.toString() (file:/a b) vs
