@@ -534,6 +534,7 @@ def pq_approx_scores(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, approx_cosine) for every vector except the query, scored by
     product-quantization asymmetric distance (Jégou et al. 2011): split
@@ -554,7 +555,9 @@ def pq_approx_scores(
     Everything here is DataFrame ops on the long component form; the
     subspace split derives from max(i) declaratively (no driver
     collect)."""
-    codes, cent_a, cent_b = pq_train(df, n_codes, iters, id_col, vec_col)
+    codes, cent_a, cent_b = pq_train(
+        df, n_codes, iters, id_col, vec_col, materialize=materialize
+    )
     return pq_scores_from_index(
         df, codes, cent_a, cent_b, query_id, id_col, vec_col
     )
@@ -566,6 +569,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The PQ index-BUILD half: (codes, cent_a, cent_b) where codes =
     (id, code0, code1, norm) — every vector compressed to its two
@@ -577,8 +581,18 @@ def pq_train(
     iterations over the full corpus never re-run per query. Training:
     2 subspaces from a declarative max(i) split, k-means each into
     ``n_codes`` cells with deterministic init (first ``n_codes``
-    vectors' halves)."""
+    vectors' halves). ``materialize=True`` checkpoints the exploded
+    component table once (each subspace's Lloyd loop consumes it
+    2*iters+1 times plus codes and norms). Measured trade (SCALE.md):
+    at sf0.1 it saves ~13% wall, but at 10x the vectors it COSTS 50%
+    (8.3 -> 12.3 s) — materializing N*d component rows is dearer than
+    re-running the explode, which is a cheap columnar scan. The
+    registered queries therefore do NOT opt in (unlike kmeans_fit,
+    whose loop runs more iterations over a k-times-smaller table);
+    the knob exists for small-corpus interactive use."""
     comp = _components(df, id_col, vec_col)
+    if materialize:
+        comp = comp.localCheckpoint(eager=True)
     half = comp.agg(
         F.floor((F.max("i") + 1) / 2).cast("int").alias("__d2")
     )
@@ -665,11 +679,14 @@ def pq_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-k by PQ approximate cosine (:func:`pq_approx_scores`),
     ordered (approx cosine desc, id). Recall loss vs exact is the
     quantization error; ann1/ann6-style ground truth applies."""
-    scored = pq_approx_scores(df, query_id, n_codes, iters, id_col, vec_col)
+    scored = pq_approx_scores(
+        df, query_id, n_codes, iters, id_col, vec_col, materialize=materialize
+    )
     return scored.orderBy(F.col("approx_cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -681,6 +698,7 @@ def pq_rerank_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """The production PQ pipeline: :func:`pq_topk`'s asymmetric-distance
     scan shortlists ``shortlist`` candidates from compressed codes
@@ -693,7 +711,8 @@ def pq_rerank_topk(
     PQ's worst case). The shortlist orders by the 4-dp ROUNDED approx
     score with id tie-break, so the cut is engine-deterministic."""
     short = pq_topk(
-        df, query_id, k=shortlist, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        df, query_id, k=shortlist, n_codes=n_codes, id_col=id_col,
+        vec_col=vec_col, materialize=materialize,
     ).select(id_col)
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
     return (
@@ -864,6 +883,7 @@ def ivfpq_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """Full IVF-PQ ANN (Jégou et al. 2011, the FAISS IVFPQ layout):
     the coarse quantizer restricts the search to the query's ``nprobe``
@@ -888,7 +908,8 @@ def ivfpq_topk(
         df, query_id, n_centroids, nprobe, id_col, vec_col
     )
     scores = pq_approx_scores(
-        df, query_id, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        df, query_id, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        materialize=materialize,
     )
     short = (
         scores.join(members, id_col, "left_semi")
