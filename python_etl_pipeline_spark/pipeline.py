@@ -173,7 +173,11 @@ class PipelineMetrics:
         )
         lines += ["", "LOADING PHASE:"]
         for t, n in sorted(self.loaded.items()):
-            mode = "incremental" if self.reconciliation.get(t) else "full"
+            mode = (
+                "incremental"
+                if self.reconciliation.get(t, {}).get("incremental")
+                else "full"
+            )
             lines.append(f"  {t}: {n:,} records loaded ({mode})")
         lines.append(f"  TOTAL LOADED: {sum(self.loaded.values()):,} records")
         if self.reconciliation:
@@ -410,6 +414,11 @@ class Pipeline:
                 "target_count": prod_count,
                 "synced": src_count == prod_count,
                 "difference": src_count - prod_count,
+                # the ACTUAL branch taken, so the run report's
+                # "(incremental)"/"(full)" label reflects what happened
+                # rather than inferring it from the dict's presence
+                # (which both branches populate)
+                "incremental": incremental,
             }
 
     def run_full(self, files_per_entity: dict[str, list[str]]) -> dict:

@@ -242,6 +242,36 @@ def create_table_from_schema(
     spark.sql(f"CREATE TABLE IF NOT EXISTS {db}.{table} ({cols}) USING {using}")
 
 
+def _resolve_table_location(spark: SparkSession, db: str, table: str) -> str:
+    """The table's ACTUAL storage location: the catalog entry when the
+    table exists, else where this catalog would place a managed table
+    of that name — the database's own location (which honors CREATE
+    DATABASE ... LOCATION) + the table name. Never assumes the default
+    ``<warehouse>/<db>.db/<table>`` layout."""
+    if spark.catalog.tableExists(f"{db}.{table}"):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{table}").collect():
+            if r.col_name == "Location":
+                return r.data_type
+    return f"{spark.catalog.getDatabase(db).locationUri.rstrip('/')}/{table}"
+
+
+def _drop_table_and_location(spark: SparkSession, db: str, table: str) -> None:
+    """DROP TABLE IF EXISTS plus an orphaned-location sweep: with the
+    default session-scoped (in-memory) catalog a managed table's files
+    outlive its metadata, and a fresh session's ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS. The swept path is RESOLVED from
+    the catalog (table entry, else the database's location), so a
+    database created with a custom LOCATION sweeps the right directory.
+    Scheme-agnostic via the Hadoop FS API."""
+    loc_str = _resolve_table_location(spark, db, table)
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+    sc = spark.sparkContext
+    loc = sc._jvm.org.apache.hadoop.fs.Path(loc_str)
+    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+
 def write_bucketed(
     df: DataFrame, db: str, table: str, n_buckets: int, key: str
 ) -> None:
@@ -250,30 +280,30 @@ def write_bucketed(
     joins/aggregations on that key are exchange-free (bucket pruning +
     co-located join).
 
-    Overwrite must survive a catalog restart: with the default
-    session-scoped (in-memory) catalog, a managed table's LOCATION
-    outlives its metadata, and a fresh session's ``saveAsTable`` then
-    fails with LOCATION_ALREADY_EXISTS instead of overwriting. Drop
-    any same-name table and clear a stale orphaned location first —
-    overwrite means overwrite. (With a persistent Hive/Glue metastore
-    the DROP alone covers it; the location sweep is the no-metastore
-    fallback, scheme-agnostic via the Hadoop FS API.)"""
+    Overwrite is staged, not in-place: the bucketed write lands in a
+    ``__staging`` table first, and only on success is the existing
+    table retired and staging promoted (ALTER TABLE RENAME, which for
+    managed tables moves the directory with the metadata). A failed
+    write therefore leaves the previous table fully intact — the old
+    drop-then-write path lost both copies when ``saveAsTable`` failed
+    midway. All swept locations are resolved from the catalog
+    (:func:`_drop_table_and_location`), so databases with custom
+    LOCATIONs are handled and a catalog restart (in-memory catalog,
+    orphaned files) still overwrites cleanly."""
     spark = df.sparkSession
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
-    sc = spark.sparkContext
-    wh_root = spark.conf.get("spark.sql.warehouse.dir")
-    loc = sc._jvm.org.apache.hadoop.fs.Path(f"{wh_root}/{db}.db/{table}")
-    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    staging = f"{table}__staging"
+    _drop_table_and_location(spark, db, staging)  # stale crashed-run staging
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)
-        .mode("overwrite")
         .format("parquet")
-        .saveAsTable(f"{db}.{table}")
+        .saveAsTable(f"{db}.{staging}")
     )
+    # staging write succeeded: promote it. A crash between these two
+    # statements leaves the data at __staging — recoverable, never lost.
+    _drop_table_and_location(spark, db, table)
+    spark.sql(f"ALTER TABLE {db}.{staging} RENAME TO {db}.{table}")
 
 
 def analyze_table(

@@ -335,16 +335,48 @@ def datacard_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
 def _swap_compacted(spark: SparkSession, root: str, staging: str) -> None:
     """Replace ``root`` with ``staging`` via two atomic directory
     renames (root -> .trash, staging -> root). The pair is not jointly
-    atomic: a crash between them leaves root missing with a complete
-    trash copy to restore — detectable, never silently double-counted."""
+    atomic: a crash (or failed rename) between them leaves root missing
+    with a complete trash copy to restore — detectable, never silently
+    double-counted. Hadoop's ``FileSystem.rename`` reports most
+    failures (missing parent, existing destination, object-store
+    quirks) as a ``false`` RETURN, not an exception — each rename is
+    checked and a failure raises with the trash copy intact; the trash
+    is deleted only after the new root is verified present, so no
+    branch can destroy the only surviving copy of the state."""
     sc = spark.sparkContext
     hadoop = sc._jvm.org.apache.hadoop.fs.Path
     p_root, p_stage, p_trash = hadoop(root), hadoop(staging), hadoop(root + ".trash")
     fs = p_root.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def checked_rename(src, dst, err_msg):
+        # FS implementations disagree on failure signaling: HDFS-style
+        # stores return FALSE, the local FS raises — treat both as the
+        # same recoverable condition
+        try:
+            ok = fs.rename(src, dst)
+        except Exception as e:
+            raise IOError(f"{err_msg}: {e}") from e
+        if not ok:
+            raise IOError(err_msg)
+
     if fs.exists(p_trash):
         fs.delete(p_trash, True)
-    fs.rename(p_root, p_trash)
-    fs.rename(p_stage, p_root)
+    checked_rename(
+        p_root, p_trash,
+        f"compaction swap: rename {root} -> {root}.trash failed; "
+        f"state root left untouched",
+    )
+    checked_rename(
+        p_stage, p_root,
+        f"compaction swap: rename {staging} -> {root} failed; the "
+        f"pre-compaction state is intact at {root}.trash — restore "
+        f"it before re-running",
+    )
+    if not fs.exists(p_root):
+        raise IOError(
+            f"compaction swap: {root} missing after rename reported "
+            f"success; pre-compaction copy kept at {root}.trash"
+        )
     fs.delete(p_trash, True)
 
 

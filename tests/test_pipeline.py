@@ -152,6 +152,14 @@ def test_format_report_mirrors_reference_summary(spark, tmp_path):
     assert "TOTAL EXTRACTED:" in text and "TOTAL LOADED:" in text
     assert "OK synchronized" in text and "OUT OF SYNC" not in text
     assert f"END-TO-END: {summary['status']}" in text
+    # first FULL load must be labeled full — the mode label reads the
+    # recorded branch, not the mere presence of a reconciliation entry
+    # (which both branches populate)
+    assert "(full)" in text and "(incremental)" not in text
+    # re-run: production now exists, so the load goes incremental
+    summary2 = pipe.run_full(files)
+    text2 = "\n".join(pipe.metrics.format_report(summary2["phase_seconds"]))
+    assert "(incremental)" in text2 and "(full)" not in text2
 
 
 def test_qualified_uri_matches_input_file_name(spark, tmp_path):

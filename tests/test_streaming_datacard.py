@@ -150,3 +150,23 @@ def test_datacard_batch_writer_idempotent_on_redelivery(spark, tmp_path):
     assert _card(datacard_from_state_dir(spark, state_dir)) == _card(
         _full_recompute(spark, ROWS1 + ROWS2)
     )
+
+
+def test_swap_compacted_failed_rename_preserves_trash(spark, tmp_path):
+    """The compaction swap's crash contract: Hadoop FileSystem.rename
+    reports failure as a FALSE RETURN, and a failed promote (staging ->
+    root) must raise with the pre-compaction copy intact at root.trash
+    — the unconditional trash delete of the old code would have
+    destroyed the only surviving copy of the state."""
+    import pytest
+
+    from python_etl_pipeline_spark.streaming.file_stream import _swap_compacted
+
+    root = tmp_path / "state"
+    root.mkdir()
+    (root / "part-0.parquet").write_text("old state")
+    # staging does not exist -> rename(staging, root) returns false
+    with pytest.raises(IOError, match="intact"):
+        _swap_compacted(spark, str(root), str(tmp_path / "missing_staging"))
+    trash = tmp_path / "state.trash"
+    assert trash.exists() and (trash / "part-0.parquet").read_text() == "old state"
