@@ -2338,6 +2338,189 @@ def ann10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann10_ivfpq_topk"].sql = _ann10_sql()
 
 
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted IVF-PQ index over this
+    sf_dir's embeddings — keyed by resolved path + file stats so a
+    regenerated dataset invalidates the cache, and parameter-versioned
+    so an index-layout change can never serve stale results."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|coarse4x2_pq16x2_v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
+
+
+def _ann11_sql() -> str:
+    # ann9's PQ chains + ann4's coarse-kmeans chain (the EXACT trainers
+    # build_ivfpq_index persists) + the stored-index serve path: L2
+    # probe of the trained centroids, member semi-join, in-member PQ
+    # shortlist, exact rerank. Because the index build is fully
+    # deterministic, replaying it from scratch here equals reading the
+    # persisted tables on the Spark side.
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {_kmeans_iter_sql('cent0', 1)},
+    {_kmeans_iter_sql('cent1', 2)},
+    {_kmeans_iter_sql('cent2', 3)},
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qfull.qv) * (cent2.v - qfull.qv)) AS dist
+      FROM cent2 JOIN qfull ON cent2.i = qfull.i GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT asg.vec_id FROM asg JOIN probe USING (cell)
+      WHERE asg.vec_id <> 0
+    ),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id IN (SELECT vec_id FROM members)
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann11_ivfpq_from_index", None)  # finalized below (composed CTEs)
+def ann11_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from a PERSISTED IVF-PQ index — the query-latency
+    half of ann10's build+query conflation, separated so the bench
+    quotes what a 100 TB vector store actually serves: ann10's headline
+    is dominated by the two in-plan PQ subspace trainings; this query
+    trains NOTHING in-plan. The index (coarse k-means centroids + full
+    assignment + PQ codes + two subspace centroid tables,
+    llm.similarity.build_ivfpq_index) is built once per dataset and
+    cached on disk keyed by the embeddings file's identity; the serve
+    path (ivfpq_query_from_index) reads only index state plus the
+    query's own row: L2 probe of the k-row centroid table, member
+    semi-join against the stored assignment, PQ-code shortlist via two
+    broadcast lookup tables, exact rerank of 50 vectors. The oracle
+    replays the deterministic index BUILD from scratch and the same
+    serve path — stored == retrained, which is exactly the persisted-
+    index contract (the ANN analog of x21's stored-signature index;
+    reference-analog: the stored-state idempotency of
+    src/extract.py:222-270 applied to vectors)."""
+    import os
+    import shutil
+
+    from .llm.similarity import (
+        build_ivfpq_index,
+        ivfpq_query_from_index,
+        read_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx_dir = _ivfpq_index_dir(sf_dir)
+    if not os.path.isdir(idx_dir):
+        staging = f"{idx_dir}.build_{os.getpid()}"
+        build_ivfpq_index(
+            emb, staging, coarse_k=4, coarse_iters=2, n_codes=16, pq_iters=2
+        )
+        try:
+            os.rename(staging, idx_dir)  # atomic promote
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    idx = read_ivfpq_index(spark, idx_dir)
+    return ivfpq_query_from_index(
+        emb, *idx, query_id=0, k=10, shortlist=50, nprobe=2
+    )
+
+
+_ANN12_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+{_pq_iter_sql('cent2', 3, 'base', '')},
+full_assign AS (
+  SELECT comp.vec_id, cent2.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent2.v) * (comp.v - cent2.v)), cent2.cell
+         ) AS rn
+  FROM comp JOIN cent2 ON comp.i = cent2.i
+  GROUP BY comp.vec_id, cent2.cell
+)
+SELECT vec_id, cell FROM full_assign
+WHERE rn = 1 AND vec_id % 5 = 4
+"""
+
+
+@register("ann12_incremental_assign", _ANN12_SQL)
+def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: fold a new vector batch
+    (vec_id % 5 == 4 stands in for today's arrivals) into a persisted
+    IVF index WITHOUT re-clustering — assign only the delta to the
+    existing centroids in one broadcast pass and append to the stored
+    assignment table. The oracle proves the folding is exact: it trains
+    the same centroids on the base corpus, re-assigns EVERYTHING to
+    those fixed centroids from scratch, and restricts to the delta —
+    incremental-assign == full-assign on fixed centroids, so the grown
+    index is byte-identical to a rebuild (until centroid DRIFT says
+    retrain: llm.similarity.ivf_cell_drift reports per-cell share growth
+    and flags when re-training is warranted — pinned in
+    test_similarity.py). x21/x41's incremental pattern applied to the
+    last index in the engine that previously required a full rebuild.
+    In production `cent` is a parquet read of the stored index; here it
+    is retrained in-plan so the DuckDB oracle can replay it."""
+    from .llm.similarity import ivf_incremental_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cent, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2,
+                         materialize=True)
+    return ivf_incremental_assign(delta, cent)
+
+
 @register(
     "ann7_multiprobe_topk",
     f"""
@@ -4511,6 +4694,12 @@ norms AS (
 SELECT members.cell, members.n_members, norms.centroid_norm
 FROM members JOIN norms USING (cell)
 """
+
+
+# ann11's oracle composes _kmeans_iter_sql (defined just above) with the
+# PQ chains — attached here because the helper does not exist yet at
+# ann11's registration site
+REGISTRY["ann11_ivfpq_from_index"].sql = _ann11_sql()
 
 
 @register("ann4_kmeans_train", _KMEANS_SQL)

@@ -313,3 +313,103 @@ def test_ivf_index_persist_and_query_roundtrip(spark, sf_dir, tmp_path):
         for r in assign2.filter(F.col("vec_id").isin(own_ids)).collect()
     }
     assert member_cells == {q_cell}
+
+
+def test_ivfpq_index_build_query_matches_inplan(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ index (build_ivfpq_index -> parquet ->
+    read_ivfpq_index) must serve queries; with nprobe = every cell the
+    serve path must equal exact brute force over the whole corpus up to
+    the PQ shortlist boundary — here shortlist = corpus size, so the
+    rerank sees every candidate and the result IS the exact top-k.
+    Multiple query ids against the SAME stored index: no retraining."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_query_from_index,
+        read_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    build_ivfpq_index(emb, str(tmp_path / "idx"), coarse_k=4, n_codes=16)
+    idx = read_ivfpq_index(spark, str(tmp_path / "idx"))
+    for qid in (0, 7):
+        got = ivfpq_query_from_index(
+            emb, *idx, query_id=qid, k=5, shortlist=n, nprobe=4
+        )
+        exact = brute_force_topk(emb, qid, k=5)
+        g = [(r["vec_id"], r["cosine"]) for r in got.collect()]
+        e = [(r["vec_id"], r["cosine"]) for r in exact.collect()]
+        assert g == e and len(g) == 5
+    # restricted probe: candidates come only from the probed cells
+    got1 = ivfpq_query_from_index(
+        emb, *idx, query_id=0, k=5, shortlist=n, nprobe=1
+    )
+    ids = [r["vec_id"] for r in got1.collect()]
+    assign = idx[1]
+    q_cell = assign.filter(F.col("vec_id") == 0).first()["cell"]
+    cells = {
+        r["cell"] for r in assign.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert cells == {q_cell}
+
+
+def test_ivf_incremental_assign_equals_full_reassign(spark):
+    """ann12's contract on controlled data: assigning only the delta to
+    frozen centroids equals re-assigning the whole corpus and
+    restricting to the delta."""
+    import random
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        ivf_incremental_assign,
+        kmeans_fit,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = df.filter("vec_id % 5 <> 4")
+    delta = df.filter("vec_id % 5 = 4")
+    cent, _ = kmeans_fit(base, k=4, iters=2)
+    inc = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_incremental_assign(delta, cent).collect()
+    }
+    full = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_incremental_assign(df, cent).collect()
+        if r["vec_id"] % 5 == 4
+    }
+    assert inc == full and len(inc) == 12
+
+
+def test_ivf_cell_drift_flags_skewed_growth(spark):
+    """The drift report: a cell whose corpus share more than doubles
+    (or that was empty at build time) flags retrain=True; balanced
+    growth flags nothing."""
+    from python_etl_pipeline_spark.llm.similarity import ivf_cell_drift
+
+    before = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "vec_id bigint, cell bigint"
+    )
+    # balanced growth: every cell gains 5 -> shares unchanged
+    balanced = before.unionByName(
+        spark.createDataFrame(
+            [(100 + i, i % 4) for i in range(20)], "vec_id bigint, cell bigint"
+        )
+    )
+    rep = {r["cell"]: r for r in ivf_cell_drift(before, balanced).collect()}
+    assert not any(r["retrain"] for r in rep.values())
+    assert rep[0]["n_before"] == 10 and rep[0]["n_after"] == 15
+    # skewed growth: 60 new vectors all land in cell 0 -> share 0.25 -> 0.7
+    skewed = before.unionByName(
+        spark.createDataFrame(
+            [(200 + i, 0) for i in range(60)], "vec_id bigint, cell bigint"
+        )
+    )
+    rep = {r["cell"]: r for r in ivf_cell_drift(before, skewed).collect()}
+    assert rep[0]["retrain"] and not rep[1]["retrain"]
