@@ -4566,6 +4566,43 @@ def tx17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx17_perplexity_buckets"].sql = _tx17_sql()
 
 
+@register("tx19_incremental_lm_score", None)  # sql attached below
+def tx19_incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental bigram-LM maintenance: the LM behind the perplexity
+    filter is two count tables, and counts are sum-monoids — so the
+    state a growing corpus persists is the per-batch c12 partials
+    (llm.lm, the same merge algebra as llm.datacard / i5), folded on
+    arrival instead of rescanning history. Here the corpus arrives as
+    three batches (doc_id % 3 stands in for arrival order), each
+    batch's count state is built independently, the states are folded
+    pairwise with plans.merge_agg_state, and every document is scored
+    against the FOLDED counts. The oracle recomputes tx10 from scratch
+    over the whole corpus — folded LM counts == full recompute, so the
+    incremental path is exact, not approximate. Streaming twin:
+    streaming.file_stream.stream_lm_state_available_now persists the
+    same per-batch partials under batch_id=N with crash-redelivery
+    idempotency. The instance table is checkpointed once (text bytes
+    read once): it feeds all three batch states AND the scoring join
+    — 5 consumers that would otherwise each re-run the explode."""
+    from .llm.lm import lm_count_state, lm_score_docs, merge_lm_states
+    from .llm.dedup import _spread, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    inst = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
+        .localCheckpoint(eager=True)
+    )
+    states = [
+        lm_count_state(inst.filter(F.col("doc_id") % 3 == k)) for k in range(3)
+    ]
+    c12 = merge_lm_states(merge_lm_states(states[0], states[1]), states[2])
+    return lm_score_docs(inst, c12)
+
+
+REGISTRY["tx19_incremental_lm_score"].sql = _bigram_lm_sql()
+
+
 _TX18_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

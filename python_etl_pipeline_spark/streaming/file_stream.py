@@ -332,6 +332,82 @@ def datacard_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def lm_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink for incremental bigram-LM maintenance
+    (:mod:`..llm.lm` — tx19's operational twin): each arrival batch's
+    bigram-count partial lands under ``state_dir/batch_id=N``. The
+    state log is a sum-monoid: deriving the LM unions all partitions
+    and re-aggregates (the groupBy IS the merge), so perplexity-scoring
+    a growing corpus never rescans history. Exactly-once story matches
+    the near-dup/datacard sinks: a crash-re-delivered batch OVERWRITES
+    its own batch_id partition with identical content."""
+    import os
+
+    from ..llm.lm import bigram_instances, lm_count_state
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        state = lm_count_state(bigram_instances(batch_df, id_col, text_col))
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def lm_counts_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(bg, c12) — the folded LM counts from the persisted state log;
+    reads only vocabulary-sized state, never the corpus text."""
+    from ..llm.lm import merge_lm_states
+
+    state = spark.read.parquet(state_dir).drop("batch_id")
+    return merge_lm_states(state, state.limit(0))
+
+
+def compact_lm_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance job: fold every batch partition of the LM count
+    state into one (``batch_id=-1``) — same stop-the-world contract
+    and crash-safe swap as :func:`compact_datacard_state`."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = lm_counts_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_lm_state_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental bigram-LM: fold each arrival batch's
+    bigram counts into the persisted state (tx19's operational twin,
+    same AvailableNow cadence as the datacard sink). Batch CORRECTNESS
+    twin: queries.tx19_incremental_lm_score folds the same llm.lm
+    algebra over a batched split and is driver-verified against a
+    from-scratch DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(lm_state_batch_writer(spark, state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _swap_compacted(spark: SparkSession, root: str, staging: str) -> None:
     """Replace ``root`` with ``staging`` via two atomic directory
     renames (root -> .trash, staging -> root). The pair is not jointly
