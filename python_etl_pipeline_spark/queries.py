@@ -5378,6 +5378,130 @@ def x40_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lpt_shard_assignment(spark, sf_dir, 8)
 
 
+def _x43_sql() -> str:
+    from .llm.dedup import _h32_sql
+
+    h = _h32_sql("md5(cast(doc_id AS VARCHAR) || '|seed9')")
+    return f"""
+    WITH counted AS (
+      SELECT doc_id, cast(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+             {_DUCK_QUALITY} AS q
+      FROM documents
+      WHERE len({_DUCK_TOKS}) IS NOT NULL
+    ),
+    sharded AS (
+      SELECT doc_id, q,
+             cast((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+                  AS BIGINT) AS shard,
+             count(*) OVER () AS n
+      FROM counted
+    ),
+    qr AS (
+      SELECT doc_id, shard, n,
+             row_number() OVER (ORDER BY q DESC, doc_id) AS qrn
+      FROM sharded
+    ),
+    phased AS (
+      SELECT doc_id, shard,
+             CASE WHEN qrn <= ceil(n / 3.0) THEN 1
+                  WHEN qrn <= ceil(2 * n / 3.0) THEN 2
+                  ELSE 3 END AS phase
+      FROM qr
+    ),
+    keyed AS (
+      SELECT doc_id, shard, phase,
+             cast(phase AS BIGINT) * 4294967296 + {h} AS k
+      FROM phased
+    )
+    SELECT doc_id, shard, cast(phase AS BIGINT) AS phase,
+           cast(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS position
+    FROM keyed
+    """
+
+
+@register("x43_sharded_curriculum", None)  # sql attached below
+def x43_sharded_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharding x curriculum COMPOSED — what a data-parallel loader
+    actually consumes: every document gets its LPT token-balanced shard
+    (x40's rule) AND a dense curriculum position WITHIN that shard
+    (x42's rule: quality-tercile phase, then seeded-hash shuffle inside
+    each phase), so each of the 8 readers streams its own file in
+    position order and sees easy-to-hard locally while the shard totals
+    stay token-balanced globally. Invariants pinned in
+    test_sampling.py: positions are dense 1..n_s within each shard, and
+    phases are non-decreasing along every shard's position order.
+
+    Scale shape: one pinned base projection (text bytes read ONCE for
+    both token count and quality score), three passes of the
+    partition-offset sequence engine (token rank -> shard, quality rank
+    -> phase, packed-key rank -> position) — no single-partition window
+    anywhere. The final order key packs shard * 2^36 + phase * 2^32 +
+    hash32 so the leading key stays spread (same trick as x42; a bare
+    8-value shard key would collapse the engine's buckets to 8 tasks);
+    per-shard positions then subtract the shard's global-rank base — an
+    8-row broadcast join, which is also how the output lands
+    shard-bucketed (write_bucketed on shard, x40's layout)."""
+    from .llm.dedup import _h32
+    from .llm.text import quality_score, token_count
+    from .operators.sequence import with_global_sequence
+
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .filter(F.col("n_tokens").isNotNull())
+        .withColumn("neg_nt", -F.col("n_tokens"))
+        .withColumn("neg_q", -F.col("q"))
+        .localCheckpoint(eager=True)
+    )
+    shards = with_global_sequence(base, ["neg_nt", "doc_id"], name="rn").select(
+        "doc_id", F.pmod(F.col("rn") - 1, F.lit(8)).cast("bigint").alias("shard")
+    )
+    qr = with_global_sequence(base, ["neg_q", "doc_id"], name="qrn")
+    n = base.agg(F.count("*").alias("__n"))
+    phased = qr.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.when(F.col("qrn") <= F.ceil(F.col("__n") / 3.0), 1)
+        .when(F.col("qrn") <= F.ceil(2 * F.col("__n") / 3.0), 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("phase"),
+    )
+    keyed = (
+        shards.join(phased, "doc_id")
+        .select(
+            "doc_id",
+            "shard",
+            "phase",
+            (
+                F.col("shard") * F.lit(68719476736).cast("bigint")
+                + F.col("phase") * F.lit(4294967296).cast("bigint")
+                + _h32(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit("|seed9"))
+                    )
+                )
+            ).alias("k"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranked = with_global_sequence(keyed, ["k", "doc_id"], name="grn")
+    shard_base = ranked.groupBy("shard").agg(F.min("grn").alias("__base"))
+    return ranked.join(F.broadcast(shard_base), "shard").select(
+        "doc_id",
+        "shard",
+        "phase",
+        (F.col("grn") - F.col("__base") + 1).cast("bigint").alias("position"),
+    )
+
+
+REGISTRY["x43_sharded_curriculum"].sql = _x43_sql()
+
+
 _X37_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang,

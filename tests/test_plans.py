@@ -336,3 +336,24 @@ def test_round7_queries_no_single_partition(spark, sf_dir):
     for name in ("x40_shard_assignment", "x42_curriculum_order"):
         plan = _plan(spark, sf_dir, name)
         assert "hashpartitioning(__bkt" in plan, name
+
+
+def test_round8_queries_no_single_partition(spark, sf_dir):
+    """Round-8 additions: ann11 serves from the persisted index (probe
+    + semi-join + two TakeOrderedAndProject cuts), ann12 is one
+    broadcast-assign pass over the delta, tx19's scoring joins are
+    vocabulary-keyed, and x43's three rankings all ride the sequence
+    engine — none may plan a single-partition exchange or a global
+    range sort."""
+    for name in (
+        "ann11_ivfpq_from_index",
+        "ann12_incremental_assign",
+        "tx19_incremental_lm_score",
+        "x43_sharded_curriculum",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
+    # x43's final ranking windows on the sequence engine's bucket key
+    plan = _plan(spark, sf_dir, "x43_sharded_curriculum")
+    assert "hashpartitioning(__bkt" in plan

@@ -179,3 +179,54 @@ def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
     )
     assert joined.count() > 0  # fixture has near-dups
     assert joined.filter(F.col("sa") != F.col("sb")).count() == 0
+
+
+def test_sharded_curriculum_invariants(spark, sf_dir):
+    """x43's contract, checked on the MATERIALIZED shard-bucketed
+    table: (1) positions are dense 1..n_s within every shard,
+    (2) phases are non-decreasing along each shard's position order,
+    (3) the (doc_id -> shard) map is exactly x40's LPT assignment, and
+    (4) phase terciles split the corpus ~equally."""
+    from pyspark.sql import Window, functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+    from python_etl_pipeline_spark.sources.warehouse import write_bucketed
+
+    out = REGISTRY["x43_sharded_curriculum"].spark(spark, sf_dir)
+    write_bucketed(out, "bkt", "sharded_curriculum", 8, "shard")
+    back = spark.table("bkt.sharded_curriculum")
+
+    # (1) dense positions: per shard, sorted positions == 1..n_s
+    per = back.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("nd"),
+    )
+    for r in per.collect():
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"]), r
+
+    # (2) phases non-decreasing along each shard's position order
+    w = Window.partitionBy("shard").orderBy("position")
+    regress = back.withColumn("prev", F.lag("phase").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("phase") < F.col("prev"))
+    )
+    assert regress.count() == 0
+
+    # (3) shard map identical to x40's assignment
+    x40 = REGISTRY["x40_shard_assignment"].spark(spark, sf_dir)
+    diff = (
+        back.select("doc_id", F.col("shard").alias("s43"))
+        .join(x40.select("doc_id", F.col("shard").alias("s40")), "doc_id", "full")
+        .filter(
+            F.col("s43").isNull()
+            | F.col("s40").isNull()
+            | (F.col("s43") != F.col("s40"))
+        )
+    )
+    assert diff.count() == 0
+
+    # (4) tercile phases are balanced to within a row
+    ph = {r["phase"]: r["n"] for r in back.groupBy("phase").count().withColumnRenamed("count", "n").collect()}
+    assert sorted(ph) == [1, 2, 3]
+    assert max(ph.values()) - min(ph.values()) <= 1
