@@ -6292,86 +6292,84 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 7  # the round this prefix was built for
+_GATE_ROUND = 8  # the round this prefix was built for
 
+# ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
+# decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
+# raising the horizon-4 feasibility bound from 4*38+12 = 164 to
+# 4*42+8 = 176 (registry: 147 after this round's +4 — the growth rate
+# itself is slowing as the engine matures: +6 r7, +4 r8). The four
+# dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
+# each have a still-sentineled twin exercising the SAME operator module
+# (o2 keep-last / j1_anti / i3_antijoin / w1 sequence engine), so every
+# subtle module keeps a permanent watch while the dropped twins rotate
+# on the normal horizon like any other query. Horizon stays 4 —
+# raising it again was rejected: it weakens every query's freshness to
+# protect 4 redundant slots. If the registry ever passes ~176, shrink
+# to the 4 irreplaceable sentinels (flagship, f2, i2, s4; bound
+# 4*46+4 = 188) before touching the horizon.
 _GATE_PREFIX = [
-    # (1) added/changed this round (21):
-    #  - materialize default flipped to lazy; these queries' call
-    #    sites now opt in explicitly (identical plans, but the code
-    #    moved): dd2 dd14 dd3 dd12 dd5 dd6 dd13 llm_curation ann4
-    #    dd11 ann5
-    #  - caps.py gained the discrete-quantile cardinality guard
-    #    (derived-cap consumers re-verified): x21 x35
-    #  - sequence.py dropped the per-call isEmpty probe (sequence-
-    #    engine consumers re-verified): o1 x32 x18 (+ w1/o5 below)
-    #  - x38 gained the symmetric NULL-token guard
-    #  - new: x40 per-doc shard assignment, x41 incremental datacard,
-    #    x42 curriculum ordering
-    #    (a3's query code is unchanged this round — the ingest-log
-    #    record-count fix lives in pipeline.py and is pinned by
-    #    test_pipeline.py — so its r6 row still vouches and its slot
-    #    goes to the new x42)
-    "dd2_minhash_lsh",
-    "dd3_ngram_jaccard",
-    "dd5_embedding_neardup",
-    "dd6_lsh_dup_clusters",
-    "dd11_semantic_dedup",
-    "dd12_ngram_containment",
-    "dd13_cluster_canonical",
-    "dd14_lsh_precision",
-    "llm_curation_pipeline",
-    "ann4_kmeans_train",
-    "ann5_knn_graph",
-    "x21_incremental_neardup",
-    "x35_stream_neardup",
-    "o1_digit_sort",
-    "x32_corpus_shuffle",
-    "x18_sequence_packing",
-    "x38_token_sharding",
-    "x40_shard_assignment",
-    "x41_datacard_incremental",
-    "x42_curriculum_order",
-    "x39_leakage_safe_split",
-    # (2) permanent sentinels (12)
+    # (1) added this round (4): the persisted-index ANN serve path,
+    # incremental IVF assignment, incremental LM-count fold, and the
+    # sharding x curriculum composition. No existing query's code or
+    # oracle changed in round 8 (the ADVICE fixes touched
+    # warehouse/pipeline/streaming paths outside every registered
+    # query's plan), so prior rows keep vouching.
+    "ann11_ivfpq_from_index",
+    "ann12_incremental_assign",
+    "tx19_incremental_lm_score",
+    "x43_sharded_curriculum",
+    # (2) permanent sentinels (8, shrunk per the decision above)
     "flagship_customer_segments",
     "f2_safe_date",
     "o2_dedup_keep_last",
-    "o3_dedup_keep_first",
     "i2_upsert_last_writer_wins",
-    "i3_watermark_append",
     "i3_antijoin_append",
     "j1_anti_new_keys",
-    "j1_semi_existing_keys",
     "s4_file_identity",
     "w1_display_id",
-    "o5_offset_slice",
-    # (1b) added/changed later in round 7: tx17/tx18 + ann10 are NEW;
-    # ann2/ann6/ann7/ann9 re-verified because the IVF/PQ internals they
-    # call were refactored into shared spines (_ivf_cluster_members,
-    # pq_approx_scores) for ann10.
-    "tx17_perplexity_buckets",
-    "tx18_lang_consistency",
-    "ann10_ivfpq_topk",
-    "ann2_ivf_topk",
-    "ann6_recall_at_k",
-    "ann7_multiprobe_topk",
-    "ann9_pq_topk",
-    # (3) rotation (11): first the 10 queries whose last driver row is
-    # round 3 (the oldest cohort, flagged by the r6 verdict),.
-    # ann1/ann3/dd4/dd8/dd10/mm1 were displaced by (1b) and tx18 —
-    # r4 cohort, due for forced rotation in round 9 (mm1's bench
-    # question is answered by the isolated re-measure in SCALE.md,
-    # not by a correctness hash).
-    "a6_dedup_counters",
-    "f13_boolean_recast",
-    "f16_case_norms",
-    "i4_reconcile_counts",
-    "k4_export_nafill",
-    "s1_allstring_scan",
-    "s2_partitioned_scan",
-    "s3_multifile_glob",
-    "st1_tumbling_window",
-    "x1_pivot",
+    # (3) rotation (38), oldest last-driver-row first: the ENTIRE r4
+    # cohort (30 queries — due for forced rotation this round or next;
+    # clearing all of them now keeps the round-9 gate free for new
+    # work), then the 8 oldest of the r5 cohort in registry order.
+    "ann1_bruteforce_topk",
+    "ann3_batch_topk",
+    "dd4_simhash",
+    "dd7_simhash_hamming",
+    "dd8_decontaminate",
+    "dd9_repeated_spans",
+    "dd10_chunk_dedup",
+    "mm1_media_features",
+    "tx1_token_stats",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx5_top_tokens",
+    "tx6_pii_redact",
+    "tx7_repetition_ratio",
+    "tx8_bpe_tokens",
+    "tx9_tfidf_keywords",
+    "tx10_bigram_lm_score",
+    "tx11_normalize_text",
+    "tx12_token_budget",
+    "tx13_quality_topfrac",
+    "tx14_token_entropy",
+    "x10_range_join",
+    "x11_train_val_test_split",
+    "x24_salted_join",
+    "x25_cdc_apply",
+    "x26_fuzzy_match",
+    "x27_corpus_mix",
+    "x28_source_cap",
+    "x29_doc_chunks",
+    "s5_jdbc_partitioned",
+    "x2_rollup",
+    "x3_cube",
+    "st2_session_window",
+    "dd1_exact_dedup",
+    "x4_outlier_flag",
+    "x5_asof_join",
+    "x7_group_zscore",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -6388,6 +6386,11 @@ _EXPENSIVE_LAST = [
     # tx17 re-runs tx10's LM join before the tercile rank
     "ann10_ivfpq_topk",
     "tx17_perplexity_buckets",
+    # round-8 heavies: ann11's FIRST invocation per dataset builds the
+    # whole IVF-PQ index (later ones serve from the cache); tx19 folds
+    # three batch count states before scoring
+    "ann11_ivfpq_from_index",
+    "tx19_incremental_lm_score",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
