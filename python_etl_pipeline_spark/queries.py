@@ -4603,6 +4603,76 @@ def tx19_incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx19_incremental_lm_score"].sql = _bigram_lm_sql()
 
 
+@register("tx20_incremental_tfidf", None)  # sql attached below (= tx9's)
+def tx20_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF vocabulary state: tx9's IDF side needs only
+    the per-term document frequency and the corpus size — both
+    sum-monoids over a partition of the corpus into arrival batches
+    (each document lives in exactly one batch, so per-batch df partials
+    sum to the global df). The corpus arrives as three batches
+    (doc_id % 3); each batch contributes its (term, df) partial and its
+    doc count, the states fold via plans.merge_agg_state, and every
+    document's top-3 keywords are scored against the FOLDED df table
+    and count. The oracle recomputes tx9 from scratch — folded
+    vocabulary state == full recompute, the third instance of the
+    state-algebra pattern (datacard x41, LM counts tx19) and the one a
+    keyword/search pipeline over a growing corpus actually persists:
+    vocabulary-sized state, batch-sized arrival work, no history
+    rescan. The tf side is batch-local by definition (a document's
+    term counts never depend on other documents), so nothing else
+    needs folding."""
+    from .plans import merge_agg_state
+    from .llm.dedup import _spread
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .localCheckpoint(eager=True)  # feeds 3 batch states + tf scoring
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    batch_dfs = [
+        tf.filter(F.col("doc_id") % 3 == k)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        for k in range(3)
+    ]
+    dfq = merge_agg_state(
+        merge_agg_state(batch_dfs[0], batch_dfs[1], ["term"], count_col="df"),
+        batch_dfs[2],
+        ["term"],
+        count_col="df",
+    )
+    # corpus size folds the same way: one count per batch, summed
+    n = d.groupBy((F.col("doc_id") % 3).alias("__b")).agg(
+        F.count("*").alias("__c")
+    ).agg(F.sum("__c").cast("double").alias("n"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("raw", 4).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+REGISTRY["tx20_incremental_tfidf"].sql = _TFIDF_SQL
+
+
 _TX18_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
@@ -6309,15 +6379,17 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # to the 4 irreplaceable sentinels (flagship, f2, i2, s4; bound
 # 4*46+4 = 188) before touching the horizon.
 _GATE_PREFIX = [
-    # (1) added this round (4): the persisted-index ANN serve path,
-    # incremental IVF assignment, incremental LM-count fold, and the
-    # sharding x curriculum composition. No existing query's code or
-    # oracle changed in round 8 (the ADVICE fixes touched
-    # warehouse/pipeline/streaming paths outside every registered
-    # query's plan), so prior rows keep vouching.
+    # (1) added this round (5): the persisted-index ANN serve path,
+    # incremental IVF assignment, incremental LM-count + TF-IDF-df
+    # folds, and the sharding x curriculum composition. No existing
+    # query's code or oracle changed in round 8 (the ADVICE fixes
+    # touched warehouse/pipeline/streaming paths outside every
+    # registered query's plan), so prior rows keep vouching. (3) below
+    # shrinks to 37 to hold the 50-slot budget.
     "ann11_ivfpq_from_index",
     "ann12_incremental_assign",
     "tx19_incremental_lm_score",
+    "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
     # (2) permanent sentinels (8, shrunk per the decision above)
     "flagship_customer_segments",
@@ -6328,10 +6400,10 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (38), oldest last-driver-row first: the ENTIRE r4
+    # (3) rotation (37), oldest last-driver-row first: the ENTIRE r4
     # cohort (30 queries — due for forced rotation this round or next;
     # clearing all of them now keeps the round-9 gate free for new
-    # work), then the 8 oldest of the r5 cohort in registry order.
+    # work), then the 7 oldest of the r5 cohort in registry order.
     "ann1_bruteforce_topk",
     "ann3_batch_topk",
     "dd4_simhash",
@@ -6369,7 +6441,6 @@ _GATE_PREFIX = [
     "dd1_exact_dedup",
     "x4_outlier_flag",
     "x5_asof_join",
-    "x7_group_zscore",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

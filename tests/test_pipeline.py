@@ -156,10 +156,49 @@ def test_format_report_mirrors_reference_summary(spark, tmp_path):
     # recorded branch, not the mere presence of a reconciliation entry
     # (which both branches populate)
     assert "(full)" in text and "(incremental)" not in text
-    # re-run: production now exists, so the load goes incremental
-    summary2 = pipe.run_full(files)
+    # a re-run with a NEW file goes incremental (an identical re-run
+    # would hash-skip transform/load entirely — tested separately)
+    p2 = tmp_path / "in" / "customers_9.csv"
+    p2.write_text(
+        CUST_HEADER
+        + "9,QT0002,ninth,person,1991-06-06,F,n@x.com,123,addr,2023-04-04\n"
+    )
+    files2 = dict(files)
+    files2["customers"] = list(files["customers"]) + [str(p2)]
+    summary2 = pipe.run_full(files2)
+    assert summary2["no_new_files"] is False
     text2 = "\n".join(pipe.metrics.format_report(summary2["phase_seconds"]))
     assert "(incremental)" in text2 and "(full)" not in text2
+
+
+def test_no_new_files_run_skips_transform_and_load(spark, tmp_path):
+    """The reference's hash-skip (extract.py:494-496) as a phase
+    short-circuit: a re-run whose every file is already in the ingest
+    log skips transform/load — but ONLY when the previous run
+    completed; a missing/stale success marker (crash between extract
+    and load) forces the full phase sequence."""
+    (tmp_path / "in").mkdir(exist_ok=True)
+    files = _write_files(tmp_path / "in")
+    pipe = Pipeline(spark, str(tmp_path / "wh"))
+    s1 = pipe.run_full(files)
+    assert s1["no_new_files"] is False and "load" in s1["phase_seconds"]
+    n_prod = pipe.wh.read("production", "customers").count()
+
+    # identical re-run: nothing new + marker current -> phases skipped
+    s2 = pipe.run_full(files)
+    assert s2["no_new_files"] is True
+    assert "transform" not in s2["phase_seconds"]
+    assert s2["status"] == "SUCCESS"
+    assert pipe.wh.read("production", "customers").count() == n_prod
+
+    # crash simulation: marker behind the log (as if a run died after
+    # extract logged files but before load finished) -> full run
+    spark.createDataFrame([(0,)], "n_files bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "wh" / "_run_marker"))
+    s3 = pipe.run_full(files)
+    assert s3["no_new_files"] is False and "load" in s3["phase_seconds"]
+    assert pipe.wh.read("production", "customers").count() == n_prod
 
 
 def test_qualified_uri_matches_input_file_name(spark, tmp_path):
