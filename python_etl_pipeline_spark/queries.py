@@ -4581,17 +4581,19 @@ def tx19_incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental path is exact, not approximate. Streaming twin:
     streaming.file_stream.stream_lm_state_available_now persists the
     same per-batch partials under batch_id=N with crash-redelivery
-    idempotency. The instance table is checkpointed once (text bytes
-    read once): it feeds all three batch states AND the scoring join
-    — 5 consumers that would otherwise each re-run the explode."""
+    idempotency. The bigram-instance table feeds all three batch
+    states AND the scoring join, yet it is deliberately LAZY: the
+    measured checkpoint trade (SCALE.md round-8 addendum) shows
+    pinning this corpus-sized frame LOSES 26% at sf0.1 (3.33 vs
+    2.64 s) and is a wash at 10x — re-running the explode is a cheap
+    columnar scan, materializing N-bigram rows is not (the same
+    inversion as the PQ-training checkpoint)."""
     from .llm.lm import lm_count_state, lm_score_docs, merge_lm_states
     from .llm.dedup import _spread, shingles
 
     d = _t(spark, sf_dir, "documents")
-    inst = (
-        _spread(d.select("doc_id", "text"))
-        .select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
-        .localCheckpoint(eager=True)
+    inst = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
     )
     states = [
         lm_count_state(inst.filter(F.col("doc_id") % 3 == k)) for k in range(3)
@@ -4620,16 +4622,23 @@ def tx20_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized state, batch-sized arrival work, no history
     rescan. The tf side is batch-local by definition (a document's
     term counts never depend on other documents), so nothing else
-    needs folding."""
+    needs folding.
+
+    Deliberately LAZY despite 4 consumers of the token explode — the
+    checkpoint trade was measured three ways (SCALE.md round-8
+    addendum): pinning the token-instance table is a wash at both
+    scales; pinning the post-agg tf table wins 40% at sf0.1 but LOSES
+    17% at 10x (1.27 vs 2.11 s, then 3.55 vs 3.03 s) — corpus-sized
+    materializations grow linearly while the explode they save stays
+    a near-free columnar scan, the same inversion as the PQ-training
+    checkpoint. Lazy is the scale-safe default."""
     from .plans import merge_agg_state
     from .llm.dedup import _spread
     from .llm.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    tok = (
-        _spread(d.select("doc_id", "text"))
-        .select("doc_id", F.explode(tokens("text")).alias("term"))
-        .localCheckpoint(eager=True)  # feeds 3 batch states + tf scoring
+    tok = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     batch_dfs = [
