@@ -413,3 +413,55 @@ def test_ivf_cell_drift_flags_skewed_growth(spark):
     )
     rep = {r["cell"]: r for r in ivf_cell_drift(before, skewed).collect()}
     assert rep[0]["retrain"] and not rep[1]["retrain"]
+
+
+def test_query_from_incrementally_grown_index_matches_rebuild(spark, tmp_path):
+    """The full incremental-maintenance loop: build an IVF index on the
+    base corpus, fold a delta in with ivf_incremental_assign (append to
+    the stored assignment, centroids frozen), and serve a query from
+    the grown index — the result must equal serving from an assignment
+    re-computed over the full corpus against the same centroids."""
+    import random
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        ivf_incremental_assign,
+        ivf_query_from_index,
+        kmeans_fit,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = df.filter("vec_id % 4 <> 3")
+    delta = df.filter("vec_id % 4 = 3")
+
+    cent, assign_base = kmeans_fit(base, k=4, iters=2)
+    cent.write.parquet(str(tmp_path / "cent"))
+    assign_base.write.parquet(str(tmp_path / "assign"))
+    cent2 = spark.read.parquet(str(tmp_path / "cent"))
+
+    # incremental growth: delta assigned to the FROZEN stored centroids,
+    # appended to the stored assignment table
+    ivf_incremental_assign(delta, cent2).write.mode("append").parquet(
+        str(tmp_path / "assign")
+    )
+    grown = spark.read.parquet(str(tmp_path / "assign"))
+    assert grown.count() == 80
+
+    rebuilt = ivf_incremental_assign(df, cent2)  # full re-assign, same centroids
+    for qid in (0, 3):
+        g = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_query_from_index(
+                df, cent2, grown, qid, k=5, nprobe=2
+            ).collect()
+        ]
+        rb = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_query_from_index(
+                df, cent2, rebuilt, qid, k=5, nprobe=2
+            ).collect()
+        ]
+        assert g == rb and len(g) == 5
