@@ -423,28 +423,50 @@ class Pipeline:
                 "incremental": incremental,
             }
 
+    def _marker_fs_path(self):
+        sc = self.spark.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(f"{self.wh.root}/_run_marker")
+        return path.getFileSystem(sc._jsc.hadoopConfiguration()), path
+
     def _write_success_marker(self) -> None:
         """Record that a run COMPLETED (extract through load) at the
-        current ingest-log size. One tiny parquet row under the
-        warehouse root — scheme-agnostic, works on object stores."""
-        n = self.ingest_log.summary().first()
-        self.spark.createDataFrame(
-            [(int(n["n_files"] or 0),)], "n_files bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{self.wh.root}/_run_marker"
-        )
+        current ingest-log size. Driver-side metadata IO via the Hadoop
+        FS API (scheme-agnostic, object-store-safe) — NOT a Spark
+        write: a 1-row ``createDataFrame(...).write.parquet`` was
+        measured at 3.6 s per run (it drags a Python-worker exchange
+        into the job), which doubled the 107k-row pipeline's wall. The
+        FS write is ~ms; only the ingest-log summary (one tiny agg
+        job) remains."""
+        n = int(self.ingest_log.summary().first()["n_files"] or 0)
+        fs, path = self._marker_fs_path()
+        out = fs.create(path, True)
+        try:
+            out.write(str(n).encode("ascii"))
+        finally:
+            out.close()
 
     def _marker_current(self) -> bool:
         """True iff the last COMPLETED run saw exactly today's ingest
         log — i.e. nothing was ingested since, and no run crashed
         between extract and load (a crash leaves the marker behind the
         log, or absent)."""
+        sc = self.spark.sparkContext
         try:
-            m = self.spark.read.parquet(f"{self.wh.root}/_run_marker").first()
+            fs, path = self._marker_fs_path()
+            if not fs.exists(path):
+                return False
+            stream = fs.open(path)
+            try:
+                text = sc._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            marker_n = int(text.strip())
         except Exception:
-            return False
+            return False  # unreadable/garbled marker -> run everything
         s = self.ingest_log.summary().first()
-        return m is not None and int(m["n_files"]) == int(s["n_files"] or 0)
+        return marker_n == int(s["n_files"] or 0)
 
     def run_full(self, files_per_entity: dict[str, list[str]]) -> dict:
         """Fail-fast phase runner with per-phase timing logs (M1/M3:

@@ -193,9 +193,7 @@ def test_no_new_files_run_skips_transform_and_load(spark, tmp_path):
 
     # crash simulation: marker behind the log (as if a run died after
     # extract logged files but before load finished) -> full run
-    spark.createDataFrame([(0,)], "n_files bigint").write.mode(
-        "overwrite"
-    ).parquet(str(tmp_path / "wh" / "_run_marker"))
+    (tmp_path / "wh" / "_run_marker").write_text("0")
     s3 = pipe.run_full(files)
     assert s3["no_new_files"] is False and "load" in s3["phase_seconds"]
     assert pipe.wh.read("production", "customers").count() == n_prod
