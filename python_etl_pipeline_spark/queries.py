@@ -2494,6 +2494,74 @@ WHERE rn = 1 AND vec_id % 5 = 4
 """
 
 
+_ANN13_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+{_pq_iter_sql('cent2', 3, 'base', '')},
+full_assign AS (
+  SELECT comp.vec_id, cent2.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent2.v) * (comp.v - cent2.v)), cent2.cell
+         ) AS rn
+  FROM comp JOIN cent2 ON comp.i = cent2.i
+  GROUP BY comp.vec_id, cent2.cell
+),
+asg AS (SELECT vec_id, cell FROM full_assign WHERE rn = 1),
+before AS (
+  SELECT cell, count(*) AS n_before FROM asg WHERE vec_id % 5 <> 4 GROUP BY 1
+),
+after AS (SELECT cell, count(*) AS n_after FROM asg GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(n_before) FROM before) AS tb,
+         (SELECT sum(n_after) FROM after) AS ta
+)
+SELECT a.cell,
+       coalesce(b.n_before, 0) AS n_before,
+       a.n_after,
+       round(coalesce(b.n_before, 0) * 1.0 / tot.tb, 6) AS share_before,
+       round(a.n_after * 1.0 / tot.ta, 6) AS share_after,
+       (coalesce(b.n_before, 0) = 0
+        OR a.n_after * 1.0 / tot.ta
+           > 2.0 * (coalesce(b.n_before, 0) * 1.0 / tot.tb)) AS retrain
+FROM after a LEFT JOIN before b USING (cell), tot
+"""
+
+
+@register("ann13_index_drift", _ANN13_SQL)
+def ann13_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift report that closes ann12's maintenance loop, as a
+    hash-verified query rather than a pytest-only claim: after folding
+    the delta batch (vec_id % 5 == 4) into the stored IVF assignment
+    against frozen centroids, report per cell how the corpus share
+    moved and whether re-training is warranted (share more than
+    doubled, or the cell was empty at build time —
+    llm.similarity.ivf_cell_drift, the exact threshold a maintenance
+    scheduler acts on). The oracle replays the base training, the
+    frozen-centroid re-assignment, and the same count/share/flag
+    algebra. Cell-count-sized output; the only corpus-sized work is
+    the assignment ann12 already does."""
+    from .llm.similarity import (
+        ivf_cell_drift,
+        ivf_incremental_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cent, assign_before = kmeans_fit(
+        base, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    assign_after = assign_before.unionByName(
+        ivf_incremental_assign(delta, cent)
+    )
+    return ivf_cell_drift(assign_before, assign_after)
+
+
 @register("ann12_incremental_assign", _ANN12_SQL)
 def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance: fold a new vector batch
@@ -6388,15 +6456,16 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # to the 4 irreplaceable sentinels (flagship, f2, i2, s4; bound
 # 4*46+4 = 188) before touching the horizon.
 _GATE_PREFIX = [
-    # (1) added this round (5): the persisted-index ANN serve path,
-    # incremental IVF assignment, incremental LM-count + TF-IDF-df
-    # folds, and the sharding x curriculum composition. No existing
-    # query's code or oracle changed in round 8 (the ADVICE fixes
-    # touched warehouse/pipeline/streaming paths outside every
-    # registered query's plan), so prior rows keep vouching. (3) below
-    # shrinks to 37 to hold the 50-slot budget.
+    # (1) added this round (6): the persisted-index ANN serve path,
+    # incremental IVF assignment + its drift report, incremental
+    # LM-count + TF-IDF-df folds, and the sharding x curriculum
+    # composition. No existing query's code or oracle changed in round
+    # 8 (the ADVICE fixes touched warehouse/pipeline/streaming paths
+    # outside every registered query's plan), so prior rows keep
+    # vouching. (3) below shrinks to 36 to hold the 50-slot budget.
     "ann11_ivfpq_from_index",
     "ann12_incremental_assign",
+    "ann13_index_drift",
     "tx19_incremental_lm_score",
     "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
@@ -6409,10 +6478,10 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (37), oldest last-driver-row first: the ENTIRE r4
+    # (3) rotation (36), oldest last-driver-row first: the ENTIRE r4
     # cohort (30 queries — due for forced rotation this round or next;
     # clearing all of them now keeps the round-9 gate free for new
-    # work), then the 7 oldest of the r5 cohort in registry order.
+    # work), then the 6 oldest of the r5 cohort in registry order.
     "ann1_bruteforce_topk",
     "ann3_batch_topk",
     "dd4_simhash",
@@ -6449,7 +6518,6 @@ _GATE_PREFIX = [
     "st2_session_window",
     "dd1_exact_dedup",
     "x4_outlier_flag",
-    "x5_asof_join",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

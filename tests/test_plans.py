@@ -348,6 +348,7 @@ def test_round8_queries_no_single_partition(spark, sf_dir):
     for name in (
         "ann11_ivfpq_from_index",
         "ann12_incremental_assign",
+        "ann13_index_drift",
         "tx19_incremental_lm_score",
         "tx20_incremental_tfidf",
         "x43_sharded_curriculum",
