@@ -988,6 +988,90 @@ def ivfpq_query_from_index(
     )
 
 
+def ivf_batch_query_from_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a BATCH of ANN queries from one shared persisted IVF index
+    in a single plan — the read path a dedup pass or dataloader
+    actually runs (thousands of lookups per micro-batch), where
+    per-query job submission would dominate. Output: (query_id, id,
+    cosine), top-k per query, (cosine desc, id) ordered within each.
+
+    Every stage is batched, none is per-query: the probe ranks ALL
+    queries' cells in one (qid, cell)-keyed agg over the broadcast
+    centroid table; the member set is one join of the stored assignment
+    against the probe table; the exact rerank is one (qid,
+    candidate)-keyed dot-product agg with the queries' components
+    broadcast (|Q| x d rows); the final cut is a row_number window
+    PARTITIONED BY query id — parallel across queries, never a global
+    sort. Work per query stays cell-scoped exactly as in the
+    single-query path (:func:`ivf_query_from_index`, same L2 probe
+    metric and tie-breaks — equality pinned in test_similarity.py)."""
+    from pyspark.sql import Window
+
+    comp = _components(df, id_col, vec_col)
+    qcomp = (
+        comp.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("qid"), "i", F.col("v").alias("qv"))
+    )
+    cent = centroids.select("cell", "i", F.col("v").alias("cv"))
+    cell_scores = (
+        F.broadcast(qcomp)
+        .join(cent, "i")
+        .groupBy("qid", "cell")
+        .agg(F.sum((F.col("cv") - F.col("qv")) ** 2).alias("dist"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy("dist", "cell")
+    probe = (
+        cell_scores.withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "cell")
+    )
+    members = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col)
+    )
+    norms = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    )
+    qnorms = norms.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("qid"), F.col("norm").alias("qnorm")
+    )
+    dots = (
+        members.join(comp, id_col)
+        .join(F.broadcast(qcomp), ["qid", "i"])
+        .groupBy("qid", id_col)
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorms), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            id_col,
+            F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_cut = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_cut))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_incremental_assign(
     new_df: DataFrame,
     centroids: DataFrame,

@@ -2562,6 +2562,77 @@ def ann13_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cell_drift(assign_before, assign_after)
 
 
+def _ann14_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT vec_id AS qid, i, v AS qv FROM comp WHERE vec_id < 5),
+    qd AS (
+      SELECT qcomp.qid, cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT qid, cell FROM qd
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, cell) <= 2
+    ),
+    members AS (
+      SELECT p.qid, a.vec_id
+      FROM asg a JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid
+    ),
+    dots AS (
+      SELECT m.qid, m.vec_id, sum(c.v * qc.qv) AS dot
+      FROM members m
+      JOIN comp c ON c.vec_id = m.vec_id
+      JOIN qcomp qc ON qc.qid = m.qid AND qc.i = c.i
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    scored AS (
+      SELECT d.qid AS query_id, d.vec_id,
+             round(d.dot / (n.norm * qn.norm), 4) AS cosine
+      FROM dots d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN norms qn ON qn.vec_id = d.qid
+    )
+    SELECT query_id, vec_id, cosine FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 5
+    """
+
+
+@register("ann14_batch_ivf_serve", None)  # sql attached after _kmeans_iter_sql
+def ann14_batch_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving from ONE shared IVF index — the read path a
+    near-dup pass or retrieval dataloader actually runs: many queries
+    per micro-batch against the same stored index, answered in a
+    single plan (per-query job submission would dominate at thousands
+    of lookups). Five stored vectors (vec_id < 5) are answered top-5
+    each; every stage is batched — one (qid, cell) probe agg over the
+    broadcast centroid table, one assignment join for all members, one
+    (qid, candidate)-keyed exact rerank with the queries' components
+    broadcast, one qid-partitioned cut window (parallel across
+    queries, no global sort). The oracle replays the k-means training
+    (ann4's chain), the batched L2 probe, member join, and rerank. In
+    production centroids/assignment are a parquet read of the stored
+    index (ivf_query_from_index's tables); trained in-plan here so the
+    oracle can replay them — the per-query equality with the
+    single-query serve path is pinned in test_similarity.py."""
+    from .llm.similarity import ivf_batch_query_from_index, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    return ivf_batch_query_from_index(
+        emb, cent, assign, [0, 1, 2, 3, 4], k=5, nprobe=2
+    )
+
+
 @register("ann12_incremental_assign", _ANN12_SQL)
 def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance: fold a new vector batch
@@ -4880,10 +4951,16 @@ FROM members JOIN norms USING (cell)
 """
 
 
-# ann11's oracle composes _kmeans_iter_sql (defined just above) with the
-# PQ chains — attached here because the helper does not exist yet at
-# ann11's registration site
+# ann11/ann14's oracles compose _kmeans_iter_sql (defined just above)
+# with their serve chains — attached here because the helper does not
+# exist yet at their registration sites
 REGISTRY["ann11_ivfpq_from_index"].sql = _ann11_sql()
+REGISTRY["ann14_batch_ivf_serve"].sql = _ann14_sql().replace(
+    "{KMEANS_CHAINS}",
+    f"{_kmeans_iter_sql('cent0', 1)},\n"
+    f"{_kmeans_iter_sql('cent1', 2)},\n"
+    f"{_kmeans_iter_sql('cent2', 3)},",
+)
 
 
 @register("ann4_kmeans_train", _KMEANS_SQL)
@@ -6456,16 +6533,18 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # to the 4 irreplaceable sentinels (flagship, f2, i2, s4; bound
 # 4*46+4 = 188) before touching the horizon.
 _GATE_PREFIX = [
-    # (1) added this round (6): the persisted-index ANN serve path,
-    # incremental IVF assignment + its drift report, incremental
-    # LM-count + TF-IDF-df folds, and the sharding x curriculum
-    # composition. No existing query's code or oracle changed in round
-    # 8 (the ADVICE fixes touched warehouse/pipeline/streaming paths
-    # outside every registered query's plan), so prior rows keep
-    # vouching. (3) below shrinks to 36 to hold the 50-slot budget.
+    # (1) added this round (7): the persisted-index ANN serve path
+    # (single + batched), incremental IVF assignment + its drift
+    # report, incremental LM-count + TF-IDF-df folds, and the sharding
+    # x curriculum composition. No existing query's code or oracle
+    # changed in round 8 (the ADVICE fixes touched
+    # warehouse/pipeline/streaming paths outside every registered
+    # query's plan), so prior rows keep vouching. (3) below shrinks to
+    # 35 to hold the 50-slot budget.
     "ann11_ivfpq_from_index",
     "ann12_incremental_assign",
     "ann13_index_drift",
+    "ann14_batch_ivf_serve",
     "tx19_incremental_lm_score",
     "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
@@ -6478,10 +6557,10 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (36), oldest last-driver-row first: the ENTIRE r4
+    # (3) rotation (35), oldest last-driver-row first: the ENTIRE r4
     # cohort (30 queries — due for forced rotation this round or next;
     # clearing all of them now keeps the round-9 gate free for new
-    # work), then the 6 oldest of the r5 cohort in registry order.
+    # work), then the 5 oldest of the r5 cohort in registry order.
     "ann1_bruteforce_topk",
     "ann3_batch_topk",
     "dd4_simhash",
@@ -6517,7 +6596,6 @@ _GATE_PREFIX = [
     "x3_cube",
     "st2_session_window",
     "dd1_exact_dedup",
-    "x4_outlier_flag",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

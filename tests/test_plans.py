@@ -349,6 +349,7 @@ def test_round8_queries_no_single_partition(spark, sf_dir):
         "ann11_ivfpq_from_index",
         "ann12_incremental_assign",
         "ann13_index_drift",
+        "ann14_batch_ivf_serve",
         "tx19_incremental_lm_score",
         "tx20_incremental_tfidf",
         "x43_sharded_curriculum",

@@ -465,3 +465,34 @@ def test_query_from_incrementally_grown_index_matches_rebuild(spark, tmp_path):
             ).collect()
         ]
         assert g == rb and len(g) == 5
+
+
+def test_batch_ivf_serve_matches_single_query_path(spark, sf_dir):
+    """ann14's contract: the batched serve's per-query slices must
+    equal the single-query serve path (same index, same nprobe) for
+    every query in the batch."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        ivf_batch_query_from_index,
+        ivf_query_from_index,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, assign = kmeans_fit(emb, k=4, iters=2)
+    qids = [0, 1, 2]
+    batch = ivf_batch_query_from_index(
+        emb, cent, assign, qids, k=5, nprobe=2
+    ).collect()
+    for qid in qids:
+        got = sorted(
+            (r["vec_id"], r["cosine"]) for r in batch if r["query_id"] == qid
+        )
+        want = sorted(
+            (r["vec_id"], r["cosine"])
+            for r in ivf_query_from_index(
+                emb, cent, assign, qid, k=5, nprobe=2
+            ).collect()
+        )
+        assert got == want and len(got) == 5, qid
