@@ -78,6 +78,9 @@ HEADLINE = [
     "ann12_incremental_assign",
     "tx19_incremental_lm_score",
     "x43_sharded_curriculum",
+    # 5 queries served from one shared IVF index in a single plan —
+    # compare against 5x the single-query path's wall
+    "ann14_batch_ivf_serve",
 ]
 
 
