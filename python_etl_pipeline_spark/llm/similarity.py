@@ -882,6 +882,41 @@ IVFPQ_INDEX_TABLES = (
 )
 
 
+def pq_encode(
+    df: DataFrame,
+    cent_a: DataFrame,
+    cent_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code0, code1, norm): encode vectors against STORED subspace
+    codebooks — :func:`pq_train`'s code table derived from persisted
+    centroid frames, so the Lloyd trainings never re-run to encode.
+    Also the incremental-encode primitive: a new vector batch folds
+    into a PQ index by encoding against the frozen codebooks, the PQ
+    analog of :func:`ivf_incremental_assign`. The subspace boundary is
+    recovered from ``cent_a``'s own component range (its i values span
+    exactly the first half), so no corpus-wide max(i) pass is needed.
+    Same argmin metric and (distance, cell) tie-break as training —
+    encode(corpus) == pq_train's own codes on the same centroids."""
+    comp = _components(df, id_col, vec_col)
+    d2 = cent_a.agg((F.max("i") + 1).cast("int").alias("__d2"))
+    split = comp.crossJoin(F.broadcast(d2))
+    codes = []
+    for s, cent in enumerate((cent_a, cent_b)):
+        cond = (
+            F.col("i") < F.col("__d2") if s == 0 else F.col("i") >= F.col("__d2")
+        )
+        codes.append(
+            _nearest_cell(split.filter(cond).drop("__d2"), cent, id_col)
+            .withColumnRenamed("cell", f"code{s}")
+        )
+    norms = comp.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    )
+    return codes[0].join(codes[1], id_col).join(norms, id_col)
+
+
 def build_ivfpq_index(
     df: DataFrame,
     out_dir: str,
@@ -901,15 +936,38 @@ def build_ivfpq_index(
     over the corpus, then bytes-per-vector state on disk. Queries
     (:func:`ivfpq_query_from_index`) read only this state plus their
     own query row — see the cost split ann10 (build+query, in-plan)
-    vs ann11 (query-only, from this index) in the bench."""
-    cent, assign = kmeans_fit(
+    vs ann11 (query-only, from this index) in the bench.
+
+    Each training chain executes EXACTLY ONCE: the centroid tables
+    (tiny, k x d) are written first, and the corpus-sized derivations
+    — coarse assignment, PQ codes — are computed from the READ-BACK
+    stored tables (:func:`pq_encode`, the same one-broadcast-pass
+    shape a query pays). A naive write of all five lazy frames re-runs
+    the coarse Lloyd chain twice and each subspace training up to
+    three times through shared lineage — separate write ACTIONS get no
+    exchange reuse. Measured trade (SCALE.md): the extra read-back job
+    waves cost 65% at sf0.1 (12.0 vs 7.3 s, fixed-overhead regime) and
+    are already a wash at 10x the vectors (14.2 vs 14.4 s); beyond
+    that the redundant trainings scale with the corpus while the
+    read-backs stay fixed, so train-once is the scale-correct shape
+    for a build path that by definition targets large corpora."""
+    spark = df.sparkSession
+    cent, _ = kmeans_fit(
         df, id_col, vec_col, coarse_k, coarse_iters, materialize=True
     )
-    codes, ca, cb = pq_train(df, n_codes, pq_iters, id_col, vec_col)
-    for name, frame in zip(
-        IVFPQ_INDEX_TABLES, (cent, assign, codes, ca, cb)
-    ):
-        frame.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+    cent.write.mode("overwrite").parquet(f"{out_dir}/coarse_centroids")
+    cent_r = spark.read.parquet(f"{out_dir}/coarse_centroids")
+    _nearest_cell(
+        _components(df, id_col, vec_col), cent_r, id_col
+    ).write.mode("overwrite").parquet(f"{out_dir}/coarse_assign")
+    _codes, ca, cb = pq_train(df, n_codes, pq_iters, id_col, vec_col)
+    ca.write.mode("overwrite").parquet(f"{out_dir}/pq_cent_a")
+    cb.write.mode("overwrite").parquet(f"{out_dir}/pq_cent_b")
+    ca_r = spark.read.parquet(f"{out_dir}/pq_cent_a")
+    cb_r = spark.read.parquet(f"{out_dir}/pq_cent_b")
+    pq_encode(df, ca_r, cb_r, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/pq_codes")
 
 
 def read_ivfpq_index(spark, out_dir: str) -> tuple[DataFrame, ...]:

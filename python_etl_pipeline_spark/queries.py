@@ -2490,7 +2490,6 @@ base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
 cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
 {_pq_iter_sql('cent0', 1, 'base', '')},
 {_pq_iter_sql('cent1', 2, 'base', '')},
-{_pq_iter_sql('cent2', 3, 'base', '')},
 full_assign AS (
   SELECT comp.vec_id, cent2.cell,
          row_number() OVER (
@@ -2511,7 +2510,6 @@ base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
 cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
 {_pq_iter_sql('cent0', 1, 'base', '')},
 {_pq_iter_sql('cent1', 2, 'base', '')},
-{_pq_iter_sql('cent2', 3, 'base', '')},
 full_assign AS (
   SELECT comp.vec_id, cent2.cell,
          row_number() OVER (
@@ -4738,13 +4736,15 @@ def tx19_incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.64 s) and is a wash at 10x — re-running the explode is a cheap
     columnar scan, materializing N-bigram rows is not (the same
     inversion as the PQ-training checkpoint)."""
-    from .llm.lm import lm_count_state, lm_score_docs, merge_lm_states
-    from .llm.dedup import _spread, shingles
+    from .llm.lm import (
+        bigram_instances,
+        lm_count_state,
+        lm_score_docs,
+        merge_lm_states,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    inst = _spread(d.select("doc_id", "text")).select(
-        "doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg")
-    )
+    inst = bigram_instances(d)
     states = [
         lm_count_state(inst.filter(F.col("doc_id") % 3 == k)) for k in range(3)
     ]
@@ -5724,6 +5724,14 @@ def x43_sharded_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # The ranking feeds two consumers (8-row shard-base agg + output
+    # join). Measured round 8: this is NOT double work — AQE reuses the
+    # ranking's exchange across consumers (1.76 s at sf0.1), and both
+    # "de-duplication" rewrites lost: localCheckpoint on the ranked
+    # frame 2.15 s (materialization costs more than the reused window),
+    # literal offset-map from 8-row counts 2.53 s (construction-time
+    # collect barrier + broken exchange reuse). Kept the plain form;
+    # see SCALE.md's checkpoint ledger.
     ranked = with_global_sequence(keyed, ["k", "doc_id"], name="grn")
     shard_base = ranked.groupBy("shard").agg(F.min("grn").alias("__base"))
     return ranked.join(F.broadcast(shard_base), "shard").select(
@@ -6532,17 +6540,18 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
 # decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
 # raising the horizon-4 feasibility bound from 4*38+12 = 164 to
-# 4*42+8 = 176 (registry: 147 after this round's +4 — the growth rate
-# itself is slowing as the engine matures: +6 r7, +4 r8). The four
+# 4*42+8 = 176 (registry: 150 after this round's +7: ann11-ann14,
+# tx19, tx20, x43). The four
 # dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
 # each have a still-sentineled twin exercising the SAME operator module
 # (o2 keep-last / j1_anti / i3_antijoin / w1 sequence engine), so every
 # subtle module keeps a permanent watch while the dropped twins rotate
 # on the normal horizon like any other query. Horizon stays 4 —
 # raising it again was rejected: it weakens every query's freshness to
-# protect 4 redundant slots. If the registry ever passes ~176, shrink
-# to the 4 irreplaceable sentinels (flagship, f2, i2, s4; bound
-# 4*46+4 = 188) before touching the horizon.
+# protect 4 redundant slots. At +7/round the 176 bound is crossed
+# around round 12; the pre-authorized escalation is to shrink to the
+# 4 irreplaceable sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188)
+# before touching the horizon.
 _GATE_PREFIX = [
     # (1) added this round (7): the persisted-index ANN serve path
     # (single + batched), incremental IVF assignment + its drift

@@ -242,17 +242,24 @@ def create_table_from_schema(
     spark.sql(f"CREATE TABLE IF NOT EXISTS {db}.{table} ({cols}) USING {using}")
 
 
-def _resolve_table_location(spark: SparkSession, db: str, table: str) -> str:
-    """The table's ACTUAL storage location: the catalog entry when the
-    table exists, else where this catalog would place a managed table
-    of that name — the database's own location (which honors CREATE
-    DATABASE ... LOCATION) + the table name. Never assumes the default
-    ``<warehouse>/<db>.db/<table>`` layout."""
+def _resolve_table_location(spark: SparkSession, db: str, table: str) -> tuple[str, bool]:
+    """(location, is_external): the table's ACTUAL storage location —
+    the catalog entry when the table exists, else where this catalog
+    would place a managed table of that name (the database's own
+    location, which honors CREATE DATABASE ... LOCATION, + the table
+    name). Never assumes the default ``<warehouse>/<db>.db/<table>``
+    layout."""
     if spark.catalog.tableExists(f"{db}.{table}"):
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{table}").collect():
-            if r.col_name == "Location":
-                return r.data_type
-    return f"{spark.catalog.getDatabase(db).locationUri.rstrip('/')}/{table}"
+        rows = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{table}").collect()
+        }
+        if "Location" in rows:
+            return rows["Location"], rows.get("Type", "").upper() == "EXTERNAL"
+    return (
+        f"{spark.catalog.getDatabase(db).locationUri.rstrip('/')}/{table}",
+        False,
+    )
 
 
 def _drop_table_and_location(spark: SparkSession, db: str, table: str) -> None:
@@ -262,9 +269,14 @@ def _drop_table_and_location(spark: SparkSession, db: str, table: str) -> None:
     fails with LOCATION_ALREADY_EXISTS. The swept path is RESOLVED from
     the catalog (table entry, else the database's location), so a
     database created with a custom LOCATION sweeps the right directory.
-    Scheme-agnostic via the Hadoop FS API."""
-    loc_str = _resolve_table_location(spark, db, table)
+    EXTERNAL tables lose only their metadata — the backing directory
+    may be shared with other readers and is never deleted (matching
+    DROP TABLE's own managed-vs-external contract). Scheme-agnostic
+    via the Hadoop FS API."""
+    loc_str, is_external = _resolve_table_location(spark, db, table)
     spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+    if is_external:
+        return
     sc = spark.sparkContext
     loc = sc._jvm.org.apache.hadoop.fs.Path(loc_str)
     fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())

@@ -313,3 +313,26 @@ def test_append_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 0.5
+
+
+def test_write_bucketed_over_external_table_keeps_backing_data(spark, tmp_path):
+    """Overwriting a name bound to an EXTERNAL table must replace the
+    catalog entry without deleting the external directory — it may be
+    a shared dataset other jobs read (DROP TABLE's own contract)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.sources.warehouse import write_bucketed
+
+    ext = tmp_path / "shared_dataset"
+    spark.range(5).withColumn("k", F.col("id") % 2).write.parquet(str(ext))
+    spark.sql("CREATE DATABASE IF NOT EXISTS extdb")
+    spark.sql(
+        f"CREATE TABLE extdb.shared (id BIGINT, k BIGINT) USING parquet "
+        f"LOCATION '{ext}'"
+    )
+    df = spark.range(3).withColumn("k", F.col("id"))
+    write_bucketed(df, "extdb", "shared", 4, "k")
+    # the name now serves the new bucketed data...
+    assert spark.table("extdb.shared").count() == 3
+    # ...and the external directory's files survived untouched
+    assert spark.read.parquet(str(ext)).count() == 5

@@ -34,16 +34,17 @@ Round-7 amendments (both from the round-6 verdict/advice):
 Round-8 amendment — the standing DECISION for the approaching bound
 (the r7 verdict's "decide the gate arithmetic before it decides for
 you"): the permanent-sentinel set shrinks from 12 to 8, raising the
-horizon-4 bound to 4*42 + 8 = 176 against a 147-query registry
-growing ~+4/round (comfortable through ~round 15). The four dropped
+horizon-4 bound to 4*42 + 8 = 176 against a 150-query registry
+(+7 this round: ann11-ann14, tx19, tx20, x43 — at that rate the bound
+is crossed around round 12). The four dropped
 sentinels (o3_dedup_keep_first, j1_semi_existing_keys,
 i3_watermark_append, o5_offset_slice) each have a still-sentineled
 twin exercising the same operator module (o2/j1_anti/i3_antijoin/w1),
 so no subtle module loses its permanent watch; the dropped twins
 rotate on the normal horizon. The horizon itself stays 4 — raising it
 was rejected because it would weaken EVERY query's verification
-freshness to protect 4 redundant slots. Escalation path if the
-registry ever passes ~176: shrink to the 4 irreplaceable sentinels
+freshness to protect 4 redundant slots. Pre-authorized escalation for
+the ~round-12 crossing: shrink to the 4 irreplaceable sentinels
 (flagship, f2, i2, s4; bound 4*46 + 4 = 188) before touching the
 horizon.
 """

@@ -357,6 +357,8 @@ def test_round8_queries_no_single_partition(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange SinglePartition" not in plan, name
         assert "rangepartitioning" not in plan, name
-    # x43's final ranking windows on the sequence engine's bucket key
+    # x43's final ranking windows on the sequence engine's bucket key,
+    # and the 8-row shard-base lookup must broadcast, never shuffle-join
     plan = _plan(spark, sf_dir, "x43_sharded_curriculum")
     assert "hashpartitioning(__bkt" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
