@@ -271,17 +271,24 @@ def _drop_table_and_location(spark: SparkSession, db: str, table: str) -> None:
     database created with a custom LOCATION sweeps the right directory.
     EXTERNAL tables lose only their metadata — the backing directory
     may be shared with other readers and is never deleted (matching
-    DROP TABLE's own managed-vs-external contract). Scheme-agnostic
-    via the Hadoop FS API."""
+    DROP TABLE's own managed-vs-external contract). The DEFAULT
+    managed location for the name is always swept regardless: it is
+    where a subsequent saveAsTable/RENAME will land, and orphans can
+    sit there even while the name currently binds an external table
+    elsewhere. Scheme-agnostic via the Hadoop FS API."""
     loc_str, is_external = _resolve_table_location(spark, db, table)
     spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
-    if is_external:
-        return
+    targets = {
+        f"{spark.catalog.getDatabase(db).locationUri.rstrip('/')}/{table}"
+    }
+    if not is_external:
+        targets.add(loc_str)
     sc = spark.sparkContext
-    loc = sc._jvm.org.apache.hadoop.fs.Path(loc_str)
-    fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    for t in targets:
+        loc = sc._jvm.org.apache.hadoop.fs.Path(t)
+        fs = loc.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
 
 
 def write_bucketed(
