@@ -408,6 +408,154 @@ def stream_lm_state_available_now(
     q.awaitTermination()
 
 
+def tfidf_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink for incremental TF-IDF vocabulary maintenance
+    (tx20's operational twin): each arrival batch writes its (term, df)
+    document-frequency partial under ``state_dir/df/batch_id=N`` and
+    its 1-row doc count under ``state_dir/n/batch_id=N`` — both
+    sum-monoids, so the IDF table for the corpus-so-far is one groupBy
+    over the df log and one sum over the count log (the tf side is
+    batch-local by definition and needs no state). Exactly-once story
+    matches the other sinks: re-delivered batches overwrite their own
+    batch_id partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import _spread
+    from ..llm.text import tokens
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        tok = _spread(
+            batch_df.select(F.col(id_col).alias("doc_id"), text_col)
+        ).select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        dfq = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("df"))
+        )
+        dfq.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "df", f"batch_id={batch_id}")
+        )
+        batch_df.groupBy().agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "n", f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def tfidf_state_from_dir(spark: SparkSession, state_dir: str):
+    """(df_counts, n_docs): the folded IDF inputs from the persisted
+    state log — vocabulary-sized reads only."""
+    from pyspark.sql import functions as F
+
+    from ..plans import merge_agg_state
+
+    df_state = spark.read.parquet(f"{state_dir}/df").drop("batch_id")
+    dfq = merge_agg_state(df_state, df_state.limit(0), ["term"], count_col="df")
+    n = (
+        spark.read.parquet(f"{state_dir}/n")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+    return dfq, n
+
+
+def stream_tfidf_state_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental TF-IDF vocabulary state — tx20's
+    operational twin, same AvailableNow cadence as the LM/datacard
+    sinks. Batch CORRECTNESS twin: queries.tx20_incremental_tfidf is
+    driver-verified against tx9's from-scratch oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(tfidf_state_batch_writer(spark, state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ivf_assign_batch_writer(
+    spark: SparkSession,
+    centroids_dir: str,
+    assign_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch sink for incremental ANN index maintenance (ann12's
+    operational twin): each arrival batch of vectors is assigned to the
+    FROZEN stored centroids (one broadcast pass,
+    llm.similarity.ivf_incremental_assign) and appended to the stored
+    assignment log under ``assign_dir/batch_id=N`` — work scales with
+    the batch, the index grows without re-clustering, and
+    ivf_query_from_index / ivf_batch_query_from_index serve from the
+    grown assignment directly (equality with a full re-assign is pinned
+    batch-side by ann12's oracle and
+    test_query_from_incrementally_grown_index_matches_rebuild).
+    Re-delivered batches overwrite their own batch_id partition. Run
+    llm.similarity.ivf_cell_drift on before/after snapshots between
+    streaming runs to decide when re-training is warranted."""
+    import os
+
+    from ..llm.similarity import ivf_incremental_assign
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        cent = spark.read.parquet(centroids_dir)
+        ivf_incremental_assign(batch_df, cent, id_col, vec_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(assign_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def stream_ivf_assign_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    centroids_dir: str,
+    assign_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental IVF assignment — the ANN index's
+    continuous-ingest form (x21/x41/tx19's sink pattern applied to
+    vectors): every arriving vector batch folds into the persisted
+    assignment against frozen centroids."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            ivf_assign_batch_writer(spark, centroids_dir, assign_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _swap_compacted(spark: SparkSession, root: str, staging: str) -> None:
     """Replace ``root`` with ``staging`` via two atomic directory
     renames (root -> .trash, staging -> root). The pair is not jointly
