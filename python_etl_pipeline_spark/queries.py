@@ -4745,6 +4745,13 @@ def tx19_incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     inst = bigram_instances(d)
+    # Three per-batch aggs over the same instance table look like 3x
+    # the shuffle, but AQE's exchange reuse amortizes them; a hand-
+    # fused (batch, bg)-keyed single pass measured SLOWER (3.42 vs
+    # 2.64 s at sf0.1 — it forces a second re-key shuffle into the
+    # merge and loses the reuse), the same lesson as x43's ranking
+    # (SCALE.md ledger). A real stream never faces the choice: each
+    # batch is counted alone on arrival.
     states = [
         lm_count_state(inst.filter(F.col("doc_id") % 3 == k)) for k in range(3)
     ]
@@ -4791,6 +4798,10 @@ def tx20_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # three filtered per-batch aggs, NOT a hand-fused (batch, term)
+    # pass: exchange reuse amortizes the repeats and the fused form
+    # measured a wash (2.05 vs 2.11 s) while tx19's equivalent lost
+    # 30% — see the ReusedExchange ledger entry in SCALE.md
     batch_dfs = [
         tf.filter(F.col("doc_id") % 3 == k)
         .groupBy("term")
