@@ -81,6 +81,13 @@ HEADLINE = [
     # 5 queries served from one shared IVF index in a single plan —
     # compare against 5x the single-query path's wall
     "ann14_batch_ivf_serve",
+    # metadata-filtered serve from the same index: the filter shrinks
+    # the rerank, so this should track ann11's serve cost from below
+    "ann15_filtered_topk",
+    "x44_temperature_mix",
+    # warm-start refresh trains in-plan (two base Lloyd passes + one
+    # warm full pass) for oracle replay — a build-time number, like ann10
+    "ann16_centroid_refresh",
 ]
 
 
@@ -93,26 +100,19 @@ def main():
     # warm the JVM/session so the first query doesn't pay startup cost
     spark.range(1).count()
 
-    # steady-state warmup: run every headline plan once at the smallest SF
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                REGISTRY[name].spark(spark, warm_dir).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-            except Exception:
-                pass  # warmup is best-effort; the timed run decides
-
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
 
     # end-to-end banking pipeline at the reference's exact volume (107k
     # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s).
-    # Measured BEFORE the query sweep: 35 queries x 4 executions leave
-    # the session with accumulated JVM heap/GC and Python-worker state
-    # that was measured to inflate a subsequent e2e run from ~4.9s to
-    # ~8.6s — each block is timed right after its own warmup instead.
+    # Measured FIRST, before even the sf0.001 headline warmup loop: 35+
+    # queries x 4 executions leave the session with accumulated JVM
+    # heap/GC and Python-worker state that was measured to inflate a
+    # subsequent e2e run from ~4.9s to ~8.6s (round 5), and the round-8
+    # headline additions (index builds, PQ training) inflated it again
+    # from an isolated 5.5s median to 6.6s when only their WARMUPS ran
+    # ahead of it — each block is timed right after its own warmup
+    # instead.
     import shutil
     import tempfile
 
@@ -146,6 +146,17 @@ def main():
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # steady-state warmup: run every headline plan once at the smallest SF
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                REGISTRY[name].spark(spark, warm_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run decides
 
     # Per-query: one warm-up execution at the TARGET sf (beyond the
     # sf0.001 compile pass above — it also warms the page cache for the

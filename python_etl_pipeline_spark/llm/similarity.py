@@ -369,6 +369,7 @@ def kmeans_fit(
     k: int = 4,
     iters: int = 2,
     materialize: bool = False,
+    init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment) after ``iters`` Lloyd iterations with
     deterministic init (centroids = vectors with id < k), all DataFrame
@@ -377,6 +378,14 @@ def kmeans_fit(
     two keyed shuffles of vector-sized and (k x d)-sized data
     respectively. Centroids come back in long form (cell, i, v);
     assignment is (id, cell) against the FINAL centroids.
+
+    ``init`` warm-starts the loop from an existing long-form
+    (cell, i, v) centroid table instead of the id<k seed — the REFRESH
+    path when :func:`ivf_cell_drift` flags that a grown corpus has
+    outrun its frozen centroids: a couple of warm iterations converge
+    far faster than a from-scratch re-train because the stored
+    centroids already describe most of the mass (``k`` is ignored when
+    ``init`` is given; the cell count comes from the table).
 
     ``materialize=True`` checkpoints the exploded component table once:
     every Lloyd iteration consumes it twice (assignment join + centroid
@@ -389,7 +398,12 @@ def kmeans_fit(
     comp = _components(df, id_col, vec_col)
     if materialize:
         comp = comp.localCheckpoint(eager=True)
-    cent = comp.filter(F.col(id_col) < k).select(F.col(id_col).alias("cell"), "i", "v")
+    if init is not None:
+        cent = init.select("cell", "i", "v")
+    else:
+        cent = comp.filter(F.col(id_col) < k).select(
+            F.col(id_col).alias("cell"), "i", "v"
+        )
     for _ in range(iters):
         assign = _nearest_cell(comp, cent, id_col)
         cent = (
@@ -790,6 +804,49 @@ def ivf_query_from_index(
     members = (
         assign.join(F.broadcast(probe), "cell")
         .filter(F.col(id_col) != query_id)
+        .select(id_col)
+    )
+    return _rerank_members(df, members, query_id, k, id_col, vec_col)
+
+
+def ivf_filtered_query_from_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    allowed: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-FILTERED ANN from a persisted IVF index: top-k among
+    only the vectors whose ids appear in ``allowed`` (a one-column
+    frame produced by an arbitrary metadata predicate — label, language,
+    license, date range). The filter is applied at CANDIDATE GENERATION
+    (a semi-join on the probed cells' member set, before any distance
+    work), not as a post-filter of an unfiltered top-k — post-filtering
+    returns fewer than ``k`` results whenever the predicate is
+    selective, the classic filtered-search defect (the difference is
+    pinned in test_similarity.py). Cost shape is unchanged from
+    :func:`ivf_query_from_index`: probe the k-row centroid table,
+    member semi-join, exact rerank over the (now filter-shrunk) member
+    set — the predicate only ever REDUCES reranked candidates, and at
+    100 TB the ``allowed`` side is a pushed-down parquet scan of the
+    metadata columns, never the vectors."""
+    comp = _components(df, id_col, vec_col)
+    q = comp.filter(F.col(id_col) == query_id).select("i", F.col("v").alias("qv"))
+    cent = centroids.select("cell", "i", F.col("v").alias("cv"))
+    cell_scores = (
+        cent.join(F.broadcast(q), "i")
+        .groupBy("cell")
+        .agg(F.sum((F.col("cv") - F.col("qv")) ** 2).alias("dist"))
+    )
+    probe = cell_scores.orderBy("dist", "cell").limit(nprobe).select("cell")
+    members = (
+        assign.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != query_id)
+        .join(allowed.select(id_col), id_col, "left_semi")
         .select(id_col)
     )
     return _rerank_members(df, members, query_id, k, id_col, vec_col)

@@ -2642,6 +2642,69 @@ def ann14_batch_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann15_filtered_topk", None)  # sql attached after _kmeans_iter_sql
+def ann15_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN from the persisted IVF index: top-10
+    cosine neighbors of vector 0 among only the vectors with
+    ``label = 3`` (~12% of the corpus) — the filtered-search mode every
+    production vector store serves ("nearest passages with license X /
+    language Y / date > Z"). The filter lands at CANDIDATE GENERATION:
+    the probed cells' member set is semi-joined to the predicate ids
+    BEFORE any distance work (llm.similarity.
+    ivf_filtered_query_from_index), so the rerank still yields a full
+    k. The naive alternative — post-filtering an unfiltered top-k —
+    silently returns fewer than k under any selective predicate
+    (pinned in test_similarity.py). Serves from the SAME cached
+    persisted index as ann11/ann14 (coarse tables only); the predicate
+    side is a pushed-down parquet scan of (vec_id, label) — at 100 TB
+    the filter only ever SHRINKS the reranked member set, and the
+    vectors of excluded ids are never read past the scan. The oracle
+    replays the deterministic index build and the same filtered serve
+    chain — stored == retrained, ann11's contract."""
+    from .llm.similarity import ivf_filtered_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    return ivf_filtered_query_from_index(
+        emb, cent, assign, allowed, query_id=0, k=10, nprobe=2
+    )
+
+
+def _ann15_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT a.vec_id FROM asg a JOIN probe USING (cell)
+      WHERE a.vec_id <> 0
+        AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    ),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * qcomp.qv) AS dot,
+             sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qcomp ON c.i = qcomp.i
+      WHERE c.vec_id IN (SELECT vec_id FROM members)
+      GROUP BY 1
+    ),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp)
+    SELECT d.vec_id, round(d.dot / (d.norm * qn.qnorm), 4) AS cosine
+    FROM dots d, qn
+    ORDER BY round(d.dot / (d.norm * qn.qnorm), 4) DESC, d.vec_id
+    LIMIT 10
+    """
+
+
 @register("ann12_incremental_assign", _ANN12_SQL)
 def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance: fold a new vector batch
@@ -2667,6 +2730,71 @@ def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2,
                          materialize=True)
     return ivf_incremental_assign(delta, cent)
+
+
+_ANN16_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+{_pq_iter_sql('cent2', 3, 'comp', '')},
+final_assign AS (
+  SELECT comp.vec_id, cent3.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent3.v) * (comp.v - cent3.v)), cent3.cell
+         ) AS rn
+  FROM comp JOIN cent3 ON comp.i = cent3.i
+  GROUP BY comp.vec_id, cent3.cell
+),
+members AS (
+  SELECT cell, count(*) AS n_members FROM final_assign WHERE rn = 1 GROUP BY 1
+),
+norms AS (
+  SELECT cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+  FROM cent3 GROUP BY 1
+)
+SELECT m.cell, m.n_members, n.centroid_norm
+FROM members m JOIN norms n USING (cell)
+"""
+
+
+@register("ann16_centroid_refresh", _ANN16_SQL)
+def ann16_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start centroid REFRESH — the step ann13's drift report
+    triggers, completing the index lifecycle (build ann11 → serve
+    ann11/ann14/ann15 → grow ann12 → drift ann13 → REFRESH): one Lloyd
+    iteration over the GROWN corpus (base + the ann12 delta)
+    initialized from the stored base-trained centroids
+    (kmeans_fit(init=...)), instead of a from-scratch re-train. Warm
+    start converges in 1-2 iterations because the stored centroids
+    already describe most of the mass — at 100 TB that's the
+    difference between one corpus pass and the full Lloyd schedule,
+    and it never re-seeds, so cell identities are STABLE across
+    refreshes (the stored assignment/code tables stay joinable on
+    cell). Output is ann4's shape on the refreshed index: per-cell
+    member count + centroid norm. Descent property (refresh never
+    increases within-cell SSE on the grown corpus) is pinned in
+    test_similarity.py; the oracle replays base training then the
+    warm-start iteration and final re-assignment as CTE chains."""
+    from .llm.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    stored, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2,
+                           materialize=True)
+    refreshed, assign = kmeans_fit(emb, "vec_id", "embedding", iters=1,
+                                   materialize=True, init=stored)
+    norms = refreshed.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(norms, "cell")
+        .select("cell", "n_members", "centroid_norm")
+    )
 
 
 @register(
@@ -4977,11 +5105,16 @@ FROM members JOIN norms USING (cell)
 # with their serve chains — attached here because the helper does not
 # exist yet at their registration sites
 REGISTRY["ann11_ivfpq_from_index"].sql = _ann11_sql()
-REGISTRY["ann14_batch_ivf_serve"].sql = _ann14_sql().replace(
-    "{KMEANS_CHAINS}",
+_KMEANS_CHAINS = (
     f"{_kmeans_iter_sql('cent0', 1)},\n"
     f"{_kmeans_iter_sql('cent1', 2)},\n"
-    f"{_kmeans_iter_sql('cent2', 3)},",
+    f"{_kmeans_iter_sql('cent2', 3)},"
+)
+REGISTRY["ann14_batch_ivf_serve"].sql = _ann14_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
+)
+REGISTRY["ann15_filtered_topk"].sql = _ann15_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
 )
 
 
@@ -6286,6 +6419,70 @@ def x28_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X44_SQL = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS total FROM c),
+tgt AS (
+  SELECT lang,
+         least(n, cast(floor(0.5 * total * pow(n, 0.5) / sw) AS BIGINT)) AS take
+  FROM c CROSS JOIN tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN tgt USING (lang)
+WHERE r.rk <= tgt.take
+"""
+
+
+@register("x44_temperature_mix", _X44_SQL)
+def x44_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial source weighting — the standard
+    multilingual-pretraining rebalance (XLM-R's alpha-sampling, also
+    used for domain mixing in LLaMA-class runs): sample language i with
+    probability proportional to n_i^alpha. With alpha = 0.5 the size
+    distribution is flattened — the dominant language is downsampled
+    hardest while low-resource ones keep (or approach) full
+    representation — which is exactly the knob x27's FIXED share table
+    cannot express: there the shares are hand-set constants; here they
+    are DERIVED from the observed sizes, so the mix adapts as the
+    corpus grows. Take_i = min(n_i, floor(budget * n_i^alpha / sum_j
+    n_j^alpha)) against a 50%-of-corpus budget; selection is the same
+    deterministic md5-rank-within-language as x27, so re-runs and
+    engines agree row-for-row. Plan: one lang-keyed count agg
+    (5 rows), the 1-row weight total broadcast back, one lang-keyed
+    rank window — the data-sized stage is a single shuffle on lang. At
+    100 TB, swap the exact rank for the hash-threshold projection
+    (keep where md5-fraction < take_i/n_i) and the rank shuffle
+    disappears entirely; the rates come from the same 5-row agg."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum(F.pow("n", F.lit(0.5))).alias("sw"),
+        F.sum("n").alias("total"),
+    )
+    tgt = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.col("n"),
+            F.floor(0.5 * F.col("total") * F.pow("n", F.lit(0.5)) / F.col("sw")),
+        ).cast("bigint").alias("take"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(tgt), "lang")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "tx12_token_budget",
     f"""
@@ -6551,8 +6748,8 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
 # decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
 # raising the horizon-4 feasibility bound from 4*38+12 = 164 to
-# 4*42+8 = 176 (registry: 150 after this round's +7: ann11-ann14,
-# tx19, tx20, x43). The four
+# 4*42+8 = 176 (registry: 153 after this round's +10: ann11-ann16,
+# tx19, tx20, x43, x44). The four
 # dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
 # each have a still-sentineled twin exercising the SAME operator module
 # (o2 keep-last / j1_anti / i3_antijoin / w1 sequence engine), so every
@@ -6576,9 +6773,12 @@ _GATE_PREFIX = [
     "ann12_incremental_assign",
     "ann13_index_drift",
     "ann14_batch_ivf_serve",
+    "ann15_filtered_topk",
+    "ann16_centroid_refresh",
     "tx19_incremental_lm_score",
     "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
+    "x44_temperature_mix",
     # (2) permanent sentinels (8, shrunk per the decision above)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -6623,9 +6823,6 @@ _GATE_PREFIX = [
     "x28_source_cap",
     "x29_doc_chunks",
     "s5_jdbc_partitioned",
-    "x2_rollup",
-    "x3_cube",
-    "st2_session_window",
     "dd1_exact_dedup",
 ]
 
@@ -6645,9 +6842,11 @@ _EXPENSIVE_LAST = [
     "tx17_perplexity_buckets",
     # round-8 heavies: ann11's FIRST invocation per dataset builds the
     # whole IVF-PQ index (later ones serve from the cache); tx19 folds
-    # three batch count states before scoring
+    # three batch count states before scoring; ann16 runs three Lloyd
+    # passes (two base + one warm full) in-plan for oracle replay
     "ann11_ivfpq_from_index",
     "tx19_incremental_lm_score",
+    "ann16_centroid_refresh",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would

@@ -362,3 +362,26 @@ def test_round8_queries_no_single_partition(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x43_sharded_curriculum")
     assert "hashpartitioning(__bkt" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_round8b_single_partition_only_on_metadata_frames(spark, sf_dir):
+    """ann15 and x44 each carry exactly ONE single-partition exchange,
+    and it sits over a metadata-sized frame by construction: ann15's
+    1-row query-norm aggregate inside the exact rerank (the same shape
+    ann1/ann2 have always had), x44's 5-row language-weight total that
+    is broadcast back. The corpus-sized stages — ann15's member
+    semi-join and rerank, x44's rank window — stay keyed, and no global
+    range sort or shuffle join appears."""
+    for name in ("ann15_filtered_topk", "x44_temperature_mix"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange SinglePartition") <= 1, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+    # ann16 (warm-start refresh) is pure keyed Lloyd algebra — no
+    # single-partition stage at all, argmin windows keyed on vec_id
+    plan = _plan(spark, sf_dir, "ann16_centroid_refresh")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    # x44's corpus-sized window partitions on lang
+    plan = _plan(spark, sf_dir, "x44_temperature_mix")
+    assert "hashpartitioning(lang" in plan

@@ -230,3 +230,42 @@ def test_sharded_curriculum_invariants(spark, sf_dir):
     ph = {r["phase"]: r["n"] for r in back.groupBy("phase").count().withColumnRenamed("count", "n").collect()}
     assert sorted(ph) == [1, 2, 3]
     assert max(ph.values()) - min(ph.values()) <= 1
+
+
+def test_temperature_mix_flattens_language_shares(spark, sf_dir):
+    """x44's invariants: per-language kept counts equal the alpha=0.5
+    temperature formula take_i = min(n_i, floor(budget * sqrt(n_i) /
+    sum_j sqrt(n_j))); the dominant language's keep-RATE is the lowest
+    (flattening); selection is deterministic across runs."""
+    import math
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sw = sum(math.sqrt(n) for n in n_by_lang.values())
+    budget = 0.5 * sum(n_by_lang.values())
+    want = {
+        lang: min(n, math.floor(budget * math.sqrt(n) / sw))
+        for lang, n in n_by_lang.items()
+    }
+
+    q = REGISTRY["x44_temperature_mix"].spark
+    kept = {
+        r["lang"]: r["n"]
+        for r in q(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kept == want
+    rates = {lang: kept[lang] / n_by_lang[lang] for lang in kept}
+    dominant = max(n_by_lang, key=n_by_lang.get)
+    assert rates[dominant] == min(rates.values())
+    # a rerun picks the identical rows
+    a = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
+    assert a == b

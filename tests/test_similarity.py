@@ -496,3 +496,84 @@ def test_batch_ivf_serve_matches_single_query_path(spark, sf_dir):
             ).collect()
         )
         assert got == want and len(got) == 5, qid
+
+
+def test_filtered_serve_prefilters_at_candidate_generation(spark, sf_dir):
+    """ann15's contract: the metadata filter lands BEFORE the rerank
+    (member-set semi-join), so a selective predicate still yields a
+    full k — while post-filtering the unfiltered top-k (the naive
+    composition) returns fewer. Every result must satisfy the
+    predicate and keep the (cosine desc, id) order."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        ivf_filtered_query_from_index,
+        ivf_query_from_index,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, assign = kmeans_fit(emb, k=4, iters=2)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    allowed_ids = {r["vec_id"] for r in allowed.collect()}
+    k = 10
+
+    rows = ivf_filtered_query_from_index(
+        emb, cent, assign, allowed, query_id=0, k=k, nprobe=2
+    ).collect()
+    assert len(rows) == k
+    assert all(r["vec_id"] in allowed_ids for r in rows)
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+    post = [
+        r
+        for r in ivf_query_from_index(
+            emb, cent, assign, query_id=0, k=k, nprobe=2
+        ).collect()
+        if r["vec_id"] in allowed_ids
+    ]
+    assert len(post) < k  # the naive post-filter under-fills
+
+
+def test_centroid_refresh_descends_and_keeps_cell_identity(spark, sf_dir):
+    """ann16's contract: a warm-start Lloyd iteration over the grown
+    corpus (init = the base-trained centroids) never increases the
+    corpus's within-cell squared error versus serving the frozen
+    centroids, and it never re-seeds — refreshed cell ids are a subset
+    of the stored ones, so stored assignment/code tables stay joinable
+    on cell across refreshes."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        _components,
+        _nearest_cell,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    stored, _ = kmeans_fit(base, k=4, iters=2)
+    refreshed, _ = kmeans_fit(emb, iters=1, init=stored)
+
+    comp = _components(emb, "vec_id", "embedding")
+
+    def sse(cent):
+        asg = _nearest_cell(comp, cent, "vec_id")
+        c = cent.select("cell", "i", F.col("v").alias("cv"))
+        return (
+            comp.join(asg, "vec_id")
+            .join(c, ["cell", "i"])
+            .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    frozen_sse = sse(stored)
+    refreshed_sse = sse(refreshed)
+    assert refreshed_sse <= frozen_sse * (1 + 1e-9)
+
+    stored_cells = {r["cell"] for r in stored.select("cell").distinct().collect()}
+    refreshed_cells = {
+        r["cell"] for r in refreshed.select("cell").distinct().collect()
+    }
+    assert refreshed_cells <= stored_cells
