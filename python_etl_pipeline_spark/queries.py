@@ -2671,6 +2671,87 @@ def ann15_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann17_filtered_recall", None)  # sql attached after _kmeans_iter_sql
+def ann17_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED-search quality contract: recall@10 of ann15's
+    pre-filtered IVF serve against the exact brute-force top-10 over
+    the same predicate subset (label = 3). Filtered ANN has a known
+    failure mode the unfiltered contract (ann6) cannot see — a
+    selective predicate thins every probed cell, so the same nprobe
+    covers less of the *eligible* neighborhood and recall can collapse
+    even while unfiltered recall looks healthy (the problem
+    ACORN-style filter-aware indexes exist to fix). This query makes
+    that trade a verified number, the same discipline as ann6/dd14:
+    both the approximate and exact sides replayed by the oracle,
+    deterministic on both engines (4-dp rounded cosine, vec_id
+    tie-break). The recall floor is pinned in test_similarity.py."""
+    from .llm.similarity import brute_force_topk, ivf_filtered_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    approx = ivf_filtered_query_from_index(
+        emb, cent, assign, allowed, query_id=0, k=10, nprobe=2
+    )
+    exact = brute_force_topk(
+        emb.filter((F.col("label") == 3) | (F.col("vec_id") == 0)),
+        query_id=0,
+        k=10,
+    )
+    inter = exact.select("vec_id").intersect(approx.select("vec_id"))
+    return inter.agg(F.count("*").cast("bigint").alias("n_hits")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+def _ann17_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT a.vec_id FROM asg a JOIN probe USING (cell)
+      WHERE a.vec_id <> 0
+        AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    ),
+    exactf AS (
+      SELECT c.vec_id, sum(c.v * qcomp.qv) AS dot,
+             sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qcomp ON c.i = qcomp.i
+      WHERE c.vec_id <> 0
+        AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+      GROUP BY 1
+    ),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp),
+    bf AS (
+      SELECT e.vec_id FROM exactf e, qn
+      ORDER BY round(e.dot / (e.norm * qn.qnorm), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    ivf AS (
+      SELECT e.vec_id FROM exactf e, qn
+      WHERE e.vec_id IN (SELECT vec_id FROM members)
+      ORDER BY round(e.dot / (e.norm * qn.qnorm), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    inter AS (SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM ivf)
+    SELECT cast(10 AS BIGINT) AS k, count(*) AS n_hits,
+           round(count(*) / 10.0, 4) AS recall_at_k
+    FROM inter
+    """
+
+
 def _ann15_sql() -> str:
     return f"""
     WITH comp AS ({_DUCK_COMP}),
@@ -5116,6 +5197,9 @@ REGISTRY["ann14_batch_ivf_serve"].sql = _ann14_sql().replace(
 REGISTRY["ann15_filtered_topk"].sql = _ann15_sql().replace(
     "{KMEANS_CHAINS}", _KMEANS_CHAINS
 )
+REGISTRY["ann17_filtered_recall"].sql = _ann17_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
+)
 
 
 @register("ann4_kmeans_train", _KMEANS_SQL)
@@ -6748,7 +6832,7 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
 # decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
 # raising the horizon-4 feasibility bound from 4*38+12 = 164 to
-# 4*42+8 = 176 (registry: 153 after this round's +10: ann11-ann16,
+# 4*42+8 = 176 (registry: 154 after this round's +11: ann11-ann17,
 # tx19, tx20, x43, x44). The four
 # dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
 # each have a still-sentineled twin exercising the SAME operator module
@@ -6775,6 +6859,7 @@ _GATE_PREFIX = [
     "ann14_batch_ivf_serve",
     "ann15_filtered_topk",
     "ann16_centroid_refresh",
+    "ann17_filtered_recall",
     "tx19_incremental_lm_score",
     "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
@@ -6823,7 +6908,6 @@ _GATE_PREFIX = [
     "x28_source_cap",
     "x29_doc_chunks",
     "s5_jdbc_partitioned",
-    "dd1_exact_dedup",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

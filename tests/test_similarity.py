@@ -577,3 +577,15 @@ def test_centroid_refresh_descends_and_keeps_cell_identity(spark, sf_dir):
         r["cell"] for r in refreshed.select("cell").distinct().collect()
     }
     assert refreshed_cells <= stored_cells
+
+
+def test_filtered_recall_contract_at_gate_scale(spark, sf_dir):
+    """ann17's floor: pre-filtered IVF serve (nprobe=2 of 4 cells)
+    keeps recall@10 >= 0.5 against the exact filtered ground truth at
+    gate scale (it rises with corpus size: 0.7 at sf0.01, 0.9 at
+    sf0.1 — denser cells cover more of the eligible neighborhood)."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    row = REGISTRY["ann17_filtered_recall"].spark(spark, sf_dir).collect()[0]
+    assert row["k"] == 10
+    assert row["recall_at_k"] >= 0.5
