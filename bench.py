@@ -85,6 +85,9 @@ HEADLINE = [
     # the rerank, so this should track ann11's serve cost from below
     "ann15_filtered_topk",
     "x44_temperature_mix",
+    # the map-only hash-threshold form of x44 — its wall should sit
+    # under the rank form's, and the gap is the rank shuffle's price
+    "x45_temperature_mix_threshold",
     # warm-start refresh trains in-plan (two base Lloyd passes + one
     # warm full pass) for oracle replay — a build-time number, like ann10
     "ann16_centroid_refresh",

@@ -6567,6 +6567,73 @@ def x44_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X45_BUCKETS = 1_000_000
+
+_X45_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS total FROM c),
+tgt AS (
+  SELECT lang, n,
+         least(n, cast(floor(0.5 * total * pow(n, 0.5) / sw) AS BIGINT)) AS take
+  FROM c CROSS JOIN tot
+),
+thr AS (
+  SELECT lang,
+         cast(floor({_X45_BUCKETS} * take * 1.0 / n) AS BIGINT) AS threshold
+  FROM tgt
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE {hash_bucket_sql('d.doc_id', _X45_BUCKETS)} < thr.threshold
+"""
+
+
+@register("x45_temperature_mix_threshold", _X45_SQL)
+def x45_temperature_mix_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of x44: IDENTICAL alpha=0.5 temperature rates,
+    but selection by hash PERCENTILE (keep where md5-bucket(doc_id) <
+    rate) instead of exact per-language rank — the swap x27 and x44's
+    docstrings promise, delivered as its own verified query. The rank
+    window's corpus-sized shuffle on lang disappears entirely: the
+    data-sized stage is scan -> broadcast-join the 5-row threshold
+    table -> filter -> project, a map-only pipeline whose only
+    exchanges carry the 5-row count/threshold frames. The cost is
+    exactness: kept counts land within binomial noise of the target
+    (|kept - rate*n| is O(sqrt(n)) — pinned in test_sampling.py)
+    instead of hitting it exactly, the right trade when n_i is
+    billions and the target itself derives from the data. Still fully
+    deterministic: membership depends only on md5(doc_id), so re-runs,
+    engines, and appends agree row-for-row (appends never reshuffle
+    old members — unlike the rank form, where new docs shift
+    everyone's rank), and the DuckDB oracle hash-matches exactly."""
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.sum(F.pow("n", F.lit(0.5))).alias("sw"),
+        F.sum("n").alias("total"),
+    )
+    thr = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.floor(
+            _X45_BUCKETS
+            * F.least(
+                F.col("n"),
+                F.floor(
+                    0.5 * F.col("total") * F.pow("n", F.lit(0.5)) / F.col("sw")
+                ),
+            )
+            / F.col("n")
+        ).cast("bigint").alias("threshold"),
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(hash_bucket("doc_id", _X45_BUCKETS) < F.col("threshold"))
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "tx12_token_budget",
     f"""
@@ -6832,8 +6899,8 @@ _GATE_ROUND = 8  # the round this prefix was built for
 # ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
 # decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
 # raising the horizon-4 feasibility bound from 4*38+12 = 164 to
-# 4*42+8 = 176 (registry: 154 after this round's +11: ann11-ann17,
-# tx19, tx20, x43, x44). The four
+# 4*42+8 = 176 (registry: 155 after this round's +12: ann11-ann17,
+# tx19, tx20, x43, x44, x45). The four
 # dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
 # each have a still-sentineled twin exercising the SAME operator module
 # (o2 keep-last / j1_anti / i3_antijoin / w1 sequence engine), so every
@@ -6864,6 +6931,7 @@ _GATE_PREFIX = [
     "tx20_incremental_tfidf",
     "x43_sharded_curriculum",
     "x44_temperature_mix",
+    "x45_temperature_mix_threshold",
     # (2) permanent sentinels (8, shrunk per the decision above)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -6907,7 +6975,6 @@ _GATE_PREFIX = [
     "x27_corpus_mix",
     "x28_source_cap",
     "x29_doc_chunks",
-    "s5_jdbc_partitioned",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

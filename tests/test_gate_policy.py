@@ -34,8 +34,8 @@ Round-7 amendments (both from the round-6 verdict/advice):
 Round-8 amendment — the standing DECISION for the approaching bound
 (the r7 verdict's "decide the gate arithmetic before it decides for
 you"): the permanent-sentinel set shrinks from 12 to 8, raising the
-horizon-4 bound to 4*42 + 8 = 176 against a 154-query registry
-(+11 this round: ann11-ann17, tx19, tx20, x43, x44 — at that rate the
+horizon-4 bound to 4*42 + 8 = 176 against a 155-query registry
+(+12 this round: ann11-ann17, tx19, tx20, x43-x45 — at that rate the
 bound is crossed around round 11). The four dropped
 sentinels (o3_dedup_keep_first, j1_semi_existing_keys,
 i3_watermark_append, o5_offset_slice) each have a still-sentineled

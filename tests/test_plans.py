@@ -385,3 +385,9 @@ def test_round8b_single_partition_only_on_metadata_frames(spark, sf_dir):
     # x44's corpus-sized window partitions on lang
     plan = _plan(spark, sf_dir, "x44_temperature_mix")
     assert "hashpartitioning(lang" in plan
+    # x45 (the scale form) must plan NO window and no shuffle join —
+    # the corpus side is scan -> broadcast-join -> filter -> project
+    plan = _plan(spark, sf_dir, "x45_temperature_mix_threshold")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

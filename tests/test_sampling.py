@@ -269,3 +269,47 @@ def test_temperature_mix_flattens_language_shares(spark, sf_dir):
     a = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
     b = sorted(r["doc_id"] for r in q(spark, sf_dir).collect())
     assert a == b
+
+
+def test_temperature_threshold_tracks_rank_form_within_binomial_noise(spark, sf_dir):
+    """x45's contract: the hash-threshold selection hits each
+    language's temperature target within binomial noise (|kept -
+    rate*n| <= 4*sqrt(n*rate*(1-rate)) + 1 — the price of dropping
+    x44's rank shuffle), membership is append-stable (a kept doc stays
+    kept when the query reruns), and its plan carries no window at
+    all."""
+    import math
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sw = sum(math.sqrt(n) for n in n_by_lang.values())
+    budget = 0.5 * sum(n_by_lang.values())
+
+    kept = {
+        r["lang"]: r["n"]
+        for r in REGISTRY["x45_temperature_mix_threshold"]
+        .spark(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in n_by_lang.items():
+        take = min(n, math.floor(budget * math.sqrt(n) / sw))
+        rate = math.floor(1_000_000 * take / n) / 1_000_000
+        tol = 4 * math.sqrt(n * rate * (1 - rate)) + 1
+        assert abs(kept.get(lang, 0) - rate * n) <= tol, (lang, kept, rate)
+
+    # the threshold form plans NO window operator (x44's rank does)
+    plan = (
+        REGISTRY["x45_temperature_mix_threshold"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
