@@ -391,3 +391,14 @@ def test_round8b_single_partition_only_on_metadata_frames(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # ann17 (filtered recall contract) runs BOTH the approximate and
+    # exact sides in one plan, yet every join broadcasts (centroids,
+    # allowed-id set, query vector are all tiny), both top-10 cuts
+    # compile to TakeOrderedAndProject, and the only global stage is
+    # the final <=10-row intersect/count — no range sort anywhere.
+    plan = _plan(spark, sf_dir, "ann17_filtered_recall")
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
