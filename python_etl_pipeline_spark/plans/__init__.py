@@ -1,7 +1,14 @@
 """Incremental / merge plans (SURVEY.md §2.9)."""
 
 from .merge import upsert_last_writer_wins, apply_cdc
-from .incremental import incremental_append_watermark, incremental_append_antijoin, reconcile_counts, merge_agg_state
+from .incremental import (
+    incremental_append_watermark,
+    incremental_append_antijoin,
+    reconcile_counts,
+    merge_agg_state,
+    cdc_signed_partials,
+    point_in_time_join,
+)
 
 __all__ = [
     "upsert_last_writer_wins",
@@ -9,5 +16,7 @@ __all__ = [
     "incremental_append_watermark",
     "incremental_append_antijoin",
     "merge_agg_state",
+    "cdc_signed_partials",
+    "point_in_time_join",
     "reconcile_counts",
 ]

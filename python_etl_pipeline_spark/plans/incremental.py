@@ -75,3 +75,88 @@ def merge_agg_state(
         F.sum(c).alias(c) for c in sum_cols
     ]
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def cdc_signed_partials(
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    old_col: str = "old_val",
+    new_col: str = "new_val",
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+) -> DataFrame:
+    """Turn a before/after-image CDC feed into SIGNED aggregate partials
+    — the retraction algebra (Flink's retract streams, DBSP's Z-sets)
+    that lets one sum-monoid fold maintain an aggregate under deletes
+    and updates, not just inserts:
+
+    * I: (+1, +new)  — the row arrives;
+    * D: (-1, -old)  — the row's past contribution is retracted;
+    * U: ( 0, new - old) — membership unchanged, value moves.
+
+    The feed must carry before images (``old_col`` non-null for U/D) —
+    the standard Debezium/CDC envelope. A group-key change arrives as
+    D+I, which this algebra already handles. The output is
+    aggregate-shaped, so it folds into a stored MV state with
+    :func:`merge_agg_state` unchanged: signed partials under sum are
+    still a commutative monoid, which is the whole trick — deletes cost
+    exactly what inserts cost, one |changes|-sized agg, never a rescan
+    of history. Keys whose count reaches zero are retained as (0, 0)
+    rows by the fold; callers drop them with ``filter(n_rows > 0)``
+    (the MV row genuinely no longer exists)."""
+    op = F.col(op_col)
+    signed_n = (
+        F.when(op == "I", F.lit(1)).when(op == "D", F.lit(-1)).otherwise(F.lit(0))
+    )
+    signed_v = (
+        F.when(op == "I", F.col(new_col))
+        .when(op == "D", -F.col(old_col))
+        .otherwise(F.col(new_col) - F.col(old_col))
+    )
+    return (
+        changes.select(*keys, signed_n.alias(count_col), signed_v.alias(sum_col))
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("bigint").alias(count_col),
+            F.sum(sum_col).alias(sum_col),
+        )
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    version_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (AS-OF) join of a fact feed against an SCD2
+    dimension history: each fact row matches the dimension version
+    whose ``[valid_from, valid_to)`` interval contains the fact's
+    version stamp (open intervals carry NULL ``valid_to``). This is the
+    temporal-correctness join a feature store runs to avoid
+    training-serving leakage — joining today's dimension row onto last
+    year's fact silently teaches the model the future.
+
+    Plan shape: an equi-join on ``key`` with the interval predicate as
+    a join residual — Catalyst keys the shuffle (or broadcast) on the
+    equality alone and evaluates the range condition inside the join,
+    so the cost is exactly one keyed join regardless of history depth;
+    SCD2 intervals per key are disjoint, so each fact matches at most
+    one version (facts dated before the key existed drop out, which is
+    the correct point-in-time answer, not a bug)."""
+    h = history.select(
+        F.col(key).alias("__pit_key"),
+        F.col(valid_from).alias("__pit_from"),
+        F.col(valid_to).alias("__pit_to"),
+        *[c for c in history.columns if c not in (key, valid_from, valid_to)],
+    )
+    v = facts[version_col]
+    cond = (
+        (facts[key] == h["__pit_key"])
+        & (h["__pit_from"] <= v)
+        & (h["__pit_to"].isNull() | (v < h["__pit_to"]))
+    )
+    return facts.join(h, cond, "inner").drop("__pit_key", "__pit_from", "__pit_to")

@@ -6873,6 +6873,195 @@ def tx15_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round 9 — temporal correctness, retractable MV maintenance, mixture
+# planning, importance resampling, payload block dedup, index deletes
+# ===========================================================================
+
+
+@register(
+    "i7_pointintime_join",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus AS status FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.status AS s1, v2.status AS s2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    ),
+    hist AS (
+      SELECT o_orderkey, s1 AS status, 1 AS valid_from, 2 AS valid_to
+      FROM j WHERE s1 IS NOT NULL AND (s2 IS NULL OR s1 <> s2)
+      UNION ALL
+      SELECT o_orderkey, s1, 1, NULL FROM j WHERE s1 IS NOT NULL AND s2 = s1
+      UNION ALL
+      SELECT o_orderkey, s2, 2, NULL
+      FROM j WHERE s2 IS NOT NULL AND (s1 IS NULL OR s1 <> s2)
+    ),
+    f AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS as_of_version
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           cast(f.as_of_version AS BIGINT) AS as_of_version, h.status
+    FROM f JOIN hist h
+      ON h.o_orderkey = f.l_orderkey
+     AND h.valid_from <= f.as_of_version
+     AND (h.valid_to IS NULL OR f.as_of_version < h.valid_to)
+    """,
+)
+def i7_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF) join of a fact feed against the SCD2
+    history i6 builds — the temporal-correctness join a feature store
+    runs so a fact dated at version 1 sees the dimension AS IT WAS at
+    version 1, never the current row (joining today's dimension onto
+    yesterday's fact is training-serving leakage, the silent killer of
+    offline/online parity). Facts: every 10th order's lineitems,
+    stamped with version 1 or 2 by line parity; dimension: i6's exact
+    closed/unchanged/opened interval rows. Facts stamped v=2 on keys
+    deleted in v2 correctly drop out (no dimension version was valid).
+    Plan: Catalyst keys the join on the PK equality alone and runs the
+    interval predicate as a join residual — one keyed shuffle, history
+    depth irrelevant (plans.point_in_time_join). Reference analog: the
+    staged-upsert snapshot that src/load.py:210-286 overwrites — this
+    is the query shape that recovers what it was at any past point."""
+    from .plans import point_in_time_join
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", F.col("o_orderstatus").alias("s1"))
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    changed = F.col("s1") != F.col("s2")
+    hist = (
+        j.filter(F.col("s1").isNotNull() & (F.col("s2").isNull() | changed))
+        .select(
+            "o_orderkey",
+            F.col("s1").alias("status"),
+            F.lit(1).alias("valid_from"),
+            F.lit(2).alias("valid_to"),
+        )
+        .unionByName(
+            j.filter(F.col("s2") == F.col("s1")).select(
+                "o_orderkey",
+                F.col("s1").alias("status"),
+                F.lit(1).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        )
+        .unionByName(
+            j.filter(
+                F.col("s2").isNotNull() & (F.col("s1").isNull() | changed)
+            ).select(
+                "o_orderkey",
+                F.col("s2").alias("status"),
+                F.lit(2).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        )
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    facts = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_linenumber") % 2 == 1, 1)
+            .otherwise(2)
+            .cast("bigint")
+            .alias("as_of_version"),
+        )
+    )
+    return point_in_time_join(
+        facts, hist, "l_orderkey", "as_of_version"
+    ).select("l_orderkey", "l_linenumber", "as_of_version", "status")
+
+
+@register(
+    "x46_retractable_mv",
+    """
+    WITH survivors AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    inserted AS (
+      SELECT o_orderpriority, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    post AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserted)
+    SELECT o_orderpriority, count(*) AS n_rows,
+           round(sum(price), 2) AS sum_val
+    FROM post GROUP BY 1
+    """,
+)
+def x46_retractable_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under a FULL CDC feed — deletes
+    and updates, not just i5's inserts: the stored per-priority
+    count/sum state is folded with SIGNED partials from a
+    before/after-image change feed (plans.cdc_signed_partials — the
+    retraction algebra of Flink retract streams / DBSP Z-sets: I=+1/+new,
+    D=-1/-old, U=0/new-old). The oracle recomputes the aggregate from
+    scratch over the post-CDC table, so a green row proves fold ==
+    full recompute under retraction — at 100 TB the difference between
+    an O(|batch| + |state|) maintenance step and re-aggregating the
+    whole fact history every batch. Feed (deterministic, x25's key
+    algebra): %11 keys deleted, %7 (surviving) keys repriced +100,
+    %13 keys re-inserted under fresh ids. Zero-count keys are dropped
+    (the MV row no longer exists); the empty-to-zero path is pinned in
+    tests/test_incremental.py."""
+    from .plans import cdc_signed_partials, merge_agg_state
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    state = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_totalprice").alias("sum_val"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderpriority",
+        F.lit("D").alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        F.lit(None).cast("double").alias("new_val"),
+    )
+    upds = o.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 11 != 0)
+    ).select(
+        "o_orderpriority",
+        F.lit("U").alias("op"),
+        F.col("o_totalprice").alias("old_val"),
+        (F.col("o_totalprice") + 100.0).alias("new_val"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderpriority",
+        F.lit("I").alias("op"),
+        F.lit(None).cast("double").alias("old_val"),
+        F.col("o_totalprice").alias("new_val"),
+    )
+    feed = dels.unionByName(upds).unionByName(ins)
+    delta = cdc_signed_partials(
+        feed, ["o_orderpriority"], sum_col="sum_val"
+    )
+    merged = merge_agg_state(
+        state, delta, ["o_orderpriority"], count_col="n_rows", sum_cols=["sum_val"]
+    )
+    return merged.filter(F.col("n_rows") > 0).select(
+        "o_orderpriority", "n_rows", F.round("sum_val", 2).alias("sum_val")
+    )
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #

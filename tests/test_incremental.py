@@ -154,3 +154,69 @@ def test_apply_cdc_matches_python_replay(spark):
     feed = spark.createDataFrame(events, "id int, val string, op string, seq int")
     got = {r["id"]: r["val"] for r in apply_cdc(snap, feed, "id", "seq").collect()}
     assert got == state
+
+
+def test_cdc_signed_partials_retraction_to_zero(spark):
+    """The retraction algebra's edge: a key whose every member is
+    deleted folds to n_rows = 0 and must DROP from the maintained MV
+    (the row no longer exists), while partially-retracted keys carry
+    the exact post-CDC count/sum."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.plans import (
+        cdc_signed_partials,
+        merge_agg_state,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 30.0), ("b", 1, 5.0)],
+        "k string, n_rows long, sum_val double",
+    )
+    feed = spark.createDataFrame(
+        [
+            # key b fully retracted
+            ("b", "D", 5.0, None),
+            # key a: one delete (was 10), one update 20 -> 25, one insert 7
+            ("a", "D", 10.0, None),
+            ("a", "U", 20.0, 25.0),
+            ("a", "I", None, 7.0),
+        ],
+        "k string, op string, old_val double, new_val double",
+    )
+    delta = cdc_signed_partials(feed, ["k"], sum_col="sum_val")
+    merged = merge_agg_state(
+        state, delta, ["k"], count_col="n_rows", sum_cols=["sum_val"]
+    ).filter(F.col("n_rows") > 0)
+    rows = {r["k"]: (r["n_rows"], r["sum_val"]) for r in merged.collect()}
+    assert rows == {"a": (2, 32.0)}
+
+
+def test_point_in_time_join_semantics(spark):
+    """Each fact matches the SCD2 version valid AT its stamp; facts
+    stamped after a key's deletion (no open interval) drop out; facts
+    stamped before the key existed drop out."""
+    from python_etl_pipeline_spark.plans import point_in_time_join
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: status A at [1,3), B at [3,open)
+            (1, "A", 1, 3),
+            (1, "B", 3, None),
+            # key 2: deleted at version 2 -> only [1,2)
+            (2, "C", 1, 2),
+            # key 3: created at version 4
+            (3, "D", 4, None),
+        ],
+        "id int, status string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 3), (1, 102, 9), (2, 103, 1), (2, 104, 2),
+         (3, 105, 2), (3, 106, 4)],
+        "id int, fact_id int, v int",
+    )
+    out = {
+        r["fact_id"]: r["status"]
+        for r in point_in_time_join(facts, hist, "id", "v").collect()
+    }
+    # 104 (after deletion) and 105 (before creation) must be absent
+    assert out == {100: "A", 101: "B", 102: "B", 103: "C", 106: "D"}
