@@ -7062,6 +7062,322 @@ def x46_retractable_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X47_BUCKETS = 1_000_000
+
+
+def _x47_sql() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    return f"""
+    WITH c AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(sqrt(chars)) AS sw, sum(chars) AS total FROM c),
+    plan AS (
+      SELECT lang, n_docs, chars,
+             least(4.0, 2.0 * total / (sw * sqrt(chars))) AS rpt
+      FROM c CROSS JOIN tot
+    ),
+    p2 AS (
+      SELECT lang, n_docs, chars, cast(floor(rpt) AS BIGINT) AS n_full,
+             cast(floor((rpt - floor(rpt)) * {_X47_BUCKETS}) AS BIGINT) AS thr
+      FROM plan
+    ),
+    fulls AS (
+      SELECT lang, unnest(range(1, n_full + 1)) AS epoch,
+             n_docs AS sel_docs, chars AS sel_chars
+      FROM p2 WHERE n_full >= 1
+    ),
+    partial AS (
+      SELECT d.lang, p2.n_full + 1 AS epoch, count(*) AS sel_docs,
+             sum(d.n_chars) AS sel_chars
+      FROM documents d JOIN p2 USING (lang)
+      WHERE {hash_bucket_sql('d.doc_id', _X47_BUCKETS)} < p2.thr
+      GROUP BY 1, 2
+    )
+    SELECT lang, cast(epoch AS BIGINT) AS epoch,
+           cast(sel_docs AS BIGINT) AS n_docs,
+           cast(sel_chars AS BIGINT) AS n_chars
+    FROM (SELECT * FROM fulls UNION ALL SELECT * FROM partial)
+    """
+
+
+@register("x47_epoch_mixture", None)  # sql attached below
+def x47_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware data-constrained mixture plan (Muennighoff et al.
+    2023, arXiv:2305.16264: repeating data up to ~4 epochs is nearly as
+    good as fresh data; x44's temperature weights say WHAT share each
+    domain deserves, this says HOW to hit it when a domain is smaller
+    than its share): per-language char-budget targets from alpha=0.5
+    temperature weights against a 2x-corpus token budget, converted to
+    a repeat factor capped at 4 epochs — emitted as the materialization
+    plan a dataloader consumes: one row per (lang, epoch) with the doc
+    and char counts that epoch contributes. Full epochs replay the
+    whole domain; the final fractional epoch selects docs by the
+    deterministic md5-bucket threshold (x45's zero-shuffle membership
+    test), so re-runs and engines agree row-for-row. Plan shape: one
+    lang-keyed agg (5 rows) + a 1-row total broadcast back + a
+    5-row-table broadcast join onto the corpus for the partial epoch —
+    the only corpus-sized stage is one scan; at 100 TB the epoch
+    EXPANSION stays virtual (a loader reads the plan, not an exploded
+    copy of the corpus)."""
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    c = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    tot = c.agg(
+        F.sum(F.sqrt("chars")).alias("sw"), F.sum("chars").alias("total")
+    )
+    rpt = F.least(
+        F.lit(4.0), 2.0 * F.col("total") / (F.col("sw") * F.sqrt("chars"))
+    )
+    plan = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "chars",
+        F.floor(rpt).cast("bigint").alias("n_full"),
+        F.floor((rpt - F.floor(rpt)) * _X47_BUCKETS).cast("bigint").alias("thr"),
+    )
+    fulls = (
+        plan.filter(F.col("n_full") >= 1)
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_full"))).alias("ep"),
+            F.col("n_docs").alias("sel_docs"),
+            F.col("chars").alias("sel_chars"),
+        )
+        .select(
+            "lang",
+            F.col("ep").cast("bigint").alias("epoch"),
+            "sel_docs",
+            "sel_chars",
+        )
+    )
+    partial = (
+        d.join(F.broadcast(plan), "lang")
+        .filter(hash_bucket(F.col("doc_id"), _X47_BUCKETS) < F.col("thr"))
+        .groupBy("lang", (F.col("n_full") + 1).cast("bigint").alias("epoch"))
+        .agg(
+            F.count("*").cast("bigint").alias("sel_docs"),
+            F.sum("n_chars").alias("sel_chars"),
+        )
+    )
+    return fulls.unionByName(partial).select(
+        "lang",
+        "epoch",
+        F.col("sel_docs").alias("n_docs"),
+        F.col("sel_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+REGISTRY["x47_epoch_mixture"].sql = _x47_sql()
+
+
+_TX21_BUCKETS = 4096
+
+
+def _tx21_sql() -> str:
+    from .llm.dedup import shingles_sql
+    from .operators.sampling import hash_bucket_sql
+
+    bg = shingles_sql("text", 2)
+    bk = hash_bucket_sql("bg", _TX21_BUCKETS)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, lang, unnest({bg}) AS bg FROM documents
+    ),
+    b AS (SELECT doc_id, lang, {bk} AS bk FROM inst),
+    ct AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+    nt AS (SELECT count(*) AS nt FROM b WHERE lang = 'en'),
+    cr AS (SELECT bk, count(*) AS cr FROM b GROUP BY 1),
+    nr AS (SELECT count(*) AS nr FROM b),
+    lam AS (
+      SELECT cr.bk, cr.cr,
+             ln((coalesce(ct.ct, 0) + 1.0) / (nt.nt + {_TX21_BUCKETS}))
+             - ln((cr.cr + 1.0) / (nr.nr + {_TX21_BUCKETS})) AS lam
+      FROM cr LEFT JOIN ct USING (bk), nt, nr
+    ),
+    g AS (SELECT sum(cr * lam) / sum(cr) AS g FROM lam),
+    doc AS (
+      SELECT b.doc_id, count(*) AS n_bigrams, sum(lam.lam) AS s
+      FROM b JOIN lam USING (bk)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, round(s, 4) AS log_weight,
+           round(s / n_bigrams, 4) > round(g.g, 4) AS keep
+    FROM doc, g
+    """
+
+
+@register("tx21_dsir_importance", None)  # sql attached below
+def tx21_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): score every raw document
+    by how target-like its HASHED n-gram distribution is. Features are
+    word bigrams hashed into a FIXED 4096-bucket table (the trick that
+    makes the method 100 TB-feasible: model state is 2 x 4096 counts no
+    matter the corpus size); the target here is the English slice, the
+    raw distribution is the whole corpus; each doc's log importance
+    weight is sum over its bigrams of ln p_target(bucket) -
+    ln p_raw(bucket) with add-1 smoothing, and ``keep`` marks docs
+    whose PER-BIGRAM average beats the corpus per-instance average
+    (both sides 4-dp rounded, so the boolean is engine-deterministic;
+    an absolute >0 cutoff would select nothing when heavy smoothing
+    shifts all weights negative, while this relative form keeps its
+    discriminative power at any corpus size). Plan: two
+    bucket-keyed count aggs (4096-row outputs), the lambda table
+    BROADCAST back onto the instance stream, one doc-keyed agg — the
+    corpus is scanned once and never shuffles on anything wider than
+    doc_id. The oracle replays the same hashed counts exactly."""
+    from .llm.dedup import _spread, shingles
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    b = _spread(d.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(F.col("text"), 2)).alias("bg"),
+    ).select(
+        "doc_id", "lang", hash_bucket(F.col("bg"), _TX21_BUCKETS).alias("bk")
+    )
+    tgt = b.filter(F.col("lang") == "en")
+    ct = tgt.groupBy("bk").agg(F.count("*").alias("ct"))
+    nt = tgt.agg(F.count("*").alias("nt"))
+    cr = b.groupBy("bk").agg(F.count("*").alias("cr"))
+    nr = b.agg(F.count("*").alias("nr"))
+    lam = (
+        cr.join(ct, "bk", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bk",
+            "cr",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + _TX21_BUCKETS)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + _TX21_BUCKETS))
+            ).alias("lam"),
+        )
+    )
+    # corpus per-instance mean weight — the selection threshold ("more
+    # target-like than the average raw bigram"); instance-weighted, so
+    # it comes straight off the 4096-row lambda table, no second scan
+    g = lam.agg((F.sum(F.col("cr") * F.col("lam")) / F.sum("cr")).alias("g"))
+    doc = (
+        b.join(F.broadcast(lam.select("bk", "lam")), "bk")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lam").alias("s"))
+    )
+    return doc.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("s", 4).alias("log_weight"),
+        (
+            F.round(F.col("s") / F.col("n_bigrams"), 4) > F.round("g", 4)
+        ).alias("keep"),
+    )
+
+
+REGISTRY["tx21_dsir_importance"].sql = _tx21_sql()
+
+
+_MM4_BLOCK = 32
+
+_MM4_SQL = f"""
+WITH blocks AS (
+  SELECT source, md5(substring(text, p, {_MM4_BLOCK})) AS h,
+         length(substring(text, p, {_MM4_BLOCK})) AS blen
+  FROM documents,
+       LATERAL unnest(range(1, length(text) + 1, {_MM4_BLOCK})) AS t(p)
+),
+tot AS (
+  SELECT source, count(*) AS n_blocks, sum(blen) AS total_bytes
+  FROM blocks GROUP BY 1
+),
+u1 AS (SELECT source, h, max(blen) AS blen FROM blocks GROUP BY 1, 2),
+uq AS (
+  SELECT source, count(*) AS n_uniq, sum(blen) AS uniq_bytes
+  FROM u1 GROUP BY 1
+)
+SELECT t.source, cast(n_blocks AS BIGINT) AS n_blocks,
+       cast(n_uniq AS BIGINT) AS n_uniq,
+       cast(total_bytes AS BIGINT) AS total_bytes,
+       cast(uniq_bytes AS BIGINT) AS uniq_bytes,
+       round(1.0 - uniq_bytes * 1.0 / total_bytes, 6) AS dedup_frac
+FROM tot t JOIN uq USING (source)
+"""
+
+
+@register("mm4_block_dedup", _MM4_SQL)
+def mm4_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed BLOCK dedup over opaque media payloads — the
+    storage-layer question (what does a dedup store save us per
+    source?) asked of the same binary column mm1-mm3 process: each
+    payload is cut into fixed 32-byte blocks, every block is hashed,
+    and per source the report compares total block bytes against the
+    bytes one copy of each distinct block would occupy. Everything is
+    JVM-side codegen — binary substring + md5 are native expressions,
+    no Python worker touches the bytes (contrast mm1's Arrow path:
+    feature extraction needs Python, block hashing does not). Plan:
+    one scan -> generate (explode of the offset sequence) -> two
+    source-keyed aggs; blocks never carry the payload with them, only
+    the 16-byte hash. The oracle hashes the identical byte slices (the
+    corpus is ASCII, so DuckDB's text substring sees the same bytes the
+    binary payload holds). At 100 TB: block size becomes 4-64 KiB,
+    same plan, and the (source, hash) agg is the only shuffle —
+    hash-sized rows, not payload-sized."""
+    from .llm.multimodal import attach_binary_payload
+
+    d = _t(spark, sf_dir, "documents")
+    m = attach_binary_payload(d, "text", "doc_id")
+    src = d.select(F.col("doc_id").cast("long").alias("media_id"), "source")
+    block = F.expr(f"substring(payload, p, {_MM4_BLOCK})")
+    blocks = (
+        m.join(src, "media_id")
+        .select(
+            "source",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(1), F.length("payload"), F.lit(_MM4_BLOCK))
+            ).alias("p"),
+        )
+        .select(
+            "source",
+            F.md5(block).alias("h"),
+            F.length(block).cast("bigint").alias("blen"),
+        )
+    )
+    tot = blocks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("blen").alias("total_bytes"),
+    )
+    uq = (
+        blocks.groupBy("source", "h")
+        .agg(F.max("blen").alias("blen"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_uniq"),
+            F.sum("blen").alias("uniq_bytes"),
+        )
+    )
+    return tot.join(uq, "source").select(
+        "source",
+        "n_blocks",
+        "n_uniq",
+        "total_bytes",
+        "uniq_bytes",
+        F.round(1.0 - F.col("uniq_bytes") / F.col("total_bytes"), 6).alias(
+            "dedup_frac"
+        ),
+    )
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #

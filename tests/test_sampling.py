@@ -313,3 +313,67 @@ def test_temperature_threshold_tracks_rank_form_within_binomial_noise(spark, sf_
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_epoch_mixture_plan_invariants(spark, sf_dir):
+    """x47: every full epoch replays the whole domain, the fractional
+    epoch is a strict subset, the 4-epoch cap holds, and every language
+    in the corpus appears in the plan."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    plan = REGISTRY["x47_epoch_mixture"].spark(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r["lang"]: (r["nd"], r["nc"])
+        for r in d.groupBy("lang")
+        .agg(F.count("*").alias("nd"), F.sum("n_chars").alias("nc"))
+        .collect()
+    }
+    langs_in_plan = {r["lang"] for r in plan}
+    assert langs_in_plan == set(totals)
+    max_epoch = {}
+    for r in plan:
+        assert r["epoch"] <= 5  # cap 4 full + 1 partial
+        max_epoch[r["lang"]] = max(max_epoch.get(r["lang"], 0), r["epoch"])
+    for r in plan:
+        nd, nc = totals[r["lang"]]
+        if r["epoch"] < max_epoch[r["lang"]]:
+            # full epoch: whole domain
+            assert (r["n_docs"], r["n_chars"]) == (nd, nc)
+        else:
+            # last epoch: full or a strict subset (the fractional one)
+            assert r["n_docs"] <= nd and r["n_chars"] <= nc
+
+
+def test_dsir_importance_separates_target_from_raw(spark, sf_dir):
+    """tx21: hashed-bigram importance weights must rank the target
+    (English) slice above the rest of the corpus on average — the
+    discriminative property DSIR selection relies on."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    scored = REGISTRY["tx21_dsir_importance"].spark(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = scored.join(d, "doc_id")
+    rows = {
+        r["is_en"]: r["mw"]
+        for r in j.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("mw"))
+        .collect()
+    }
+    assert rows[True] > rows[False]
+    # and the relative keep-rule must actually select a majority-target set
+    kept = j.filter(F.col("keep"))
+    n_kept_en = kept.filter(F.col("lang") == "en").count()
+    n_kept = kept.count()
+    assert n_kept > 0
+    n_docs = d.count()
+    n_en = d.filter(F.col("lang") == "en").count()
+    # precision well above the base rate (real lift), recall high
+    assert n_kept_en / n_kept > 1.5 * (n_en / n_docs)
+    assert n_kept_en / n_en > 0.8

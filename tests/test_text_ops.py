@@ -82,3 +82,41 @@ def test_line_dedup_reassembles_undropped_docs_verbatim(spark, sf_dir):
     total = joined.count()
     assert total > 0  # fixture has unique docs
     assert joined.filter(F.col("clean_text") != F.col("norm")).count() == 0
+
+
+def test_mm4_block_dedup_matches_python_replay(spark, sf_dir):
+    """mm4's per-source block accounting equals a byte-level Python
+    replay: cut every payload into 32-byte blocks, hash, count
+    total/distinct bytes per source."""
+    import hashlib
+    from collections import defaultdict
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    got = {
+        r["source"]: (
+            r["n_blocks"],
+            r["n_uniq"],
+            r["total_bytes"],
+            r["uniq_bytes"],
+        )
+        for r in REGISTRY["mm4_block_dedup"].spark(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    tot = defaultdict(lambda: [0, 0])
+    uniq = defaultdict(dict)
+    for r in docs:
+        b = r["text"].encode("utf-8")
+        for p in range(0, len(b), 32):
+            blk = b[p : p + 32]
+            h = hashlib.md5(blk).hexdigest()
+            tot[r["source"]][0] += 1
+            tot[r["source"]][1] += len(blk)
+            uniq[r["source"]][h] = len(blk)
+    want = {
+        s: (tot[s][0], len(uniq[s]), tot[s][1], sum(uniq[s].values()))
+        for s in tot
+    }
+    assert got == want
