@@ -1298,3 +1298,56 @@ def ivfpq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_delete_tombstones(
+    assign: DataFrame,
+    codes: DataFrame,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """LOGICAL delete from a persisted IVF-PQ index: anti-join the
+    stored assignment and PQ-code tables against a tombstone id set.
+    Deleted vectors vanish from every serve path that flows through the
+    membership tables — coarse probe members, PQ shortlist, exact
+    rerank — without touching the centroid tables (deleting members
+    does not move trained centroids; :func:`ivf_cell_drift` says when
+    the shrinkage warrants re-training). Cost: two |index|-row
+    anti-joins keyed on the id — the tombstone side broadcasts while
+    deletes are batch-sized, which is the 100 TB shape (a vector
+    store's delete batch is always tiny next to its corpus). This is
+    the shrink half of the maintenance pair :func:`ivf_incremental_assign`
+    opened (grow); :func:`compact_ivfpq_index` makes it physical."""
+    t = tombstones.select(id_col)
+    return (
+        assign.join(t, id_col, "left_anti"),
+        codes.join(t, id_col, "left_anti"),
+    )
+
+
+def compact_ivfpq_index(
+    spark,
+    out_dir: str,
+    tombstones: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """PHYSICAL compaction of tombstoned deletes: rewrite the
+    assignment and PQ-code tables without the deleted ids and swap each
+    into place atomically (the same checked two-rename swap the
+    streaming state compactors use — crash between renames leaves a
+    complete ``.trash`` copy, never a half-written index). Centroid
+    tables are untouched: they are k x d training artifacts, not
+    membership state. Run between serve windows; after compaction the
+    tombstone set is no longer needed — serve-from-compacted equals
+    serve-over-tombstones (pinned in tests/test_similarity.py)."""
+    from ..streaming.file_stream import _swap_compacted
+
+    t = tombstones.select(id_col).localCheckpoint(eager=True)
+    for table in ("coarse_assign", "pq_codes"):
+        root = f"{out_dir}/{table}"
+        staging = f"{root}.compact"
+        kept = spark.read.parquet(root).join(t, id_col, "left_anti")
+        kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            staging
+        )
+        _swap_compacted(spark, root, staging)

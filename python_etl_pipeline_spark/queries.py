@@ -7378,6 +7378,43 @@ def mm4_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann18_index_delete", None)  # sql attached below (ann11's + tombstones)
+def ann18_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES from the persisted IVF-PQ index — the shrink half of the
+    maintenance pair ann12 opened (grow): tombstone every ``vec_id % 9
+    == 1`` (three of ann11's current top-10 neighbors die, so the
+    deletion is OBSERVABLE in the answer, not a no-op filter), anti-join
+    the stored assignment + PQ-code tables against the tombstones
+    (llm.similarity.ivfpq_delete_tombstones), and serve the same top-10
+    query ann11 serves. Deleted vectors must vanish from every stage —
+    coarse members, PQ shortlist, exact rerank — which filtering the
+    membership tables guarantees by construction; centroids stay (a
+    delete doesn't move a trained centroid; ann13's drift report says
+    when to retrain). The oracle replays ann11's full deterministic
+    build + serve with the tombstone predicate on the member set.
+    Physical compaction (rewrite-minus-tombstones, atomic swap) and
+    tombstone==compacted serve equivalence are pinned in
+    tests/test_similarity.py. Reference analog: the delete-aware half
+    of the stored-state idempotency of src/extract.py:222-270."""
+    from .llm.similarity import ivfpq_delete_tombstones, ivfpq_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, codes, ca, cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    tomb = emb.filter(F.col("vec_id") % 9 == 1).select("vec_id")
+    assign_r, codes_r = ivfpq_delete_tombstones(assign, codes, tomb)
+    emb_r = emb.join(tomb, "vec_id", "left_anti")
+    return ivfpq_query_from_index(
+        emb_r, cent, assign_r, codes_r, ca, cb, query_id=0, k=10,
+        shortlist=50, nprobe=2,
+    )
+
+
+REGISTRY["ann18_index_delete"].sql = _ann11_sql().replace(
+    "WHERE asg.vec_id <> 0",
+    "WHERE asg.vec_id <> 0 AND asg.vec_id % 9 <> 1",
+)
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #

@@ -589,3 +589,50 @@ def test_filtered_recall_contract_at_gate_scale(spark, sf_dir):
     row = REGISTRY["ann17_filtered_recall"].spark(spark, sf_dir).collect()[0]
     assert row["k"] == 10
     assert row["recall_at_k"] >= 0.5
+
+
+def test_ivfpq_delete_then_compact_equivalence(spark, sf_dir, tmp_path):
+    """The delete-maintenance contract behind ann18: (1) tombstoned
+    vectors vanish from the served top-k; (2) PHYSICAL compaction
+    (rewrite-minus-tombstones + atomic swap) serves the identical
+    answer the logical tombstone view served; (3) the compacted tables
+    really shrank by exactly the tombstone count."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_delete_tombstones,
+        ivfpq_query_from_index,
+        read_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx_dir, coarse_k=4, coarse_iters=2, n_codes=16)
+    cent, assign, codes, ca, cb = read_ivfpq_index(spark, idx_dir)
+    n_assign = assign.count()
+    n_codes_rows = codes.count()
+
+    tomb = emb.filter(F.col("vec_id") % 9 == 1).select("vec_id")
+    n_tomb = tomb.count()
+    assert n_tomb > 0
+
+    assign_r, codes_r = ivfpq_delete_tombstones(assign, codes, tomb)
+    emb_r = emb.join(tomb, "vec_id", "left_anti")
+    served_tomb = ivfpq_query_from_index(
+        emb_r, cent, assign_r, codes_r, ca, cb, query_id=0, k=10, nprobe=2
+    ).collect()
+    got = {r["vec_id"] for r in served_tomb}
+    assert got and all(v % 9 != 1 for v in got)
+
+    compact_ivfpq_index(spark, idx_dir, tomb)
+    cent2, assign2, codes2, ca2, cb2 = read_ivfpq_index(spark, idx_dir)
+    assert assign2.count() == n_assign - n_tomb
+    assert codes2.count() == n_codes_rows - n_tomb
+    served_compact = ivfpq_query_from_index(
+        emb_r, cent2, assign2, codes2, ca2, cb2, query_id=0, k=10, nprobe=2
+    ).collect()
+    assert sorted((r["vec_id"], r["cosine"]) for r in served_compact) == sorted(
+        (r["vec_id"], r["cosine"]) for r in served_tomb
+    )
