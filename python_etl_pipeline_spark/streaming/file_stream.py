@@ -779,3 +779,108 @@ def running_user_totals(stream: DataFrame, timeout: str = "NoTimeout") -> DataFr
     return stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def mv_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    op_col: str = "op",
+    old_col: str = "old_val",
+    new_col: str = "new_val",
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+):
+    """foreachBatch sink for RETRACTABLE materialized-view maintenance
+    (x46's operational twin): each arrival batch of before/after-image
+    CDC events is reduced to SIGNED per-key partials
+    (plans.cdc_signed_partials — I=+1/+new, D=-1/-old, U=0/new-old) and
+    written under ``state_dir/batch_id=N``. Signed partials under sum
+    are still a commutative monoid, so deriving the MV is one groupBy
+    over the state log — deletes and updates cost exactly what inserts
+    cost, and the corpus of past facts is never rescanned. Seed the
+    log with the base snapshot's (unsigned) aggregate as a plain
+    partial (e.g. ``batch_id=-1``). Exactly-once story matches the
+    other sinks: a crash-re-delivered batch OVERWRITES its own
+    batch_id partition with identical content."""
+    import os
+
+    from ..plans.incremental import cdc_signed_partials
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        state = cdc_signed_partials(
+            batch_df, keys, op_col, old_col, new_col, count_col, sum_col
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def mv_from_state_dir(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+) -> DataFrame:
+    """Derive the maintained view from the persisted signed-state log:
+    one groupBy over aggregate-sized partials; keys retracted to a zero
+    count have ceased to exist and are dropped."""
+    from pyspark.sql import functions as F
+
+    s = spark.read.parquet(state_dir).drop("batch_id")
+    return (
+        s.groupBy(*keys)
+        .agg(
+            F.sum(count_col).cast("bigint").alias(count_col),
+            F.sum(sum_col).alias(sum_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )
+
+
+def compact_mv_state(spark: SparkSession, state_dir: str, keys: list[str]) -> None:
+    """Maintenance job: fold the signed-state log into one partition
+    (``batch_id=-1``). The fold keeps zero-count keys OUT (they are
+    fully retracted — compaction is exactly the point where their
+    bookkeeping rows disappear); same stop-the-world contract and
+    crash-safe swap as the other state compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = mv_from_state_dir(spark, state_dir, keys).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_mv_state_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Streaming retractable-MV maintenance: fold each arrival batch of
+    CDC events into the signed per-key state (x46's operational twin,
+    same AvailableNow cadence as the other state sinks). Batch
+    CORRECTNESS twin: queries.x46_retractable_mv folds the same
+    retraction algebra and is driver-verified against a from-scratch
+    DuckDB recompute of the post-CDC table."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            mv_state_batch_writer(spark, state_dir, keys)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
