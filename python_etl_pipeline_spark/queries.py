@@ -7415,6 +7415,135 @@ REGISTRY["ann18_index_delete"].sql = _ann11_sql().replace(
 )
 
 
+_TX22_K = 3  # k-gram length (tokens)
+_TX22_W = 4  # winnowing window (k-gram hashes)
+
+
+def _tx22_sql() -> str:
+    from .llm.dedup import _h32_sql, shingles_sql
+
+    sh = shingles_sql("text", _TX22_K)
+    return f"""
+    WITH g0 AS (
+      SELECT doc_id, generate_subscripts({sh}, 1) AS pos, unnest({sh}) AS gram
+      FROM documents
+    ),
+    g AS (SELECT doc_id, pos, {_h32_sql("md5(gram)")} AS h FROM g0),
+    cnt AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
+    w AS (
+      SELECT g.doc_id, g.pos, g.h, g.pos - off.o AS j
+      FROM g JOIN cnt USING (doc_id),
+           LATERAL unnest(range(0, {_TX22_W})) AS off(o)
+      WHERE g.pos - off.o >= 1 AND g.pos - off.o <= cnt.m - {_TX22_W} + 1
+    ),
+    sel AS (
+      SELECT doc_id, pos, h,
+             row_number() OVER (
+               PARTITION BY doc_id, j ORDER BY h, pos DESC
+             ) AS rn
+      FROM w
+    ),
+    fp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rn = 1),
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    shared AS (SELECT h FROM fph GROUP BY h HAVING count(*) >= 2),
+    perdoc AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+    pershared AS (
+      SELECT fph.doc_id, count(*) AS n_sh
+      FROM fph JOIN shared USING (h) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           cast(coalesce(cnt.m, 0) AS BIGINT) AS n_grams,
+           cast(coalesce(perdoc.n_fp, 0) AS BIGINT) AS n_fingerprints,
+           cast(coalesce(pershared.n_sh, 0) AS BIGINT) AS n_shared
+    FROM documents d
+    LEFT JOIN cnt USING (doc_id)
+    LEFT JOIN perdoc USING (doc_id)
+    LEFT JOIN pershared USING (doc_id)
+    """
+
+
+@register("tx22_winnow_fingerprint", None)  # sql attached below
+def tx22_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, SIGMOD — the MOSS algorithm): hash every 3-token k-gram,
+    slide a window of 4 hashes, select each window's minimum (ties to
+    the RIGHTMOST position — the tie rule that gives winnowing its
+    guarantee), and a position selected by ANY window is a
+    fingerprint. The guarantee: any shared token run long enough to
+    cover a window yields at least one IDENTICAL fingerprint in both
+    docs — so `n_shared` (a doc's fingerprints that also occur in
+    another doc) is a plagiarism/overlap signal with bounded density
+    (~2/(w+1) of positions), the sampling-based middle ground between
+    tx4's single whole-doc hash and dd3's full inverted index.
+    Implementation: the window argmin is computed by exploding each
+    hash into the <= 4 windows containing it and ranking (hash ASC,
+    pos DESC) within (doc, window) — a 4x map-side fan-out plus one
+    fine-grained window sort, no variable-length lookback, identical
+    in both engines. At 100 TB the fan-out factor stays w (constant)
+    and fingerprints are ~2/(w+1) of grams, so the cross-doc stage
+    (the only corpus-wide shuffle) runs on a 40%-sampled hash table,
+    not the corpus."""
+    from .llm.dedup import _h32, _spread, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    inst = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(shingles(F.col("text"), _TX22_K)).alias("p0", "gram")
+    )
+    g = inst.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        _h32(F.md5("gram")).alias("h"),
+    )
+    cnt = g.groupBy("doc_id").agg(F.count("*").alias("m"))
+    w = (
+        g.join(cnt, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            "h",
+            "m",
+            F.explode(F.sequence(F.lit(0), F.lit(_TX22_W - 1))).alias("o"),
+        )
+        .withColumn("j", F.col("pos") - F.col("o"))
+        .filter((F.col("j") >= 1) & (F.col("j") <= F.col("m") - _TX22_W + 1))
+    )
+    win = Window.partitionBy("doc_id", "j").orderBy(
+        F.col("h").asc(), F.col("pos").desc()
+    )
+    fp = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h")
+        .distinct()
+    )
+    fph = fp.select("doc_id", "h").distinct()
+    shared = (
+        fph.groupBy("h").agg(F.count("*").alias("nd")).filter(F.col("nd") >= 2)
+    )
+    perdoc = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    pershared = (
+        fph.join(shared.select("h"), "h").groupBy("doc_id").agg(
+            F.count("*").alias("n_sh")
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        d.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .join(perdoc, "doc_id", "left")
+        .join(pershared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m"), z).alias("n_grams"),
+            F.coalesce(F.col("n_fp"), z).alias("n_fingerprints"),
+            F.coalesce(F.col("n_sh"), z).alias("n_shared"),
+        )
+    )
+
+
+REGISTRY["tx22_winnow_fingerprint"].sql = _tx22_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #

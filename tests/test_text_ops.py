@@ -120,3 +120,63 @@ def test_mm4_block_dedup_matches_python_replay(spark, sf_dir):
         for s in tot
     }
     assert got == want
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al.'s theorem: two documents sharing a token run of
+    at least w + k - 1 tokens (one full window of k-grams) must share
+    at least one fingerprint hash. Also: fingerprints exist for any doc
+    with >= w k-grams, and selection density is well below 1."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.dedup import _h32, _spread, shingles
+
+    # Replicate the query's pipeline on a controlled corpus.
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"one two three {shared_run} four five six"),
+        (2, f"seven eight nine ten {shared_run} eleven twelve"),
+        (3, "completely different words nowhere near the others at all ok"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+
+    K, W = 3, 4
+    inst = d.select(
+        "doc_id", F.posexplode(shingles(F.col("text"), K)).alias("p0", "gram")
+    )
+    g = inst.select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), _h32(F.md5("gram")).alias("h")
+    )
+    cnt = g.groupBy("doc_id").agg(F.count("*").alias("m"))
+    from pyspark.sql import Window
+
+    w = (
+        g.join(cnt, "doc_id")
+        .select(
+            "doc_id", "pos", "h", "m",
+            F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("o"),
+        )
+        .withColumn("j", F.col("pos") - F.col("o"))
+        .filter((F.col("j") >= 1) & (F.col("j") <= F.col("m") - W + 1))
+    )
+    win = Window.partitionBy("doc_id", "j").orderBy(
+        F.col("h").asc(), F.col("pos").desc()
+    )
+    fp = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .select("doc_id", "h")
+        .distinct()
+        .collect()
+    )
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    # docs 1 and 2 share a 10-token run >= W + K - 1 = 6 tokens
+    assert by_doc[1] & by_doc[2]
+    # doc 3 shares nothing with either
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    # density: far fewer fingerprints than grams
+    m = {r["doc_id"]: r["m"] for r in cnt.collect()}
+    for did, fps in by_doc.items():
+        assert 0 < len(fps) < m[did]
