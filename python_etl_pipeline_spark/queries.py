@@ -7565,45 +7565,31 @@ REGISTRY["tx22_winnow_fingerprint"].sql = _tx22_sql()
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 8  # the round this prefix was built for
+_GATE_ROUND = 9  # the round this prefix was built for
 
-# ROUND-8 GATE-ARITHMETIC DECISION (the r7 verdict's "decide before it
-# decides for you"): the permanent-sentinel set SHRINKS from 12 to 8,
-# raising the horizon-4 feasibility bound from 4*38+12 = 164 to
-# 4*42+8 = 176 (registry: 155 after this round's +12: ann11-ann17,
-# tx19, tx20, x43, x44, x45). The four
-# dropped sentinels (o3 keep-first, j1_semi, i3_watermark, o5 slice)
-# each have a still-sentineled twin exercising the SAME operator module
-# (o2 keep-last / j1_anti / i3_antijoin / w1 sequence engine), so every
-# subtle module keeps a permanent watch while the dropped twins rotate
-# on the normal horizon like any other query. Horizon stays 4 —
-# raising it again was rejected: it weakens every query's freshness to
-# protect 4 redundant slots. At +7/round the 176 bound is crossed
-# around round 12; the pre-authorized escalation is to shrink to the
-# 4 irreplaceable sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188)
-# before touching the horizon.
+# The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
+# horizon 4, feasibility bound 4*42+8 = 176 (registry: 162 after this
+# round's +7: i7, x46, x47, tx21, tx22, mm4, ann18). At +7/round the
+# bound is crossed around round 11; the pre-authorized escalation
+# (decided round 8, unchanged) is to shrink to the 4 irreplaceable
+# sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
+# registry passes 176 — NOT to raise the horizon.
 _GATE_PREFIX = [
-    # (1) added this round (7): the persisted-index ANN serve path
-    # (single + batched), incremental IVF assignment + its drift
-    # report, incremental LM-count + TF-IDF-df folds, and the sharding
-    # x curriculum composition. No existing query's code or oracle
-    # changed in round 8 (the ADVICE fixes touched
-    # warehouse/pipeline/streaming paths outside every registered
-    # query's plan), so prior rows keep vouching. (3) below shrinks to
-    # 35 to hold the 50-slot budget.
-    "ann11_ivfpq_from_index",
-    "ann12_incremental_assign",
-    "ann13_index_drift",
-    "ann14_batch_ivf_serve",
-    "ann15_filtered_topk",
-    "ann16_centroid_refresh",
-    "ann17_filtered_recall",
-    "tx19_incremental_lm_score",
-    "tx20_incremental_tfidf",
-    "x43_sharded_curriculum",
-    "x44_temperature_mix",
-    "x45_temperature_mix_threshold",
-    # (2) permanent sentinels (8, shrunk per the decision above)
+    # (1) added this round (9): the point-in-time SCD2 join, the
+    # retractable (delete/update-capable) MV fold, the epoch-aware
+    # mixture plan, DSIR importance weights, winnowing fingerprints,
+    # payload block dedup, and IVF-PQ index deletes. No existing
+    # query's code or oracle changed this round (the new plan helpers
+    # and similarity delete/compact functions are additive), so prior
+    # rows keep vouching.
+    "i7_pointintime_join",
+    "x46_retractable_mv",
+    "x47_epoch_mixture",
+    "tx21_dsir_importance",
+    "tx22_winnow_fingerprint",
+    "mm4_block_dedup",
+    "ann18_index_delete",
+    # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
     "o2_dedup_keep_last",
@@ -7612,40 +7598,45 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (35), oldest last-driver-row first: the ENTIRE r4
-    # cohort (30 queries — due for forced rotation this round or next;
-    # clearing all of them now keeps the round-9 gate free for new
-    # work), then the 5 oldest of the r5 cohort in registry order.
-    "ann1_bruteforce_topk",
-    "ann3_batch_topk",
-    "dd4_simhash",
-    "dd7_simhash_hamming",
-    "dd8_decontaminate",
-    "dd9_repeated_spans",
-    "dd10_chunk_dedup",
-    "mm1_media_features",
-    "tx1_token_stats",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx5_top_tokens",
-    "tx6_pii_redact",
-    "tx7_repetition_ratio",
-    "tx8_bpe_tokens",
-    "tx9_tfidf_keywords",
-    "tx10_bigram_lm_score",
-    "tx11_normalize_text",
-    "tx12_token_budget",
-    "tx13_quality_topfrac",
-    "tx14_token_entropy",
-    "x10_range_join",
-    "x11_train_val_test_split",
-    "x24_salted_join",
-    "x25_cdc_apply",
-    "x26_fuzzy_match",
-    "x27_corpus_mix",
-    "x28_source_cap",
-    "x29_doc_chunks",
+    # (3) rotation (35), oldest last-driver-row first: the ENTIRE r5
+    # cohort (30 queries — all due at round 10, cleared one round
+    # early so the round-10 gate stays free for new work), then the 5
+    # oldest of the r6 cohort in registry order.
+    "a7_shipping_priority",
+    "a8_local_supplier_volume",
+    "ann8_embedding_moments",
+    "dd1_exact_dedup",
+    "i5_incremental_agg_merge",
+    "i6_scd2_history",
+    "mm2_frame_sample",
+    "mm3_frame_dedup",
+    "s5_jdbc_partitioned",
+    "st2_session_window",
+    "st3_sliding_window",
+    "tx15_gopher_rules",
+    "x12_stratified_sample",
+    "x13_json_extract",
+    "x14_exact_percentile",
+    "x15_sessionize",
+    "x16_table_diff",
+    "x17_salted_agg",
+    "x19_weighted_sample",
+    "x20_trailing_range_frame",
+    "x2_rollup",
+    "x30_histogram",
+    "x31_column_profile",
+    "x33_zorder_key",
+    "x3_cube",
+    "x4_outlier_flag",
+    "x5_asof_join",
+    "x7_group_zscore",
+    "x8_unpivot",
+    "x9_resample_ffill",
+    "a0_pricing_summary",
+    "a1_table_counts",
+    "a2_max_watermark",
+    "a3_multiagg_summary",
+    "a4_distinct_keys",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -7669,6 +7660,11 @@ _EXPENSIVE_LAST = [
     "ann11_ivfpq_from_index",
     "tx19_incremental_lm_score",
     "ann16_centroid_refresh",
+    # round-9 heavies: tx22 runs the w-fold window explode + the
+    # fine-grained (doc, window) rank; ann18 pays the cached-index
+    # build on first invocation like ann11
+    "tx22_winnow_fingerprint",
+    "ann18_index_delete",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
