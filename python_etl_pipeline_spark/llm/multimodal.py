@@ -42,10 +42,21 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def attach_binary_payload(
-    df: DataFrame, content_col: str, id_col: str, mime: str = "application/octet-stream"
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    mime: str = "application/octet-stream",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Wrap a string column as a (payload: binary, meta: struct) media
-    column — the boundary where real pipelines would carry image bytes."""
+    column — the boundary where real pipelines would carry image bytes.
+
+    `extra_cols` names passthrough columns to keep alongside the media
+    column. Keeping them here means a consumer that needs, say, the
+    source label never has to join back to the original table — at
+    100 TB a payload-sized self-join is the difference between one scan
+    and a shuffle of every byte.
+    """
     payload = F.encode(F.col(content_col), "UTF-8")
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -55,6 +66,7 @@ def attach_binary_payload(
             F.length(payload).cast("long").alias("byte_len"),
             F.lit("inline").alias("source"),
         ).alias("meta"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -7325,21 +7325,23 @@ def mm4_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side codegen — binary substring + md5 are native expressions,
     no Python worker touches the bytes (contrast mm1's Arrow path:
     feature extraction needs Python, block hashing does not). Plan:
-    one scan -> generate (explode of the offset sequence) -> two
-    source-keyed aggs; blocks never carry the payload with them, only
-    the 16-byte hash. The oracle hashes the identical byte slices (the
-    corpus is ASCII, so DuckDB's text substring sees the same bytes the
-    binary payload holds). At 100 TB: block size becomes 4-64 KiB,
-    same plan, and the (source, hash) agg is the only shuffle —
-    hash-sized rows, not payload-sized."""
+    ONE scan -> generate (explode of the offset sequence) -> one
+    (source, hash) agg whose partials carry count/sum/max, then a
+    source-sized fold — totals are sums over the per-hash partials,
+    uniques are the group rows, so no join and no second scan; blocks
+    never carry the payload with them, only the 16-byte hash. The
+    oracle hashes the identical byte slices (the corpus is ASCII, so
+    DuckDB's text substring sees the same bytes the binary payload
+    holds). At 100 TB: block size becomes 4-64 KiB, same plan, and the
+    (source, hash) agg is the only data-sized shuffle — hash-sized
+    rows, not payload-sized."""
     from .llm.multimodal import attach_binary_payload
 
     d = _t(spark, sf_dir, "documents")
-    m = attach_binary_payload(d, "text", "doc_id")
-    src = d.select(F.col("doc_id").cast("long").alias("media_id"), "source")
+    m = attach_binary_payload(d, "text", "doc_id", extra_cols=("source",))
     block = F.expr(f"substring(payload, p, {_MM4_BLOCK})")
     blocks = (
-        m.join(src, "media_id")
+        m
         .select(
             "source",
             "payload",
@@ -7353,20 +7355,20 @@ def mm4_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(block).cast("bigint").alias("blen"),
         )
     )
-    tot = blocks.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_blocks"),
-        F.sum("blen").alias("total_bytes"),
+    # both reports fold out of ONE (source, hash) aggregation: totals
+    # are sums over the per-hash partials, uniques are the group rows
+    # themselves — single scan, single data-sized shuffle, no join
+    per_hash = blocks.groupBy("source", "h").agg(
+        F.count("*").alias("cnt"),
+        F.sum("blen").alias("sum_blen"),
+        F.max("blen").alias("max_blen"),
     )
-    uq = (
-        blocks.groupBy("source", "h")
-        .agg(F.max("blen").alias("blen"))
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_uniq"),
-            F.sum("blen").alias("uniq_bytes"),
-        )
-    )
-    return tot.join(uq, "source").select(
+    return per_hash.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_blocks"),
+        F.count("*").cast("bigint").alias("n_uniq"),
+        F.sum("sum_blen").alias("total_bytes"),
+        F.sum("max_blen").alias("uniq_bytes"),
+    ).select(
         "source",
         "n_blocks",
         "n_uniq",

@@ -402,3 +402,44 @@ def test_round8b_single_partition_only_on_metadata_frames(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round9_queries_no_single_partition(spark, sf_dir):
+    """Round-9 additions: none may plan a single-partition exchange, a
+    global range sort, a shuffle join, or a cartesian product — every
+    shuffle stays keyed on a data key (doc_id / cell / lang / bucket /
+    o_orderpriority, verified by inspection) and every join side that
+    is dimension- or index-sized broadcasts."""
+    for name in (
+        "i7_pointintime_join",
+        "x46_retractable_mv",
+        "x47_epoch_mixture",
+        "tx21_dsir_importance",
+        "tx22_winnow_fingerprint",
+        "mm4_block_dedup",
+        "ann18_index_delete",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # i7 (point-in-time SCD2 join): the dimension-history side
+    # broadcasts onto the fact stream — zero shuffles of the fact side
+    plan = _plan(spark, sf_dir, "i7_pointintime_join")
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan
+    # mm4 (payload block dedup): ONE scan of documents, no join at all
+    # — both reports fold out of the single (source, hash) aggregation
+    plan = _plan(spark, sf_dir, "mm4_block_dedup")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # one node + its detail block
+    # ann18 (tombstoned index serve): both top-k cuts compile to
+    # per-partition heaps, and all index-side joins broadcast
+    plan = _plan(spark, sf_dir, "ann18_index_delete")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # tx22 (winnowing): every window runs keyed on doc_id — the
+    # (doc, window) rank never degenerates to a global sort
+    plan = _plan(spark, sf_dir, "tx22_winnow_fingerprint")
+    assert "hashpartitioning(doc_id" in plan
