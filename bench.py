@@ -91,6 +91,24 @@ HEADLINE = [
     # warm-start refresh trains in-plan (two base Lloyd passes + one
     # warm full pass) for oracle replay — a build-time number, like ann10
     "ann16_centroid_refresh",
+    # round 9 additions
+    "i7_pointintime_join",
+    "x46_retractable_mv",
+    "x47_epoch_mixture",
+    "tx21_dsir_importance",
+    "tx22_winnow_fingerprint",
+    "mm4_block_dedup",
+    # tombstoned serve from the cached IVF index: should track ann11's
+    # serve cost — the tombstone anti-join is index-metadata-sized
+    "ann18_index_delete",
+    # round 9 second wave: CM-sketch heavy hitters (corpus cost = one
+    # token count), density downsampling (corpus cost = one Lloyd
+    # assignment), the metadata-sized compaction planner, and the
+    # training-free SQ8 serve (its gap vs ann1 is quantization's price)
+    "hh1_countmin_topk",
+    "x48_density_downsample",
+    "x49_compaction_bins",
+    "ann19_sq8_topk",
 ]
 
 

@@ -1351,3 +1351,81 @@ def compact_ivfpq_index(
             staging
         )
         _swap_compacted(spark, root, staging)
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate search + exact rerank — the
+    third serve mode next to IVF (cell pruning) and PQ (subspace
+    codebooks): each dimension is quantized independently to 8 bits
+    against its corpus [min, max] range, so the stored index is 1 byte
+    per dimension (16x smaller than float64) with NO training step —
+    the quantizer is one d-sized min/max aggregate, which is why real
+    vector stores ship SQ8 as the cheap default before IVF/PQ tuning.
+
+    Plan shape: one component scan -> d-sized min/max agg (broadcast
+    back) -> codes; the approximate scan scores dequantized codes
+    against the query (keyed agg on id), cuts a ``shortlist`` via
+    TakeOrderedAndProject on the 4-dp ROUNDED approx score (the
+    engine-stable cut, same convention as pq_topk), and only the
+    shortlist pays exact-rerank cost. At 100 TB the code table is the
+    only full-corpus artifact (1/16th the bytes); min/max per dim is a
+    single mergeable agg, maintainable incrementally like the datacard
+    monoids. Dequantization uses the mid-rise reconstruction
+    mn + (code + 0.5) * (mx - mn) / 256 — all double arithmetic in a
+    fixed association order so DuckDB replays it bit-for-bit."""
+    comp = _components(df, id_col, vec_col)
+    stats = comp.groupBy("i").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255),
+            F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+        ),
+    ).otherwise(F.lit(0))
+    codes = comp.join(F.broadcast(stats), "i").select(
+        id_col, "i", code.cast("bigint").alias("code")
+    )
+    q = comp.filter(F.col(id_col) == query_id).select("i", F.col("v").alias("qv"))
+    dq = F.col("mn") + (F.col("code") + 0.5) * (F.col("mx") - F.col("mn")) / 256
+    approx = (
+        codes.join(F.broadcast(stats), "i")
+        .join(F.broadcast(q), "i")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(dq * F.col("qv")), 4).alias("sq8_score"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.col("sq8_score").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    exact = (
+        comp.join(F.broadcast(approx.select(id_col, "sq8_score")), id_col)
+        .join(F.broadcast(q), "i")
+        .groupBy(id_col, "sq8_score")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"),
+        )
+    )
+    qnorm = comp.filter(F.col(id_col) == query_id).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("qnorm")
+    )
+    return (
+        exact.crossJoin(F.broadcast(qnorm))
+        .select(
+            id_col,
+            F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")), 4).alias(
+                "cosine"
+            ),
+            "sq8_score",
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -7546,6 +7546,292 @@ def tx22_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx22_winnow_fingerprint"].sql = _tx22_sql()
 
 
+_HH1_W = 1024  # count-min width (buckets per hash row)
+_HH1_D = 4     # count-min depth (independent hash rows)
+
+
+def _hh1_sql() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    b_sk = hash_bucket_sql("concat(cast(js.j AS VARCHAR), ':', c.tok)", _HH1_W)
+    b_est = hash_bucket_sql("concat(cast(js.j AS VARCHAR), ':', t.tok)", _HH1_W)
+    return f"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    sk AS (
+      SELECT js.j, {b_sk} AS b, sum(c.n) AS cnt
+      FROM counts c CROSS JOIN js
+      GROUP BY 1, 2
+    ),
+    top20 AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 20),
+    est AS (
+      SELECT t.tok, t.n, min(sk.cnt) AS est
+      FROM top20 t CROSS JOIN js
+      JOIN sk ON sk.j = js.j AND sk.b = {b_est}
+      GROUP BY 1, 2
+    )
+    SELECT tok, cast(n AS BIGINT) AS n_true, cast(est AS BIGINT) AS n_est,
+           est >= n AS overestimate_ok,
+           cast(est - n AS BIGINT) AS err
+    FROM est
+    """
+
+
+@register("hh1_countmin_topk", None)  # sql attached below (needs helper)
+def hh1_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    2005) — the fixed-size mergeable summary a 100 TB stream keeps when
+    the exact vocabulary won't fit: d=4 independent hash rows x
+    w=1024 buckets of SUM counters (a commutative monoid, so
+    per-shard sketches union by cell-wise +, same algebra as the
+    datacard states). Estimate = min over rows; CM guarantees
+    est >= true always and est <= true + eps*N w.h.p. This is the
+    CONTRACT form (dd14/ann6's pattern): it reports, for the exact
+    top-20 tokens, the true count, the sketch estimate, the
+    overestimate invariant, and the absolute error — both the sketch
+    and the truth are computed in-plan so the approximation quality is
+    a verified number, not a claim.
+
+    Plan shape: the only corpus-sized stage is the token count (tx5's
+    explode + groupBy); the sketch itself is built from the
+    vocabulary-sized count table (inserting per-token subtotals is
+    arithmetically identical to per-occurrence inserts), so the d x w
+    fold shuffles vocabulary-sized rows into a 4x1024-cell
+    table that then BROADCASTS to the 20-row estimate join. The oracle
+    replays the identical md5-derived buckets (hash_bucket_sql)."""
+    from .llm import tokens
+    from .operators.sampling import hash_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    js = spark.range(_HH1_D).select(F.col("id").cast("int").alias("j"))
+    bucket = hash_bucket(
+        F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok")), _HH1_W
+    )
+    sk = (
+        counts.crossJoin(F.broadcast(js))
+        .select("j", bucket.alias("b"), "n")
+        .groupBy("j", "b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top20 = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    est = (
+        top20.crossJoin(F.broadcast(js))
+        .select("tok", "n", "j", bucket.alias("b"))
+        .join(F.broadcast(sk), ["j", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("bigint").alias("n_true"),
+        F.col("est").cast("bigint").alias("n_est"),
+        (F.col("est") >= F.col("n")).alias("overestimate_ok"),
+        (F.col("est") - F.col("n")).cast("bigint").alias("err"),
+    )
+
+
+REGISTRY["hh1_countmin_topk"].sql = _hh1_sql()
+
+
+_X48_TARGET = 100  # per-cell keep budget
+
+
+def _x48_sql() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("a.vec_id", 1000000)
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {_KMEANS_CHAINS}
+    assign AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    sizes AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY 1),
+    kept AS (
+      SELECT a.cell, s.n_members,
+             CASE WHEN {hb} < floor({_X48_TARGET} * 1000000.0 / s.n_members)
+                  THEN 1 ELSE 0 END AS keep
+      FROM assign a JOIN sizes s USING (cell)
+    )
+    SELECT cell, cast(n_members AS BIGINT) AS n_members,
+           cast(sum(keep) AS BIGINT) AS n_kept,
+           round(sum(keep) * 1.0 / n_members, 4) AS keep_rate
+    FROM kept GROUP BY cell, n_members
+    """
+
+
+@register("x48_density_downsample", None)  # sql attached below
+def x48_density_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-proportional downsampling — the diversity-preserving
+    counterpart of SemDeDup (dd11): instead of deleting near-identical
+    pairs, keep each k-means cell down to a fixed per-cell budget, so
+    dense regions of embedding space (boilerplate, templates) are
+    thinned hard while sparse regions (rare content) survive intact —
+    the cluster-based data-pruning recipe of Sorscher et al. 2022
+    (arXiv:2206.14486). Membership is decided by a content hash of the
+    vector id against floor(budget * 1e6 / cell_size), so the sample is
+    deterministic across runs, engines, partitionings, and appends
+    (operators/sampling's split discipline — never df.sample()).
+
+    Plan shape: kmeans_assign's broadcast-centroid Lloyd loop (the
+    assignment is the only vector-sized shuffle), a cell-sized count,
+    and the keep decision is a MAP-SIDE expression on the broadcast
+    4-row size table — the corpus never shuffles for the sampling
+    itself. The oracle replays the Lloyd chains (ann4's CTEs) and the
+    identical md5 keep-hash."""
+    from .llm.similarity import kmeans_assign
+    from .operators.sampling import hash_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(e, k=4, iters=2, materialize=True)
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    thresh = F.floor(F.lit(_X48_TARGET * 1000000.0) / F.col("n_members"))
+    kept = assign.join(F.broadcast(sizes), "cell").select(
+        "cell",
+        "n_members",
+        (hash_bucket(F.col("vec_id"), 1000000) < thresh).cast("int").alias("keep"),
+    )
+    return kept.groupBy("cell", "n_members").agg(
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(F.sum("keep") * 1.0 / F.col("n_members"), 4).alias("keep_rate"),
+    ).select(
+        "cell",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        "n_kept",
+        "keep_rate",
+    )
+
+
+REGISTRY["x48_density_downsample"].sql = _x48_sql()
+
+
+_X49_CHUNK = 50       # docs per pseudo-file
+_X49_TARGET = 16384   # compaction bin target bytes
+
+
+@register(
+    "x49_compaction_bins",
+    f"""
+    WITH chunks AS (
+      SELECT source, cast(floor(doc_id / {_X49_CHUNK}) AS BIGINT) AS chunk_id,
+             sum(n_chars) AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT source, chunk_id, bytes,
+             sum(bytes) OVER (
+               PARTITION BY source ORDER BY bytes DESC, chunk_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM chunks
+    )
+    SELECT source, cast(floor((cum - bytes) / {_X49_TARGET}.0) AS BIGINT) AS bin,
+           cast(count(*) AS BIGINT) AS n_chunks,
+           cast(sum(bytes) AS BIGINT) AS bin_bytes
+    FROM ordered GROUP BY 1, 2
+    """,
+)
+def x49_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER — the maintenance query behind
+    OPTIMIZE/rewriteDataFiles: given a file inventory (here each run of
+    50 doc ids per source stands in for a data file, sized by
+    its text bytes), assign files to merge bins of ~16 KiB
+    by walking the size-descending order and cutting on the running
+    total (next-fit-decreasing — within 2x of optimal bin count, and
+    unlike first-fit it is pure window algebra, so both engines replay
+    it exactly). Output: the merge manifest a compactor would execute,
+    one row per (source, bin).
+
+    Plan shape: everything after the (source, chunk) byte agg is
+    file-METADATA-sized — the window partitions by source (keyed
+    shuffle of inventory rows, never data bytes), exactly how a table
+    service plans compaction over a 100 TB table: the planner reads
+    the manifest, only the executor touches data."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.groupBy(
+            "source",
+            F.floor(F.col("doc_id") / _X49_CHUNK).cast("bigint").alias("chunk_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bytes").desc(), "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = chunks.withColumn("cum", F.sum("bytes").over(w))
+    return (
+        ordered.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("bytes")) / float(_X49_TARGET))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        )
+    )
+
+
+@register(
+    "ann19_sq8_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM comp GROUP BY i),
+    codes AS (
+      SELECT vec_id, comp.i,
+             CASE WHEN mx > mn
+                  THEN least(255, floor((v - mn) / (mx - mn) * 256))
+                  ELSE 0 END AS code
+      FROM comp JOIN stats ON comp.i = stats.i
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id,
+             round(sum((mn + (code + 0.5) * (mx - mn) / 256) * qv), 4)
+               AS sq8_score
+      FROM codes c
+      JOIN stats ON c.i = stats.i
+      JOIN q ON c.i = q.i
+      WHERE c.vec_id <> 0
+      GROUP BY 1
+      ORDER BY sq8_score DESC, c.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT comp.vec_id, a.sq8_score, sum(comp.v * q.qv) AS dot,
+             sqrt(sum(comp.v * comp.v)) AS norm
+      FROM comp JOIN approx a ON comp.vec_id = a.vec_id
+      JOIN q ON comp.i = q.i
+      GROUP BY 1, 2
+    ),
+    qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine, sq8_score
+    FROM exact, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann19_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scalar-quantized (SQ8) serve mode: 8-bit
+    per-dimension quantization against corpus [min, max] — 1 byte/dim
+    storage with NO training step (one mergeable d-sized min/max agg),
+    the cheap default real vector stores offer before IVF/PQ tuning.
+    Approximate scan over dequantized codes cuts a 50-candidate
+    shortlist (4-dp rounded score, pq_topk's engine-stable convention),
+    exact rerank returns top-10. See llm/similarity.sq8_topk for the
+    plan-shape notes."""
+    from .llm.similarity import sq8_topk
+
+    return sq8_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50)
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -7570,9 +7856,10 @@ REGISTRY["tx22_winnow_fingerprint"].sql = _tx22_sql()
 _GATE_ROUND = 9  # the round this prefix was built for
 
 # The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
-# horizon 4, feasibility bound 4*42+8 = 176 (registry: 162 after this
-# round's +7: i7, x46, x47, tx21, tx22, mm4, ann18). At +7/round the
-# bound is crossed around round 11; the pre-authorized escalation
+# horizon 4, feasibility bound 4*42+8 = 176 (registry: 166 after this
+# round's +11: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, x48, x49,
+# ann19). At this growth rate the
+# bound is crossed around round 10-11; the pre-authorized escalation
 # (decided round 8, unchanged) is to shrink to the 4 irreplaceable
 # sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
 # registry passes 176 — NOT to raise the horizon.
@@ -7583,7 +7870,8 @@ _GATE_PREFIX = [
     # payload block dedup, and IVF-PQ index deletes. No existing
     # query's code or oracle changed this round (the new plan helpers
     # and similarity delete/compact functions are additive), so prior
-    # rows keep vouching.
+    # rows keep vouching. Second wave: count-min heavy hitters,
+    # density downsampling, the compaction planner, and the SQ8 serve.
     "i7_pointintime_join",
     "x46_retractable_mv",
     "x47_epoch_mixture",
@@ -7591,6 +7879,10 @@ _GATE_PREFIX = [
     "tx22_winnow_fingerprint",
     "mm4_block_dedup",
     "ann18_index_delete",
+    "hh1_countmin_topk",
+    "x48_density_downsample",
+    "x49_compaction_bins",
+    "ann19_sq8_topk",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -7600,10 +7892,11 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (35), oldest last-driver-row first: the ENTIRE r5
+    # (3) rotation (31), oldest last-driver-row first: the ENTIRE r5
     # cohort (30 queries — all due at round 10, cleared one round
-    # early so the round-10 gate stays free for new work), then the 5
-    # oldest of the r6 cohort in registry order.
+    # early so the round-10 gate stays free for new work), then the
+    # oldest r6 query in registry order (a1-a4, due round 11, yielded
+    # their slots to this round's second-wave queries).
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -7635,10 +7928,6 @@ _GATE_PREFIX = [
     "x8_unpivot",
     "x9_resample_ffill",
     "a0_pricing_summary",
-    "a1_table_counts",
-    "a2_max_watermark",
-    "a3_multiagg_summary",
-    "a4_distinct_keys",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -92,3 +92,64 @@ def test_kmeans_no_driver_collect_in_plan(spark, sf_dir):
     plan = buf.getvalue()
     assert "ExistingRDD" not in plan
     assert "LocalTableScan" not in plan
+
+
+def test_countmin_overestimate_invariant(spark, sf_dir):
+    """CM sketch guarantee: estimate >= true count for EVERY queried
+    token (min over d rows of sums that each include the token's own
+    count), and the reported err equals est - true."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["hh1_countmin_topk"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overestimate_ok"], r
+        assert r["n_est"] >= r["n_true"]
+        assert r["err"] == r["n_est"] - r["n_true"]
+
+
+def test_density_downsample_budget(spark, sf_dir):
+    """Cells at or under the 100-vector budget are kept whole
+    (threshold >= the hash modulus); oversized cells are thinned to
+    within sampling noise of the budget; kept never exceeds members."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["x48_density_downsample"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_members"]
+        if r["n_members"] <= 100:
+            assert r["n_kept"] == r["n_members"], r
+        else:
+            # E[kept] = members * floor(1e8/members)/1e6 ~= 100
+            assert r["n_kept"] < r["n_members"]
+            assert abs(r["n_kept"] - 100) <= 40, r
+
+
+def test_compaction_bins_conserve_bytes(spark, sf_dir):
+    """The merge manifest neither loses nor invents bytes: per source,
+    sum(bin_bytes) equals the total chunk bytes, every bin is
+    non-empty, and bin ids are non-negative."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    out = REGISTRY["x49_compaction_bins"].spark(spark, sf_dir)
+    per_src = {
+        r["source"]: (r["total"], r["nb"])
+        for r in out.groupBy("source")
+        .agg(F.sum("bin_bytes").alias("total"), F.count("*").alias("nb"))
+        .collect()
+    }
+    truth = {
+        r["source"]: r["total"]
+        for r in _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("total"))
+        .collect()
+    }
+    assert set(per_src) == set(truth)
+    for s in truth:
+        assert per_src[s][0] == truth[s], s
+    for r in out.collect():
+        assert r["bin"] >= 0 and r["bin_bytes"] > 0 and r["n_chunks"] > 0

@@ -443,3 +443,30 @@ def test_round9_queries_no_single_partition(spark, sf_dir):
     # (doc, window) rank never degenerates to a global sort
     plan = _plan(spark, sf_dir, "tx22_winnow_fingerprint")
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_round9b_queries_no_single_partition(spark, sf_dir):
+    """Round-9 second wave: hh1's only corpus-sized stage is the token
+    count (the sketch fold is vocabulary-sized and the 4096-cell sketch
+    broadcasts to the estimate join); x48's keep decision is a map-side
+    expression (the Lloyd assignment is the only vector-sized shuffle);
+    x49 is metadata-sized after the chunk agg with the window keyed on
+    source; ann19's shortlist and rerank cuts both compile to
+    per-partition heaps. None may plan a single-partition exchange, a
+    global range sort, a shuffle join, or a cartesian product."""
+    for name in (
+        "hh1_countmin_topk",
+        "x48_density_downsample",
+        "x49_compaction_bins",
+        "ann19_sq8_topk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # the top-k cuts are heaps, not sorts
+    for name in ("hh1_countmin_topk", "ann19_sq8_topk"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+    # x49's window stays keyed on the inventory partition column
+    assert "hashpartitioning(source" in _plan(spark, sf_dir, "x49_compaction_bins")

@@ -636,3 +636,28 @@ def test_ivfpq_delete_then_compact_equivalence(spark, sf_dir, tmp_path):
     assert sorted((r["vec_id"], r["cosine"]) for r in served_compact) == sorted(
         (r["vec_id"], r["cosine"]) for r in served_tomb
     )
+
+
+def test_sq8_topk_recall_vs_brute_force(spark):
+    """SQ8 serve contract: with a shortlist covering half the corpus,
+    the quantized path must recover >=80% of the exact top-5, every
+    returned cosine must be exact (rerank uses true components), and
+    the output is (cosine desc, id) ordered."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    corpus = _corpus(spark)
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, query_id=0, k=5).collect()]
+    got = sq8_topk(corpus, query_id=0, k=5, shortlist=12).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(set(ids) & set(exact)) >= 4, (ids, exact)
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    exact_cos = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(corpus, query_id=0, k=25).collect()
+    }
+    for r in got:
+        assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9
