@@ -7601,7 +7601,7 @@ def hh1_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table that then BROADCASTS to the 20-row estimate join. The oracle
     replays the identical md5-derived buckets (hash_bucket_sql)."""
     from .llm import tokens
-    from .operators.sampling import hash_bucket
+    from .llm.sketch import countmin_build, countmin_estimate
 
     d = _t(spark, sf_dir, "documents")
     counts = (
@@ -7609,34 +7609,71 @@ def hh1_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    js = spark.range(_HH1_D).select(F.col("id").cast("int").alias("j"))
-    bucket = hash_bucket(
-        F.concat(F.col("j").cast("string"), F.lit(":"), F.col("tok")), _HH1_W
-    )
-    sk = (
-        counts.crossJoin(F.broadcast(js))
-        .select("j", bucket.alias("b"), "n")
-        .groupBy("j", "b")
-        .agg(F.sum("n").alias("cnt"))
-    )
+    sk = countmin_build(counts, _HH1_D, _HH1_W)
     top20 = counts.orderBy(F.col("n").desc(), "tok").limit(20)
-    est = (
-        top20.crossJoin(F.broadcast(js))
-        .select("tok", "n", "j", bucket.alias("b"))
-        .join(F.broadcast(sk), ["j", "b"])
-        .groupBy("tok", "n")
-        .agg(F.min("cnt").alias("est"))
-    )
+    est = countmin_estimate(sk, top20, _HH1_D, _HH1_W)
     return est.select(
         "tok",
         F.col("n").cast("bigint").alias("n_true"),
-        F.col("est").cast("bigint").alias("n_est"),
+        F.col("est").alias("n_est"),
         (F.col("est") >= F.col("n")).alias("overestimate_ok"),
         (F.col("est") - F.col("n")).cast("bigint").alias("err"),
     )
 
 
 REGISTRY["hh1_countmin_topk"].sql = _hh1_sql()
+
+
+@register("hh2_countmin_fold", None)  # oracle attached below (= hh1's)
+def hh2_countmin_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Count-Min maintenance: the corpus arrives as three
+    batches (doc_id % 3), each contributes its own d x w sketch, and
+    the states fold via plans.merge_agg_state on the (j, b) cell key —
+    cell-wise sum, the CM monoid. The folded sketch answers hh1's
+    exact-top-20 contract with IDENTICAL estimates to the one-pass
+    sketch (per-cell sums over a partition of the corpus sum to the
+    global cells), which is why the oracle is literally hh1's SQL: the
+    fourth instance of the state-algebra pattern (datacard x41, LM
+    tx19, TF-IDF tx20) and the one a streaming heavy-hitter monitor
+    persists — fixed d*w-cell state, batch-sized arrival work, no
+    history rescan. Streaming twin:
+    streaming.file_stream.stream_countmin_available_now (same
+    batch_id-keyed state log + compaction as the LM/datacard sinks)."""
+    from .llm import tokens
+    from .llm.sketch import countmin_build, countmin_estimate
+    from .plans import merge_agg_state
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    parts = [
+        countmin_build(
+            toks.filter(F.col("doc_id") % 3 == k)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n")),
+            _HH1_D,
+            _HH1_W,
+        )
+        for k in range(3)
+    ]
+    sk = merge_agg_state(
+        merge_agg_state(parts[0], parts[1], ["j", "b"], count_col="cnt"),
+        parts[2],
+        ["j", "b"],
+        count_col="cnt",
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top20 = counts.orderBy(F.col("n").desc(), "tok").limit(20)
+    est = countmin_estimate(sk, top20, _HH1_D, _HH1_W)
+    return est.select(
+        "tok",
+        F.col("n").cast("bigint").alias("n_true"),
+        F.col("est").alias("n_est"),
+        (F.col("est") >= F.col("n")).alias("overestimate_ok"),
+        (F.col("est") - F.col("n")).cast("bigint").alias("err"),
+    )
+
+
+REGISTRY["hh2_countmin_fold"].sql = _hh1_sql()
 
 
 _X48_TARGET = 100  # per-cell keep budget
@@ -7856,9 +7893,9 @@ def ann19_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_ROUND = 9  # the round this prefix was built for
 
 # The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
-# horizon 4, feasibility bound 4*42+8 = 176 (registry: 166 after this
-# round's +11: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, x48, x49,
-# ann19). At this growth rate the
+# horizon 4, feasibility bound 4*42+8 = 176 (registry: 167 after this
+# round's +12: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, x48,
+# x49, ann19). At this growth rate the
 # bound is crossed around round 10-11; the pre-authorized escalation
 # (decided round 8, unchanged) is to shrink to the 4 irreplaceable
 # sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
@@ -7880,6 +7917,7 @@ _GATE_PREFIX = [
     "mm4_block_dedup",
     "ann18_index_delete",
     "hh1_countmin_topk",
+    "hh2_countmin_fold",
     "x48_density_downsample",
     "x49_compaction_bins",
     "ann19_sq8_topk",
@@ -7892,11 +7930,11 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (31), oldest last-driver-row first: the ENTIRE r5
+    # (3) rotation (30), oldest last-driver-row first: the ENTIRE r5
     # cohort (30 queries — all due at round 10, cleared one round
-    # early so the round-10 gate stays free for new work), then the
-    # oldest r6 query in registry order (a1-a4, due round 11, yielded
-    # their slots to this round's second-wave queries).
+    # early so the round-10 gate stays free for new work). The five
+    # oldest r6 queries (a0-a4, due round 11) yielded their slots to
+    # this round's second-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -7927,7 +7965,6 @@ _GATE_PREFIX = [
     "x7_group_zscore",
     "x8_unpivot",
     "x9_resample_ffill",
-    "a0_pricing_summary",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

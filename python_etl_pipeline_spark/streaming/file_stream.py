@@ -884,3 +884,84 @@ def stream_mv_state_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def countmin_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink for incremental Count-Min maintenance
+    (:mod:`..llm.sketch` — hh2's operational twin): each arrival
+    batch's d x w sketch partial lands under ``state_dir/batch_id=N``.
+    The state log is a sum-monoid on the (j, b) cell key — deriving
+    the corpus sketch unions all partitions and re-aggregates, so a
+    heavy-hitter monitor over a growing stream keeps d*w cells of
+    state and pays batch-sized arrival work, never a history rescan.
+    Exactly-once story matches the LM/datacard sinks: a re-delivered
+    batch OVERWRITES its own batch_id partition with identical
+    content."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.sketch import countmin_build
+    from ..llm.text import tokens
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        countmin_build(counts).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def countmin_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(j, b, cnt) — the folded sketch from the persisted state log;
+    reads only d*w-cell state partitions, never the corpus text."""
+    from ..plans import merge_agg_state
+
+    state = spark.read.parquet(state_dir).drop("batch_id")
+    return merge_agg_state(state, state.limit(0), ["j", "b"], count_col="cnt")
+
+
+def compact_countmin_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance job: fold every batch partition of the sketch state
+    into one (``batch_id=-1``) — same stop-the-world contract and
+    crash-safe swap as the LM/datacard compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = countmin_from_state_dir(spark, state_dir).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_countmin_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental Count-Min sketch — hh2's operational twin,
+    same AvailableNow cadence as the LM/TF-IDF/datacard sinks. Batch
+    CORRECTNESS twin: queries.hh2_countmin_fold is driver-verified
+    against hh1's one-pass DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(countmin_state_batch_writer(spark, state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

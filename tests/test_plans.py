@@ -456,6 +456,7 @@ def test_round9b_queries_no_single_partition(spark, sf_dir):
     global range sort, a shuffle join, or a cartesian product."""
     for name in (
         "hh1_countmin_topk",
+        "hh2_countmin_fold",
         "x48_density_downsample",
         "x49_compaction_bins",
         "ann19_sq8_topk",

@@ -1,0 +1,117 @@
+"""Streaming incremental Count-Min sketch (stream_countmin_available_now):
+the sketch folded from the persisted state log must equal the one-pass
+sketch over everything ingested so far, stay exactly-once under crash
+redelivery, and survive compaction unchanged — hh2's operational twin
+(the same llm.sketch algebra the driver hash-verifies against hh1's
+DuckDB oracle)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_etl_pipeline_spark.llm.sketch import countmin_build
+from python_etl_pipeline_spark.llm.text import tokens
+from python_etl_pipeline_spark.streaming.file_stream import (
+    compact_countmin_state,
+    countmin_from_state_dir,
+    countmin_state_batch_writer,
+    stream_countmin_available_now,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+ROWS1 = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+]
+ROWS2 = [
+    (3, "the quick brown fox naps under the old tree"),
+    (4, "five dozen boxes of the quick liquor"),
+]
+ROWS3 = [(5, "the lazy dog naps over the box")]
+
+
+def _cells(df):
+    return {(r["j"], r["b"]): r["cnt"] for r in df.collect()}
+
+
+def _full_sketch(spark, rows):
+    d = spark.createDataFrame(rows, SCHEMA)
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _cells(countmin_build(counts))
+
+
+def _write_batch(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_countmin_folds_to_full_recompute(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(str(src / "b1.parquet"), ROWS1)
+    stream_countmin_available_now(spark, str(src), SCHEMA, state_dir, ckpt)
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == _full_sketch(
+        spark, ROWS1
+    )
+
+    # new arrivals fold in; already-ingested files are not re-counted
+    _write_batch(str(src / "b2.parquet"), ROWS2)
+    stream_countmin_available_now(spark, str(src), SCHEMA, state_dir, ckpt)
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == _full_sketch(
+        spark, ROWS1 + ROWS2
+    )
+
+    # compaction folds the log to one partition without changing cells
+    before = _cells(countmin_from_state_dir(spark, state_dir))
+    compact_countmin_state(spark, state_dir)
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == before
+    assert len(glob.glob(f"{state_dir}/batch_id=*")) == 1
+
+    # post-compaction arrivals keep folding correctly
+    _write_batch(str(src / "b3.parquet"), ROWS3)
+    stream_countmin_available_now(spark, str(src), SCHEMA, state_dir, ckpt)
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == _full_sketch(
+        spark, ROWS1 + ROWS2 + ROWS3
+    )
+
+
+def test_countmin_writer_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch may re-run a batch after a crash: same batch_id
+    must overwrite, never double-count."""
+    state_dir = str(tmp_path / "state")
+    step = countmin_state_batch_writer(spark, state_dir)
+    b1 = spark.createDataFrame(ROWS1, SCHEMA)
+    step(b1, 0)
+    once = _cells(countmin_from_state_dir(spark, state_dir))
+    step(b1, 0)  # redelivery
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == once
+    step(spark.createDataFrame(ROWS2, SCHEMA), 1)
+    assert _cells(countmin_from_state_dir(spark, state_dir)) == _full_sketch(
+        spark, ROWS1 + ROWS2
+    )
