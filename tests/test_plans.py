@@ -471,3 +471,56 @@ def test_round9b_queries_no_single_partition(spark, sf_dir):
         assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
     # x49's window stays keyed on the inventory partition column
     assert "hashpartitioning(source" in _plan(spark, sf_dir, "x49_compaction_bins")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """At 100 TB the build side of a selective join is often too big to
+    broadcast but its KEY SET still fits a bloom filter — Spark's
+    runtime bloom injection (spark.sql.optimizer.runtime.bloomFilter.*)
+    then prunes the probe side BEFORE the shuffle, the semi-join
+    pushdown that saves the dominant shuffle cost. This pins the knob's
+    behavior: with broadcast disabled (forcing the shuffle-join regime
+    those thresholds exist for) and the application-side size gate
+    lowered to test scale, Catalyst injects bloom_filter/might_contain
+    around the probe scan, and the result is identical to the
+    un-bloomed join (the filter is conservative — no false negatives)."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+
+    def q():
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = q()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower()
+        bloomed = {(r["o_orderpriority"], r["n"]) for r in df.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+        assert bloomed == plain
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
