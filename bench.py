@@ -106,8 +106,11 @@ HEADLINE = [
     # assignment), the metadata-sized compaction planner, and the
     # training-free SQ8 serve (its gap vs ann1 is quantization's price)
     "hh1_countmin_topk",
+    "hh2_countmin_fold",
+    "hh3_linear_counting",
     "x48_density_downsample",
     "x49_compaction_bins",
+    "x50_priority_sample",
     "ann19_sq8_topk",
 ]
 

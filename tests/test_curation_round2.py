@@ -153,3 +153,52 @@ def test_compaction_bins_conserve_bytes(spark, sf_dir):
         assert per_src[s][0] == truth[s], s
     for r in out.collect():
         assert r["bin"] >= 0 and r["bin_bytes"] > 0 and r["n_chunks"] > 0
+
+
+def test_linear_counting_error_bounds(spark, sf_dir):
+    """LC contract sanity at test load factors (n/m ~ 0.2): the bucket
+    count never exceeds the true cardinality (collisions only lose),
+    never exceeds the bitmap, and the estimate lands within 5%."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _HH3_M
+
+    rows = REGISTRY["hh3_linear_counting"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_buckets"] <= r["n_exact"]
+        assert r["n_buckets"] < _HH3_M
+        assert r["rel_err"] < 0.05, r
+
+
+def test_priority_sample_merge_property(spark, sf_dir):
+    """The weighted reservoir is mergeable: the top-k of the union of
+    per-shard top-k's equals the global top-k — the property that lets
+    a 100 TB run keep k rows per shard. Shards = doc_id parity."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+    from python_etl_pipeline_spark.llm.dedup import _hexint
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        _hexint(F.md5(F.concat_ws("|", F.lit("ps"), F.col("doc_id"))), 8) + 0.5
+    ) / F.lit(4294967296.0)
+    scored = d.select(
+        "doc_id", F.round(F.log(u) / F.col("n_chars"), 8).alias("priority")
+    )
+    per_shard = [
+        scored.filter(F.col("doc_id") % 2 == p)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(20)
+        for p in (0, 1)
+    ]
+    merged = (
+        per_shard[0]
+        .unionByName(per_shard[1])
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(20)
+    )
+    global_ids = [
+        r["doc_id"]
+        for r in REGISTRY["x50_priority_sample"].spark(spark, sf_dir).collect()
+    ]
+    assert [r["doc_id"] for r in merged.collect()] == global_ids

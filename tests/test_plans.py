@@ -457,8 +457,10 @@ def test_round9b_queries_no_single_partition(spark, sf_dir):
     for name in (
         "hh1_countmin_topk",
         "hh2_countmin_fold",
+        "hh3_linear_counting",
         "x48_density_downsample",
         "x49_compaction_bins",
+        "x50_priority_sample",
         "ann19_sq8_topk",
     ):
         plan = _plan(spark, sf_dir, name)
@@ -471,6 +473,11 @@ def test_round9b_queries_no_single_partition(spark, sf_dir):
         assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
     # x49's window stays keyed on the inventory partition column
     assert "hashpartitioning(source" in _plan(spark, sf_dir, "x49_compaction_bins")
+    # x50 (priority sample) is the zero-shuffle ideal: a map-side
+    # priority projection and one heap cut — no exchange of any kind
+    plan = _plan(spark, sf_dir, "x50_priority_sample")
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
