@@ -112,6 +112,9 @@ HEADLINE = [
     "x49_compaction_bins",
     "x50_priority_sample",
     "ann19_sq8_topk",
+    # graph build (derived-k Lloyd + cell gram) + 3 PageRank
+    # iterations in one plan — a build-time number like ann10/ann16
+    "x51_graph_pagerank",
 ]
 
 

@@ -8006,6 +8006,175 @@ def x50_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x50_priority_sample"].sql = _x50_sql()
 
 
+def _x51_pr_iter_sql(prev: str, it: int) -> str:
+    """One unweighted PageRank power iteration as a CTE."""
+    return f"""
+    pr{it} AS (
+      SELECT n.vec_id,
+             0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, sum(p.pr / d.deg) AS s
+        FROM edges e
+        JOIN {prev} p ON p.vec_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY 1
+      ) c ON c.dst = n.vec_id
+    )"""
+
+
+def _x51_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+    ),
+    cent0 AS (
+      SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k
+    ),
+    {_kmeans_iter_sql('cent0', 1)},
+    {_kmeans_iter_sql('cent1', 2)},
+    {_kmeans_iter_sql('cent2', 3)},
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    cand AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    ),
+    dots AS (
+      SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
+      FROM cand c
+      JOIN comp ca ON ca.vec_id = c.a
+      JOIN comp cb ON cb.vec_id = c.b AND cb.i = ca.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.a, dots.b, round(dot / (na.norm * nb.norm), 4) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = dots.a
+      JOIN norms nb ON nb.vec_id = dots.b
+      WHERE na.norm > 0 AND nb.norm > 0
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rnk
+        FROM scored
+      ) WHERE rnk <= 3
+    ),
+    nodes AS (SELECT DISTINCT vec_id FROM comp),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    pr0 AS (SELECT vec_id, 1.0 / nn.n AS pr FROM nodes, nn),
+    {_x51_pr_iter_sql('pr0', 1)},
+    {_x51_pr_iter_sql('pr1', 2)},
+    {_x51_pr_iter_sql('pr2', 3)}
+    SELECT vec_id, round(pr * nn.n, 4) AS pagerank
+    FROM pr3, nn
+    ORDER BY round(pr * nn.n, 4) DESC, vec_id
+    LIMIT 20
+    """
+
+
+@register("x51_graph_pagerank", None)  # sql attached below
+def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance propagation over the k-NN similarity graph: three
+    unweighted PageRank power iterations (d=0.85) over ann5's edges —
+    the graph-centrality signal curation stacks use to find "hub"
+    documents (highly connected = template/boilerplate-like mass,
+    inverse of x48's density signal but link-based rather than
+    cell-count-based) and the engine's demonstration of ITERATIVE
+    graph algebra as pure DataFrame ops: each iteration is one
+    edge-keyed join + dst-keyed agg + node-sized left join, exactly
+    the shape GraphX/Pregel compiles to, with no driver loop state.
+
+    Determinism across engines: the edge set is integer-exact (ann5
+    ranks on the 4-dp ROUNDED cosine), the iteration arithmetic
+    mirrors the oracle expression-for-expression, and the final
+    N-normalized score is 4-dp rounded in the ordering key. Dangling
+    cells (singletons with no out-edges) leak their mass — documented,
+    identical in both engines, irrelevant to the ranking contract.
+
+    Scale shape: the graph build derives its cell count from corpus
+    size (k = N/500), so the per-cell gram is constant-bounded and the
+    build scales linearly (fixed k=4 measured 16.7x wall at 10x data;
+    derived k, 2.9x — SCALE.md round-9 addendum); the edge table is
+    3N rows regardless of dimension, checkpointed ONCE, and each
+    iteration shuffles edge-sized rows keyed on dst. At 100 TB you
+    persist the edges (like the IVF index) and iterate to convergence
+    with the same three-operator loop."""
+    from .llm.similarity import _components, _gram_pair_fn, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # cell count DERIVES from corpus size (k = N / 500, the SemDeDup
+    # recipe): the per-cell gram stays ~500x500 at ANY corpus size, so
+    # the edge build scales linearly instead of quadratically (fixed
+    # k=4 measured 60.4 s at 10x; derived k, 6.3 s). At the gate SFs
+    # (N <= 2000) the derived k is 4 — identical to ann5's contract.
+    comp = _components(emb, "vec_id", "embedding")
+    kk = emb.agg(
+        F.greatest(F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)).alias(
+            "k"
+        )
+    )
+    init = (
+        comp.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cell"), "i", "v")
+    )
+    _, assign = kmeans_fit(
+        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
+    )
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
+    )
+    pairs = vecs.groupBy("cell").applyInPandas(
+        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
+    )
+    wk = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    edges = (
+        both.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 3)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = emb.select("vec_id")
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "vec_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(pr, ed.src == pr.vec_id)
+            .select("dst", (F.col("pr") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    out = pr.crossJoin(F.broadcast(nn)).select(
+        "vec_id", F.round(F.col("pr") * F.col("n"), 4).alias("pagerank")
+    )
+    return out.orderBy(F.col("pagerank").desc(), "vec_id").limit(20)
+
+
+REGISTRY["x51_graph_pagerank"].sql = _x51_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8030,9 +8199,9 @@ REGISTRY["x50_priority_sample"].sql = _x50_sql()
 _GATE_ROUND = 9  # the round this prefix was built for
 
 # The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
-# horizon 4, feasibility bound 4*42+8 = 176 (registry: 169 after this
-# round's +14: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, hh3,
-# x48, x49, x50, ann19). At this growth rate the
+# horizon 4, feasibility bound 4*42+8 = 176 (registry: 170 after this
+# round's +15: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, hh3,
+# x48, x49, x50, x51, ann19). At this growth rate the
 # bound is crossed around round 10-11; the pre-authorized escalation
 # (decided round 8, unchanged) is to shrink to the 4 irreplaceable
 # sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
@@ -8059,6 +8228,7 @@ _GATE_PREFIX = [
     "x48_density_downsample",
     "x49_compaction_bins",
     "x50_priority_sample",
+    "x51_graph_pagerank",
     "ann19_sq8_topk",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
@@ -8069,12 +8239,12 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (28), oldest last-driver-row first: the r5 cohort
-    # MINUS x8/x9 (28 of its 30 — all due at round 10; x8_unpivot and
-    # x9_resample_ffill stay on the normal horizon and the gate-policy
-    # test will force them into the round-10 gate). The five oldest r6
-    # queries (a0-a4, due round 11) and x8/x9 yielded their slots to
-    # this round's second-wave queries.
+    # (3) rotation (27), oldest last-driver-row first: the r5 cohort
+    # MINUS x7/x8/x9 (27 of its 30 — all due at round 10; x7/x8/x9
+    # stay on the normal horizon and the gate-policy test will force
+    # them into the round-10 gate). The five oldest r6 queries (a0-a4,
+    # due round 11) and x7/x8/x9 yielded their slots to this round's
+    # second-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8102,7 +8272,6 @@ _GATE_PREFIX = [
     "x3_cube",
     "x4_outlier_flag",
     "x5_asof_join",
-    "x7_group_zscore",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -8135,6 +8304,9 @@ _EXPENSIVE_LAST = [
     "ann18_index_delete",
     "tx21_dsir_importance",
     "x48_density_downsample",
+    # x51 pays ann5's full graph build (Lloyd + per-cell gram) plus an
+    # eager edge checkpoint before the three PR iterations
+    "x51_graph_pagerank",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would

@@ -202,3 +202,18 @@ def test_priority_sample_merge_property(spark, sf_dir):
         for r in REGISTRY["x50_priority_sample"].spark(spark, sf_dir).collect()
     ]
     assert [r["doc_id"] for r in merged.collect()] == global_ids
+
+
+def test_pagerank_floor_and_order(spark, sf_dir):
+    """PageRank invariants: every node's N-normalized score is at
+    least the teleport floor 0.15 (damping 0.85), the top-20 cut is
+    descending, and the top node beats the uniform baseline 1.0 (some
+    hub exists in a kNN graph — in-degree is never uniform)."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["x51_graph_pagerank"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["pagerank"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0.15 for s in scores)
+    assert scores[0] > 1.0

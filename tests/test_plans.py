@@ -531,3 +531,17 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_graph_pagerank_stays_keyed(spark, sf_dir):
+    """x51's power iterations are keyed shuffle joins by DESIGN — at
+    graph scale both sides (edges 3N, ranks N) outgrow any broadcast,
+    so sort-merge/shuffle-hash on the key IS the correct 100 TB shape
+    (what Pregel compiles to). What must never appear: a
+    single-partition exchange, a global range sort (the final cut is a
+    heap), or a cartesian stage."""
+    plan = _plan(spark, sf_dir, "x51_graph_pagerank")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
