@@ -661,3 +661,63 @@ def test_sq8_topk_recall_vs_brute_force(spark):
     }
     for r in got:
         assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9
+
+
+def test_pagerank_from_persisted_edges_matches_inplan(spark, sf_dir, tmp_path):
+    """The 100 TB serving story x51's docstring claims: persist the
+    kNN edge table once (like the IVF index), then iterate PageRank
+    from the STORED edges — identical ranking to the in-plan form,
+    because the iterations are a pure function of the edge set."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import (
+        REGISTRY,
+        _t,
+        ann5_knn_graph,
+    )
+
+    edges_dir = str(tmp_path / "edges")
+    ann5_knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor").alias("dst")
+    ).write.parquet(edges_dir)
+
+    ed_raw = spark.read.parquet(edges_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    nodes = emb.select("vec_id")
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = ed_raw.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = ed_raw.join(deg, "src")
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "vec_id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            ed.join(pr, ed.src == pr.vec_id)
+            .select("dst", (F.col("pr") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    served = (
+        pr.crossJoin(F.broadcast(nn))
+        .select("vec_id", F.round(F.col("pr") * F.col("n"), 4).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "vec_id")
+        .limit(20)
+        .collect()
+    )
+    inplan = REGISTRY["x51_graph_pagerank"].spark(spark, sf_dir).collect()
+    # at gate SFs the derived k equals ann5's fixed 4, so the edge sets
+    # (and therefore the rankings) must agree exactly
+    assert [(r["vec_id"], r["pagerank"]) for r in served] == [
+        (r["vec_id"], r["pagerank"]) for r in inplan
+    ]
