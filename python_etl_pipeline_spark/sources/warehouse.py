@@ -100,6 +100,58 @@ class Warehouse:
         """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
         df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)
 
+    def publish_staged(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        audits: dict,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Write-Audit-Publish: write ``df`` to ``<table>.staging``,
+        run every audit against the STAGED read-back, and only an
+        all-green report atomically swaps staging into the serving
+        path — a failed audit leaves the serving table UNTOUCHED and
+        the staged files in place for inspection (the promotion gate
+        Iceberg calls WAP; the reference's staged upsert,
+        src/load.py:210-286, publishes unconditionally — this adds the
+        audit between its two steps). ``audits`` maps name ->
+        callable(DataFrame) -> truthy; audits run on the read-back, not
+        the input plan, so they verify the BYTES a consumer would see.
+        The swap reuses the crash-safe two-rename helper the streaming
+        state compactors use (a crash window leaves a complete .trash
+        copy, never a half-published table). Returns the audit report
+        plus '__published__'. At 100 TB the staged write is the same
+        cost the publish would be — the audit scan is the only extra,
+        and it is the scan you WANT before 1000 consumers read bad
+        data."""
+        from ..streaming.file_stream import _swap_compacted
+
+        final = self.path(layer, table)
+        staging = final + ".staging"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        report = {name: bool(fn(staged)) for name, fn in audits.items()}
+        published = all(report.values())
+        if published:
+            if self.exists(layer, table):
+                _swap_compacted(self.spark, final, staging)
+            else:
+                sc = self.spark.sparkContext
+                hadoop = sc._jvm.org.apache.hadoop.fs.Path
+                p_stage, p_final = hadoop(staging), hadoop(final)
+                fs = p_final.getFileSystem(sc._jsc.hadoopConfiguration())
+                if not fs.rename(p_stage, p_final):
+                    raise IOError(
+                        f"publish: rename {staging} -> {final} failed; "
+                        f"staged data intact"
+                    )
+        report["__published__"] = published
+        return report
+
     def compact(
         self,
         layer: str,

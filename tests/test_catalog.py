@@ -336,3 +336,48 @@ def test_write_bucketed_over_external_table_keeps_backing_data(spark, tmp_path):
     assert spark.table("extdb.shared").count() == 3
     # ...and the external directory's files survived untouched
     assert spark.read.parquet(str(ext)).count() == 5
+
+
+def test_publish_staged_write_audit_publish(spark, tmp_path):
+    """W-A-P promotion gate: a green audit publishes atomically; a red
+    audit leaves the serving table byte-identical and keeps the staged
+    files for inspection."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    good = spark.range(10).select(
+        F.col("id").alias("pk"), (F.col("id") * 2).alias("v")
+    )
+    audits = {
+        "non_empty": lambda d: d.count() > 0,
+        "pk_unique": lambda d: d.select("pk").distinct().count() == d.count(),
+        "no_null_pk": lambda d: d.filter(F.col("pk").isNull()).count() == 0,
+    }
+    # first publish: no prior table, all audits green
+    rep = wh.publish_staged(good, "production", "t", audits)
+    assert rep["__published__"] and all(
+        v for k, v in rep.items() if k != "__published__"
+    )
+    assert wh.read("production", "t").count() == 10
+
+    # bad candidate: duplicate pk -> audit red -> serving table untouched
+    bad = good.unionByName(good.limit(3))
+    rep2 = wh.publish_staged(bad, "production", "t", audits)
+    assert not rep2["__published__"] and not rep2["pk_unique"]
+    served = wh.read("production", "t")
+    assert served.count() == 10  # old version still served
+    # the rejected candidate is still inspectable at the staging path
+    staged = spark.read.parquet(wh.path("production", "t") + ".staging")
+    assert staged.count() == 13
+
+    # corrected candidate: re-publish over the existing table (swap path)
+    fixed = spark.range(12).select(
+        F.col("id").alias("pk"), (F.col("id") * 3).alias("v")
+    )
+    rep3 = wh.publish_staged(fixed, "production", "t", audits)
+    assert rep3["__published__"]
+    out = wh.read("production", "t")
+    assert out.count() == 12
+    assert out.agg(F.max("v")).first()[0] == 33
