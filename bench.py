@@ -115,6 +115,9 @@ HEADLINE = [
     # graph build (derived-k Lloyd + cell gram) + 3 PageRank
     # iterations in one plan — a build-time number like ann10/ann16
     "x51_graph_pagerank",
+    # IVF x SQ8 composition — in-plan Lloyd for the oracle twin, so a
+    # build-time number; the cell-scoped quantized scan is the serve
+    "ann20_ivf_sq8_topk",
 ]
 
 

@@ -8175,6 +8175,78 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x51_graph_pagerank"].sql = _x51_sql()
 
 
+def _ann20_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (
+      SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+    ),
+    {_KMEANS_CHAINS}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qc AS (SELECT cell FROM asg WHERE vec_id = 0),
+    members AS (
+      SELECT a.vec_id FROM asg a, qc
+      WHERE a.cell = qc.cell AND a.vec_id <> 0
+    ),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM comp GROUP BY i),
+    codes AS (
+      SELECT comp.vec_id, comp.i,
+             CASE WHEN mx > mn
+                  THEN least(255, floor((v - mn) / (mx - mn) * 256))
+                  ELSE 0 END AS code
+      FROM comp JOIN stats ON comp.i = stats.i
+      WHERE comp.vec_id IN (SELECT vec_id FROM members)
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id,
+             round(sum((mn + (code + 0.5) * (mx - mn) / 256) * qv), 4)
+               AS sq8_score
+      FROM codes c
+      JOIN stats ON c.i = stats.i
+      JOIN q ON c.i = q.i
+      GROUP BY 1
+      ORDER BY sq8_score DESC, c.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT comp.vec_id, a.sq8_score, sum(comp.v * q.qv) AS dot,
+             sqrt(sum(comp.v * comp.v)) AS norm
+      FROM comp JOIN approx a ON comp.vec_id = a.vec_id
+      JOIN q ON comp.i = q.i
+      GROUP BY 1, 2
+    ),
+    qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine, sq8_score
+    FROM exact, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("ann20_ivf_sq8_topk", None)  # sql attached below
+def ann20_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, IVF x SQ8 composition (FAISS's ``IVF<n>,SQ8``
+    index type): the coarse cells prune the CANDIDATE SET to the
+    query's cell, scalar quantization shrinks the SCANNED BYTES to 1
+    per dimension, and the savings multiply — closing the loop ann19's
+    scale note promised ("at production scale SQ8 composes with IVF").
+    Like ann10/ann16, the REGISTERED form trains the cells in-plan so
+    the oracle can replay them — its bench wall is dominated by the
+    two Lloyd iterations, a build-time number; the serve-path story is
+    the quantized scan itself, which is cell-scoped (1/k of ann19's
+    code rows) and would ride a persisted index exactly as ann11
+    serves ann10's. See llm/similarity.ivf_sq8_topk."""
+    from .llm.similarity import ivf_sq8_topk
+
+    return ivf_sq8_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50
+    )
+
+
+REGISTRY["ann20_ivf_sq8_topk"].sql = _ann20_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8199,9 +8271,9 @@ REGISTRY["x51_graph_pagerank"].sql = _x51_sql()
 _GATE_ROUND = 9  # the round this prefix was built for
 
 # The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
-# horizon 4, feasibility bound 4*42+8 = 176 (registry: 170 after this
-# round's +15: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, hh3,
-# x48, x49, x50, x51, ann19). At this growth rate the
+# horizon 4, feasibility bound 4*42+8 = 176 (registry: 171 after this
+# round's +16: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, hh3,
+# x48, x49, x50, x51, ann19, ann20). At this growth rate the
 # bound is crossed around round 10-11; the pre-authorized escalation
 # (decided round 8, unchanged) is to shrink to the 4 irreplaceable
 # sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
@@ -8230,6 +8302,7 @@ _GATE_PREFIX = [
     "x50_priority_sample",
     "x51_graph_pagerank",
     "ann19_sq8_topk",
+    "ann20_ivf_sq8_topk",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8239,12 +8312,12 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (27), oldest last-driver-row first: the r5 cohort
-    # MINUS x7/x8/x9 (27 of its 30 — all due at round 10; x7/x8/x9
-    # stay on the normal horizon and the gate-policy test will force
-    # them into the round-10 gate). The five oldest r6 queries (a0-a4,
-    # due round 11) and x7/x8/x9 yielded their slots to this round's
-    # second-wave queries.
+    # (3) rotation (26), oldest last-driver-row first: the r5 cohort
+    # MINUS x5/x7/x8/x9 (26 of its 30 — all due at round 10; those
+    # four stay on the normal horizon and the gate-policy test will
+    # force them into the round-10 gate). The five oldest r6 queries
+    # (a0-a4, due round 11) and x5/x7/x8/x9 yielded their slots to
+    # this round's second-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8271,7 +8344,6 @@ _GATE_PREFIX = [
     "x33_zorder_key",
     "x3_cube",
     "x4_outlier_flag",
-    "x5_asof_join",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -533,6 +533,21 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_ivf_sq8_composition_plan(spark, sf_dir):
+    """ann20 composes cell pruning with quantization: both cuts are
+    heaps, every index-side join broadcasts, and no single-partition
+    exchange, range sort, or cartesian stage appears (the 1-row
+    query-cell/qnorm broadcasts plan as BroadcastNestedLoopJoin,
+    which is the correct 1-row shape, not a data-sized cartesian)."""
+    plan = _plan(spark, sf_dir, "ann20_ivf_sq8_topk")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_graph_pagerank_stays_keyed(spark, sf_dir):
     """x51's power iterations are keyed shuffle joins by DESIGN — at
     graph scale both sides (edges 3N, ranks N) outgrow any broadcast,

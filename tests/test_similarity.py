@@ -721,3 +721,29 @@ def test_pagerank_from_persisted_edges_matches_inplan(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["pagerank"]) for r in served] == [
         (r["vec_id"], r["pagerank"]) for r in inplan
     ]
+
+
+def test_ivf_sq8_cosines_exact_and_cell_scoped(spark):
+    """IVF x SQ8 contract: every returned cosine is EXACT (rerank uses
+    true components), results never leave the query's cell, and with a
+    generous shortlist the composition recovers the cell-local exact
+    top-k (what IVF alone would return)."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_sq8_topk,
+        kmeans_assign,
+    )
+
+    corpus = _corpus(spark)
+    got = ivf_sq8_topk(corpus, query_id=0, k=5, shortlist=25).collect()
+    assert got
+    exact_cos = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(corpus, query_id=0, k=30).collect()
+    }
+    for r in got:
+        assert abs(r["cosine"] - exact_cos[r["vec_id"]]) < 1e-9
+    assign = {r["vec_id"]: r["cell"] for r in kmeans_assign(corpus).collect()}
+    qc = assign[0]
+    for r in got:
+        assert assign[r["vec_id"]] == qc
