@@ -73,3 +73,38 @@ def countmin_estimate(
         .groupBy("tok", *passthrough)
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )
+
+
+LC_WIDTH = 16384  # linear-counting bitmap width (buckets)
+
+
+def lc_hits(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    w: int = LC_WIDTH,
+) -> DataFrame:
+    """(key, b): the DISTINCT buckets each key's tokens hit — the
+    linear-counting bitmap (Whang et al. 1990) in row form. A union
+    monoid: per-batch/per-shard hit sets union (distinct) into the
+    corpus bitmap, so cardinality over a growing stream needs only
+    this w-bounded state per key, never a token-history rescan."""
+    from .text import tokens
+
+    return (
+        df.select(key_col, F.explode(tokens(text_col)).alias("tok"))
+        .select(key_col, hash_bucket(F.col("tok"), w).alias("b"))
+        .distinct()
+    )
+
+
+def lc_estimate(hits: DataFrame, key_col: str = "source", w: int = LC_WIDTH) -> DataFrame:
+    """(key, n_buckets, n_est): cardinality estimate per key from the
+    bitmap — n = w * ln(w / zeros)."""
+    filled = hits.groupBy(key_col).agg(F.count(F.lit(1)).alias("hit"))
+    est = F.lit(w) * F.log(F.lit(w * 1.0) / (F.lit(w) - F.col("hit")))
+    return filled.select(
+        key_col,
+        F.col("hit").cast("bigint").alias("n_buckets"),
+        F.round(est, 2).alias("n_est"),
+    )

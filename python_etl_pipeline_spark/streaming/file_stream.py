@@ -965,3 +965,72 @@ def stream_countmin_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def lc_bitmap_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    key_col: str = "source",
+):
+    """foreachBatch sink for incremental linear-counting cardinality
+    (:mod:`..llm.sketch` LC helpers — hh3's operational twin): each
+    arrival batch's DISTINCT (key, bucket) hit set lands under
+    ``state_dir/batch_id=N``. The bitmap is a UNION monoid — the
+    corpus-so-far cardinality comes from a distinct over the state log
+    (w-bounded rows per key), so a distinct-token monitor over a
+    growing stream never rescans token history. Re-delivered batches
+    overwrite their own batch_id partition (exactly-once, same
+    contract as the CM/LM/datacard sinks)."""
+    import os
+
+    from ..llm.sketch import lc_hits
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        lc_hits(batch_df, key_col, text_col).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def lc_bitmap_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(key, b) — the folded bitmap from the persisted state log:
+    distinct over the per-batch hit sets (the union-monoid merge)."""
+    return spark.read.parquet(state_dir).drop("batch_id").distinct()
+
+
+def compact_lc_bitmap_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance job: fold every batch partition of the bitmap state
+    into one (``batch_id=-1``) — same stop-the-world contract and
+    crash-safe swap as the other state compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = lc_bitmap_from_state_dir(spark, state_dir).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_lc_bitmap_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental linear-counting bitmap — hh3's
+    operational twin, same AvailableNow cadence as the CM/LM/datacard
+    sinks. Batch CORRECTNESS twin: queries.hh3_linear_counting is
+    driver-verified against its exact-distinct DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(lc_bitmap_batch_writer(spark, state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

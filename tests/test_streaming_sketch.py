@@ -115,3 +115,97 @@ def test_countmin_writer_idempotent_on_redelivery(spark, tmp_path):
     assert _cells(countmin_from_state_dir(spark, state_dir)) == _full_sketch(
         spark, ROWS1 + ROWS2
     )
+
+
+LC_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+LC1 = [
+    ("web", "the quick brown fox jumps over the lazy dog"),
+    ("books", "pack my box with five dozen liquor jugs"),
+]
+LC2 = [
+    ("web", "the quick brown fox naps under the old tree"),
+    ("books", "five dozen boxes of the quick liquor"),
+]
+
+
+def _bitmap(df):
+    return {(r["source"], r["b"]) for r in df.collect()}
+
+
+def _full_bitmap(spark, rows):
+    from python_etl_pipeline_spark.llm.sketch import lc_hits
+
+    return _bitmap(lc_hits(spark.createDataFrame(rows, LC_SCHEMA)))
+
+
+def _write_lc_batch(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "source": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_lc_bitmap_folds_to_full_recompute(spark, tmp_path):
+    from python_etl_pipeline_spark.llm.sketch import lc_estimate
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_lc_bitmap_state,
+        lc_bitmap_from_state_dir,
+        stream_lc_bitmap_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_lc_batch(str(src / "b1.parquet"), LC1)
+    stream_lc_bitmap_available_now(spark, str(src), LC_SCHEMA, state_dir, ckpt)
+    assert _bitmap(lc_bitmap_from_state_dir(spark, state_dir)) == _full_bitmap(
+        spark, LC1
+    )
+
+    # overlapping arrivals union in (distinct semantics, not double-set)
+    _write_lc_batch(str(src / "b2.parquet"), LC2)
+    stream_lc_bitmap_available_now(spark, str(src), LC_SCHEMA, state_dir, ckpt)
+    folded = lc_bitmap_from_state_dir(spark, state_dir)
+    assert _bitmap(folded) == _full_bitmap(spark, LC1 + LC2)
+
+    # the estimate derives from the folded bitmap alone
+    ests = {r["source"]: r for r in lc_estimate(folded).collect()}
+    assert set(ests) == {"web", "books"}
+    for r in ests.values():
+        assert r["n_est"] >= r["n_buckets"]  # ln form always >= hits
+
+    # compaction folds the log without changing the bitmap
+    before = _bitmap(lc_bitmap_from_state_dir(spark, state_dir))
+    compact_lc_bitmap_state(spark, state_dir)
+    assert _bitmap(lc_bitmap_from_state_dir(spark, state_dir)) == before
+
+
+def test_lc_bitmap_writer_idempotent_on_redelivery(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        lc_bitmap_batch_writer,
+        lc_bitmap_from_state_dir,
+    )
+
+    state_dir = str(tmp_path / "state")
+    step = lc_bitmap_batch_writer(spark, state_dir)
+    b1 = spark.createDataFrame(LC1, LC_SCHEMA)
+    step(b1, 0)
+    once = _bitmap(lc_bitmap_from_state_dir(spark, state_dir))
+    step(b1, 0)  # redelivery
+    assert _bitmap(lc_bitmap_from_state_dir(spark, state_dir)) == once
