@@ -8247,6 +8247,146 @@ def ann20_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann20_ivf_sq8_topk"].sql = _ann20_sql()
 
 
+# HyperLogLog geometry (Flajolet et al. 2007). m = 2^8 registers; the
+# 32-bit md5-derived hash splits into an 8-bit register index and a
+# 24-bit suffix whose leading-zero rank feeds the register max.
+_HH4_P = 8
+_HH4_M = 1 << _HH4_P  # 256 registers
+_HH4_W = 32 - _HH4_P  # 24-bit rank suffix; rho in [1, 25]
+# alpha_m * m^2 * 2^(W+1), precomputed so the estimate is ONE double
+# division by an exact integer sum (see docstring).
+_HH4_ALPHA = 0.7213 / (1.0 + 1.079 / _HH4_M)
+_HH4_NUM = _HH4_ALPHA * _HH4_M * _HH4_M * float(1 << (_HH4_W + 1))
+
+
+def _hh4_sql() -> str:
+    from .llm.dedup import _hexint_sql
+
+    h = _hexint_sql("md5(tok)", 8)
+    # rho = (leading zeros of the 24-bit suffix) + 1, via bin() string
+    # length — no float log2, so the rank is exact in both engines.
+    rho = (
+        f"CASE WHEN v = 0 THEN {_HH4_W + 1} "
+        f"ELSE {_HH4_W} + 1 - length(bin(v)) END"
+    )
+    est_raw = f"{_HH4_NUM!r} / s_int"
+    lc = f"{_HH4_M} * ln({_HH4_M} * 1.0 / zeros)"
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT DISTINCT source, ({h}) % {_HH4_M} AS j,
+             ({h}) // {_HH4_M} AS v
+      FROM toks
+    ),
+    regs AS (
+      SELECT source, j, max({rho}) AS m_j FROM hashed GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT source,
+             sum(cast(power(2, {_HH4_W + 1} - m_j) AS BIGINT))
+               + ({_HH4_M} - count(*)) * cast(power(2, {_HH4_W + 1}) AS BIGINT)
+               AS s_int,
+             {_HH4_M} - count(*) AS zeros
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT source, zeros,
+             CASE WHEN ({est_raw}) <= {2.5 * _HH4_M!r} AND zeros > 0
+                  THEN {lc} ELSE ({est_raw}) END AS e
+      FROM sums
+    ),
+    exact AS (
+      SELECT source, count(DISTINCT tok) AS n_exact FROM toks GROUP BY 1
+    )
+    SELECT source, cast(n_exact AS BIGINT) AS n_exact,
+           cast({_HH4_M} - zeros AS BIGINT) AS n_registers,
+           round(e, 2) AS n_est,
+           round(abs(e - n_exact) / n_exact, 4) AS rel_err
+    FROM est JOIN exact USING (source)
+    """
+
+
+@register("hh4_hll_cardinality", None)  # sql attached below
+def hh4_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality estimation by HyperLogLog (Flajolet et al. 2007) —
+    per-source distinct-token estimates from m=256 max-rank registers,
+    completing the sketch family: count-min for frequencies (hh1/hh2),
+    linear counting for low cardinalities (hh3), HLL for the high end
+    where hh3's bitmap saturates (at 100 TB a source's token space
+    overflows any linear bitmap you'd broadcast, while 256 registers
+    stay 256 rows forever). Like hh1-hh3 this is the CONTRACT form:
+    the exact distinct runs in the same plan so the estimator's
+    relative error is a verified number per source.
+
+    Spark's ``approx_count_distinct`` is HLL++ with an engine-private
+    register layout, so it can never hash-match a DuckDB oracle (the
+    hh3 docstring's point). This implementation derives registers from
+    the md5 hash both engines share: 8 bits of register index, 24-bit
+    suffix, rank from ``bin()`` string length (exact — no float log).
+    The harmonic mean is computed as ONE double division by an exact
+    bigint sum of 2^(25-M_j) terms, so it is immune to FP summation
+    order across engines, partitionings, and executor counts. The
+    register table is a max-monoid: per-shard register maxes merge
+    into the corpus registers (pinned in tests), the same mergeability
+    that lets hh2's CM states fold incrementally.
+
+    Plan shape: one token explode feeding (a) the (source, j) register
+    max — bounded by m=256 rows per source — and (b) the exact
+    distinct (the contract's truth side); both keyed aggs, the final
+    join is source-sized. Reference analog: the row-count
+    reconciliation of src/load.py (counts as quality contract),
+    lifted to distinct-cardinality at sketch cost."""
+    from .llm.dedup import _hexint
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = _hexint(F.md5(F.col("tok")), 8)
+    hashed = toks.select(
+        "source",
+        (h % _HH4_M).alias("j"),
+        (h / F.lit(_HH4_M)).cast("bigint").alias("v"),
+    ).distinct()
+    rho = F.when(F.col("v") == 0, F.lit(_HH4_W + 1)).otherwise(
+        F.lit(_HH4_W + 1) - F.length(F.bin(F.col("v")))
+    )
+    regs = hashed.groupBy("source", "j").agg(F.max(rho).alias("m_j"))
+    sums = regs.groupBy("source").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(_HH4_W + 1) - F.col("m_j")).cast(
+                    "bigint"
+                )
+            )
+            + (F.lit(_HH4_M) - F.count(F.lit(1)))
+            * F.lit(1 << (_HH4_W + 1)).cast("bigint")
+        ).alias("s_int"),
+        (F.lit(_HH4_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    est_raw = F.lit(_HH4_NUM) / F.col("s_int")
+    e = F.when(
+        (est_raw <= F.lit(2.5 * _HH4_M)) & (F.col("zeros") > 0),
+        F.lit(_HH4_M) * F.log(F.lit(_HH4_M * 1.0) / F.col("zeros")),
+    ).otherwise(est_raw)
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact")
+    )
+    return sums.join(exact, "source").select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.lit(_HH4_M) - F.col("zeros")).cast("bigint").alias("n_registers"),
+        F.round(e, 2).alias("n_est"),
+        F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+REGISTRY["hh4_hll_cardinality"].sql = _hh4_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8303,6 +8443,10 @@ _GATE_PREFIX = [
     "x51_graph_pagerank",
     "ann19_sq8_topk",
     "ann20_ivf_sq8_topk",
+    # Third wave: the HLL cardinality contract. Its gate slot comes
+    # from the r5 rotation cohort (x4 yielded; due round 10 with
+    # x5/x7/x8/x9).
+    "hh4_hll_cardinality",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8312,12 +8456,12 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (26), oldest last-driver-row first: the r5 cohort
-    # MINUS x5/x7/x8/x9 (26 of its 30 — all due at round 10; those
-    # four stay on the normal horizon and the gate-policy test will
+    # (3) rotation (25), oldest last-driver-row first: the r5 cohort
+    # MINUS x4/x5/x7/x8/x9 (25 of its 30 — all due at round 10; those
+    # five stay on the normal horizon and the gate-policy test will
     # force them into the round-10 gate). The five oldest r6 queries
-    # (a0-a4, due round 11) and x5/x7/x8/x9 yielded their slots to
-    # this round's second-wave queries.
+    # (a0-a4, due round 11) and x4/x5/x7/x8/x9 yielded their slots to
+    # this round's second- and third-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8343,7 +8487,6 @@ _GATE_PREFIX = [
     "x31_column_profile",
     "x33_zorder_key",
     "x3_cube",
-    "x4_outlier_flag",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -169,6 +169,53 @@ def test_linear_counting_error_bounds(spark, sf_dir):
         assert r["rel_err"] < 0.05, r
 
 
+def test_hll_contract_and_register_merge(spark, sf_dir):
+    """HLL contract sanity: estimates land within the ~3x standard
+    error for m=256 (1.04/16 ~ 6.5%; allow 20%), registers never
+    exceed m, and — the property that makes it a 100 TB sketch — the
+    register table is a max-monoid: merging per-shard register maxes
+    (shards = doc_id parity) reproduces the full corpus registers
+    exactly."""
+    from python_etl_pipeline_spark.llm.dedup import _hexint
+    from python_etl_pipeline_spark.llm.text import tokens
+    from python_etl_pipeline_spark.queries import _HH4_M, _HH4_W, REGISTRY, _t
+
+    rows = REGISTRY["hh4_hll_cardinality"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_registers"] <= _HH4_M
+        assert r["rel_err"] < 0.20, r
+
+    d = _t(spark, sf_dir, "documents")
+
+    def registers(df):
+        toks = df.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        h = _hexint(F.md5(F.col("tok")), 8)
+        rho = F.when(
+            (h / F.lit(_HH4_M)).cast("bigint") == 0, F.lit(_HH4_W + 1)
+        ).otherwise(
+            F.lit(_HH4_W + 1)
+            - F.length(F.bin((h / F.lit(_HH4_M)).cast("bigint")))
+        )
+        return toks.groupBy(
+            "source", (h % _HH4_M).alias("j")
+        ).agg(F.max(rho).alias("m_j"))
+
+    full = {
+        (r["source"], r["j"]): r["m_j"]
+        for r in registers(d).collect()
+    }
+    shard_a = registers(d.filter(F.col("doc_id") % 2 == 0)).collect()
+    shard_b = registers(d.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged: dict[tuple, int] = {}
+    for r in [*shard_a, *shard_b]:
+        k = (r["source"], r["j"])
+        merged[k] = max(merged.get(k, 0), r["m_j"])
+    assert merged == full
+
+
 def test_priority_sample_merge_property(spark, sf_dir):
     """The weighted reservoir is mergeable: the top-k of the union of
     per-shard top-k's equals the global top-k — the property that lets

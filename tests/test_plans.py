@@ -458,6 +458,7 @@ def test_round9b_queries_no_single_partition(spark, sf_dir):
         "hh1_countmin_topk",
         "hh2_countmin_fold",
         "hh3_linear_counting",
+        "hh4_hll_cardinality",
         "x48_density_downsample",
         "x49_compaction_bins",
         "x50_priority_sample",
