@@ -8387,6 +8387,157 @@ def hh4_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["hh4_hll_cardinality"].sql = _hh4_sql()
 
 
+def _tx23_sql() -> str:
+    from .llm.text import EN_STOPWORDS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, toks, len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                             * 1.0 / len(toks), 10) END AS mwl,
+             CASE WHEN len(toks) > 0
+                  THEN round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                             * 1.0 / len(toks), 10) END AS af,
+             len(list_distinct(list_filter(toks, x -> list_contains({stop}, x))))
+               AS st
+      FROM t
+    ),
+    lab AS (
+      SELECT doc_id, toks,
+             (n_words BETWEEN 10 AND 100000 AND mwl BETWEEN 2.0 AND 12.0
+              AND af >= 0.8 AND st >= 2) AS keep
+      FROM m
+    ),
+    inst AS (SELECT doc_id, keep, unnest(toks) AS tok FROM lab),
+    ct AS (
+      SELECT tok,
+             sum(CASE WHEN keep THEN 1 ELSE 0 END) AS cg,
+             sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS cb
+      FROM inst GROUP BY 1
+    ),
+    tots AS (
+      SELECT sum(cg) AS ng, sum(cb) AS nb, count(*) AS v FROM ct
+    ),
+    pri AS (
+      SELECT ln(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END)
+                / sum(CASE WHEN NOT keep THEN 1.0 ELSE 0.0 END)) AS prior
+      FROM lab
+    ),
+    llr AS (
+      SELECT tok,
+             ln((cg + 1.0) / (ng + v)) - ln((cb + 1.0) / (nb + v)) AS llr
+      FROM ct, tots
+    ),
+    dt AS (SELECT doc_id, tok, count(*) AS c FROM inst GROUP BY 1, 2),
+    sc AS (
+      SELECT dt.doc_id, sum(dt.c * llr.llr) AS s
+      FROM dt JOIN llr USING (tok) GROUP BY 1
+    )
+    SELECT lab.doc_id, lab.keep AS heur_keep,
+           round(pri.prior + sc.s, 4) AS nb_score,
+           (pri.prior + sc.s > 0) AS nb_keep
+    FROM sc JOIN lab USING (doc_id), pri
+    """
+
+
+@register("tx23_nb_quality_score", None)  # sql attached below
+def tx23_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering, the CCNet / fastText /
+    FineWeb-Edu pattern: train a cheap linear classifier on heuristic
+    labels, then score EVERY document with it — the smooth score
+    generalizes past the hard rule edges and gives curators a
+    re-thresholdable dial where tx15's boolean can only keep/drop.
+    Here the heuristic teacher is tx15's Gopher rule composite and the
+    student is multinomial naive Bayes with Laplace smoothing, trained
+    IN-PLAN: per-class token counts -> per-token log-likelihood ratio
+    llr(t) = ln((c_good+1)/(N_good+V)) - ln((c_bad+1)/(N_bad+V)), and
+    score(d) = ln(P_good/P_bad) + sum_t c(d,t)*llr(t). Emits both the
+    teacher label and the student's score/decision per doc, so the
+    disagreement set (the docs worth human review) falls out of a
+    filter.
+
+    Plan shape, same economics as tx9/tx10: the model tables are
+    VOCABULARY-sized (per-token class counts) plus three scalar
+    broadcasts (class totals, vocab size, prior); the corpus-sized
+    stages are the (doc, tok) count and one doc-keyed sum — no
+    corpus-sized shuffle beyond what the token explode already pays,
+    so at 100 TB the model is a dim-table join, not a second scan.
+    Reference analog: the rule-based cleanse of src/transform.py
+    lifted to a learned score."""
+    from .llm.text import EN_STOPWORDS, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    mwl = F.when(n > 0, F.round(total_len / n, 10))
+    af = F.when(
+        n > 0,
+        F.round(F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n, 10),
+    )
+    st = F.size(F.array_intersect(F.array_distinct(toks), stoplist))
+    lab = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        (
+            n.between(10, 100000)
+            & mwl.between(2.0, 12.0)
+            & (af >= 0.8)
+            & (st >= 2)
+        ).alias("keep"),
+    )
+    inst = lab.select("doc_id", "keep", F.explode("toks").alias("tok"))
+    ct = inst.groupBy("tok").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("cg"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("cb"),
+    )
+    tots = ct.agg(
+        F.sum("cg").alias("ng"), F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pri = lab.agg(
+        F.log(
+            F.sum(F.when(F.col("keep"), 1.0).otherwise(0.0))
+            / F.sum(F.when(~F.col("keep"), 1.0).otherwise(0.0))
+        ).alias("prior")
+    )
+    llr = ct.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        (
+            F.log((F.col("cg") + 1.0) / (F.col("ng") + F.col("v")))
+            - F.log((F.col("cb") + 1.0) / (F.col("nb") + F.col("v")))
+        ).alias("llr"),
+    )
+    dt = inst.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    sc = (
+        dt.join(llr, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("llr")).alias("s"))
+    )
+    return (
+        sc.join(lab.select("doc_id", "keep"), "doc_id")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            F.col("keep").alias("heur_keep"),
+            F.round(F.col("prior") + F.col("s"), 4).alias("nb_score"),
+            ((F.col("prior") + F.col("s")) > 0).alias("nb_keep"),
+        )
+    )
+
+
+REGISTRY["tx23_nb_quality_score"].sql = _tx23_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8443,10 +8594,11 @@ _GATE_PREFIX = [
     "x51_graph_pagerank",
     "ann19_sq8_topk",
     "ann20_ivf_sq8_topk",
-    # Third wave: the HLL cardinality contract. Its gate slot comes
-    # from the r5 rotation cohort (x4 yielded; due round 10 with
-    # x5/x7/x8/x9).
+    # Third wave: the HLL cardinality contract and the naive-Bayes
+    # quality classifier. Their gate slots come from the r5 rotation
+    # cohort (x4/x3 yielded; due round 10 with x5/x7/x8/x9).
     "hh4_hll_cardinality",
+    "tx23_nb_quality_score",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8456,12 +8608,12 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (25), oldest last-driver-row first: the r5 cohort
-    # MINUS x4/x5/x7/x8/x9 (25 of its 30 — all due at round 10; those
-    # five stay on the normal horizon and the gate-policy test will
-    # force them into the round-10 gate). The five oldest r6 queries
-    # (a0-a4, due round 11) and x4/x5/x7/x8/x9 yielded their slots to
-    # this round's second- and third-wave queries.
+    # (3) rotation (24), oldest last-driver-row first: the r5 cohort
+    # MINUS x3/x4/x5/x7/x8/x9 (24 of its 30 — all due at round 10;
+    # those six stay on the normal horizon and the gate-policy test
+    # will force them into the round-10 gate). The five oldest r6
+    # queries (a0-a4, due round 11) and x3/x4/x5/x7/x8/x9 yielded
+    # their slots to this round's second- and third-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8486,7 +8638,6 @@ _GATE_PREFIX = [
     "x30_histogram",
     "x31_column_profile",
     "x33_zorder_key",
-    "x3_cube",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -216,6 +216,23 @@ def test_hll_contract_and_register_merge(spark, sf_dir):
     assert merged == full
 
 
+def test_nb_classifier_learns_label_direction(spark, sf_dir):
+    """The in-plan naive-Bayes student must actually learn the
+    heuristic teacher's signal: docs the teacher keeps score strictly
+    higher on average than docs it rejects, and teacher-student
+    agreement clears a loose floor (unigram features cannot perfectly
+    express the length-based rules, so the ceiling is well below 1.0 —
+    the disagreement set is the query's point)."""
+    rows = REGISTRY["tx23_nb_quality_score"].spark(spark, sf_dir).collect()
+    assert rows
+    kept = [r["nb_score"] for r in rows if r["heur_keep"]]
+    dropped = [r["nb_score"] for r in rows if not r["heur_keep"]]
+    assert kept and dropped
+    assert sum(kept) / len(kept) > sum(dropped) / len(dropped)
+    agree = sum(1 for r in rows if r["heur_keep"] == r["nb_keep"])
+    assert agree / len(rows) > 0.6
+
+
 def test_priority_sample_merge_property(spark, sf_dir):
     """The weighted reservoir is mergeable: the top-k of the union of
     per-shard top-k's equals the global top-k — the property that lets

@@ -561,3 +561,17 @@ def test_graph_pagerank_stays_keyed(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nb_classifier_model_stays_vocabulary_sized(spark, sf_dir):
+    """tx23's model tables (per-token class counts, class totals,
+    prior) must join back as broadcast/hash dims — never a
+    single-partition exchange or a cartesian stage (the scalar
+    broadcasts plan as BroadcastNestedLoopJoin over 1-row frames,
+    the correct shape). The only corpus-sized stages are the token
+    explode, the (doc, tok) count, and the doc-keyed score sum."""
+    plan = _plan(spark, sf_dir, "tx23_nb_quality_score")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
