@@ -8538,6 +8538,99 @@ def tx23_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx23_nb_quality_score"].sql = _tx23_sql()
 
 
+def _x52_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    sh = shingles_sql("text", 3)
+    return f"""
+    WITH ss AS (
+      SELECT DISTINCT source, unnest(list_distinct({sh})) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM ss a JOIN ss b USING (s)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, cast(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard,
+           round(n_common * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.source = pairs.source_a
+    JOIN sizes sb ON sb.source = pairs.source_b
+    """
+
+
+@register("x52_source_overlap", None)  # sql attached below
+def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: 3-gram shingle overlap
+    between every pair of SOURCES — Jaccard and containment per pair.
+    dd8 answers "is this document contaminated by the benchmark"; this
+    answers the catalog-level question a corpus curator asks first:
+    WHICH feeds overlap, and is the overlap mutual (high Jaccard,
+    mirrored feeds) or one-way (high containment, one feed embedded in
+    a bigger one) — the evidence for dropping a redundant source
+    before paying per-document dedup on it, and the source-granularity
+    leakage check when eval and train sets arrive as separate feeds.
+
+    Plan shape: the (source, shingle)-type table feeds a shingle-keyed
+    self-join — the inverted-index pattern of dd3, but the fan-out per
+    shingle is bounded by the SOURCE count (a catalog-sized dimension,
+    max S(S-1)/2 pairs per shingle), not by document frequency, so no
+    posting cap is needed at any corpus scale. The keyed self-join is
+    the correct 100 TB shape (both sides corpus-sized by design, like
+    x51's edges); the size tables that close Jaccard are source-sized
+    broadcasts. Reference analog: src/load.py's cross-table count
+    reconciliation, lifted from row counts to content overlap."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    ss = d.select(
+        "source",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    ).distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least(F.col("na"), F.col("nb")), 4
+            ).alias("containment"),
+        )
+    )
+
+
+REGISTRY["x52_source_overlap"].sql = _x52_sql()
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8594,11 +8687,13 @@ _GATE_PREFIX = [
     "x51_graph_pagerank",
     "ann19_sq8_topk",
     "ann20_ivf_sq8_topk",
-    # Third wave: the HLL cardinality contract and the naive-Bayes
-    # quality classifier. Their gate slots come from the r5 rotation
-    # cohort (x4/x3 yielded; due round 10 with x5/x7/x8/x9).
+    # Third wave: the HLL cardinality contract, the naive-Bayes
+    # quality classifier, and the cross-source overlap matrix. Their
+    # gate slots come from the r5 rotation cohort (x4/x3/x2 yielded;
+    # due round 10 with x5/x7/x8/x9).
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
+    "x52_source_overlap",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8608,11 +8703,11 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (24), oldest last-driver-row first: the r5 cohort
-    # MINUS x3/x4/x5/x7/x8/x9 (24 of its 30 — all due at round 10;
-    # those six stay on the normal horizon and the gate-policy test
+    # (3) rotation (23), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9 (23 of its 30 — all due at round 10;
+    # those seven stay on the normal horizon and the gate-policy test
     # will force them into the round-10 gate). The five oldest r6
-    # queries (a0-a4, due round 11) and x3/x4/x5/x7/x8/x9 yielded
+    # queries (a0-a4, due round 11) and x2/x3/x4/x5/x7/x8/x9 yielded
     # their slots to this round's second- and third-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
@@ -8634,7 +8729,6 @@ _GATE_PREFIX = [
     "x17_salted_agg",
     "x19_weighted_sample",
     "x20_trailing_range_frame",
-    "x2_rollup",
     "x30_histogram",
     "x31_column_profile",
     "x33_zorder_key",

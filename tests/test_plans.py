@@ -575,3 +575,15 @@ def test_nb_classifier_model_stays_vocabulary_sized(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_overlap_keyed_self_join(spark, sf_dir):
+    """x52's shingle-keyed self-join is the correct corpus-scale shape
+    (both sides data-sized by design, like x51's edges) — what must
+    never appear is a cartesian stage, a single-partition exchange, or
+    a global range sort; the size tables close Jaccard as broadcasts."""
+    plan = _plan(spark, sf_dir, "x52_source_overlap")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
