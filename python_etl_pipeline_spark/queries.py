@@ -8631,6 +8631,85 @@ def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x52_source_overlap"].sql = _x52_sql()
 
 
+_X53_W = 64  # chunk window, tokens
+_X53_S = 48  # stride (16-token overlap between consecutive chunks)
+
+_X53_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_X53_W} THEN 1
+              ELSE cast(ceil((len(toks) - {_X53_W}) / {_X53_S}.0) AS BIGINT) + 1
+         END AS nc
+  FROM t
+),
+c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM m)
+SELECT doc_id, cast(ci AS BIGINT) AS chunk_idx,
+       cast(ci * {_X53_S} + 1 AS BIGINT) AS start_tok,
+       cast(len(list_slice(toks, ci * {_X53_S} + 1,
+                           ci * {_X53_S} + {_X53_W})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, ci * {_X53_S} + 1,
+                                      ci * {_X53_S} + {_X53_W}), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+@register("x53_rag_chunks", _X53_SQL)
+def x53_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ready chunking: split every document into overlapping
+    64-token windows at stride 48 (16-token overlap so no
+    sentence straddling a boundary is lost to BOTH chunks), with a
+    STABLE identity per chunk — (doc_id, chunk_idx, start_tok) is a
+    pure function of the text, and chunk_hash is the md5 of the chunk
+    content, so re-running the pipeline, re-partitioning, or growing
+    the corpus never re-keys existing chunks. This is the prep stage
+    every RAG / embedding pipeline runs before ann1-ann20 can index at
+    sub-document granularity, and the chunk_hash column is exactly
+    what dd10's chunk-dedup and x21's incremental index consume —
+    chunking, dedup, and ANN share one identity scheme.
+
+    Plan shape: the zero-shuffle ideal — one projection computes the
+    chunk count per doc, one explode emits the windows, every column
+    is a map-side expression over the token array; no exchange of any
+    kind, so it scales embarrassingly (each 100 TB file partition
+    chunks independently). Window coverage is exact: the last window
+    starts at (nc-1)*48+1 <= n, so every token lands in at
+    least one chunk. Reference analog: the chunked big-file read of
+    src/extract.py:359-425, applied to text rather than rows."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    nc = (
+        F.when(n <= _X53_W, F.lit(1).cast("bigint"))
+        .otherwise(F.ceil((n - _X53_W) / F.lit(float(_X53_S))) + 1)
+    )
+    m = d.select(
+        "doc_id", toks.alias("toks"), nc.alias("nc")
+    )
+    c = m.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("nc") - 1)).alias(
+            "ci"
+        ),
+    )
+    start = (F.col("ci") * _X53_S + 1).cast("int")
+    chunk = F.slice(F.col("toks"), start, _X53_W)
+    return c.select(
+        "doc_id",
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        (F.col("ci") * _X53_S + 1).cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 # The external driver's correctness gate verifies exactly the FIRST 50
 # ``queries()`` entries against their DuckDB oracles.
 #
@@ -8688,12 +8767,13 @@ _GATE_PREFIX = [
     "ann19_sq8_topk",
     "ann20_ivf_sq8_topk",
     # Third wave: the HLL cardinality contract, the naive-Bayes
-    # quality classifier, and the cross-source overlap matrix. Their
-    # gate slots come from the r5 rotation cohort (x4/x3/x2 yielded;
-    # due round 10 with x5/x7/x8/x9).
+    # quality classifier, the cross-source overlap matrix, and the
+    # RAG chunker. Their gate slots come from the r5 rotation cohort
+    # (x4/x3/x2/x30 yielded; due round 10 with x5/x7/x8/x9).
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
+    "x53_rag_chunks",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8703,12 +8783,13 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (23), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9 (23 of its 30 — all due at round 10;
-    # those seven stay on the normal horizon and the gate-policy test
-    # will force them into the round-10 gate). The five oldest r6
-    # queries (a0-a4, due round 11) and x2/x3/x4/x5/x7/x8/x9 yielded
-    # their slots to this round's second- and third-wave queries.
+    # (3) rotation (22), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x30 (22 of its 30 — all due at round
+    # 10; those eight stay on the normal horizon and the gate-policy
+    # test will force them into the round-10 gate). The five oldest r6
+    # queries (a0-a4, due round 11) and x2/x3/x4/x5/x7/x8/x9/x30
+    # yielded their slots to this round's second- and third-wave
+    # queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8729,7 +8810,6 @@ _GATE_PREFIX = [
     "x17_salted_agg",
     "x19_weighted_sample",
     "x20_trailing_range_frame",
-    "x30_histogram",
     "x31_column_profile",
     "x33_zorder_key",
 ]

@@ -312,3 +312,38 @@ def test_source_overlap_matrix_invariants(spark, sf_dir):
         lo = min(sizes[r["source_a"]], sizes[r["source_b"]])
         assert 0 < r["n_common"] <= lo
         assert 0 < r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_rag_chunks_cover_every_token(spark, sf_dir):
+    """Chunk identity and coverage invariants: chunk_idx is dense from
+    0 per doc; every non-final window holds exactly W tokens; the final
+    window ends exactly at the doc's last token (so the windows cover
+    every token); and start positions advance by the stride."""
+    from python_etl_pipeline_spark.llm.text import token_count
+    from python_etl_pipeline_spark.queries import (
+        _X53_S,
+        _X53_W,
+        REGISTRY,
+        _t,
+    )
+
+    rows = REGISTRY["x53_rag_chunks"].spark(spark, sf_dir).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_idx"] * _X53_S + 1
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == _X53_W
+        last = chunks[-1]
+        assert last["start_tok"] + last["n_tokens"] - 1 == n_toks[doc]

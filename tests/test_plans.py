@@ -587,3 +587,11 @@ def test_source_overlap_keyed_self_join(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rag_chunks_zero_shuffle(spark, sf_dir):
+    """x53 is the zero-shuffle ideal: chunk count, window explode, and
+    every output column are map-side expressions — no exchange of any
+    kind may appear."""
+    plan = _plan(spark, sf_dir, "x53_rag_chunks")
+    assert "Exchange" not in plan
