@@ -118,6 +118,15 @@ HEADLINE = [
     # IVF x SQ8 composition — in-plan Lloyd for the oracle twin, so a
     # build-time number; the cell-scoped quantized scan is the serve
     "ann20_ivf_sq8_topk",
+    # round 9 third wave: HLL cardinality contract (corpus cost = one
+    # token explode feeding register + exact sides), in-plan NB quality
+    # classifier (model tables vocabulary-sized), cross-source overlap
+    # matrix (shingle-keyed self-join, catalog-bounded fan-out), and
+    # the zero-shuffle RAG chunker
+    "hh4_hll_cardinality",
+    "tx23_nb_quality_score",
+    "x52_source_overlap",
+    "x53_rag_chunks",
 ]
 
 
