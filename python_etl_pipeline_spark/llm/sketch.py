@@ -108,3 +108,77 @@ def lc_estimate(hits: DataFrame, key_col: str = "source", w: int = LC_WIDTH) -> 
         F.col("hit").cast("bigint").alias("n_buckets"),
         F.round(est, 2).alias("n_est"),
     )
+
+
+# --- HyperLogLog (Flajolet et al. 2007) -----------------------------------
+# m = 2^HLL_P max-rank registers per key; the shared 32-bit md5 hash
+# splits into a register index and a rank suffix whose leading-zero
+# count feeds the register MAX — a commutative monoid like the CM sum
+# and LC union, so per-batch register tables fold into the corpus
+# registers exactly (queries.hh4_hll_cardinality is the driver-verified
+# contract form built on these helpers).
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W = 32 - HLL_P  # 24-bit rank suffix; rho in [1, 25]
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha_m * m^2 * 2^(W+1): the estimate is ONE double division of this
+# constant by an exact bigint register sum — immune to FP summation
+# order across engines/partitionings (see hh4's docstring).
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, j, m_j): the HLL max-rank register table per key. A MAX
+    monoid: per-batch/per-shard registers merge by groupBy-max into
+    exactly the registers one pass over the union would build, in at
+    most m rows per key no matter the corpus size."""
+    from .dedup import _hexint
+    from .text import tokens
+
+    toks = df.select(key_col, F.explode(tokens(text_col)).alias("tok"))
+    h = _hexint(F.md5(F.col("tok")), 8)
+    hashed = toks.select(
+        key_col,
+        (h % HLL_M).alias("j"),
+        (h / F.lit(HLL_M)).cast("bigint").alias("v"),
+    ).distinct()
+    rho = F.when(F.col("v") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(F.col("v")))
+    )
+    return hashed.groupBy(key_col, "j").agg(F.max(rho).alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame, key_col: str = "source") -> DataFrame:
+    """(key, n_registers, zeros, n_est): cardinality estimate per key
+    from a register table, with the small-range linear-counting
+    correction of the HLL paper (E <= 2.5m and zero registers exist).
+    The harmonic sum is an exact bigint (sum of 2^(W+1-m_j)), so the
+    estimate is engine- and order-deterministic."""
+    sums = regs.groupBy(key_col).agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(HLL_W + 1) - F.col("m_j")).cast(
+                    "bigint"
+                )
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << (HLL_W + 1)).cast("bigint")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("zeros"),
+    )
+    est_raw = F.lit(HLL_NUM) / F.col("s_int")
+    e = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+        F.lit(HLL_M) * F.log(F.lit(HLL_M * 1.0) / F.col("zeros")),
+    ).otherwise(est_raw)
+    return sums.select(
+        key_col,
+        (F.lit(HLL_M) - F.col("zeros")).cast("bigint").alias("n_registers"),
+        F.col("zeros").cast("bigint").alias("zeros"),
+        F.round(e, 2).alias("n_est"),
+    )

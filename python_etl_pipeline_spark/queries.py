@@ -8247,16 +8247,12 @@ def ann20_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann20_ivf_sq8_topk"].sql = _ann20_sql()
 
 
-# HyperLogLog geometry (Flajolet et al. 2007). m = 2^8 registers; the
-# 32-bit md5-derived hash splits into an 8-bit register index and a
-# 24-bit suffix whose leading-zero rank feeds the register max.
-_HH4_P = 8
-_HH4_M = 1 << _HH4_P  # 256 registers
-_HH4_W = 32 - _HH4_P  # 24-bit rank suffix; rho in [1, 25]
-# alpha_m * m^2 * 2^(W+1), precomputed so the estimate is ONE double
-# division by an exact integer sum (see docstring).
-_HH4_ALPHA = 0.7213 / (1.0 + 1.079 / _HH4_M)
-_HH4_NUM = _HH4_ALPHA * _HH4_M * _HH4_M * float(1 << (_HH4_W + 1))
+# HyperLogLog geometry (Flajolet et al. 2007) — single source of truth
+# in llm/sketch.py, shared by the hh4 oracle builder, the Spark-side
+# helpers, and the streaming register sink.
+from .llm.sketch import HLL_M as _HH4_M  # noqa: E402
+from .llm.sketch import HLL_NUM as _HH4_NUM  # noqa: E402
+from .llm.sketch import HLL_W as _HH4_W  # noqa: E402
 
 
 def _hh4_sql() -> str:
@@ -8303,7 +8299,7 @@ def _hh4_sql() -> str:
     SELECT source, cast(n_exact AS BIGINT) AS n_exact,
            cast({_HH4_M} - zeros AS BIGINT) AS n_registers,
            round(e, 2) AS n_est,
-           round(abs(e - n_exact) / n_exact, 4) AS rel_err
+           round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
     FROM est JOIN exact USING (source)
     """
 
@@ -8338,49 +8334,22 @@ def hh4_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is source-sized. Reference analog: the row-count
     reconciliation of src/load.py (counts as quality contract),
     lifted to distinct-cardinality at sketch cost."""
-    from .llm.dedup import _hexint
+    from .llm.sketch import hll_estimate, hll_registers
     from .llm.text import tokens
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    h = _hexint(F.md5(F.col("tok")), 8)
-    hashed = toks.select(
-        "source",
-        (h % _HH4_M).alias("j"),
-        (h / F.lit(_HH4_M)).cast("bigint").alias("v"),
-    ).distinct()
-    rho = F.when(F.col("v") == 0, F.lit(_HH4_W + 1)).otherwise(
-        F.lit(_HH4_W + 1) - F.length(F.bin(F.col("v")))
-    )
-    regs = hashed.groupBy("source", "j").agg(F.max(rho).alias("m_j"))
-    sums = regs.groupBy("source").agg(
-        (
-            F.sum(
-                F.pow(F.lit(2.0), F.lit(_HH4_W + 1) - F.col("m_j")).cast(
-                    "bigint"
-                )
-            )
-            + (F.lit(_HH4_M) - F.count(F.lit(1)))
-            * F.lit(1 << (_HH4_W + 1)).cast("bigint")
-        ).alias("s_int"),
-        (F.lit(_HH4_M) - F.count(F.lit(1))).alias("zeros"),
-    )
-    est_raw = F.lit(_HH4_NUM) / F.col("s_int")
-    e = F.when(
-        (est_raw <= F.lit(2.5 * _HH4_M)) & (F.col("zeros") > 0),
-        F.lit(_HH4_M) * F.log(F.lit(_HH4_M * 1.0) / F.col("zeros")),
-    ).otherwise(est_raw)
-    exact = toks.groupBy("source").agg(
-        F.countDistinct("tok").alias("n_exact")
-    )
-    return sums.join(exact, "source").select(
+    est = hll_estimate(hll_registers(d, "source", "text"), "source")
+    exact = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
+    return est.join(exact, "source").select(
         "source",
         F.col("n_exact").cast("bigint").alias("n_exact"),
-        (F.lit(_HH4_M) - F.col("zeros")).cast("bigint").alias("n_registers"),
-        F.round(e, 2).alias("n_est"),
-        F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-            "rel_err"
-        ),
+        "n_registers",
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
     )
 
 

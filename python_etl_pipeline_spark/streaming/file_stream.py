@@ -1034,3 +1034,89 @@ def stream_lc_bitmap_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def hll_register_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    key_col: str = "source",
+):
+    """foreachBatch sink for incremental HyperLogLog cardinality
+    (:mod:`..llm.sketch` HLL helpers — hh4's operational twin): each
+    arrival batch's (key, j, m_j) register table lands under
+    ``state_dir/batch_id=N``. Registers are a MAX monoid — the
+    corpus-so-far registers come from a groupBy-max over the state log
+    (m-bounded rows per key per batch), so a cardinality monitor over
+    a growing stream never rescans token history, and unlike the LC
+    bitmap (hh3's twin) the state never saturates: 256 rows per key
+    serve any cardinality. Re-delivered batches overwrite their own
+    batch_id partition (exactly-once, same contract as the
+    CM/LC/LM/datacard sinks)."""
+    import os
+
+    from ..llm.sketch import hll_registers
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, key_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def hll_registers_from_state_dir(
+    spark: SparkSession, state_dir: str, key_col: str = "source"
+) -> DataFrame:
+    """(key, j, m_j) — the folded registers from the persisted state
+    log: groupBy-max over the per-batch registers (the max-monoid
+    merge)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(key_col, "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def compact_hll_register_state(
+    spark: SparkSession, state_dir: str, key_col: str = "source"
+) -> None:
+    """Maintenance job: fold every batch partition of the register
+    state into one (``batch_id=-1``) — same stop-the-world contract
+    and crash-safe swap as the other state compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = hll_registers_from_state_dir(
+        spark, state_dir, key_col
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_hll_registers_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental HyperLogLog registers — hh4's operational
+    twin, same AvailableNow cadence as the CM/LC/LM/datacard sinks.
+    Batch CORRECTNESS twin: queries.hh4_hll_cardinality is
+    driver-verified against its exact-distinct DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            hll_register_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -209,3 +209,70 @@ def test_lc_bitmap_writer_idempotent_on_redelivery(spark, tmp_path):
     once = _bitmap(lc_bitmap_from_state_dir(spark, state_dir))
     step(b1, 0)  # redelivery
     assert _bitmap(lc_bitmap_from_state_dir(spark, state_dir)) == once
+
+
+def _regs(df):
+    return {(r["source"], r["j"]): r["m_j"] for r in df.collect()}
+
+
+def _full_regs(spark, rows):
+    from python_etl_pipeline_spark.llm.sketch import hll_registers
+
+    return _regs(hll_registers(spark.createDataFrame(rows, LC_SCHEMA)))
+
+
+def test_stream_hll_registers_fold_to_full_recompute(spark, tmp_path):
+    from python_etl_pipeline_spark.llm.sketch import HLL_M, hll_estimate
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_hll_register_state,
+        hll_registers_from_state_dir,
+        stream_hll_registers_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_lc_batch(str(src / "b1.parquet"), LC1)
+    stream_hll_registers_available_now(
+        spark, str(src), LC_SCHEMA, state_dir, ckpt
+    )
+    assert _regs(
+        hll_registers_from_state_dir(spark, state_dir)
+    ) == _full_regs(spark, LC1)
+
+    # overlapping arrivals merge by MAX (never double-count, never lose)
+    _write_lc_batch(str(src / "b2.parquet"), LC2)
+    stream_hll_registers_available_now(
+        spark, str(src), LC_SCHEMA, state_dir, ckpt
+    )
+    folded = hll_registers_from_state_dir(spark, state_dir)
+    assert _regs(folded) == _full_regs(spark, LC1 + LC2)
+
+    # the estimate derives from the folded registers alone
+    ests = {r["source"]: r for r in hll_estimate(folded).collect()}
+    assert set(ests) == {"web", "books"}
+    for r in ests.values():
+        assert 0 < r["n_registers"] <= HLL_M
+        assert r["n_est"] > 0
+
+    # compaction folds the log without changing the registers
+    before = _regs(hll_registers_from_state_dir(spark, state_dir))
+    compact_hll_register_state(spark, state_dir)
+    assert _regs(hll_registers_from_state_dir(spark, state_dir)) == before
+
+
+def test_hll_register_writer_idempotent_on_redelivery(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        hll_register_batch_writer,
+        hll_registers_from_state_dir,
+    )
+
+    state_dir = str(tmp_path / "state")
+    step = hll_register_batch_writer(spark, state_dir)
+    b1 = spark.createDataFrame(LC1, LC_SCHEMA)
+    step(b1, 0)
+    once = _regs(hll_registers_from_state_dir(spark, state_dir))
+    step(b1, 0)  # redelivery
+    assert _regs(hll_registers_from_state_dir(spark, state_dir)) == once
