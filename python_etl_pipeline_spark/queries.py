@@ -8600,6 +8600,153 @@ def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x52_source_overlap"].sql = _x52_sql()
 
 
+_HH5_QS = (0.5, 0.95, 0.99)
+
+_HH5_SQL = f"""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         cast(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+         cast(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+b AS (
+  SELECT grp, length(bin(v)) AS blen,
+         CASE WHEN v < 8 THEN v
+              ELSE cast(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) - 8
+         END AS sub,
+         count(*) AS c
+  FROM v GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT grp, blen, sub, c,
+         CASE WHEN blen <= 3 THEN cast(sub AS DOUBLE)
+              ELSE (sub + 8.5) * power(2, blen - 4) END AS rep,
+         sum(c) OVER (PARTITION BY grp ORDER BY blen, sub
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+),
+n AS (SELECT grp, sum(c) AS n FROM b GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HH5_QS)}]) AS q),
+est AS (
+  SELECT r.grp, qs.q, arg_min(r.rep, r.blen * 8 + r.sub) AS est_cents
+  FROM r JOIN n USING (grp) CROSS JOIN qs
+  WHERE r.cum >= ceil(qs.q * n.n)
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT grp,
+         quantile_cont(price, 0.5) AS p50,
+         quantile_cont(price, 0.95) AS p95,
+         quantile_cont(price, 0.99) AS p99
+  FROM v GROUP BY 1
+)
+SELECT est.grp AS o_orderpriority, est.q,
+       cast(n.n AS BIGINT) AS n_rows,
+       round(est.est_cents / 100, 2) AS q_est,
+       round(CASE est.q WHEN 0.5 THEN ex.p50 WHEN 0.95 THEN ex.p95
+                        ELSE ex.p99 END, 2) AS q_exact,
+       round(abs(est.est_cents / 100
+                 - CASE est.q WHEN 0.5 THEN ex.p50 WHEN 0.95 THEN ex.p95
+                              ELSE ex.p99 END)
+             / (CASE est.q WHEN 0.5 THEN ex.p50 WHEN 0.95 THEN ex.p95
+                           ELSE ex.p99 END), 4) AS rel_err
+FROM est JOIN n USING (grp) JOIN ex ON ex.grp = est.grp
+"""
+
+
+@register("hh5_logbin_quantiles", _HH5_SQL)
+def hh5_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE log-binned histogram — the
+    quantile member of the sketch family (hh1/hh2 frequencies, hh3/hh4
+    cardinality): per group, bucket each value by (floor(log2), 3-bit
+    mantissa prefix) — at most 8 sub-bins per octave, so the sketch is
+    ~key-range-log-sized regardless of row count, the bin counts are a
+    SUM monoid (per-shard/per-batch histograms fold by addition, same
+    algebra as hh2's CM fold), and any quantile reads off the
+    cumulative with relative error <= 1/16 by construction. Engine-
+    portable by the hh4 trick: the octave is bin()-string length and
+    the mantissa prefix integer division by an exact power of two — no
+    float log anywhere, so the DuckDB oracle replays the histogram
+    bit-for-bit. This is the CONTRACT form: exact per-group
+    percentiles (x14's bit-identical percentile/quantile_cont pair)
+    run in the same plan, making the sketch's error a verified number
+    per (group, q).
+
+    Plan shape: one corpus-sized keyed agg builds the histogram
+    (map-side combinable); everything after — cumulative window, rank
+    cut, estimate — runs on the histogram (hundreds of rows per
+    group). The exact side pays the per-group percentile sort and
+    exists only for the contract; at 100 TB you keep the histogram,
+    fold it per batch (x41's discipline), and never re-sort history.
+    Spark's own approx_percentile cannot be oracle-checked (private
+    KLL layout) — same motivation as hh4 vs approx_count_distinct."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    vals = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        v.alias("v"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    blen = F.length(F.bin(F.col("v")))
+    sub = F.when(F.col("v") < 8, F.col("v")).otherwise(
+        F.floor(F.col("v") / F.pow(F.lit(2.0), blen - 4)).cast("bigint") - 8
+    )
+    b = vals.groupBy(
+        "grp", blen.alias("blen"), sub.alias("sub")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rep = F.when(
+        F.col("blen") <= 3, F.col("sub").cast("double")
+    ).otherwise((F.col("sub") + 8.5) * F.pow(F.lit(2.0), F.col("blen") - 4))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("blen", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select(
+        "grp", "blen", "sub", "c", rep.alias("rep"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    n = b.groupBy("grp").agg(F.sum("c").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _HH5_QS])).alias("q")
+    )
+    est = (
+        r.join(n, "grp")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q")
+        .agg(
+            F.min_by("rep", F.col("blen") * 8 + F.col("sub")).alias(
+                "est_cents"
+            )
+        )
+    )
+    ex = vals.groupBy("grp").agg(
+        F.percentile("price", 0.5).alias("p50"),
+        F.percentile("price", 0.95).alias("p95"),
+        F.percentile("price", 0.99).alias("p99"),
+    )
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("p50"))
+        .when(F.col("q") == 0.95, F.col("p95"))
+        .otherwise(F.col("p99"))
+    )
+    return (
+        est.join(n, "grp")
+        .join(ex, "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "q",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(F.col("est_cents") / 100, 2).alias("q_est"),
+            F.round(exact, 2).alias("q_exact"),
+            F.round(
+                F.abs(F.col("est_cents") / 100 - exact) / exact, 4
+            ).alias("rel_err"),
+        )
+    )
+
+
 _X53_W = 64  # chunk window, tokens
 _X53_S = 48  # stride (16-token overlap between consecutive chunks)
 
@@ -8736,13 +8883,15 @@ _GATE_PREFIX = [
     "ann19_sq8_topk",
     "ann20_ivf_sq8_topk",
     # Third wave: the HLL cardinality contract, the naive-Bayes
-    # quality classifier, the cross-source overlap matrix, and the
-    # RAG chunker. Their gate slots come from the r5 rotation cohort
-    # (x4/x3/x2/x30 yielded; due round 10 with x5/x7/x8/x9).
+    # quality classifier, the cross-source overlap matrix, the RAG
+    # chunker, and the log-bin quantile sketch. Their gate slots come
+    # from the r5 rotation cohort (x4/x3/x2/x30/x31 yielded; due
+    # round 10 with x5/x7/x8/x9).
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
     "x53_rag_chunks",
+    "hh5_logbin_quantiles",
     # (2) permanent sentinels (8, per the round-8 decision)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -8752,13 +8901,13 @@ _GATE_PREFIX = [
     "j1_anti_new_keys",
     "s4_file_identity",
     "w1_display_id",
-    # (3) rotation (22), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x30 (22 of its 30 — all due at round
-    # 10; those eight stay on the normal horizon and the gate-policy
-    # test will force them into the round-10 gate). The five oldest r6
-    # queries (a0-a4, due round 11) and x2/x3/x4/x5/x7/x8/x9/x30
-    # yielded their slots to this round's second- and third-wave
-    # queries.
+    # (3) rotation (21), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x30/x31 (21 of its 30 — all due at
+    # round 10; those nine stay on the normal horizon and the
+    # gate-policy test will force them into the round-10 gate). The
+    # five oldest r6 queries (a0-a4, due round 11) and
+    # x2/x3/x4/x5/x7/x8/x9/x30/x31 yielded their slots to this
+    # round's second- and third-wave queries.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8779,7 +8928,6 @@ _GATE_PREFIX = [
     "x17_salted_agg",
     "x19_weighted_sample",
     "x20_trailing_range_frame",
-    "x31_column_profile",
     "x33_zorder_key",
 ]
 

@@ -347,3 +347,43 @@ def test_rag_chunks_cover_every_token(spark, sf_dir):
             assert c["n_tokens"] == _X53_W
         last = chunks[-1]
         assert last["start_tok"] + last["n_tokens"] - 1 == n_toks[doc]
+
+
+def test_logbin_quantile_error_bound_and_fold(spark, sf_dir):
+    """hh5 contract: every (group, q) estimate lands within the 1/16
+    relative-error bound the 8-sub-bin octave geometry guarantees; and
+    the histogram is a SUM monoid — per-shard bin counts (shards =
+    o_orderkey parity) fold by addition into exactly the full
+    histogram."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["hh5_logbin_quantiles"].spark(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 priorities x 3 quantiles
+    for r in rows:
+        assert r["rel_err"] <= 0.0625, r
+        assert r["q_est"] > 0 and r["q_exact"] > 0
+
+    o = _t(spark, sf_dir, "orders")
+
+    def histo(df):
+        v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        vals = df.select(F.col("o_orderpriority").alias("grp"), v.alias("v"))
+        blen = F.length(F.bin(F.col("v")))
+        sub = F.when(F.col("v") < 8, F.col("v")).otherwise(
+            F.floor(F.col("v") / F.pow(F.lit(2.0), blen - 4)).cast("bigint")
+            - 8
+        )
+        return {
+            (r["grp"], r["blen"], r["sub"]): r["c"]
+            for r in vals.groupBy(blen.alias("blen"), sub.alias("sub"), "grp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    full = histo(o)
+    ha = histo(o.filter(F.col("o_orderkey") % 2 == 0))
+    hb = histo(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged: dict[tuple, int] = dict(ha)
+    for k, c in hb.items():
+        merged[k] = merged.get(k, 0) + c
+    assert merged == full

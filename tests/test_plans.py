@@ -595,3 +595,15 @@ def test_rag_chunks_zero_shuffle(spark, sf_dir):
     kind may appear."""
     plan = _plan(spark, sf_dir, "x53_rag_chunks")
     assert "Exchange" not in plan
+
+
+def test_logbin_quantile_histogram_is_the_only_data_stage(spark, sf_dir):
+    """hh5's corpus-sized work is ONE keyed agg (the histogram build,
+    map-side combinable) plus the exact-percentile contract side; the
+    cumulative window runs over histogram rows keyed on the group —
+    never a single-partition exchange, global range sort, or cartesian
+    stage (the 3-row quantile frame broadcasts)."""
+    plan = _plan(spark, sf_dir, "hh5_logbin_quantiles")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
