@@ -8600,6 +8600,120 @@ def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["x52_source_overlap"].sql = _x52_sql()
 
 
+_X54_SQL = """
+WITH toks AS (
+  SELECT source, doc_id % 2 = 0 AS is_old,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT source, tok,
+         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c2
+  FROM toks GROUP BY 1, 2
+),
+n AS (
+  SELECT source, sum(c1) AS n1, sum(c2) AS n2,
+         sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS v2
+  FROM cnt GROUP BY 1
+),
+terms AS (
+  SELECT cnt.source,
+         (CASE WHEN c1 > 0
+               THEN (c1 * 1.0 / n1)
+                    * ln((c1 * 1.0 / n1)
+                         / ((c1 * 1.0 / n1
+                             + CASE WHEN n2 > 0 THEN c2 * 1.0 / n2
+                                    ELSE 0 END) / 2))
+               ELSE 0 END)
+         + (CASE WHEN c2 > 0
+                 THEN (c2 * 1.0 / n2)
+                      * ln((c2 * 1.0 / n2)
+                           / ((CASE WHEN n1 > 0 THEN c1 * 1.0 / n1
+                                    ELSE 0 END
+                               + c2 * 1.0 / n2) / 2))
+                 ELSE 0 END) AS term
+  FROM cnt JOIN n USING (source)
+)
+SELECT n.source, cast(n1 AS BIGINT) AS n_old_tokens,
+       cast(n2 AS BIGINT) AS n_new_tokens,
+       cast(v1 AS BIGINT) AS vocab_old, cast(v2 AS BIGINT) AS vocab_new,
+       round(0.5 * s, 4) AS js_div
+FROM (SELECT source, sum(term) AS s FROM terms GROUP BY 1) t
+JOIN n USING (source)
+"""
+
+
+@register("x54_source_drift", _X54_SQL)
+def x54_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring per source: Jensen-Shannon
+    divergence between the unigram token distributions of two corpus
+    snapshots — the text twin of ann13's vector-index drift report,
+    and the number a feed-health monitor alerts on (a source whose
+    token distribution jumps has changed crawler, language mix, or
+    upstream corruption; x41's datacard says what a source IS, this
+    says how fast it's MOVING). Snapshots here are the doc_id-parity
+    halves (the i7 convention for synthetic versions); in production
+    the flag is an ingest-batch or date column. JS rather than KL
+    because it is symmetric, bounded by ln 2, and defined when either
+    side has vocabulary the other lacks (the common case for drift).
+
+    Plan shape: one (source, tok) count agg over the token explode —
+    the same vocabulary-sized table tx23's model rides — then
+    source-sized joins and a vocabulary-sized term sum; nothing
+    corpus-sized shuffles twice. The per-batch (source, tok) counts
+    are the fold x41 already persists, so an incremental deployment
+    reuses the datacard state log. Reference analog: src/load.py's
+    count reconciliation, lifted from row counts to distributions."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        (F.col("doc_id") % 2 == 0).alias("is_old"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    cnt = toks.groupBy("source", "tok").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("c2"),
+    )
+    n = cnt.groupBy("source").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.when(F.col("c1") > 0, 1).otherwise(0)).alias("v1"),
+        F.sum(F.when(F.col("c2") > 0, 1).otherwise(0)).alias("v2"),
+    )
+    # try-guarded ratios: a snapshot half can be EMPTY for a source
+    # (n1 or n2 = 0) — its distribution is all-zero and the other
+    # side's terms reduce to ln 2 (max drift), which is the right
+    # answer; unguarded division trips ANSI DIVIDE_BY_ZERO.
+    p = F.when(F.col("n1") > 0, F.col("c1") / F.col("n1")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(F.col("n2") > 0, F.col("c2") / F.col("n2")).otherwise(
+        F.lit(0.0)
+    )
+    m = (p + q) / 2
+    term = F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    s = (
+        cnt.join(n.select("source", "n1", "n2"), "source")
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").alias("s"))
+    )
+    return s.join(n, "source").select(
+        "source",
+        F.col("n1").cast("bigint").alias("n_old_tokens"),
+        F.col("n2").cast("bigint").alias("n_new_tokens"),
+        F.col("v1").cast("bigint").alias("vocab_old"),
+        F.col("v2").cast("bigint").alias("vocab_new"),
+        F.round(0.5 * F.col("s"), 4).alias("js_div"),
+    )
+
+
 _HH5_QS = (0.5, 0.95, 0.99)
 
 _HH5_SQL = f"""
@@ -8849,14 +8963,18 @@ def x53_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified) is missing from this prefix.
 _GATE_ROUND = 9  # the round this prefix was built for
 
-# The ROUND-8 gate-arithmetic decision stands: 8 permanent sentinels,
-# horizon 4, feasibility bound 4*42+8 = 176 (registry: 171 after this
-# round's +16: i7, x46, x47, tx21, tx22, mm4, ann18, hh1, hh2, hh3,
-# x48, x49, x50, x51, ann19, ann20). At this growth rate the
-# bound is crossed around round 10-11; the pre-authorized escalation
-# (decided round 8, unchanged) is to shrink to the 4 irreplaceable
-# sentinels (flagship, f2, i2, s4; bound 4*46+4 = 188) the round the
-# registry passes 176 — NOT to raise the horizon.
+# GATE ARITHMETIC, round-9 state: this round's third wave (hh4, tx23,
+# x52, x53, hh5, x54) pushed the registry to 177 — PAST the round-8
+# bound 4*42+8 = 176 — so the pre-authorized escalation decided in
+# round 8 is EXECUTED HERE, not deferred: the permanent-sentinel set
+# shrinks from 8 to the 4 irreplaceable ones (flagship, f2, i2, s4),
+# raising the horizon-4 bound to 4*46+4 = 188. The four demoted
+# sentinels (o2_dedup_keep_last, i3_antijoin_append, j1_anti_new_keys,
+# w1_display_id) all carry round-8 driver rows (due round 12) and
+# rotate on the normal horizon from now on; each has same-module
+# coverage among the keepers or the r8-verified twins. The freed slots
+# went to restoring x2/x3/x4 to the rotation fill (easing the
+# round-10 forced set to x5/x7/x8/x9/x30/x31). The horizon stays 4.
 _GATE_PREFIX = [
     # (1) added this round (9): the point-in-time SCD2 join, the
     # retractable (delete/update-capable) MV fold, the epoch-aware
@@ -8884,30 +9002,23 @@ _GATE_PREFIX = [
     "ann20_ivf_sq8_topk",
     # Third wave: the HLL cardinality contract, the naive-Bayes
     # quality classifier, the cross-source overlap matrix, the RAG
-    # chunker, and the log-bin quantile sketch. Their gate slots come
-    # from the r5 rotation cohort (x4/x3/x2/x30/x31 yielded; due
-    # round 10 with x5/x7/x8/x9).
+    # chunker, the log-bin quantile sketch, and the JS-drift monitor.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
     "x53_rag_chunks",
     "hh5_logbin_quantiles",
-    # (2) permanent sentinels (8, per the round-8 decision)
+    "x54_source_drift",
+    # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
-    "o2_dedup_keep_last",
     "i2_upsert_last_writer_wins",
-    "i3_antijoin_append",
-    "j1_anti_new_keys",
     "s4_file_identity",
-    "w1_display_id",
-    # (3) rotation (21), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x30/x31 (21 of its 30 — all due at
-    # round 10; those nine stay on the normal horizon and the
-    # gate-policy test will force them into the round-10 gate). The
-    # five oldest r6 queries (a0-a4, due round 11) and
-    # x2/x3/x4/x5/x7/x8/x9/x30/x31 yielded their slots to this
-    # round's second- and third-wave queries.
+    # (3) rotation (24), oldest last-driver-row first: the r5 cohort
+    # MINUS x5/x7/x8/x9/x30/x31 (24 of its 30 — all due at round 10;
+    # those six stay on the normal horizon and the gate-policy test
+    # will force them into the round-10 gate). The five oldest r6
+    # queries (a0-a4, due round 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -8928,7 +9039,10 @@ _GATE_PREFIX = [
     "x17_salted_agg",
     "x19_weighted_sample",
     "x20_trailing_range_frame",
+    "x2_rollup",
     "x33_zorder_key",
+    "x3_cube",
+    "x4_outlier_flag",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -387,3 +387,47 @@ def test_logbin_quantile_error_bound_and_fold(spark, sf_dir):
     for k, c in hb.items():
         merged[k] = merged.get(k, 0) + c
     assert merged == full
+
+
+def test_source_drift_bounds_and_identity(spark, sf_dir):
+    """JS divergence per source lies in [0, ln 2]; token/vocab counts
+    are consistent; and the identity property holds: computing the
+    same JS pipeline with BOTH snapshots set to the full per-source
+    corpus (old == new) yields exactly 0 for every source."""
+    import math
+
+    from python_etl_pipeline_spark.llm.text import tokens
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["x54_source_drift"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r["js_div"] <= math.log(2) + 1e-9, r
+        assert r["vocab_old"] <= r["n_old_tokens"]
+        assert r["vocab_new"] <= r["n_new_tokens"]
+
+    # identity: old == new == the full corpus -> JS = 0 per source
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .withColumn("c2", F.col("c1"))
+    )
+    n = cnt.groupBy("source").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = F.col("c1") / F.col("n1")
+    q = F.col("c2") / F.col("n2")
+    m = (p + q) / 2
+    term = F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    js = {
+        r["source"]: r["js"]
+        for r in cnt.join(n, "source")
+        .groupBy("source")
+        .agg(F.round(0.5 * F.sum(term), 4).alias("js"))
+        .collect()
+    }
+    assert all(v == 0.0 for v in js.values()), js

@@ -31,6 +31,22 @@ Round-7 amendments (both from the round-6 verdict/advice):
   round that crosses it must raise the horizon again or shrink the
   sentinel set, with this same arithmetic in the commit).
 
+Round-9 amendment — the round-8 pre-authorization EXECUTED: the
+third-wave additions (hh4, tx23, x52, x53, hh5, x54) pushed the
+registry to 177, past the 8-sentinel bound 4*42 + 8 = 176, so the
+permanent-sentinel set shrank to the 4 irreplaceable ones (flagship,
+f2_safe_date, i2_upsert_last_writer_wins, s4_file_identity), raising
+the horizon-4 bound to 4*46 + 4 = 188. The four demoted sentinels
+(o2_dedup_keep_last, i3_antijoin_append, j1_anti_new_keys,
+w1_display_id) hold round-8 driver rows (due round 12) and rotate on
+the normal horizon; their operator modules keep coverage via the
+remaining sentinels and r8-verified twins (o3/j1_semi/i3_watermark/
+o5 all share those modules). The horizon stays 4, per the round-8
+reasoning. Next crossing at ~188: no further sentinel to shed — the
+options then are raising the horizon to 5 (bound 5*46 + 4 = 234) or
+capping registry growth; decide IN the round that crosses, with the
+arithmetic in the commit.
+
 Round-8 amendment — the standing DECISION for the approaching bound
 (the r7 verdict's "decide the gate arithmetic before it decides for
 you"): the permanent-sentinel set shrinks from 12 to 8, raising the

@@ -607,3 +607,14 @@ def test_logbin_quantile_histogram_is_the_only_data_stage(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_drift_single_corpus_shuffle(spark, sf_dir):
+    """x54's only corpus-sized exchange is the (source, tok) count;
+    the JS term sum and every join after run on vocabulary- or
+    source-sized frames keyed on source — no single-partition
+    exchange, range sort, or cartesian stage."""
+    plan = _plan(spark, sf_dir, "x54_source_drift")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
