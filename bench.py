@@ -127,6 +127,10 @@ HEADLINE = [
     "tx23_nb_quality_score",
     "x52_source_overlap",
     "x53_rag_chunks",
+    # log-bin quantile sketch (one histogram agg + the exact-percentile
+    # contract side) and the per-source JS drift monitor
+    "hh5_logbin_quantiles",
+    "x54_source_drift",
 ]
 
 
