@@ -1120,3 +1120,136 @@ def stream_hll_registers_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def token_dist_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    key_col: str = "source",
+):
+    """foreachBatch sink for per-source token-distribution states —
+    x54's operational twin: each arrival batch's (key, tok, c) counts
+    land under ``state_dir/batch_id=N``. Counts are a SUM monoid (the
+    datacard/LM/TF-IDF algebra), so history folds by addition and the
+    JS-drift report (:func:`js_drift_report`) compares any batch
+    against everything before it WITHOUT rescanning text. Re-delivered
+    batches overwrite their own batch_id partition (exactly-once, same
+    contract as the other state sinks)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.text import tokens
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                key_col, F.explode(tokens(text_col)).alias("tok")
+            )
+            .groupBy(key_col, "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+        )
+
+    return step
+
+
+def token_dist_from_state_dir(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "source",
+    max_batch_id: int | None = None,
+) -> DataFrame:
+    """(key, tok, c) — the folded distribution from the persisted
+    state log (sum-monoid merge), optionally restricted to batches
+    strictly BEFORE ``max_batch_id`` (the history side of a drift
+    comparison)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(state_dir)
+    if max_batch_id is not None:
+        df = df.filter(F.col("batch_id") < max_batch_id)
+    return df.groupBy(key_col, "tok").agg(F.sum("c").alias("c"))
+
+
+def js_drift_report(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    key_col: str = "source",
+) -> DataFrame:
+    """(key, n_hist_tokens, n_batch_tokens, js_div): Jensen-Shannon
+    divergence of arrival batch ``batch_id``'s per-key token
+    distribution against the FOLD of all earlier batches — the
+    continuous-ingest form of queries.x54_source_drift (same guarded
+    term algebra; x54 is the driver-verified batch CORRECTNESS twin).
+    All inputs are state-log rows: no text is rescanned, so the
+    monitor's cost rides vocabulary size, not corpus size."""
+    from pyspark.sql import functions as F
+
+    hist = token_dist_from_state_dir(
+        spark, state_dir, key_col, max_batch_id=batch_id
+    ).withColumnRenamed("c", "c1")
+    cur = (
+        spark.read.parquet(state_dir)
+        .filter(F.col("batch_id") == batch_id)
+        .groupBy(key_col, "tok")
+        .agg(F.sum("c").alias("c2"))
+    )
+    cnt = hist.join(cur, [key_col, "tok"], "full_outer").fillna(
+        0, subset=["c1", "c2"]
+    )
+    n = cnt.groupBy(key_col).agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = F.when(F.col("n1") > 0, F.col("c1") / F.col("n1")).otherwise(
+        F.lit(0.0)
+    )
+    q = F.when(F.col("n2") > 0, F.col("c2") / F.col("n2")).otherwise(
+        F.lit(0.0)
+    )
+    m = (p + q) / 2
+    term = F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    s = (
+        cnt.join(n, key_col)
+        .select(key_col, term.alias("term"))
+        .groupBy(key_col)
+        .agg(F.sum("term").alias("s"))
+    )
+    return s.join(n, key_col).select(
+        key_col,
+        F.col("n1").cast("bigint").alias("n_hist_tokens"),
+        F.col("n2").cast("bigint").alias("n_batch_tokens"),
+        F.round(0.5 * F.col("s"), 4).alias("js_div"),
+    )
+
+
+def stream_token_dist_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming per-source token-distribution states — x54's
+    operational twin, same AvailableNow cadence as the other state
+    sinks."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            token_dist_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

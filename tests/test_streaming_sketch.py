@@ -276,3 +276,75 @@ def test_hll_register_writer_idempotent_on_redelivery(spark, tmp_path):
     once = _regs(hll_registers_from_state_dir(spark, state_dir))
     step(b1, 0)  # redelivery
     assert _regs(hll_registers_from_state_dir(spark, state_dir)) == once
+
+
+def test_stream_token_dist_drift_report(spark, tmp_path):
+    import math
+
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        js_drift_report,
+        stream_token_dist_available_now,
+        token_dist_from_state_dir,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_lc_batch(str(src / "b1.parquet"), LC1)
+    stream_token_dist_available_now(
+        spark, str(src), LC_SCHEMA, state_dir, ckpt
+    )
+    _write_lc_batch(str(src / "b2.parquet"), LC2)
+    stream_token_dist_available_now(
+        spark, str(src), LC_SCHEMA, state_dir, ckpt
+    )
+
+    # the folded state equals a from-scratch count of the union
+    folded = {
+        (r["source"], r["tok"]): r["c"]
+        for r in token_dist_from_state_dir(spark, state_dir).collect()
+    }
+    full: dict[tuple, int] = {}
+    for s, text in LC1 + LC2:
+        for t in text.split():
+            full[(s, t)] = full.get((s, t), 0) + 1
+    assert folded == full
+
+    # drift of batch 1 vs history (= batch 0): bounded, both sides seen
+    rep = {
+        r["source"]: r
+        for r in js_drift_report(spark, state_dir, batch_id=1).collect()
+    }
+    assert set(rep) == {"web", "books"}
+    for r in rep.values():
+        assert 0.0 < r["js_div"] <= math.log(2) + 1e-9
+        assert r["n_hist_tokens"] > 0 and r["n_batch_tokens"] > 0
+
+
+def test_token_dist_drift_identity_and_idempotency(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        js_drift_report,
+        token_dist_batch_writer,
+        token_dist_from_state_dir,
+    )
+
+    state_dir = str(tmp_path / "state")
+    step = token_dist_batch_writer(spark, state_dir)
+    b = spark.createDataFrame(LC1, LC_SCHEMA)
+    step(b, 0)
+    once = {
+        (r["source"], r["tok"]): r["c"]
+        for r in token_dist_from_state_dir(spark, state_dir).collect()
+    }
+    step(b, 0)  # redelivery overwrites, never double-counts
+    assert {
+        (r["source"], r["tok"]): r["c"]
+        for r in token_dist_from_state_dir(spark, state_dir).collect()
+    } == once
+
+    # identical batch vs identical history -> exactly zero drift
+    step(b, 1)
+    rep = js_drift_report(spark, state_dir, batch_id=1).collect()
+    assert rep and all(r["js_div"] == 0.0 for r in rep)
