@@ -8714,6 +8714,118 @@ def x54_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X55_BUDGET_FRAC = 0.5
+
+_X55_SQL = f"""
+WITH sizes AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(text), '\\s+'))) AS c
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (ORDER BY c, source) AS rk,
+         sum(c) OVER (ORDER BY c, source ROWS UNBOUNDED PRECEDING) - c
+           AS pre,
+         count(*) OVER () AS s,
+         sum(c) OVER () AS tot
+  FROM sizes
+),
+b AS (SELECT floor({_X55_BUDGET_FRAC} * tot) AS budget FROM ranked LIMIT 1),
+seg AS (
+  SELECT min(rk) AS rk FROM ranked, b
+  WHERE pre + (s - rk + 1) * c >= budget
+),
+lvl AS (
+  SELECT (budget - pre) * 1.0 / (s - ranked.rk + 1) AS level
+  FROM ranked JOIN seg ON ranked.rk = seg.rk CROSS JOIN b
+)
+SELECT sizes.source, cast(c AS BIGINT) AS n_tokens,
+       round(least(c * 1.0, level), 2) AS alloc_tokens,
+       round(least(c * 1.0, level) / c, 4) AS alloc_frac,
+       c * 1.0 <= level AS kept_whole
+FROM sizes CROSS JOIN lvl
+"""
+
+
+@register("x55_unimax_alloc", _X55_SQL)
+def x55_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture allocation by WATER-FILLING — the
+    UniMax sampling rule (Chung et al. 2023): given a global token
+    budget (here 50% of the corpus), every source receives
+    min(its size, L) where the water level L is chosen so allocations
+    sum exactly to the budget. Small sources are kept whole, large
+    sources are capped at one common level — the fairness dual of
+    x44's temperature mixing (which reweights by c^T and still lets
+    the head dominate) and the allocation that minimizes the maximum
+    repetition rate of any source under the budget. The level has a
+    closed form: sort sources by size, find the segment where the
+    budget line crosses the water profile (prefix + remaining*c spans
+    the budget), then L = (budget - prefix_below) / n_at_or_above —
+    pure window algebra, no iteration.
+
+    Plan shape: ONE corpus-sized stage (the per-source token count,
+    map-side combinable); everything after — ranking, prefix sums,
+    segment pick, level — runs on the SOURCE CATALOG (a few hundred
+    rows at any corpus scale), where the global-order window's single
+    partition is the honest shape, same as x49's planner and the
+    sequence engine's O(buckets) driver fold. Reference analog: the
+    banding rules of src/transform.py, lifted from per-row category
+    assignment to corpus-level capacity planning."""
+    from .llm.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("c")
+    )
+    w_ord = Window.orderBy("c", "source")
+    w_all = Window.partitionBy()
+    ranked = sizes.select(
+        "source",
+        "c",
+        F.row_number().over(w_ord).alias("rk"),
+        (
+            F.sum("c").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).alias("pre"),
+        F.count(F.lit(1)).over(w_all).alias("s"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    withb = ranked.withColumn(
+        "budget", F.floor(F.lit(_X55_BUDGET_FRAC) * F.col("tot"))
+    )
+    seg = (
+        withb.filter(
+            F.col("pre") + (F.col("s") - F.col("rk") + 1) * F.col("c")
+            >= F.col("budget")
+        )
+        .agg(F.min("rk").alias("rk"))
+    )
+    lvl = (
+        withb.join(seg, "rk")
+        .select(
+            (
+                (F.col("budget") - F.col("pre"))
+                / (F.col("s") - F.col("rk") + 1)
+            ).alias("level")
+        )
+    )
+    return sizes.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("c").cast("bigint").alias("n_tokens"),
+        F.round(F.least(F.col("c").cast("double"), F.col("level")), 2).alias(
+            "alloc_tokens"
+        ),
+        F.round(
+            F.least(F.col("c").cast("double"), F.col("level")) / F.col("c"),
+            4,
+        ).alias("alloc_frac"),
+        (F.col("c").cast("double") <= F.col("level")).alias("kept_whole"),
+    )
+
+
 _HH5_QS = (0.5, 0.95, 0.99)
 
 _HH5_SQL = f"""
@@ -9002,23 +9114,25 @@ _GATE_PREFIX = [
     "ann20_ivf_sq8_topk",
     # Third wave: the HLL cardinality contract, the naive-Bayes
     # quality classifier, the cross-source overlap matrix, the RAG
-    # chunker, the log-bin quantile sketch, and the JS-drift monitor.
+    # chunker, the log-bin quantile sketch, the JS-drift monitor, and
+    # the UniMax water-filling allocator.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
     "x53_rag_chunks",
     "hh5_logbin_quantiles",
     "x54_source_drift",
+    "x55_unimax_alloc",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (24), oldest last-driver-row first: the r5 cohort
-    # MINUS x5/x7/x8/x9/x30/x31 (24 of its 30 — all due at round 10;
-    # those six stay on the normal horizon and the gate-policy test
-    # will force them into the round-10 gate). The five oldest r6
-    # queries (a0-a4, due round 11) wait their turn.
+    # (3) rotation (23), oldest last-driver-row first: the r5 cohort
+    # MINUS x5/x7/x8/x9/x30/x31/x33 (23 of its 30 — all due at round
+    # 10; those seven stay on the normal horizon and the gate-policy
+    # test will force them into the round-10 gate). The five oldest
+    # r6 queries (a0-a4, due round 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9040,7 +9154,6 @@ _GATE_PREFIX = [
     "x19_weighted_sample",
     "x20_trailing_range_frame",
     "x2_rollup",
-    "x33_zorder_key",
     "x3_cube",
     "x4_outlier_flag",
 ]

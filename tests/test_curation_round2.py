@@ -431,3 +431,38 @@ def test_source_drift_bounds_and_identity(spark, sf_dir):
         .collect()
     }
     assert all(v == 0.0 for v in js.values()), js
+
+
+def test_unimax_allocation_properties(spark, sf_dir):
+    """Water-filling invariants: allocations sum to the budget (floor
+    of half the corpus tokens, within rounding of the per-source 2 dp);
+    small sources are kept whole (alloc == size exactly); capped
+    sources all sit at one common level no larger than any capped
+    source's size; and allocation is monotone in source size."""
+    from python_etl_pipeline_spark.queries import (
+        _X55_BUDGET_FRAC,
+        REGISTRY,
+    )
+
+    rows = REGISTRY["x55_unimax_alloc"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    total = sum(r["n_tokens"] for r in rows)
+    budget = int(_X55_BUDGET_FRAC * total)
+    got = sum(r["alloc_tokens"] for r in rows)
+    assert abs(got - budget) <= 0.01 * len(rows) + 1
+    whole = [r for r in rows if r["kept_whole"]]
+    capped = [r for r in rows if not r["kept_whole"]]
+    for r in whole:
+        assert r["alloc_tokens"] == float(r["n_tokens"])
+        assert r["alloc_frac"] == 1.0
+    assert capped, "budget < total must cap someone"
+    levels = {r["alloc_tokens"] for r in capped}
+    assert len(levels) == 1  # one water level
+    level = levels.pop()
+    for r in capped:
+        assert r["n_tokens"] >= level
+    for r in whole:
+        assert r["n_tokens"] <= level + 0.01 or not capped
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    allocs = [r["alloc_tokens"] for r in by_size]
+    assert allocs == sorted(allocs)

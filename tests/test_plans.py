@@ -618,3 +618,15 @@ def test_source_drift_single_corpus_shuffle(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unimax_single_corpus_stage(spark, sf_dir):
+    """x55's only corpus-sized stage is the per-source token count
+    (keyed agg, map-side combinable); the water-level algebra runs on
+    the source catalog, where the global-order window's single
+    partition is the honest shape (a few hundred rows at any corpus
+    scale — x49's planner precedent). No cartesian stage; the 1-row
+    level broadcast is a BroadcastNestedLoopJoin by design."""
+    plan = _plan(spark, sf_dir, "x55_unimax_alloc")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(source" in plan
