@@ -131,6 +131,9 @@ HEADLINE = [
     # contract side) and the per-source JS drift monitor
     "hh5_logbin_quantiles",
     "x54_source_drift",
+    # UniMax water-filling allocator: one catalog-sized answer from one
+    # corpus-sized count — should be near-flat at any scale
+    "x55_unimax_alloc",
 ]
 
 
