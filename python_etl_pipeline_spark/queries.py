@@ -8714,6 +8714,65 @@ def x54_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_I8_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+u AS (
+  SELECT *, 'v1' AS batch_version FROM v1
+  UNION ALL BY NAME
+  SELECT *, 'v2' AS batch_version FROM v2
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, batch_version
+FROM u
+"""
+
+
+@register("i8_schema_evolution", _I8_SQL)
+def i8_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant ingestion: two batch versions of the same
+    feed whose schemas DIVERGED — v1 predates the o_orderdate /
+    o_orderpriority columns, v2 dropped o_orderstatus — union into one
+    evolved table where every batch's missing columns are typed NULLs
+    and the final schema is the name-union. This is the incremental
+    family's (§2.9) missing operator: feeds drift, and a pipeline that
+    hard-fails on the first added column loses data while one that
+    positionally unions silently CORRUPTS it (the reference's pandas
+    concat aligns by name implicitly; Spark's positional union is the
+    trap). ``unionByName(allowMissingColumns=True)`` is the engine
+    form; DuckDB's ``UNION ALL BY NAME`` replays it, so the alignment
+    itself is oracle-verified — column order, null backfill, and the
+    per-row batch_version provenance tag the warehouse keeps so late
+    backfills know which rows can carry the new columns.
+
+    Plan shape: union is exchange-free in Spark — two pushed scans
+    concatenate partition-wise with zero shuffles at any scale; the
+    projections fuse into each scan (PushedFilters on both sides).
+    Reference analog: src/extract.py's column-list discovery (S6)
+    turned from a read-time check into a write-time policy."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("batch_version", F.lit("v1"))
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    ).withColumn("batch_version", F.lit("v2"))
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        "batch_version",
+    )
+
+
 _X55_BUDGET_FRAC = 0.5
 
 _X55_SQL = f"""
@@ -9115,7 +9174,8 @@ _GATE_PREFIX = [
     # Third wave: the HLL cardinality contract, the naive-Bayes
     # quality classifier, the cross-source overlap matrix, the RAG
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
-    # the UniMax water-filling allocator.
+    # the UniMax water-filling allocator, and the schema-evolution
+    # union.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9123,16 +9183,17 @@ _GATE_PREFIX = [
     "hh5_logbin_quantiles",
     "x54_source_drift",
     "x55_unimax_alloc",
+    "i8_schema_evolution",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (23), oldest last-driver-row first: the r5 cohort
-    # MINUS x5/x7/x8/x9/x30/x31/x33 (23 of its 30 — all due at round
-    # 10; those seven stay on the normal horizon and the gate-policy
-    # test will force them into the round-10 gate). The five oldest
-    # r6 queries (a0-a4, due round 11) wait their turn.
+    # (3) rotation (22), oldest last-driver-row first: the r5 cohort
+    # MINUS x5/x7/x8/x9/x30/x31/x33/x4 (22 of its 30 — all due at
+    # round 10; those eight stay on the normal horizon and the
+    # gate-policy test will force them into the round-10 gate). The
+    # five oldest r6 queries (a0-a4, due round 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9155,7 +9216,6 @@ _GATE_PREFIX = [
     "x20_trailing_range_frame",
     "x2_rollup",
     "x3_cube",
-    "x4_outlier_flag",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

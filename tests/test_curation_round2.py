@@ -466,3 +466,30 @@ def test_unimax_allocation_properties(spark, sf_dir):
     by_size = sorted(rows, key=lambda r: r["n_tokens"])
     allocs = [r["alloc_tokens"] for r in by_size]
     assert allocs == sorted(allocs)
+
+
+def test_schema_evolution_null_backfill_and_provenance(spark, sf_dir):
+    """i8's evolved table: the schema is the name-union in first-seen
+    order; every v1 row has typed NULLs exactly in the columns v1
+    lacked (and real values elsewhere), symmetrically for v2; no row
+    lost either side; provenance tag partitions the rows."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    out = REGISTRY["i8_schema_evolution"].spark(spark, sf_dir)
+    assert out.columns == [
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority", "batch_version",
+    ]
+    rows = out.collect()
+    o = _t(spark, sf_dir, "orders")
+    n1 = o.filter(F.col("o_orderkey") % 3 == 0).count()
+    n2 = o.filter(F.col("o_orderkey") % 3 == 1).count()
+    v1 = [r for r in rows if r["batch_version"] == "v1"]
+    v2 = [r for r in rows if r["batch_version"] == "v2"]
+    assert len(v1) == n1 and len(v2) == n2
+    for r in v1:
+        assert r["o_orderdate"] is None and r["o_orderpriority"] is None
+        assert r["o_orderstatus"] is not None
+    for r in v2:
+        assert r["o_orderstatus"] is None
+        assert r["o_orderdate"] is not None

@@ -630,3 +630,12 @@ def test_unimax_single_corpus_stage(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x55_unimax_alloc")
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_schema_evolution_union_is_exchange_free(spark, sf_dir):
+    """i8's evolved union concatenates two pushed scans partition-wise:
+    zero exchanges of any kind, and both version filters reach their
+    scans as pushed predicates."""
+    plan = _plan(spark, sf_dir, "i8_schema_evolution")
+    assert "Exchange" not in plan
+    assert "PushedFilters" in plan
