@@ -134,6 +134,8 @@ HEADLINE = [
     # UniMax water-filling allocator: one catalog-sized answer from one
     # corpus-sized count — should be near-flat at any scale
     "x55_unimax_alloc",
+    # schema-drift union: two pushed scans, zero exchanges
+    "i8_schema_evolution",
 ]
 
 
