@@ -8714,6 +8714,76 @@ def x54_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tx24_sql() -> str:
+    from .llm.dedup import shingles_sql
+
+    sh = shingles_sql("text", 3)
+    return f"""
+    WITH ds AS (
+      SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents
+    ),
+    dfq AS (SELECT s, count(*) AS df FROM ds GROUP BY 1)
+    SELECT ds.doc_id,
+           cast(count(*) AS BIGINT) AS n_shingles,
+           cast(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty
+    FROM ds JOIN dfq USING (s)
+    GROUP BY 1
+    """
+
+
+@register("tx24_novelty_score", None)  # sql attached below
+def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty scoring: the fraction of a document's distinct
+    3-gram shingles that appear NOWHERE else in the corpus — dd3's
+    inverted index read in the opposite direction. Near-dup detection
+    asks "who shares my shingles"; a curation mixer asks the dual:
+    "which documents bring shingles nobody else has" — the
+    upweight-the-tail signal (high novelty = unique content worth
+    keeping at full budget; near-zero novelty = template mass that
+    x44/x55's caps should squeeze), and the cheap proxy for the
+    memorization-risk audits that count how much of a document is
+    corpus-unique before training.
+
+    Plan shape: the (doc, shingle)-type explode feeds (a) the
+    document-frequency table — VOCABULARY-sized, the same economics as
+    tx9's df — and (b) a hash join back keyed on the shingle, then one
+    doc-keyed agg. df=1 shingles dominate real corpora, so unlike
+    dd3's candidate join (which caps posting lists to bound pair
+    fan-out) this consumes the df table whole: a count, not a pair
+    enumeration — no cap needed at any scale. Reference analog: the
+    duplicate counters of src/transform.py (A6) inverted from "how
+    many copies" to "how much is mine alone"."""
+    from .llm.dedup import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    ds = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    dfq = ds.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ds.join(dfq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
+
+
 _I8_SQL = """
 WITH v1 AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -9174,8 +9244,8 @@ _GATE_PREFIX = [
     # Third wave: the HLL cardinality contract, the naive-Bayes
     # quality classifier, the cross-source overlap matrix, the RAG
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
-    # the UniMax water-filling allocator, and the schema-evolution
-    # union.
+    # the UniMax water-filling allocator, the schema-evolution union,
+    # and the n-gram novelty score.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9184,14 +9254,15 @@ _GATE_PREFIX = [
     "x54_source_drift",
     "x55_unimax_alloc",
     "i8_schema_evolution",
+    "tx24_novelty_score",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (22), oldest last-driver-row first: the r5 cohort
-    # MINUS x5/x7/x8/x9/x30/x31/x33/x4 (22 of its 30 — all due at
-    # round 10; those eight stay on the normal horizon and the
+    # (3) rotation (21), oldest last-driver-row first: the r5 cohort
+    # MINUS x3/x4/x5/x7/x8/x9/x30/x31/x33 (21 of its 30 — all due at
+    # round 10; those nine stay on the normal horizon and the
     # gate-policy test will force them into the round-10 gate). The
     # five oldest r6 queries (a0-a4, due round 11) wait their turn.
     "a7_shipping_priority",
@@ -9215,7 +9286,6 @@ _GATE_PREFIX = [
     "x19_weighted_sample",
     "x20_trailing_range_frame",
     "x2_rollup",
-    "x3_cube",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -493,3 +493,52 @@ def test_schema_evolution_null_backfill_and_provenance(spark, sf_dir):
     for r in v2:
         assert r["o_orderstatus"] is None
         assert r["o_orderdate"] is not None
+
+
+def test_novelty_inverse_of_duplication(spark, sf_dir):
+    """Novelty semantics: bounds hold per doc (0 <= n_novel <=
+    n_shingles); exact-duplicate documents (same text appearing under
+    two doc_ids) must score EXACTLY zero novelty — every one of their
+    shingles has df >= 2; and the corpus-wide sum of n_novel equals
+    the count of df=1 shingle types."""
+    from python_etl_pipeline_spark.llm.dedup import shingles
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["tx24_novelty_score"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+    d = _t(spark, sf_dir, "documents")
+    dup_texts = {
+        r["text"]
+        for r in d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("c") > 1)
+        .join(d.select("text"), "text")
+        .select("text")
+        .collect()
+    }
+    if dup_texts:
+        dup_ids = {
+            r["doc_id"]
+            for r in d.filter(F.col("text").isin(list(dup_texts)))
+            .select("doc_id")
+            .collect()
+        }
+        for r in rows:
+            if r["doc_id"] in dup_ids:
+                assert r["novelty"] == 0.0, r
+
+    df1 = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") == 1)
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == df1

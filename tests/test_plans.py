@@ -639,3 +639,14 @@ def test_schema_evolution_union_is_exchange_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "i8_schema_evolution")
     assert "Exchange" not in plan
     assert "PushedFilters" in plan
+
+
+def test_novelty_df_join_no_pair_explosion(spark, sf_dir):
+    """tx24 consumes the df table as a COUNT, not a pair enumeration:
+    the only exchanges are the shingle-keyed df agg/join and the final
+    doc-keyed agg — no cartesian stage, no single-partition exchange,
+    no global range sort at any corpus scale."""
+    plan = _plan(spark, sf_dir, "tx24_novelty_score")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
