@@ -136,6 +136,8 @@ HEADLINE = [
     "x55_unimax_alloc",
     # schema-drift union: two pushed scans, zero exchanges
     "i8_schema_evolution",
+    # novelty scoring: df table consumed as a count (no pair fan-out)
+    "tx24_novelty_score",
 ]
 
 

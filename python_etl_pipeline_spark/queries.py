@@ -8554,10 +8554,10 @@ def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     x51's edges); the size tables that close Jaccard are source-sized
     broadcasts. Reference analog: src/load.py's cross-table count
     reconciliation, lifted from row counts to content overlap."""
-    from .llm.dedup import shingles
+    from .llm.dedup import _spread, shingles
 
     d = _t(spark, sf_dir, "documents")
-    ss = d.select(
+    ss = _spread(d.select("source", "text")).select(
         "source",
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
     ).distinct()
@@ -8756,10 +8756,10 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration — no cap needed at any scale. Reference analog: the
     duplicate counters of src/transform.py (A6) inverted from "how
     many copies" to "how much is mine alone"."""
-    from .llm.dedup import shingles
+    from .llm.dedup import _spread, shingles
 
     d = _t(spark, sf_dir, "documents")
-    ds = d.select(
+    ds = _spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
     )
