@@ -8714,6 +8714,127 @@ def x54_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN21_PROBES = (1, 2, 4)
+
+_ANN21_SQL = f"""
+WITH comp AS ({{comp}}),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+alldots AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dot
+  FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+),
+scoredall AS (
+  SELECT d.vec_id, d.dot / (n.norm * qn.qnorm) AS cos
+  FROM alldots d JOIN norms n ON n.vec_id = d.vec_id, qn
+  WHERE d.vec_id <> 0
+),
+bf AS (SELECT vec_id FROM scoredall
+       ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+cross_dots AS (
+  SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+  FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+),
+scored AS (
+  SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+  FROM cross_dots
+  JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+  JOIN norms nc ON nc.vec_id = c
+),
+assign AS (
+  SELECT vec_id, c AS centroid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+),
+qcells AS (
+  SELECT c, row_number() OVER (ORDER BY cos DESC, c) AS pr
+  FROM scored WHERE vec_id = 0
+),
+nps AS (SELECT unnest([{", ".join(str(p) for p in _ANN21_PROBES)}]) AS np),
+cand AS (
+  SELECT nps.np, a.vec_id
+  FROM assign a
+  JOIN qcells qc ON a.centroid = qc.c
+  JOIN nps ON qc.pr <= nps.np
+  WHERE a.vec_id <> 0
+),
+ivfk AS (
+  SELECT np, vec_id FROM (
+    SELECT cand.np, s.vec_id,
+           row_number() OVER (PARTITION BY cand.np
+                              ORDER BY round(s.cos, 4) DESC, s.vec_id) AS rn
+    FROM cand JOIN scoredall s ON s.vec_id = cand.vec_id
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT np, count(*) AS n_hits FROM ivfk
+  WHERE vec_id IN (SELECT vec_id FROM bf) GROUP BY 1
+),
+scan AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY 1)
+SELECT nps.np AS nprobe, cast(10 AS BIGINT) AS k,
+       cast(coalesce(scan.n_scanned, 0) AS BIGINT) AS n_scanned,
+       cast(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / 10.0, 4) AS recall_at_k
+FROM nps
+LEFT JOIN scan ON scan.np = nps.np
+LEFT JOIN hits ON hits.np = nps.np
+"""
+
+
+@register("ann21_probe_recall_curve", None)  # sql attached below
+def ann21_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-cost TUNING CURVE in one plan: recall@10 and
+    candidate-scan size for nprobe in {1, 2, 4} against the same
+    brute-force ground truth — the table an ANN operator actually
+    reads before picking a probe count. ann6 measures one point and
+    ann7 one notch up; this emits the curve, so "how many probes buy
+    recall 0.9, and what do they cost in scanned rows" is a SELECT,
+    not three reruns. n_scanned is the cost axis: it grows ~linearly
+    in nprobe while recall saturates — the knee is the operating
+    point. Monotonicity in both axes is pinned (more probes never
+    scan less or recall less; candidates nest by construction).
+
+    Plan shape: one coarse-assignment (the broadcast-centroid pass
+    ann2 ships) shared by all three curve points via the probe-rank
+    join — the probes table is 3 rows, so the fan-out is the
+    candidate union, not three corpus scans; the exact rerank per
+    probe level cuts via per-partition heaps."""
+    from .llm.similarity import _ivf_cluster_members, _rerank_members, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, query_id=0, k=10).select("vec_id")
+    parts = []
+    for np_ in _ANN21_PROBES:
+        members = _ivf_cluster_members(
+            emb, query_id=0, n_centroids=8, nprobe=np_
+        )
+        topk = _rerank_members(emb, members, 0, 10, "vec_id", "embedding")
+        hits = topk.select("vec_id").intersect(bf)
+        parts.append(
+            members.agg(F.count(F.lit(1)).alias("n_scanned"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.col("n_scanned").cast("bigint").alias("n_scanned"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ann21_sql() -> str:
+    return _ANN21_SQL.format(comp=_DUCK_COMP)
+
+
+REGISTRY["ann21_probe_recall_curve"].sql = _ann21_sql()
+
+
 def _tx24_sql() -> str:
     from .llm.dedup import shingles_sql
 
@@ -9245,7 +9366,7 @@ _GATE_PREFIX = [
     # quality classifier, the cross-source overlap matrix, the RAG
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
     # the UniMax water-filling allocator, the schema-evolution union,
-    # and the n-gram novelty score.
+    # the n-gram novelty score, and the probe-recall tuning curve.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9255,14 +9376,15 @@ _GATE_PREFIX = [
     "x55_unimax_alloc",
     "i8_schema_evolution",
     "tx24_novelty_score",
+    "ann21_probe_recall_curve",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (21), oldest last-driver-row first: the r5 cohort
-    # MINUS x3/x4/x5/x7/x8/x9/x30/x31/x33 (21 of its 30 — all due at
-    # round 10; those nine stay on the normal horizon and the
+    # (3) rotation (20), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x30/x31/x33 (20 of its 30 — all due
+    # at round 10; those ten stay on the normal horizon and the
     # gate-policy test will force them into the round-10 gate). The
     # five oldest r6 queries (a0-a4, due round 11) wait their turn.
     "a7_shipping_priority",
@@ -9285,7 +9407,6 @@ _GATE_PREFIX = [
     "x17_salted_agg",
     "x19_weighted_sample",
     "x20_trailing_range_frame",
-    "x2_rollup",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -650,3 +650,14 @@ def test_novelty_df_join_no_pair_explosion(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_probe_recall_curve_shares_assignment(spark, sf_dir):
+    """ann21's three curve points ride broadcast-centroid passes and
+    heap cuts — never a cartesian stage, single-partition data
+    exchange, or global range sort (the per-point 1-row count frames
+    cross-join as BroadcastNestedLoopJoin, the correct 1-row shape)."""
+    plan = _plan(spark, sf_dir, "ann21_probe_recall_curve")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan

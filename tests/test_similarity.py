@@ -747,3 +747,25 @@ def test_ivf_sq8_cosines_exact_and_cell_scoped(spark):
     qc = assign[0]
     for r in got:
         assert assign[r["vec_id"]] == qc
+
+
+def test_probe_recall_curve_monotone(spark, sf_dir):
+    """ann21's curve: candidate sets nest by construction, so both
+    axes are monotone non-decreasing in nprobe; recall is bounded in
+    [0, 1]; and the nprobe=1 point must equal ann6's single-probe
+    recall on the same ground truth."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ann21_probe_recall_curve"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_scanned"] >= a["n_scanned"]
+        assert b["n_hits"] >= a["n_hits"]
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] <= min(10, r["n_scanned"])
+    ann6 = REGISTRY["ann6_recall_at_k"].spark(spark, sf_dir).collect()[0]
+    assert rows[0]["recall_at_k"] == ann6["recall_at_k"]
