@@ -138,6 +138,9 @@ HEADLINE = [
     "i8_schema_evolution",
     # novelty scoring: df table consumed as a count (no pair fan-out)
     "tx24_novelty_score",
+    # the recall-vs-cost tuning curve: brute-force ground truth + 3
+    # probe levels in one plan — a contract query, priced accordingly
+    "ann21_probe_recall_curve",
 ]
 
 
