@@ -9130,6 +9130,177 @@ FROM est JOIN n USING (grp) JOIN ex ON ex.grp = est.grp
 """
 
 
+_X56_SQL = """
+WITH v AS (
+  SELECT event_type AS grp,
+         cast(round(value * 100, 0) AS BIGINT) AS v,
+         cast(value AS DOUBLE) AS price
+  FROM events
+),
+b AS (
+  SELECT grp, length(bin(v)) AS blen,
+         CASE WHEN v < 8 THEN v
+              ELSE cast(floor(v / power(2, length(bin(v)) - 4)) AS BIGINT) - 8
+         END AS sub,
+         count(*) AS c
+  FROM v GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT grp, blen, sub, c,
+         CASE WHEN blen <= 3 THEN cast(sub AS DOUBLE)
+              ELSE (sub + 8.5) * power(2, blen - 4) END AS rep,
+         sum(c) OVER (PARTITION BY grp ORDER BY blen, sub
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+),
+n AS (SELECT grp, sum(c) AS n FROM b GROUP BY 1),
+qs AS (SELECT unnest([0.25, 0.75]) AS q),
+est AS (
+  SELECT r.grp, qs.q, arg_min(r.rep, r.blen * 8 + r.sub) / 100 AS qv
+  FROM r JOIN n USING (grp) CROSS JOIN qs
+  WHERE r.cum >= ceil(qs.q * n.n)
+  GROUP BY 1, 2
+),
+fences AS (
+  SELECT a.grp,
+         a.qv - 1.5 * (b.qv - a.qv) AS lo,
+         b.qv + 1.5 * (b.qv - a.qv) AS hi
+  FROM est a JOIN est b ON a.grp = b.grp AND a.q = 0.25 AND b.q = 0.75
+),
+exact AS (
+  SELECT grp,
+         quantile_cont(price, 0.25) AS q1x,
+         quantile_cont(price, 0.75) AS q3x
+  FROM v GROUP BY 1
+),
+xfences AS (
+  SELECT grp, q1x - 1.5 * (q3x - q1x) AS xlo, q3x + 1.5 * (q3x - q1x) AS xhi
+  FROM exact
+),
+flags AS (
+  SELECT v.grp,
+         sum(CASE WHEN price < f.lo OR price > f.hi THEN 1 ELSE 0 END)
+           AS n_out_sketch,
+         sum(CASE WHEN price < xf.xlo OR price > xf.xhi THEN 1 ELSE 0 END)
+           AS n_out_exact,
+         sum(CASE WHEN (price < f.lo OR price > f.hi)
+                   <> (price < xf.xlo OR price > xf.xhi)
+                  THEN 1 ELSE 0 END) AS n_disagree,
+         count(*) AS n
+  FROM v JOIN fences f USING (grp) JOIN xfences xf USING (grp)
+  GROUP BY 1
+)
+SELECT flags.grp AS event_type,
+       round(f.lo, 2) AS fence_lo, round(f.hi, 2) AS fence_hi,
+       cast(n_out_sketch AS BIGINT) AS n_out_sketch,
+       cast(n_out_exact AS BIGINT) AS n_out_exact,
+       cast(n_disagree AS BIGINT) AS n_disagree,
+       round(n_disagree * 1.0 / n, 4) AS disagree_frac
+FROM flags JOIN fences f ON f.grp = flags.grp
+"""
+
+
+@register("x56_sketch_fence_outliers", _X56_SQL)
+def x56_sketch_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging from SKETCH quantiles: Tukey fences
+    (q1 - 1.5 IQR, q3 + 1.5 IQR) computed from hh5's mergeable
+    log-bin histogram instead of an exact per-group sort — the
+    composition a 100 TB quality monitor actually runs, because the
+    histogram folds incrementally (x41's discipline) while exact
+    quantiles re-sort history every batch. x4 flags outliers against
+    a mean (skew-fragile); these fences are median-family robust.
+    CONTRACT form: the exact-quantile fences run in the same plan and
+    the query emits the per-group flag disagreement — the number that
+    says what the sketch's 1/16 bin error costs in decisions (rows
+    whose price sits between the sketch fence and the exact fence),
+    pinned small in tests.
+
+    Plan shape: hh5's histogram agg (the one corpus-sized keyed
+    stage, map-side combinable) + a second pass that joins two
+    source-catalog-sized fence tables back to flag rows — the flag
+    pass is a broadcast join, never a sort. The exact side exists
+    only for the contract."""
+    e = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100, 0).cast("bigint")
+    vals = e.select(
+        F.col("event_type").alias("grp"),
+        v.alias("v"),
+        F.col("value").cast("double").alias("price"),
+    )
+    blen = F.length(F.bin(F.col("v")))
+    sub = F.when(F.col("v") < 8, F.col("v")).otherwise(
+        F.floor(F.col("v") / F.pow(F.lit(2.0), blen - 4)).cast("bigint") - 8
+    )
+    b = vals.groupBy("grp", blen.alias("blen"), sub.alias("sub")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rep = F.when(
+        F.col("blen") <= 3, F.col("sub").cast("double")
+    ).otherwise((F.col("sub") + 8.5) * F.pow(F.lit(2.0), F.col("blen") - 4))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("blen", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = b.select(
+        "grp", "blen", "sub", "c", rep.alias("rep"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    n = b.groupBy("grp").agg(F.sum("c").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("q")
+    )
+    est = (
+        r.join(n, "grp")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q")
+        .agg(
+            (
+                F.min_by("rep", F.col("blen") * 8 + F.col("sub")) / 100
+            ).alias("qv")
+        )
+    )
+    q1 = est.filter(F.col("q") == 0.25).select("grp", F.col("qv").alias("q1"))
+    q3 = est.filter(F.col("q") == 0.75).select("grp", F.col("qv").alias("q3"))
+    fences = q1.join(q3, "grp").select(
+        "grp",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    exact = vals.groupBy("grp").agg(
+        F.percentile("price", 0.25).alias("q1x"),
+        F.percentile("price", 0.75).alias("q3x"),
+    )
+    xfences = exact.select(
+        "grp",
+        (F.col("q1x") - 1.5 * (F.col("q3x") - F.col("q1x"))).alias("xlo"),
+        (F.col("q3x") + 1.5 * (F.col("q3x") - F.col("q1x"))).alias("xhi"),
+    )
+    sk_out = (F.col("price") < F.col("lo")) | (F.col("price") > F.col("hi"))
+    ex_out = (F.col("price") < F.col("xlo")) | (F.col("price") > F.col("xhi"))
+    flags = (
+        vals.join(F.broadcast(fences), "grp")
+        .join(F.broadcast(xfences), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(sk_out.cast("int")).alias("n_out_sketch"),
+            F.sum(ex_out.cast("int")).alias("n_out_exact"),
+            F.sum((sk_out != ex_out).cast("int")).alias("n_disagree"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return flags.join(fences, "grp").select(
+        F.col("grp").alias("event_type"),
+        F.round(F.col("lo"), 2).alias("fence_lo"),
+        F.round(F.col("hi"), 2).alias("fence_hi"),
+        F.col("n_out_sketch").cast("bigint").alias("n_out_sketch"),
+        F.col("n_out_exact").cast("bigint").alias("n_out_exact"),
+        F.col("n_disagree").cast("bigint").alias("n_disagree"),
+        F.round(F.col("n_disagree") / F.col("n"), 4).alias("disagree_frac"),
+    )
+
+
 @register("hh5_logbin_quantiles", _HH5_SQL)
 def hh5_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a MERGEABLE log-binned histogram — the
@@ -9366,7 +9537,8 @@ _GATE_PREFIX = [
     # quality classifier, the cross-source overlap matrix, the RAG
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
     # the UniMax water-filling allocator, the schema-evolution union,
-    # the n-gram novelty score, and the probe-recall tuning curve.
+    # the n-gram novelty score, the probe-recall tuning curve, and
+    # the sketch-fence robust outlier monitor.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9377,16 +9549,18 @@ _GATE_PREFIX = [
     "i8_schema_evolution",
     "tx24_novelty_score",
     "ann21_probe_recall_curve",
+    "x56_sketch_fence_outliers",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (20), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x30/x31/x33 (20 of its 30 — all due
-    # at round 10; those ten stay on the normal horizon and the
-    # gate-policy test will force them into the round-10 gate). The
-    # five oldest r6 queries (a0-a4, due round 11) wait their turn.
+    # (3) rotation (19), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x20/x30/x31/x33 (19 of its 30 — all
+    # due at round 10; those eleven stay on the normal horizon and
+    # the gate-policy test will force them into the round-10 gate).
+    # The five oldest r6 queries (a0-a4, due round 11) wait their
+    # turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9406,7 +9580,6 @@ _GATE_PREFIX = [
     "x16_table_diff",
     "x17_salted_agg",
     "x19_weighted_sample",
-    "x20_trailing_range_frame",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

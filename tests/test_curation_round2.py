@@ -542,3 +542,21 @@ def test_novelty_inverse_of_duplication(spark, sf_dir):
         .count()
     )
     assert sum(r["n_novel"] for r in rows) == df1
+
+
+def test_sketch_fence_outliers_contract(spark, sf_dir):
+    """x56: the sketch fences actually flag (real tail in events.value),
+    the sketch and exact decisions agree on all but a sliver of rows
+    (the cost of the 1/16 bin error, < 2% here), and fences are
+    ordered with the exact-side count within 25% of the sketch count."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["x56_sketch_fence_outliers"].spark(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["fence_lo"] < r["fence_hi"]
+        assert r["n_out_sketch"] > 0 and r["n_out_exact"] > 0
+        assert r["disagree_frac"] < 0.02, r
+        assert abs(r["n_out_sketch"] - r["n_out_exact"]) <= max(
+            4, 0.25 * r["n_out_exact"]
+        ), r

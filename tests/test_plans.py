@@ -661,3 +661,13 @@ def test_probe_recall_curve_shares_assignment(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_fence_flag_pass_broadcasts(spark, sf_dir):
+    """x56's flag pass joins two catalog-sized fence tables back to
+    the rows as broadcasts — never a sort, cartesian stage, or
+    data-sized single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x56_sketch_fence_outliers")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
