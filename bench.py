@@ -141,6 +141,8 @@ HEADLINE = [
     # the recall-vs-cost tuning curve: brute-force ground truth + 3
     # probe levels in one plan — a contract query, priced accordingly
     "ann21_probe_recall_curve",
+    # sketch-fence outlier monitor: histogram + broadcast flag pass
+    "x56_sketch_fence_outliers",
 ]
 
 
