@@ -182,3 +182,62 @@ def hll_estimate(regs: DataFrame, key_col: str = "source") -> DataFrame:
         F.col("zeros").cast("bigint").alias("zeros"),
         F.round(e, 2).alias("n_est"),
     )
+
+
+# --- Log-bin quantile histogram (hh5/x56's geometry) ----------------------
+# (octave = bin()-string length, 3-bit mantissa prefix) bins over a
+# non-negative bigint value column. Bin counts are a SUM monoid like
+# the CM grid, so per-batch histograms fold by addition — the quantile
+# summary a 100 TB monitor keeps instead of re-sorting history.
+
+
+def logbin_histogram(
+    df: DataFrame, key_col: str = "grp", v_col: str = "v"
+) -> DataFrame:
+    """(key, blen, sub, c): the log-bin histogram per key. ``v_col``
+    must be a non-negative BIGINT (scale floats to cents first)."""
+    blen = F.length(F.bin(F.col(v_col)))
+    sub = F.when(F.col(v_col) < 8, F.col(v_col)).otherwise(
+        F.floor(F.col(v_col) / F.pow(F.lit(2.0), blen - 4)).cast("bigint")
+        - 8
+    )
+    return df.groupBy(
+        key_col, blen.alias("blen"), sub.alias("sub")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def logbin_quantiles(
+    hist: DataFrame, qs: tuple, key_col: str = "grp"
+) -> DataFrame:
+    """(key, q, est): quantile estimates read off a (possibly folded)
+    log-bin histogram — cumulative over (blen, sub), first bin at or
+    past ceil(q*n), midpoint representative. Estimates are in the
+    histogram's own (scaled) units."""
+    from pyspark.sql import Window
+
+    rep = F.when(
+        F.col("blen") <= 3, F.col("sub").cast("double")
+    ).otherwise((F.col("sub") + 8.5) * F.pow(F.lit(2.0), F.col("blen") - 4))
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("blen", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = hist.select(
+        key_col, "blen", "sub", "c", rep.alias("rep"),
+        F.sum("c").over(wcum).alias("cum"),
+    )
+    n = hist.groupBy(key_col).agg(F.sum("c").alias("n"))
+    spark = hist.sparkSession
+    qf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    return (
+        r.join(n, key_col)
+        .crossJoin(F.broadcast(qf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(key_col, "q")
+        .agg(
+            F.min_by("rep", F.col("blen") * 8 + F.col("sub")).alias("est")
+        )
+    )

@@ -9220,6 +9220,8 @@ def x56_sketch_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-catalog-sized fence tables back to flag rows — the flag
     pass is a broadcast join, never a sort. The exact side exists
     only for the contract."""
+    from .llm.sketch import logbin_histogram, logbin_quantiles
+
     e = _t(spark, sf_dir, "events")
     v = F.round(F.col("value") * 100, 0).cast("bigint")
     vals = e.select(
@@ -9227,39 +9229,9 @@ def x56_sketch_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.col("value").cast("double").alias("price"),
     )
-    blen = F.length(F.bin(F.col("v")))
-    sub = F.when(F.col("v") < 8, F.col("v")).otherwise(
-        F.floor(F.col("v") / F.pow(F.lit(2.0), blen - 4)).cast("bigint") - 8
-    )
-    b = vals.groupBy("grp", blen.alias("blen"), sub.alias("sub")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    rep = F.when(
-        F.col("blen") <= 3, F.col("sub").cast("double")
-    ).otherwise((F.col("sub") + 8.5) * F.pow(F.lit(2.0), F.col("blen") - 4))
-    wcum = (
-        Window.partitionBy("grp")
-        .orderBy("blen", "sub")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = b.select(
-        "grp", "blen", "sub", "c", rep.alias("rep"),
-        F.sum("c").over(wcum).alias("cum"),
-    )
-    n = b.groupBy("grp").agg(F.sum("c").alias("n"))
-    qs = spark.range(1).select(
-        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("q")
-    )
-    est = (
-        r.join(n, "grp")
-        .crossJoin(F.broadcast(qs))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("grp", "q")
-        .agg(
-            (
-                F.min_by("rep", F.col("blen") * 8 + F.col("sub")) / 100
-            ).alias("qv")
-        )
+    b = logbin_histogram(vals, "grp", "v")
+    est = logbin_quantiles(b, (0.25, 0.75), "grp").select(
+        "grp", "q", (F.col("est") / 100).alias("qv")
     )
     q1 = est.filter(F.col("q") == 0.25).select("grp", F.col("qv").alias("q1"))
     q3 = est.filter(F.col("q") == 0.75).select("grp", F.col("qv").alias("q3"))
@@ -9327,6 +9299,8 @@ def hh5_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold it per batch (x41's discipline), and never re-sort history.
     Spark's own approx_percentile cannot be oracle-checked (private
     KLL layout) — same motivation as hh4 vs approx_count_distinct."""
+    from .llm.sketch import logbin_histogram, logbin_quantiles
+
     o = _t(spark, sf_dir, "orders")
     v = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     vals = o.select(
@@ -9334,39 +9308,10 @@ def hh5_logbin_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    blen = F.length(F.bin(F.col("v")))
-    sub = F.when(F.col("v") < 8, F.col("v")).otherwise(
-        F.floor(F.col("v") / F.pow(F.lit(2.0), blen - 4)).cast("bigint") - 8
-    )
-    b = vals.groupBy(
-        "grp", blen.alias("blen"), sub.alias("sub")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    rep = F.when(
-        F.col("blen") <= 3, F.col("sub").cast("double")
-    ).otherwise((F.col("sub") + 8.5) * F.pow(F.lit(2.0), F.col("blen") - 4))
-    wcum = (
-        Window.partitionBy("grp")
-        .orderBy("blen", "sub")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = b.select(
-        "grp", "blen", "sub", "c", rep.alias("rep"),
-        F.sum("c").over(wcum).alias("cum"),
-    )
+    b = logbin_histogram(vals, "grp", "v")
     n = b.groupBy("grp").agg(F.sum("c").alias("n"))
-    qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q) for q in _HH5_QS])).alias("q")
-    )
-    est = (
-        r.join(n, "grp")
-        .crossJoin(F.broadcast(qs))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("grp", "q")
-        .agg(
-            F.min_by("rep", F.col("blen") * 8 + F.col("sub")).alias(
-                "est_cents"
-            )
-        )
+    est = logbin_quantiles(b, _HH5_QS, "grp").withColumnRenamed(
+        "est", "est_cents"
     )
     ex = vals.groupBy("grp").agg(
         F.percentile("price", 0.5).alias("p50"),

@@ -1253,3 +1253,76 @@ def stream_token_dist_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def logbin_hist_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """foreachBatch sink for incremental log-bin quantile histograms —
+    hh5's operational twin (and x56's fence source): each arrival
+    batch's (key, blen, sub, c) histogram lands under
+    ``state_dir/batch_id=N``. Bin counts are a SUM monoid, so history
+    folds by addition and any quantile (or Tukey fence) reads off the
+    folded histogram without re-sorting past batches. Re-delivered
+    batches overwrite their own batch_id partition (exactly-once,
+    same contract as the other state sinks). Values are scaled to
+    cents in the sink so the state holds only non-negative bigints."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.sketch import logbin_histogram
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        v = F.round(F.col(value_col) * 100, 0).cast("bigint")
+        vals = batch_df.select(F.col(key_col).alias("grp"), v.alias("v"))
+        logbin_histogram(vals, "grp", "v").write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def logbin_hist_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(grp, blen, sub, c) — the folded histogram from the persisted
+    state log (sum-monoid merge)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("grp", "blen", "sub")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def stream_logbin_hist_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental log-bin histograms — hh5's operational
+    twin, same AvailableNow cadence as the other state sinks. Batch
+    CORRECTNESS twin: queries.hh5_logbin_quantiles is driver-verified
+    against its exact-percentile DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            logbin_hist_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -348,3 +348,78 @@ def test_token_dist_drift_identity_and_idempotency(spark, tmp_path):
     step(b, 1)
     rep = js_drift_report(spark, state_dir, batch_id=1).collect()
     assert rep and all(r["js_div"] == 0.0 for r in rep)
+
+
+HIST_SCHEMA = "event_type string, value double"
+H1 = [("click", 1.00), ("click", 2.50), ("view", 10.00), ("view", 200.00)]
+H2 = [("click", 3.75), ("click", 150.00), ("view", 12.25)]
+
+
+def _write_hist_batch(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": [r[0] for r in rows],
+                "value": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def _hist(df):
+    return {(r["grp"], r["blen"], r["sub"]): r["c"] for r in df.collect()}
+
+
+def test_stream_logbin_hist_folds_and_serves_quantiles(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.sketch import (
+        logbin_histogram,
+        logbin_quantiles,
+    )
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        logbin_hist_from_state_dir,
+        stream_logbin_hist_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def full(rows):
+        df = spark.createDataFrame(rows, HIST_SCHEMA)
+        vals = df.select(
+            F.col("event_type").alias("grp"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        )
+        return logbin_histogram(vals, "grp", "v")
+
+    _write_hist_batch(str(src / "b1.parquet"), H1)
+    stream_logbin_hist_available_now(
+        spark, str(src), HIST_SCHEMA, state_dir, ckpt
+    )
+    assert _hist(logbin_hist_from_state_dir(spark, state_dir)) == _hist(
+        full(H1)
+    )
+
+    _write_hist_batch(str(src / "b2.parquet"), H2)
+    stream_logbin_hist_available_now(
+        spark, str(src), HIST_SCHEMA, state_dir, ckpt
+    )
+    folded = logbin_hist_from_state_dir(spark, state_dir)
+    assert _hist(folded) == _hist(full(H1 + H2))
+
+    # quantiles read off the folded state; medians land inside the
+    # per-key value range (scaled units = cents)
+    est = {
+        (r["grp"], r["q"]): r["est"]
+        for r in logbin_quantiles(folded, (0.5,), "grp").collect()
+    }
+    assert set(g for g, _ in est) == {"click", "view"}
+    assert 100 <= est[("click", 0.5)] <= 15000
+    assert 1000 <= est[("view", 0.5)] <= 20000
