@@ -8905,6 +8905,81 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
 
 
+_X57_K = 5
+
+
+def _x57_sql() -> str:
+    from .llm.dedup import _hexint_sql
+
+    hexed = _hexint_sql("md5('ps' || '|' || cast(doc_id AS VARCHAR))", 8)
+    u = f"(({hexed}) + 0.5) / 4294967296.0"
+    return f"""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             round(ln({u}) / n_chars, 8) AS priority
+      FROM documents
+    )
+    SELECT source, doc_id, cast(n_chars AS BIGINT) AS n_chars, priority,
+           cast(row_number() OVER (PARTITION BY source
+                                   ORDER BY priority DESC, doc_id)
+                AS BIGINT) AS rk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id) <= {_X57_K}
+    """
+
+
+@register("x57_per_source_reservoir", None)  # sql attached below
+def x57_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced fixed-k sampling: an exact weighted reservoir
+    (Efraimidis-Spirakis, x50's priority) of k={_k} documents from
+    EVERY source — the op that builds a balanced eval/inspection set
+    where x50 guarantees only a global size (a dominant source can
+    claim every slot) and x12 guarantees only per-stratum rates (a
+    tiny source can round to zero rows). Per-group fixed-k is the
+    output contract a human-review queue or per-source quality probe
+    actually needs: every feed represented, none over-represented,
+    and the same hash-derived priorities make the per-source sample a
+    pure function of row identity — stable across runs, engines, and
+    partitionings, and mergeable (per-shard top-k per source folds to
+    the global per-source top-k).
+
+    Plan shape: a map-side priority projection and ONE source-keyed
+    window (rank within source) — the per-group analog of x50's heap;
+    the group-limit pushes below the exchange (WindowGroupLimit), so
+    only ~k rows per source per input partition ever shuffle."""
+    from .llm.dedup import _hexint
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        _hexint(F.md5(F.concat_ws("|", F.lit("ps"), F.col("doc_id"))), 8)
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _X57_K)
+        .select(
+            "source", "doc_id", "n_chars", "priority",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+x57_per_source_reservoir.__doc__ = x57_per_source_reservoir.__doc__.replace(
+    "{_k}", str(_X57_K)
+)
+REGISTRY["x57_per_source_reservoir"].sql = _x57_sql()
+
+
 _I8_SQL = """
 WITH v1 AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -9482,8 +9557,9 @@ _GATE_PREFIX = [
     # quality classifier, the cross-source overlap matrix, the RAG
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
     # the UniMax water-filling allocator, the schema-evolution union,
-    # the n-gram novelty score, the probe-recall tuning curve, and
-    # the sketch-fence robust outlier monitor.
+    # the n-gram novelty score, the probe-recall tuning curve, the
+    # sketch-fence robust outlier monitor, and the per-source
+    # fixed-k reservoir.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9495,17 +9571,18 @@ _GATE_PREFIX = [
     "tx24_novelty_score",
     "ann21_probe_recall_curve",
     "x56_sketch_fence_outliers",
+    "x57_per_source_reservoir",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (19), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x20/x30/x31/x33 (19 of its 30 — all
-    # due at round 10; those eleven stay on the normal horizon and
-    # the gate-policy test will force them into the round-10 gate).
-    # The five oldest r6 queries (a0-a4, due round 11) wait their
-    # turn.
+    # (3) rotation (18), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x19/x20/x30/x31/x33 (18 of its 30 —
+    # all due at round 10; those twelve stay on the normal horizon
+    # and the gate-policy test will force them into the round-10
+    # gate). The five oldest r6 queries (a0-a4, due round 11) wait
+    # their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9524,7 +9601,6 @@ _GATE_PREFIX = [
     "x15_sessionize",
     "x16_table_diff",
     "x17_salted_agg",
-    "x19_weighted_sample",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -560,3 +560,50 @@ def test_sketch_fence_outliers_contract(spark, sf_dir):
         assert abs(r["n_out_sketch"] - r["n_out_exact"]) <= max(
             4, 0.25 * r["n_out_exact"]
         ), r
+
+
+def test_per_source_reservoir_balance_and_merge(spark, sf_dir):
+    """x57: exactly k rows per source with dense ranks; the selection
+    agrees with x50's priority function (a doc in both samples carries
+    the same priority); and the per-group reservoir is mergeable —
+    per-shard (doc_id parity) per-source top-k folds to the global
+    per-source top-k."""
+    from python_etl_pipeline_spark.llm.dedup import _hexint
+    from python_etl_pipeline_spark.queries import _X57_K, REGISTRY, _t
+
+    rows = REGISTRY["x57_per_source_reservoir"].spark(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) == 20
+    for src, rs in by_src.items():
+        assert sorted(r["rk"] for r in rs) == list(range(1, _X57_K + 1))
+
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        _hexint(F.md5(F.concat_ws("|", F.lit("ps"), F.col("doc_id"))), 8)
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = d.select(
+        "source", "doc_id",
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("priority"),
+    )
+
+    def topk(df):
+        out: dict[str, list] = {}
+        for r in df.collect():
+            out.setdefault(r["source"], []).append(
+                (r["priority"], -r["doc_id"])
+            )
+        return {
+            s: sorted(v, reverse=True)[: _X57_K] for s, v in out.items()
+        }
+
+    full = topk(scored)
+    sh_a = topk(scored.filter(F.col("doc_id") % 2 == 0))
+    sh_b = topk(scored.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        s: sorted(sh_a.get(s, []) + sh_b.get(s, []), reverse=True)[: _X57_K]
+        for s in set(sh_a) | set(sh_b)
+    }
+    assert merged == full

@@ -671,3 +671,14 @@ def test_sketch_fence_flag_pass_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_per_source_reservoir_group_limit_pushdown(spark, sf_dir):
+    """x57's k-per-source cut must push the group limit below the
+    exchange (WindowGroupLimit) so only ~k rows per source per input
+    partition shuffle — and never plan a global sort or single
+    partition."""
+    plan = _plan(spark, sf_dir, "x57_per_source_reservoir")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
