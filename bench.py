@@ -143,6 +143,8 @@ HEADLINE = [
     "ann21_probe_recall_curve",
     # sketch-fence outlier monitor: histogram + broadcast flag pass
     "x56_sketch_fence_outliers",
+    # balanced k-per-source reservoir: one group-limited window
+    "x57_per_source_reservoir",
 ]
 
 
