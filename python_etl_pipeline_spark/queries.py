@@ -8905,6 +8905,142 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
 
 
+_X58_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds for the inverse-CDF draw (k = 0..5; the
+# tail mass past 6 is 6e-5 and maps to 6). Exact double literals so
+# both engines binary-match the CASE ladder.
+_X58_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _x58_sql() -> str:
+    from .llm.dedup import _hexint_sql
+
+    hexed = _hexint_sql(
+        "md5('bs' || '|' || cast(doc_id AS VARCHAR) || '|' "
+        "|| cast(b AS VARCHAR))",
+        8,
+    )
+    u = f"(({hexed}) + 0.5) / 4294967296.0"
+    ladder = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_X58_CDF)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT source, doc_id, cast(n_chars AS DOUBLE) AS x, b,
+             CASE {ladder} ELSE 6 END AS w
+      FROM documents CROSS JOIN (
+        SELECT unnest(range(0, {_X58_B})) AS b
+      )
+    ),
+    rmeans AS (
+      SELECT source, b, sum(w * x) / sum(w) AS m
+      FROM reps GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    boot AS (SELECT source, stddev_samp(m) AS se_boot FROM rmeans GROUP BY 1),
+    plain AS (
+      SELECT source, count(*) AS n, avg(cast(n_chars AS DOUBLE)) AS mean_x,
+             stddev_samp(cast(n_chars AS DOUBLE)) / sqrt(count(*))
+               AS se_analytic
+      FROM documents GROUP BY 1
+    )
+    SELECT plain.source, cast(n AS BIGINT) AS n, round(mean_x, 4) AS mean_x,
+           round(se_boot, 4) AS se_boot,
+           round(se_analytic, 4) AS se_analytic,
+           round(se_boot / se_analytic, 2) AS se_ratio
+    FROM plain JOIN boot ON boot.source = plain.source
+    """
+
+
+@register("x58_bootstrap_se", None)  # sql attached below
+def x58_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error bars in ONE pass: Poisson-bootstrap standard errors for
+    the per-source mean document length. The classical bootstrap
+    resamples the data B times — B full scans, impossible at 100 TB.
+    The Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams") replaces resampling with
+    per-row replicate weights w ~ Poisson(1): every row contributes
+    to all B replicate sums in the same scan, the weighted replicate
+    means' spread estimates the sampling error, and the replicate
+    sums are plain map-side-combinable aggregates. Weights here are
+    DERIVED from the row's identity hash through the exact Poisson(1)
+    inverse CDF, so the "randomness" is reproducible across runs,
+    engines, and partitionings — which is what lets a DuckDB oracle
+    hash-match a bootstrap, normally the least replayable of methods.
+    CONTRACT form: the analytic SE (sigma/sqrt(n)) runs in the same
+    plan, and the ratio is pinned near 1 — the bootstrap is verified
+    against closed-form truth where the closed form exists, so it can
+    be trusted where it doesn't (ratio metrics, quantiles, dedup
+    rates).
+
+    Plan shape: one B-way explode (constant fan-out, map-side) into a
+    (source, b)-keyed agg — replicate count, not corpus size, bounds
+    the group space; the analytic side is one keyed agg over the raw
+    rows. Reference analog: src/load.py's count reconciliation,
+    upgraded from "is the count right" to "how sure are we about the
+    statistic"."""
+    from .llm.dedup import _hexint
+
+    d = _t(spark, sf_dir, "documents")
+    reps = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_X58_B - 1))
+        ).alias("b"),
+    )
+    u = (
+        _hexint(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("bs"), F.col("doc_id"), F.col("b")
+                )
+            ),
+            8,
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for k in range(len(_X58_CDF) - 1, -1, -1):
+        w = F.when(u < float(_X58_CDF[k]), F.lit(k)).otherwise(w)
+    reps = reps.withColumn("w", w)
+    rmeans = (
+        reps.groupBy("source", "b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("sx"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("source", "b", (F.col("sx") / F.col("sw")).alias("m"))
+    )
+    boot = rmeans.groupBy("source").agg(F.stddev_samp("m").alias("se_boot"))
+    plain = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("n_chars").cast("double")).alias("mean_x"),
+        (
+            F.stddev_samp(F.col("n_chars").cast("double"))
+            / F.sqrt(F.count(F.lit(1)))
+        ).alias("se_analytic"),
+    )
+    return plain.join(boot, "source").select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_x", 4).alias("mean_x"),
+        F.round("se_boot", 4).alias("se_boot"),
+        F.round("se_analytic", 4).alias("se_analytic"),
+        F.round(F.col("se_boot") / F.col("se_analytic"), 2).alias(
+            "se_ratio"
+        ),
+    )
+
+
+REGISTRY["x58_bootstrap_se"].sql = _x58_sql()
+
+
 _X57_K = 5
 
 
@@ -9558,8 +9694,8 @@ _GATE_PREFIX = [
     # chunker, the log-bin quantile sketch, the JS-drift monitor, and
     # the UniMax water-filling allocator, the schema-evolution union,
     # the n-gram novelty score, the probe-recall tuning curve, the
-    # sketch-fence robust outlier monitor, and the per-source
-    # fixed-k reservoir.
+    # sketch-fence robust outlier monitor, the per-source fixed-k
+    # reservoir, and the one-pass Poisson-bootstrap SE.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9572,17 +9708,18 @@ _GATE_PREFIX = [
     "ann21_probe_recall_curve",
     "x56_sketch_fence_outliers",
     "x57_per_source_reservoir",
+    "x58_bootstrap_se",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (18), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x19/x20/x30/x31/x33 (18 of its 30 —
-    # all due at round 10; those twelve stay on the normal horizon
-    # and the gate-policy test will force them into the round-10
-    # gate). The five oldest r6 queries (a0-a4, due round 11) wait
-    # their turn.
+    # (3) rotation (17), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x17/x19/x20/x30/x31/x33 (17 of its
+    # 30 — all due at round 10; those thirteen stay on the normal
+    # horizon and the gate-policy test will force them into the
+    # round-10 gate). The five oldest r6 queries (a0-a4, due round
+    # 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9600,7 +9737,6 @@ _GATE_PREFIX = [
     "x14_exact_percentile",
     "x15_sessionize",
     "x16_table_diff",
-    "x17_salted_agg",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

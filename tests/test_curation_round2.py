@@ -607,3 +607,36 @@ def test_per_source_reservoir_balance_and_merge(spark, sf_dir):
         for s in set(sh_a) | set(sh_b)
     }
     assert merged == full
+
+
+def test_bootstrap_se_tracks_analytic(spark, sf_dir):
+    """x58 contract: the one-pass Poisson-bootstrap SE tracks the
+    closed-form sigma/sqrt(n) within bootstrap noise (B=32, n=25 per
+    source -> ratio in [0.5, 2]); and the hash-derived weights really
+    are Poisson(1): the global mean weight sits within 5% of 1."""
+    from python_etl_pipeline_spark.llm.dedup import _hexint
+    from python_etl_pipeline_spark.queries import _X58_B, _X58_CDF, REGISTRY, _t
+
+    rows = REGISTRY["x58_bootstrap_se"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["se_boot"] > 0 and r["se_analytic"] > 0
+        assert 0.5 <= r["se_ratio"] <= 2.0, r
+
+    d = _t(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_X58_B - 1))).alias("b"),
+    )
+    u = (
+        _hexint(
+            F.md5(F.concat_ws("|", F.lit("bs"), F.col("doc_id"), F.col("b"))),
+            8,
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    w = F.lit(6)
+    for k in range(len(_X58_CDF) - 1, -1, -1):
+        w = F.when(u < float(_X58_CDF[k]), F.lit(k)).otherwise(w)
+    mean_w = reps.select(w.alias("w")).agg(F.avg("w")).collect()[0][0]
+    assert 0.95 <= mean_w <= 1.05

@@ -682,3 +682,13 @@ def test_per_source_reservoir_group_limit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_bootstrap_se_replicates_stay_keyed(spark, sf_dir):
+    """x58's B-way explode is a constant map-side fan-out feeding a
+    (source, b)-keyed agg — never a cartesian stage, data-sized single
+    partition, or range sort."""
+    plan = _plan(spark, sf_dir, "x58_bootstrap_se")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
