@@ -145,6 +145,8 @@ HEADLINE = [
     "x56_sketch_fence_outliers",
     # balanced k-per-source reservoir: one group-limited window
     "x57_per_source_reservoir",
+    # hash-derived Poisson bootstrap: 32 replicate means in one pass
+    "x58_bootstrap_se",
 ]
 
 
