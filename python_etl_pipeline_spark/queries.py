@@ -8905,6 +8905,122 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
 
 
+_TX25_TOP = 50  # Zipf fit over the top-k token frequencies
+
+_TX25_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({{toks}}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+top AS (
+  SELECT tok, f,
+         row_number() OVER (ORDER BY f DESC, tok) AS r
+  FROM freq ORDER BY f DESC, tok LIMIT {_TX25_TOP}
+),
+zipf AS (
+  SELECT (sum(ln(r) * ln(f)) - sum(ln(r)) * sum(ln(f)) / count(*))
+         / (sum(ln(r) * ln(r)) - sum(ln(r)) * sum(ln(r)) / count(*))
+           AS slope
+  FROM top
+),
+per_src AS (
+  SELECT source, count(*) AS n, count(DISTINCT tok) AS v
+  FROM toks GROUP BY 1
+),
+heaps AS (
+  SELECT (sum(ln(n) * ln(v)) - sum(ln(n)) * sum(ln(v)) / count(*))
+         / (sum(ln(n) * ln(n)) - sum(ln(n)) * sum(ln(n)) / count(*))
+           AS beta
+  FROM per_src
+),
+tot AS (
+  SELECT sum(n) AS n_tokens,
+         (SELECT count(*) FROM freq) AS vocab
+  FROM per_src
+)
+SELECT cast(n_tokens AS BIGINT) AS n_tokens,
+       cast(vocab AS BIGINT) AS vocab,
+       round(zipf.slope, 4) AS zipf_slope,
+       round(heaps.beta, 4) AS heaps_beta
+FROM tot, zipf, heaps
+"""
+
+
+@register("tx25_zipf_heaps", None)  # sql attached below
+def tx25_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics sanity panel: the Zipf slope (log-log
+    regression of the top-50 token frequencies against rank — healthy
+    natural text sits near -1) and the Heaps exponent (log-log
+    regression of per-source vocabulary against token count — natural
+    text grows vocabulary sub-linearly, beta in ~[0.4, 0.9]). These
+    two numbers are the cheapest corpus-health fingerprints there
+    are: machine-generated spam flattens the Zipf slope, boilerplate
+    mass collapses Heaps growth, and a feed whose fingerprint MOVES
+    between snapshots has changed generator — the corpus-level
+    companion to x54's per-source drift. Both slopes are closed-form
+    least squares computed as plain aggregates (no iteration, no ML
+    library).
+
+    Plan shape: one token explode feeds the frequency table
+    (vocabulary-sized) and the per-source (N, V) table (catalog-
+    sized); the Zipf fit runs on 50 rows cut by a heap
+    (TakeOrderedAndProject), the Heaps fit on the source catalog —
+    everything after the two keyed aggs is metadata-sized.
+    Reference analog: src/load.py's summary statistics, upgraded
+    from row counts to distribution-shape diagnostics."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    top = (
+        freq.orderBy(F.col("f").desc(), "tok")
+        .limit(_TX25_TOP)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.col("f").desc(), "tok"))
+            .alias("r"),
+        )
+    )
+
+    def _slope(df, xc, yc):
+        x, y = F.log(F.col(xc)), F.log(F.col(yc))
+        n = F.count(F.lit(1))
+        return df.agg(
+            (
+                (F.sum(x * y) - F.sum(x) * F.sum(y) / n)
+                / (F.sum(x * x) - F.sum(x) * F.sum(x) / n)
+            ).alias("slope")
+        )
+
+    zipf = _slope(top, "r", "f").withColumnRenamed("slope", "zslope")
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("tok").alias("v")
+    )
+    heaps = _slope(per_src, "n", "v").withColumnRenamed("slope", "beta")
+    tot = per_src.agg(F.sum("n").alias("n_tokens")).crossJoin(
+        freq.agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(zipf))
+        .crossJoin(F.broadcast(heaps))
+        .select(
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("bigint").alias("vocab"),
+            F.round("zslope", 4).alias("zipf_slope"),
+            F.round("beta", 4).alias("heaps_beta"),
+        )
+    )
+
+
+def _tx25_sql() -> str:
+    return _TX25_SQL.format(toks=_DUCK_TOKS)
+
+
+REGISTRY["tx25_zipf_heaps"].sql = _tx25_sql()
+
+
 _X58_B = 32  # bootstrap replicates
 # Poisson(1) CDF thresholds for the inverse-CDF draw (k = 0..5; the
 # tail mass past 6 is 6e-5 and maps to 6). Exact double literals so
@@ -9695,7 +9811,8 @@ _GATE_PREFIX = [
     # the UniMax water-filling allocator, the schema-evolution union,
     # the n-gram novelty score, the probe-recall tuning curve, the
     # sketch-fence robust outlier monitor, the per-source fixed-k
-    # reservoir, and the one-pass Poisson-bootstrap SE.
+    # reservoir, the one-pass Poisson-bootstrap SE, and the
+    # Zipf/Heaps corpus fingerprint.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9709,14 +9826,15 @@ _GATE_PREFIX = [
     "x56_sketch_fence_outliers",
     "x57_per_source_reservoir",
     "x58_bootstrap_se",
+    "tx25_zipf_heaps",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (17), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x17/x19/x20/x30/x31/x33 (17 of its
-    # 30 — all due at round 10; those thirteen stay on the normal
+    # (3) rotation (16), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x16/x17/x19/x20/x30/x31/x33 (16 of
+    # its 30 — all due at round 10; those fourteen stay on the normal
     # horizon and the gate-policy test will force them into the
     # round-10 gate). The five oldest r6 queries (a0-a4, due round
     # 11) wait their turn.
@@ -9736,7 +9854,6 @@ _GATE_PREFIX = [
     "x13_json_extract",
     "x14_exact_percentile",
     "x15_sessionize",
-    "x16_table_diff",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

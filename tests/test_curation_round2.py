@@ -640,3 +640,23 @@ def test_bootstrap_se_tracks_analytic(spark, sf_dir):
         w = F.when(u < float(_X58_CDF[k]), F.lit(k)).otherwise(w)
     mean_w = reps.select(w.alias("w")).agg(F.avg("w")).collect()[0][0]
     assert 0.95 <= mean_w <= 1.05
+
+
+def test_zipf_heaps_fingerprint_reads_synthetic(spark, sf_dir):
+    """tx25 on the synthetic corpus must DETECT that it is synthetic:
+    the 31-token fixed vocabulary yields a near-flat Zipf slope (far
+    from natural text's -1) and a saturated Heaps exponent near 0 —
+    exactly the machine-generated fingerprint the diagnostic exists
+    to flag. Structural bounds: slope negative (frequency falls with
+    rank), beta in [0, 1), vocab <= tokens."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["tx25_zipf_heaps"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["vocab"] <= r["n_tokens"]
+    assert -3.0 < r["zipf_slope"] < 0.0
+    assert 0.0 <= r["heaps_beta"] < 1.0
+    # the synthetic-corpus reading: flat Zipf, saturated Heaps
+    assert r["zipf_slope"] > -0.6
+    assert r["heaps_beta"] < 0.2

@@ -692,3 +692,14 @@ def test_bootstrap_se_replicates_stay_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_zipf_heaps_fits_are_metadata_sized(spark, sf_dir):
+    """tx25's regressions run on a 50-row heap cut and the source
+    catalog; the corpus pays one token explode into two keyed aggs —
+    no cartesian stage, and the top-k cut is a heap, not a global
+    sort."""
+    plan = _plan(spark, sf_dir, "tx25_zipf_heaps")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
