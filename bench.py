@@ -147,6 +147,8 @@ HEADLINE = [
     "x57_per_source_reservoir",
     # hash-derived Poisson bootstrap: 32 replicate means in one pass
     "x58_bootstrap_se",
+    # Zipf/Heaps corpus fingerprint: two closed-form log-log fits
+    "tx25_zipf_heaps",
 ]
 
 
