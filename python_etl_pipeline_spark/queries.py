@@ -9889,6 +9889,9 @@ _EXPENSIVE_LAST = [
     # x51 pays ann5's full graph build (Lloyd + per-cell gram) plus an
     # eager edge checkpoint before the three PR iterations
     "x51_graph_pagerank",
+    # round-9 third-wave heavies: ann21 runs four searches (brute
+    # truth + three probe levels) in one plan by design
+    "ann21_probe_recall_curve",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
