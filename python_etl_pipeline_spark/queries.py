@@ -8905,6 +8905,105 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
 
 
+_ANN22_PLANES = 48
+_ANN22_SHORTLIST = 50
+
+
+def _ann22_sql() -> str:
+    from .llm.dedup import _hexint_sql
+
+    n = _ANN22_PLANES
+    md5_exprs = ", ".join(
+        f"md5('rp{p}|' || cast(i AS VARCHAR)) AS m{p}" for p in range(n)
+    )
+    coef_exprs = ", ".join(
+        f"({_hexint_sql(f'm{p}', 8)} / 2147483648.0 - 1.0) AS r{p}"
+        for p in range(n)
+    )
+    proj_exprs = ", ".join(f"sum(v * r{p}) AS pr{p}" for p in range(n))
+    code_expr = " + ".join(
+        f"CASE WHEN pr{p} >= 0 THEN cast({1 << p} AS BIGINT) "
+        f"ELSE 0 END"
+        for p in range(n)
+    )
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    idx AS (SELECT DISTINCT i FROM comp),
+    md5s AS (SELECT i, {md5_exprs} FROM idx),
+    coefs AS (SELECT i, {coef_exprs} FROM md5s),
+    joined AS (
+      SELECT comp.vec_id, comp.v,
+             {', '.join(f'coefs.r{p}' for p in range(n))}
+      FROM comp JOIN coefs ON comp.i = coefs.i
+    ),
+    proj AS (SELECT vec_id, {proj_exprs} FROM joined GROUP BY vec_id),
+    codes AS (SELECT vec_id, ({code_expr}) AS code FROM proj),
+    qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+    ham AS (
+      SELECT vec_id, bit_count(xor(code, qcode)) AS hamming
+      FROM codes, qc WHERE vec_id <> 0
+    ),
+    short AS (
+      SELECT vec_id, hamming FROM ham
+      ORDER BY hamming, vec_id LIMIT {_ANN22_SHORTLIST}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY 1),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    exact AS (
+      SELECT comp.vec_id, sum(comp.v * q.qv) AS dot
+      FROM comp JOIN q ON comp.i = q.i
+      WHERE comp.vec_id IN (SELECT vec_id FROM short)
+      GROUP BY 1
+    ),
+    topk AS (
+      SELECT e.vec_id,
+             round(e.dot / (n2.norm * qn.qnorm), 4) AS cosine
+      FROM exact e JOIN norms n2 ON n2.vec_id = e.vec_id, qn
+      ORDER BY cosine DESC, e.vec_id LIMIT 10
+    )
+    SELECT topk.vec_id, topk.cosine,
+           cast(short.hamming AS BIGINT) AS hamming
+    FROM topk JOIN short ON short.vec_id = topk.vec_id
+    """
+
+
+@register("ann22_binary_hamming_topk", None)  # sql attached below
+def ann22_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search from BINARY codes — the most compressed member
+    of the quantization family (ann19 SQ8 = 1 byte/dim, ann9/ann10 PQ
+    = codebook ids, this = 48 BITS per vector regardless of dimension,
+    a 21x shrink vs SQ8 at d=128): pack 48 random-hyperplane sign bits
+    into one bigint, shortlist by Hamming distance — one
+    ``bit_count(code XOR qcode)`` instruction per candidate — and
+    exact-rerank the survivors. dd5 uses the same hyperplanes to BUCKET
+    for dedup; this SERVES top-k from them, completing the
+    dedup/search symmetry. At 100 TB the code table is 8 bytes/vector
+    (a 10^10-vector corpus fits in 80 GB — broadcastable per
+    executor), so the full-precision scan shrinks to the shortlist.
+    Plane coefficients are the md5-derived constants
+    hyperplane_lsh_buckets ships, so the oracle packs bit-identical
+    codes; the Hamming cut is integer-exact (no rounding anywhere
+    before the final cosine).
+
+    Plan shape: one broadcast coefficient join + id-keyed projection
+    agg builds codes; the Hamming cut compiles to
+    TakeOrderedAndProject; only shortlist vectors are read at full
+    precision (ann19's serve pattern, smaller state)."""
+    from .llm.similarity import binary_hamming_topk
+
+    return binary_hamming_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        shortlist=_ANN22_SHORTLIST,
+        n_planes=_ANN22_PLANES,
+    )
+
+
+REGISTRY["ann22_binary_hamming_topk"].sql = _ann22_sql()
+
+
 _TX25_TOP = 50  # Zipf fit over the top-k token frequencies
 
 _TX25_SQL = f"""
@@ -9811,8 +9910,8 @@ _GATE_PREFIX = [
     # the UniMax water-filling allocator, the schema-evolution union,
     # the n-gram novelty score, the probe-recall tuning curve, the
     # sketch-fence robust outlier monitor, the per-source fixed-k
-    # reservoir, the one-pass Poisson-bootstrap SE, and the
-    # Zipf/Heaps corpus fingerprint.
+    # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
+    # corpus fingerprint, and the binary-code Hamming serve.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9827,17 +9926,18 @@ _GATE_PREFIX = [
     "x57_per_source_reservoir",
     "x58_bootstrap_se",
     "tx25_zipf_heaps",
+    "ann22_binary_hamming_topk",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (16), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x16/x17/x19/x20/x30/x31/x33 (16 of
-    # its 30 — all due at round 10; those fourteen stay on the normal
-    # horizon and the gate-policy test will force them into the
-    # round-10 gate). The five oldest r6 queries (a0-a4, due round
-    # 11) wait their turn.
+    # (3) rotation (15), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x15/x16/x17/x19/x20/x30/x31/x33 (15
+    # of its 30 — all due at round 10; those fifteen stay on the
+    # normal horizon and the gate-policy test will force them into
+    # the round-10 gate). The five oldest r6 queries (a0-a4, due
+    # round 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -9853,7 +9953,6 @@ _GATE_PREFIX = [
     "x12_stratified_sample",
     "x13_json_extract",
     "x14_exact_percentile",
-    "x15_sessionize",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

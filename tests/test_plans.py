@@ -703,3 +703,14 @@ def test_zipf_heaps_fits_are_metadata_sized(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_binary_hamming_serve_heap_cuts(spark, sf_dir):
+    """ann22's Hamming shortlist and final cosine cut both compile to
+    per-partition heaps; the coefficient join broadcasts; no cartesian
+    stage or global range sort."""
+    plan = _plan(spark, sf_dir, "ann22_binary_hamming_topk")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan

@@ -769,3 +769,24 @@ def test_probe_recall_curve_monotone(spark, sf_dir):
         assert r["n_hits"] <= min(10, r["n_scanned"])
     ann6 = REGISTRY["ann6_recall_at_k"].spark(spark, sf_dir).collect()[0]
     assert rows[0]["recall_at_k"] == ann6["recall_at_k"]
+
+
+def test_binary_hamming_serve_recall_and_bounds(spark, sf_dir):
+    """ann22: hamming in [0, 48] (48 packed sign bits), 10 rows, and
+    the 48-bit shortlist recovers a usable fraction of the exact
+    top-10 (measured 0.6 at sf0.01 with shortlist 50; pinned >= 0.4 —
+    binary codes trade recall for a 21x shrink vs SQ8, and the
+    recall knob is shortlist/planes, both verified numbers here)."""
+    from python_etl_pipeline_spark.queries import _ANN22_PLANES, REGISTRY
+
+    rows = REGISTRY["ann22_binary_hamming_topk"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["hamming"] <= _ANN22_PLANES
+        assert -1.0 <= r["cosine"] <= 1.0
+    got = {r["vec_id"] for r in rows}
+    truth = {
+        r["vec_id"]
+        for r in REGISTRY["ann1_bruteforce_topk"].spark(spark, sf_dir).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.4
