@@ -149,6 +149,8 @@ HEADLINE = [
     "x58_bootstrap_se",
     # Zipf/Heaps corpus fingerprint: two closed-form log-log fits
     "tx25_zipf_heaps",
+    # binary-code serve: 48-bit codes, integer Hamming shortlist
+    "ann22_binary_hamming_topk",
 ]
 
 
