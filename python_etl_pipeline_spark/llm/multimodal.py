@@ -182,3 +182,30 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=schema)
+
+
+BLOCK_BYTES = 32  # content-addressed block size at test scale (4-64 KiB real)
+
+
+def payload_blocks(
+    media: DataFrame,
+    block: int = BLOCK_BYTES,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(h, blen, *extra_cols): fixed-size content-addressed blocks of a
+    media frame's ``payload`` column — md5 per block, payload bytes
+    never travel past the hash projection. Native binary substring +
+    md5 (JVM codegen; no Python worker touches the bytes). Shared by
+    mm4's batch savings report and the streaming block-index sink."""
+    b = F.expr(f"substring(payload, p, {block})")
+    return media.select(
+        *extra_cols,
+        "payload",
+        F.explode(
+            F.sequence(F.lit(1), F.length("payload"), F.lit(block))
+        ).alias("p"),
+    ).select(
+        *extra_cols,
+        F.md5(b).alias("h"),
+        F.length(b).cast("bigint").alias("blen"),
+    )

@@ -7342,26 +7342,11 @@ def mm4_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds). At 100 TB: block size becomes 4-64 KiB, same plan, and the
     (source, hash) agg is the only data-sized shuffle — hash-sized
     rows, not payload-sized."""
-    from .llm.multimodal import attach_binary_payload
+    from .llm.multimodal import attach_binary_payload, payload_blocks
 
     d = _t(spark, sf_dir, "documents")
     m = attach_binary_payload(d, "text", "doc_id", extra_cols=("source",))
-    block = F.expr(f"substring(payload, p, {_MM4_BLOCK})")
-    blocks = (
-        m
-        .select(
-            "source",
-            "payload",
-            F.explode(
-                F.sequence(F.lit(1), F.length("payload"), F.lit(_MM4_BLOCK))
-            ).alias("p"),
-        )
-        .select(
-            "source",
-            F.md5(block).alias("h"),
-            F.length(block).cast("bigint").alias("blen"),
-        )
-    )
+    blocks = payload_blocks(m, block=_MM4_BLOCK, extra_cols=("source",))
     # both reports fold out of ONE (source, hash) aggregation: totals
     # are sums over the per-hash partials, uniques are the group rows
     # themselves — single scan, single data-sized shuffle, no join

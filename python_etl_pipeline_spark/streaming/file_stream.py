@@ -1326,3 +1326,87 @@ def stream_logbin_hist_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def block_index_batch_writer(
+    spark: SparkSession,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink for a content-addressed BLOCK STORE ingest —
+    mm4's operational twin: each arrival batch's payloads are cut into
+    fixed blocks (llm.multimodal.payload_blocks, native binary md5 —
+    no Python worker), the batch's distinct block hashes anti-join the
+    persisted index, and only blocks the store has NEVER seen land
+    under ``index_dir/batch_id=N`` — exactly how a dedup store admits
+    writes: bytes-on-disk grow with NEW content, not with ingest
+    volume. Re-delivered batches overwrite their own batch_id
+    partition; re-running a batch can re-admit at most its own blocks
+    (idempotent, same contract as the near-dup index sink)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.multimodal import attach_binary_payload, payload_blocks
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        m = attach_binary_payload(batch_df, text_col, id_col)
+        blocks = (
+            payload_blocks(m)
+            .groupBy("h")
+            .agg(F.max("blen").alias("blen"))
+        )
+        try:
+            existing = spark.read.parquet(index_dir).filter(
+                F.col("batch_id") != batch_id
+            ).select("h")
+            blocks = blocks.join(existing, "h", "left_anti")
+        except Exception:
+            pass  # first batch: no index yet
+        blocks.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def block_index_from_dir(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(h, blen) — the store's distinct blocks from the persisted
+    index log (first-writer-wins across batches by construction; a
+    defensive distinct keeps redelivered overlaps harmless)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("h")
+        .agg(F.max("blen").alias("blen"))
+    )
+
+
+def stream_block_dedup_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    index_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming content-addressed block ingest — mm4's operational
+    twin, same AvailableNow cadence as the other index sinks. Batch
+    CORRECTNESS twin: queries.mm4_block_dedup is driver-verified
+    against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            block_index_batch_writer(spark, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -222,3 +222,70 @@ def test_stream_frame_dedup_first_occurrence_wins(spark, tmp_path):
     assert len(digests) == len(rows)  # no digest survives twice
     assert {r["media_id"] for r in rows} <= {1, 3}
     assert all(r["ingest_ts"] is not None for r in rows)
+
+
+def test_stream_block_index_admits_only_new_blocks(spark, tmp_path):
+    """The block store grows with NEW content only: batch 2 re-ships
+    some of batch 1's text, and the index admits exactly the blocks a
+    full-corpus dedup would hold — no duplicates across batches, and
+    redelivery of a batch never double-admits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.multimodal import (
+        attach_binary_payload,
+        payload_blocks,
+    )
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        block_index_batch_writer,
+        block_index_from_dir,
+        stream_block_dedup_available_now,
+    )
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "a" * 64 + "b" * 64), (2, "c" * 64)]
+    b2 = [(3, "a" * 64 + "d" * 64), (4, "c" * 64)]  # overlaps b1
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                }
+            ),
+            path,
+        )
+
+    def full_blocks(rows):
+        df = spark.createDataFrame(rows, schema)
+        m = attach_binary_payload(df, "text", "doc_id")
+        return {
+            r["h"]
+            for r in payload_blocks(m).select("h").distinct().collect()
+        }
+
+    write(str(src / "b1.parquet"), b1)
+    stream_block_dedup_available_now(spark, str(src), schema, index_dir, ckpt)
+    idx1 = {r["h"] for r in block_index_from_dir(spark, index_dir).collect()}
+    assert idx1 == full_blocks(b1)
+
+    write(str(src / "b2.parquet"), b2)
+    stream_block_dedup_available_now(spark, str(src), schema, index_dir, ckpt)
+    idx2 = block_index_from_dir(spark, index_dir)
+    assert {r["h"] for r in idx2.collect()} == full_blocks(b1 + b2)
+    # no hash stored twice across batch partitions
+    raw = spark.read.parquet(index_dir)
+    assert raw.count() == raw.select("h").distinct().count()
+
+    # redelivery idempotency (direct writer call, same batch_id)
+    step = block_index_batch_writer(spark, index_dir)
+    before = raw.count()
+    step(spark.createDataFrame(b2, schema), 1)
+    assert spark.read.parquet(index_dir).count() == before
