@@ -8890,6 +8890,119 @@ def tx24_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["tx24_novelty_score"].sql = _tx24_sql()
 
 
+_X59_SQL = """
+WITH t AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1,
+         ts, event_type
+  FROM events
+),
+t2s AS (
+  SELECT user_id, t1,
+         min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2,
+         ts, event_type
+  FROM t
+),
+t3s AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM t2s
+),
+u AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM t3s GROUP BY 1
+),
+agg AS (
+  SELECT count(*) AS n_users,
+         sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+  FROM u
+)
+SELECT steps.step, steps.step_name,
+       cast(CASE steps.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END
+            AS BIGINT) AS n_reached,
+       cast(n_users AS BIGINT) AS n_users,
+       round((CASE steps.step WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END)
+             * 1.0 / n_users, 4) AS reach_frac
+FROM agg CROSS JOIN (
+  SELECT 1 AS step, 'view' AS step_name
+  UNION ALL SELECT 2, 'view>click'
+  UNION ALL SELECT 3, 'view>click>purchase'
+) steps
+"""
+
+
+@register("x59_funnel_steps", _X59_SQL)
+def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users complete
+    view -> click -> purchase IN THAT ORDER — each step's timestamp
+    must strictly follow the previous step's first completion, so a
+    purchase before the first post-view click does not count (the
+    semantics product analytics tools call a strict-order funnel).
+    Computed without self-joins: three stacked conditional-min window
+    passes over the SAME user partitioning — t1 = first view, t2 =
+    first click after t1, t3 = first purchase after t2 — so Catalyst
+    plans ONE user-keyed exchange for all three steps plus the
+    user-level collapse; at any event volume the funnel costs one
+    shuffle of (user, ts, type) triples. The step table is a 3-row
+    constant joined as a broadcast. Complements x15 (sessionize) and
+    st2 (session windows) in the event-analytics family.
+    Reference analog: the phase-gated run_full of src/main.py — the
+    same 'step k only counts after step k-1' dependency, applied to
+    user behavior instead of pipeline phases."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    step1 = e.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step3 = step2.select("user_id", "t1", "t2", t3.alias("t3"))
+    u = step3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    agg = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("int")).alias("s1"),
+        F.sum(F.col("t2").isNotNull().cast("int")).alias("s2"),
+        F.sum(F.col("t3").isNotNull().cast("int")).alias("s3"),
+    )
+    steps = spark.createDataFrame(
+        [(1, "view"), (2, "view>click"), (3, "view>click>purchase")],
+        "step int, step_name string",
+    )
+    reached = (
+        F.when(F.col("step") == 1, F.col("s1"))
+        .when(F.col("step") == 2, F.col("s2"))
+        .otherwise(F.col("s3"))
+    )
+    return agg.crossJoin(F.broadcast(steps)).select(
+        "step",
+        "step_name",
+        reached.cast("bigint").alias("n_reached"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(reached / F.col("n_users"), 4).alias("reach_frac"),
+    )
+
+
 _ANN22_PLANES = 48
 _ANN22_SHORTLIST = 50
 
@@ -9896,7 +10009,8 @@ _GATE_PREFIX = [
     # the n-gram novelty score, the probe-recall tuning curve, the
     # sketch-fence robust outlier monitor, the per-source fixed-k
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
-    # corpus fingerprint, and the binary-code Hamming serve.
+    # corpus fingerprint, the binary-code Hamming serve, and the
+    # strict-order funnel.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -9912,14 +10026,15 @@ _GATE_PREFIX = [
     "x58_bootstrap_se",
     "tx25_zipf_heaps",
     "ann22_binary_hamming_topk",
+    "x59_funnel_steps",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (15), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x15/x16/x17/x19/x20/x30/x31/x33 (15
-    # of its 30 — all due at round 10; those fifteen stay on the
+    # (3) rotation (14), oldest last-driver-row first: the r5 cohort
+    # MINUS x2/x3/x4/x5/x7/x8/x9/x14/x15/x16/x17/x19/x20/x30/x31/x33
+    # (14 of its 30 — all due at round 10; those sixteen stay on the
     # normal horizon and the gate-policy test will force them into
     # the round-10 gate). The five oldest r6 queries (a0-a4, due
     # round 11) wait their turn.
@@ -9937,7 +10052,6 @@ _GATE_PREFIX = [
     "tx15_gopher_rules",
     "x12_stratified_sample",
     "x13_json_extract",
-    "x14_exact_percentile",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -7,6 +7,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from python_etl_pipeline_spark.queries import REGISTRY
@@ -660,3 +661,61 @@ def test_zipf_heaps_fingerprint_reads_synthetic(spark, sf_dir):
     # the synthetic-corpus reading: flat Zipf, saturated Heaps
     assert r["zipf_slope"] > -0.6
     assert r["heaps_beta"] < 0.2
+
+
+def test_funnel_monotone_and_strict_order(spark, sf_dir):
+    """x59: funnel counts are monotone non-increasing down the steps;
+    fractions bounded; and strict ordering is real — a hand-built user
+    whose purchase precedes every click must count for step 2 but NOT
+    step 3."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["x59_funnel_steps"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_reached"] >= rows[1]["n_reached"] >= rows[2]["n_reached"]
+    for r in rows:
+        assert 0 <= r["reach_frac"] <= 1.0
+        assert r["n_users"] == rows[0]["n_users"]
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    evs = [
+        (1, ts(0), "view"), (1, ts(5), "purchase"), (1, ts(10), "click"),
+        (2, ts(0), "view"), (2, ts(5), "click"), (2, ts(10), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        evs, "user_id long, ts timestamp, event_type string"
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = df.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    u = (
+        s2.select("user_id", "t1", "t2", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .collect()
+    )
+    by_user = {r["user_id"]: r for r in u}
+    assert by_user[1]["t2"] is not None and by_user[1]["t3"] is None
+    assert by_user[2]["t2"] is not None and by_user[2]["t3"] is not None

@@ -714,3 +714,15 @@ def test_binary_hamming_serve_heap_cuts(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """x59's three conditional-min windows and the user collapse all
+    share one user_id partitioning — exactly ONE data-sized hash
+    exchange in the whole funnel; the 3-row step table broadcasts; no
+    single-partition exchange, range sort, or cartesian stage."""
+    plan = _plan(spark, sf_dir, "x59_funnel_steps")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
