@@ -151,6 +151,8 @@ HEADLINE = [
     "tx25_zipf_heaps",
     # binary-code serve: 48-bit codes, integer Hamming shortlist
     "ann22_binary_hamming_topk",
+    # strict-order funnel: three stacked windows, one user exchange
+    "x59_funnel_steps",
 ]
 
 
