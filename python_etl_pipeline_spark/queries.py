@@ -9003,6 +9003,103 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X60_SQL = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, ts AS touch_ts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT conv.user_id, conv.conv_id, conv.conv_ts,
+         touch.channel, touch.touch_ts
+  FROM conv JOIN touch
+    ON touch.user_id = conv.user_id
+   AND touch.touch_ts <= conv.conv_ts
+   AND touch.touch_ts > conv.conv_ts - INTERVAL 7 DAY
+),
+attributed AS (
+  SELECT conv_id, channel FROM (
+    SELECT conv_id, channel,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts DESC, channel) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+tot AS (SELECT count(*) AS n_conv FROM conv)
+SELECT attributed.channel,
+       cast(count(*) AS BIGINT) AS n_attributed,
+       cast(tot.n_conv AS BIGINT) AS n_conversions,
+       round(count(*) * 1.0 / tot.n_conv, 4) AS share
+FROM attributed, tot
+GROUP BY 1, tot.n_conv
+"""
+
+
+@register("x60_last_touch_attribution", _X60_SQL)
+def x60_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the most
+    recent view/click by the same user within a 7-day lookback —
+    x59's funnel says HOW MANY convert, this says WHICH channel gets
+    the credit, the other half of the event-analytics pair. The
+    touch-to-conversion join is an interval join keyed on user_id
+    (the same bounded-interval shape the streaming side handles with
+    stream_stream_interval_join), then one conversion-keyed
+    row_number picks the latest touch — deterministic tie-break on
+    (touch_ts desc, channel) so simultaneous touches attribute
+    identically in both engines.
+
+    Plan shape: the join is a user-keyed equi-join with the interval
+    as a residual predicate — per-user fan-out is bounded by that
+    user's touches in the lookback window, never a cartesian stage;
+    the attribution window is keyed on conv_id (conversion-sized);
+    the total is a broadcast scalar. At 100 TB the lookback bound is
+    what keeps state finite — the same reason the streaming twin's
+    watermark works."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr("INTERVAL 7 DAY")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), "channel"
+    )
+    attributed = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "channel")
+    )
+    tot = conv.agg(F.count(F.lit(1)).alias("n_conv"))
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("n_attributed").cast("bigint").alias("n_attributed"),
+            F.col("n_conv").cast("bigint").alias("n_conversions"),
+            F.round(F.col("n_attributed") / F.col("n_conv"), 4).alias(
+                "share"
+            ),
+        )
+    )
+
+
 _ANN22_PLANES = 48
 _ANN22_SHORTLIST = 50
 
@@ -10009,8 +10106,8 @@ _GATE_PREFIX = [
     # the n-gram novelty score, the probe-recall tuning curve, the
     # sketch-fence robust outlier monitor, the per-source fixed-k
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
-    # corpus fingerprint, the binary-code Hamming serve, and the
-    # strict-order funnel.
+    # corpus fingerprint, the binary-code Hamming serve, the
+    # strict-order funnel, and last-touch attribution.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10027,17 +10124,19 @@ _GATE_PREFIX = [
     "tx25_zipf_heaps",
     "ann22_binary_hamming_topk",
     "x59_funnel_steps",
+    "x60_last_touch_attribution",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (14), oldest last-driver-row first: the r5 cohort
-    # MINUS x2/x3/x4/x5/x7/x8/x9/x14/x15/x16/x17/x19/x20/x30/x31/x33
-    # (14 of its 30 — all due at round 10; those sixteen stay on the
-    # normal horizon and the gate-policy test will force them into
-    # the round-10 gate). The five oldest r6 queries (a0-a4, due
-    # round 11) wait their turn.
+    # (3) rotation (13), oldest last-driver-row first: the r5 cohort
+    # MINUS
+    # x2/x3/x4/x5/x7/x8/x9/x13/x14/x15/x16/x17/x19/x20/x30/x31/x33
+    # (13 of its 30 — all due at round 10; those seventeen stay on
+    # the normal horizon and the gate-policy test will force them
+    # into the round-10 gate). The five oldest r6 queries (a0-a4,
+    # due round 11) wait their turn.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -10051,7 +10150,6 @@ _GATE_PREFIX = [
     "st3_sliding_window",
     "tx15_gopher_rules",
     "x12_stratified_sample",
-    "x13_json_extract",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -719,3 +719,62 @@ def test_funnel_monotone_and_strict_order(spark, sf_dir):
     by_user = {r["user_id"]: r for r in u}
     assert by_user[1]["t2"] is not None and by_user[1]["t3"] is None
     assert by_user[2]["t2"] is not None and by_user[2]["t3"] is not None
+
+
+def test_last_touch_attribution_semantics(spark, sf_dir):
+    """x60: shares are conversion fractions (sum <= 1 — conversions
+    with no in-window touch are unattributed by design); both channels
+    exist; and the last-touch rule is real — a hand-built conversion
+    whose latest in-window touch is a click attributes to click, and a
+    touch OUTSIDE the 7-day lookback cannot win."""
+    import datetime
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["x60_last_touch_attribution"].spark(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} <= {"view", "click"}
+    total_share = sum(r["share"] for r in rows)
+    assert 0 < total_share <= 1.0 + 1e-9
+    n_conv = rows[0]["n_conversions"]
+    assert sum(r["n_attributed"] for r in rows) <= n_conv
+
+    base = datetime.datetime(2024, 6, 1)
+
+    def ts(days):
+        return base + datetime.timedelta(days=days)
+
+    evs = [
+        # conv 100: click at -1d beats view at -2d (last touch wins)
+        (1, 100, ts(10), "purchase"),
+        (1, 1, ts(9), "click"),
+        (1, 2, ts(8), "view"),
+        # conv 200: only touch is 8 days before -> outside lookback
+        (2, 200, ts(20), "purchase"),
+        (2, 3, ts(12), "click"),
+    ]
+    df = spark.createDataFrame(
+        evs, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    conv = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = df.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), "channel"
+    )
+    att = {
+        r["conv_id"]: r["channel"]
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "channel")
+        .collect()
+    }
+    assert att == {100: "click"}  # 200 unattributed (outside lookback)

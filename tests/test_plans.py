@@ -726,3 +726,14 @@ def test_funnel_single_user_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_stays_keyed(spark, sf_dir):
+    """x60's touch-to-conversion interval join is a user-keyed
+    equi-join with the lookback as a residual predicate — never a
+    cartesian or broadcast-nested-loop stage; the attribution window
+    keys on conv_id; the scalar total broadcasts."""
+    plan = _plan(spark, sf_dir, "x60_last_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(conv_id" in plan
