@@ -153,6 +153,8 @@ HEADLINE = [
     "ann22_binary_hamming_topk",
     # strict-order funnel: three stacked windows, one user exchange
     "x59_funnel_steps",
+    # last-touch attribution: bounded-lookback interval join
+    "x60_last_touch_attribution",
 ]
 
 
