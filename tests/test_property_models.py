@@ -102,3 +102,92 @@ def test_discrete_quantiles_match_sorted_model(spark):
             assert row[f"__q{i}"] == sv[math.ceil(p * n) - 1], (
                 n, p, sv, row.asDict(),
             )
+
+
+def test_logbin_quantile_error_bound_randomized(spark):
+    """Model check for the log-bin quantile sketch (hh5/x56's algebra):
+    over randomized heavy-tailed integer data (ties, outliers, tiny
+    values below the exact-bin region), every estimated quantile must
+    land within the 1/16 relative-error bound of the TRUE rank-order
+    statistic (exact for values < 8, where bins are unit-width)."""
+    import random
+
+    from python_etl_pipeline_spark.llm.sketch import (
+        logbin_histogram,
+        logbin_quantiles,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        vals = (
+            [rng.randint(0, 7) for _ in range(50)]
+            + [rng.randint(8, 1000) for _ in range(300)]
+            + [rng.randint(10**5, 10**7) for _ in range(30)]
+            + [rng.choice([5, 64, 4096])] * 40  # heavy ties
+        )
+        rng.shuffle(vals)
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v long"
+        )
+        hist = logbin_histogram(df, "grp", "v")
+        qs = (0.1, 0.5, 0.9, 0.99)
+        est = {
+            float(r["q"]): r["est"]
+            for r in logbin_quantiles(hist, qs, "grp").collect()
+        }
+        s = sorted(vals)
+        for q in qs:
+            true = s[math.ceil(q * len(s)) - 1]
+            e = est[q]
+            if true < 8:
+                assert e == true, (trial, q, e, true)
+            else:
+                assert abs(e - true) / true <= 1 / 16 + 1e-12, (
+                    trial, q, e, true,
+                )
+
+
+def test_hll_registers_match_python_model_and_merge(spark):
+    """Model check for the HLL register algebra (hh4's): Spark's
+    register table must equal a direct Python recomputation from the
+    same md5 hashes, and a random 3-way shard split must max-merge to
+    exactly the full registers (associativity + commutativity of the
+    max monoid over an arbitrary partitioning)."""
+    import hashlib
+    import random
+
+    from python_etl_pipeline_spark.llm.sketch import HLL_M, HLL_W, hll_registers
+
+    rng = random.Random(41)
+    words = [f"w{rng.randint(0, 400)}" for _ in range(1200)]
+    docs = [
+        ("s" + str(i % 3), " ".join(rng.sample(words, rng.randint(5, 40))))
+        for i in range(60)
+    ]
+
+    def model(rows):
+        regs: dict[tuple, int] = {}
+        for src, text in rows:
+            for tok in text.strip().split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                j, v = h % HLL_M, h // HLL_M
+                rho = (HLL_W + 1) if v == 0 else HLL_W + 1 - v.bit_length()
+                k = (src, j)
+                regs[k] = max(regs.get(k, 0), rho)
+        return regs
+
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r["source"], r["j"]): r["m_j"]
+        for r in hll_registers(df).collect()
+    }
+    assert got == model(docs)
+
+    shards = [[], [], []]
+    for row in docs:
+        shards[rng.randint(0, 2)].append(row)
+    merged: dict[tuple, int] = {}
+    for sh in shards:
+        for k, v in model(sh).items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == model(docs)
