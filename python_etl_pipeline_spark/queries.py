@@ -9003,6 +9003,83 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X61_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+),
+cells AS (
+  SELECT f.cohort_week,
+         cast(date_diff('day', f.cohort_week, a.active_week) / 7
+              AS BIGINT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1)
+SELECT cast(cells.cohort_week AS TIMESTAMP) AS cohort_week,
+       week_offset,
+       cast(n_active AS BIGINT) AS n_active,
+       cast(n_cohort AS BIGINT) AS n_cohort,
+       round(n_active * 1.0 / n_cohort, 4) AS retention
+FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
+"""
+
+
+@register("x61_retention_cohorts", _X61_SQL)
+def x61_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the third member of the
+    event-analytics trio (x15/st2 sessions, x59 funnel, x60
+    attribution): users cohort by the ISO week of their FIRST event,
+    and each (cohort, week-offset) cell reports what fraction of the
+    cohort was active that many weeks later. Week arithmetic is
+    integer throughout (date_trunc to Monday in both engines, day
+    difference / 7), so the matrix is engine-exact.
+
+    Plan shape: two user-keyed aggs (first-event week; distinct
+    active weeks — both map-side combinable) join on user_id, then a
+    cohort-keyed count-distinct; every frame after the raw scan is
+    user-sized or smaller, and the matrix itself is (weeks x offsets)
+    — a constant-size report no matter the event volume. Cohort sizes
+    broadcast. Reference analog: src/load.py's per-batch summary
+    counts, pivoted from batches to user lifecycles."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias(
+            "retention"
+        ),
+    )
+
+
 _X60_SQL = """
 WITH conv AS (
   SELECT user_id, event_id AS conv_id, ts AS conv_ts
@@ -10107,7 +10184,8 @@ _GATE_PREFIX = [
     # sketch-fence robust outlier monitor, the per-source fixed-k
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
     # corpus fingerprint, the binary-code Hamming serve, the
-    # strict-order funnel, and last-touch attribution.
+    # strict-order funnel, last-touch attribution, and the retention
+    # cohort matrix.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10125,15 +10203,16 @@ _GATE_PREFIX = [
     "ann22_binary_hamming_topk",
     "x59_funnel_steps",
     "x60_last_touch_attribution",
+    "x61_retention_cohorts",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (13), oldest last-driver-row first: the r5 cohort
+    # (3) rotation (12), oldest last-driver-row first: the r5 cohort
     # MINUS
-    # x2/x3/x4/x5/x7/x8/x9/x13/x14/x15/x16/x17/x19/x20/x30/x31/x33
-    # (13 of its 30 — all due at round 10; those seventeen stay on
+    # x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/x19/x20/x30/x31/
+    # x33 (12 of its 30 — all due at round 10; those eighteen stay on
     # the normal horizon and the gate-policy test will force them
     # into the round-10 gate). The five oldest r6 queries (a0-a4,
     # due round 11) wait their turn.
@@ -10149,7 +10228,6 @@ _GATE_PREFIX = [
     "st2_session_window",
     "st3_sliding_window",
     "tx15_gopher_rules",
-    "x12_stratified_sample",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

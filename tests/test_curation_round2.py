@@ -778,3 +778,26 @@ def test_last_touch_attribution_semantics(spark, sf_dir):
         .collect()
     }
     assert att == {100: "click"}  # 200 unattributed (outside lookback)
+
+
+def test_retention_matrix_invariants(spark, sf_dir):
+    """x61: offset-0 retention is exactly 1.0 for every cohort (the
+    first-event week is by definition active); retention bounded in
+    (0, 1]; offsets non-negative; n_active <= n_cohort; and cohort
+    sizes sum to the distinct user count."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["x61_retention_cohorts"].spark(spark, sf_dir).collect()
+    assert rows
+    seen_cohorts = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        assert 0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0, r
+        seen_cohorts[r["cohort_week"]] = r["n_cohort"]
+    n_users = (
+        _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(seen_cohorts.values()) == n_users

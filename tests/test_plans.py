@@ -737,3 +737,14 @@ def test_attribution_join_stays_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_retention_frames_shrink_after_scan(spark, sf_dir):
+    """x61: every frame after the raw scan is user-sized or smaller
+    and keyed — no cartesian stage, no data-sized single-partition
+    exchange, no range sort; cohort sizes broadcast."""
+    plan = _plan(spark, sf_dir, "x61_retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
