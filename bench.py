@@ -155,6 +155,8 @@ HEADLINE = [
     "x59_funnel_steps",
     # last-touch attribution: bounded-lookback interval join
     "x60_last_touch_attribution",
+    # retention cohorts: constant-size matrix from user-keyed aggs
+    "x61_retention_cohorts",
 ]
 
 
