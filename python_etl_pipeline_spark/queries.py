@@ -9003,6 +9003,65 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X62_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, count(*) AS c FROM seq WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT cur, nxt, cast(c AS BIGINT) AS n_transitions,
+       round(c * 1.0 / sum(c) OVER (PARTITION BY cur), 4) AS p
+FROM trans
+"""
+
+
+@register("x62_markov_transitions", _X62_SQL)
+def x62_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), estimated from every
+    adjacent pair in each user's (ts, event_id)-ordered stream — the
+    behavioral fingerprint that feeds next-event prediction, bot
+    detection (near-deterministic rows are scripted clients), and
+    simulation; for text the identical algebra is tx10's bigram LM,
+    so this is that operator generalized from tokens to event
+    streams. Each row of the matrix sums to 1 by construction
+    (verified in tests), making it directly usable as a stochastic
+    matrix.
+
+    Plan shape: one user-keyed window (the lead) — the same single
+    exchange x15's sessionizer pays — then a transition-type agg
+    whose group space is |event types|^2 (a constant-size matrix, 25
+    cells here); normalization is a window over that matrix, so the
+    transition subtree is computed exactly once (a normalize JOIN
+    would re-derive it for the build side). At any event volume the
+    only data-sized stage is the lead window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # normalize via a window over the |types|^2 matrix — no join, and
+    # the transition subtree is computed exactly once
+    total = F.sum("c").over(Window.partitionBy("cur"))
+    return trans.select(
+        "cur",
+        "nxt",
+        F.col("c").cast("bigint").alias("n_transitions"),
+        F.round(F.col("c") / total, 4).alias("p"),
+    )
+
+
 _X61_SQL = """
 WITH firsts AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -10184,8 +10243,8 @@ _GATE_PREFIX = [
     # sketch-fence robust outlier monitor, the per-source fixed-k
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
     # corpus fingerprint, the binary-code Hamming serve, the
-    # strict-order funnel, last-touch attribution, and the retention
-    # cohort matrix.
+    # strict-order funnel, last-touch attribution, the retention
+    # cohort matrix, and the Markov transition matrix.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10204,15 +10263,16 @@ _GATE_PREFIX = [
     "x59_funnel_steps",
     "x60_last_touch_attribution",
     "x61_retention_cohorts",
+    "x62_markov_transitions",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (12), oldest last-driver-row first: the r5 cohort
-    # MINUS
+    # (3) rotation (11), oldest last-driver-row first: the r5 cohort
+    # MINUS tx15 and
     # x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/x19/x20/x30/x31/
-    # x33 (12 of its 30 — all due at round 10; those eighteen stay on
+    # x33 (11 of its 30 — all due at round 10; those nineteen stay on
     # the normal horizon and the gate-policy test will force them
     # into the round-10 gate). The five oldest r6 queries (a0-a4,
     # due round 11) wait their turn.
@@ -10227,7 +10287,6 @@ _GATE_PREFIX = [
     "s5_jdbc_partitioned",
     "st2_session_window",
     "st3_sliding_window",
-    "tx15_gopher_rules",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

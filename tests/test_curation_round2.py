@@ -801,3 +801,24 @@ def test_retention_matrix_invariants(spark, sf_dir):
         _t(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert sum(seen_cohorts.values()) == n_users
+
+
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    """x62: every 'cur' row of the transition matrix sums to 1 within
+    per-cell rounding (4 dp x at most 5 cells); probabilities bounded;
+    total transitions = total events minus one per user (every
+    adjacent pair counted exactly once)."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["x62_markov_transitions"].spark(spark, sf_dir).collect()
+    assert rows
+    by_cur: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_cur.setdefault(r["cur"], []).append(r)
+    for cur, rs in by_cur.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) <= 0.0005 * len(rs), cur
+    e = _t(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users

@@ -748,3 +748,14 @@ def test_retention_frames_shrink_after_scan(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_markov_single_data_stage(spark, sf_dir):
+    """x62's only data-sized stage is the user-keyed lead window; the
+    transition agg group space is |types|^2 and the normalize join
+    broadcasts — no cartesian, single-partition, or range sort."""
+    plan = _plan(spark, sf_dir, "x62_markov_transitions")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
