@@ -157,6 +157,8 @@ HEADLINE = [
     "x60_last_touch_attribution",
     # retention cohorts: constant-size matrix from user-keyed aggs
     "x61_retention_cohorts",
+    # Markov transitions: one lead window -> constant-size matrix
+    "x62_markov_transitions",
 ]
 
 
