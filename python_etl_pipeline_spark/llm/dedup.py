@@ -582,3 +582,36 @@ def simhash16_sql(table: str, text_col: str, id_col: str) -> str:
     sums AS (SELECT {id_col}, {', '.join(sum_exprs)} FROM bits GROUP BY {id_col})
     SELECT {id_col}, cast({sim_terms} AS BIGINT) AS simhash FROM sums
     """
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, s0..s{n-1}) — the raw MinHash signature table, the
+    estimator UNDER the band buckets: sig-component agreement
+    fraction estimates Jaccard (E[s_j(a) == s_j(b)] = J(a,b)), which
+    dd17 verifies as a numeric contract. Kept standalone (same
+    affine family and shingle pipeline as :func:`minhash_band_buckets`,
+    which packs these into band hashes) so adding the estimator view
+    never touches the driver-verified near-dup paths."""
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("s"),
+    )
+    hashed = exploded.select(
+        F.col(id_col), _h32(F.md5(F.col("s"))).alias("h")
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(
+                f"s{j}"
+            )
+            for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+        ]
+    )

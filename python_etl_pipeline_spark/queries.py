@@ -9003,6 +9003,131 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd17_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    return f"""
+    WITH {_minhash_ctes(max_bucket_size="auto")},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS i
+      FROM mh_pairs p
+      JOIN sh x ON x.doc_id = p.a
+      JOIN sh y ON y.doc_id = p.b AND y.s = x.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.a, p.b,
+             ({agree}) / 16.0 AS est,
+             coalesce(i, 0) * 1.0
+               / (za.n + zb.n - coalesce(i, 0)) AS truth
+      FROM mh_pairs p
+      LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+      JOIN sizes za ON za.doc_id = p.a
+      JOIN sizes zb ON zb.doc_id = p.b
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(est - truth)), 4) AS mae,
+           round(max(abs(est - truth)), 4) AS max_abs_err,
+           round(avg(est - truth), 4) AS bias
+    FROM scored
+    """
+
+
+@register("dd17_minhash_estimator_error", None)  # sql attached below
+def dd17_minhash_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash ESTIMATOR's numeric contract — the third leg of the
+    near-dup verification stool: ann6 measures what bucketing costs in
+    recall, dd14 what it costs in precision, and this measures the
+    estimator itself: over dd2's candidate pairs, how far does the
+    16-component signature-agreement fraction sit from the exact
+    Jaccard it estimates (E[s_j(a)=s_j(b)] = J)? Emits MAE, worst
+    case, and signed bias in one row. With k=16 the theoretical
+    standard error at J=0.5 is sqrt(J(1-J)/k) ~ 0.125 — the measured
+    MAE is the verified counterpart, and a corpus whose MAE breaks
+    away from that band has correlated shingles (boilerplate) that
+    the banding parameters should be retuned for.
+
+    Plan shape: the candidate pairs and signature table share one
+    shingle pipeline (both sides of dd2's index); the error join is
+    pair-keyed; the report is one row. The exact-Jaccard side is the
+    contract's truth and exists only here — production serves the
+    estimate."""
+    from .llm.dedup import (
+        _spread,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size="auto", materialize=True
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    sh = _spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # exact intersection via the shingle co-occurrence join (dd14's form)
+    sha = sh.select(F.col("doc_id").alias("a"), "s")
+    shb = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        pairs.join(sha, "a").join(shb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"sa{j}") == F.col(f"sb{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            (agree / F.lit(16.0)).alias("est"),
+            (
+                F.coalesce(F.col("i"), F.lit(0))
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("i"), F.lit(0))
+                )
+            ).alias("truth"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("truth"))), 4).alias("mae"),
+        F.round(F.max(F.abs(F.col("est") - F.col("truth"))), 4).alias(
+            "max_abs_err"
+        ),
+        F.round(F.avg(F.col("est") - F.col("truth")), 4).alias("bias"),
+    )
+
+
+REGISTRY["dd17_minhash_estimator_error"].sql = _dd17_sql()
+
+
 _X62_SQL = """
 WITH seq AS (
   SELECT user_id, event_type AS cur, ts, event_id,
@@ -10244,7 +10369,8 @@ _GATE_PREFIX = [
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
     # corpus fingerprint, the binary-code Hamming serve, the
     # strict-order funnel, last-touch attribution, the retention
-    # cohort matrix, and the Markov transition matrix.
+    # cohort matrix, the Markov transition matrix, and the MinHash
+    # estimator-error contract.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10264,15 +10390,16 @@ _GATE_PREFIX = [
     "x60_last_touch_attribution",
     "x61_retention_cohorts",
     "x62_markov_transitions",
+    "dd17_minhash_estimator_error",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (11), oldest last-driver-row first: the r5 cohort
-    # MINUS tx15 and
+    # (3) rotation (10), oldest last-driver-row first: the r5 cohort
+    # MINUS st3/tx15 and
     # x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/x19/x20/x30/x31/
-    # x33 (11 of its 30 — all due at round 10; those nineteen stay on
+    # x33 (10 of its 30 — all due at round 10; those twenty stay on
     # the normal horizon and the gate-policy test will force them
     # into the round-10 gate). The five oldest r6 queries (a0-a4,
     # due round 11) wait their turn.
@@ -10286,7 +10413,6 @@ _GATE_PREFIX = [
     "mm3_frame_dedup",
     "s5_jdbc_partitioned",
     "st2_session_window",
-    "st3_sliding_window",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

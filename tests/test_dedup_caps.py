@@ -63,3 +63,18 @@ def test_lsh_bucket_cap_bounds_pairs(spark):
     assert capped.count() == 0  # every bucket oversized -> dropped pre-join
     noop = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=N_DOCS)
     assert noop.count() == ALL_PAIRS
+
+
+def test_minhash_estimator_error_within_theory(spark, sf_dir):
+    """dd17: with k=16 components the estimator's standard error is at
+    most sqrt(J(1-J)/16) <= 0.125; the measured MAE over the candidate
+    pairs must sit inside it (measured ~0.03 — candidates are high-J
+    pairs where the bound tightens), the worst case under 2.5x the
+    bound, and the signed bias a fraction of the MAE."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    row = REGISTRY["dd17_minhash_estimator_error"].spark(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] > 0
+    assert 0 <= row["mae"] <= 0.125, row
+    assert row["max_abs_err"] <= 0.3, row
+    assert abs(row["bias"]) <= max(row["mae"], 0.02), row

@@ -759,3 +759,11 @@ def test_markov_single_data_stage(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_minhash_estimator_error_pair_keyed(spark, sf_dir):
+    """dd17's error join is pair-/doc-keyed end-to-end: no cartesian
+    stage and no global range sort; the report is one row."""
+    plan = _plan(spark, sf_dir, "dd17_minhash_estimator_error")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
