@@ -159,6 +159,8 @@ HEADLINE = [
     "x61_retention_cohorts",
     # Markov transitions: one lead window -> constant-size matrix
     "x62_markov_transitions",
+    # MinHash estimator contract: dd2 candidates + exact-Jaccard truth
+    "dd17_minhash_estimator_error",
 ]
 
 

@@ -10449,8 +10449,10 @@ _EXPENSIVE_LAST = [
     # eager edge checkpoint before the three PR iterations
     "x51_graph_pagerank",
     # round-9 third-wave heavies: ann21 runs four searches (brute
-    # truth + three probe levels) in one plan by design
+    # truth + three probe levels) in one plan by design; dd17 pays
+    # dd2's candidate build PLUS the exact-Jaccard truth join
     "ann21_probe_recall_curve",
+    "dd17_minhash_estimator_error",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
