@@ -10323,18 +10323,20 @@ def x53_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified) is missing from this prefix.
 _GATE_ROUND = 9  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-9 state: this round's third wave (hh4, tx23,
-# x52, x53, hh5, x54) pushed the registry to 177 — PAST the round-8
-# bound 4*42+8 = 176 — so the pre-authorized escalation decided in
-# round 8 is EXECUTED HERE, not deferred: the permanent-sentinel set
-# shrinks from 8 to the 4 irreplaceable ones (flagship, f2, i2, s4),
-# raising the horizon-4 bound to 4*46+4 = 188. The four demoted
-# sentinels (o2_dedup_keep_last, i3_antijoin_append, j1_anti_new_keys,
-# w1_display_id) all carry round-8 driver rows (due round 12) and
-# rotate on the normal horizon from now on; each has same-module
-# coverage among the keepers or the r8-verified twins. The freed slots
-# went to restoring x2/x3/x4 to the rotation fill (easing the
-# round-10 forced set to x5/x7/x8/x9/x30/x31). The horizon stays 4.
+# GATE ARITHMETIC, round-9 state — TWO escalations this round, both
+# per the standing decide-in-the-crossing-round discipline:
+# (1) the third wave pushed the registry past the round-8 bound
+# 4*42+8 = 176, executing the pre-authorized shrink of the
+# permanent-sentinel set from 8 to the irreplaceable 4 (flagship, f2,
+# i2, s4; bound 4*46+4 = 188). The demoted sentinels (o2, i3_antijoin,
+# j1_anti, w1) carry round-8 rows (due round 12) and rotate normally;
+# each keeps same-module coverage via the keepers or r8-verified
+# twins.
+# (2) the continued build wave then crossed 188 too (registry 191),
+# with no sentinel left to shed, so the horizon rises 4 -> 5 (bound
+# 5*46+4 = 234) — full arithmetic and the freshness trade recorded in
+# tests/test_gate_policy.py. This round-9 gate was built under
+# horizon 4 and is a strict superset of what horizon 5 requires.
 _GATE_PREFIX = [
     # (1) added this round (9): the point-in-time SCD2 join, the
     # retractable (delete/update-capable) MV fold, the epoch-aware
