@@ -1410,3 +1410,107 @@ def stream_block_dedup_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def reservoir_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    k: int = 5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+):
+    """foreachBatch sink for a streaming per-key weighted reservoir —
+    x57's operational twin: each arrival batch's per-key top-k by the
+    Efraimidis-Spirakis hash priority lands under
+    ``state_dir/batch_id=N``. Per-key top-k is a mergeable fold (the
+    top-k of a union is the top-k of per-part top-k's — x57's pinned
+    merge property), so the CURRENT balanced sample is a group-limit
+    over the state log, never a history rescan, and state is bounded
+    by k rows per key per batch (k per key after compaction).
+    Re-delivered batches overwrite their own batch_id partition."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import _hexint
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        u = (
+            _hexint(
+                F.md5(F.concat_ws("|", F.lit("ps"), F.col(id_col))), 8
+            )
+            + 0.5
+        ) / F.lit(4294967296.0)
+        scored = batch_df.select(
+            key_col,
+            id_col,
+            F.col(weight_col).cast("bigint").alias("w"),
+            F.round(F.log(u) / F.col(weight_col), 8).alias("priority"),
+        )
+        wnd = Window.partitionBy(key_col).orderBy(
+            F.col("priority").desc(), id_col
+        )
+        (
+            scored.withColumn("rk", F.row_number().over(wnd))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+        )
+
+    return step
+
+
+def reservoir_from_state_dir(
+    spark: SparkSession,
+    state_dir: str,
+    k: int = 5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(key, id, w, priority) — the current per-key reservoir: top-k
+    by priority over the state log (the mergeable-fold read)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wnd = Window.partitionBy(key_col).orderBy(
+        F.col("priority").desc(), id_col
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .drop("batch_id")
+        .withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def stream_reservoir_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming per-key weighted reservoir — x57's operational twin,
+    same AvailableNow cadence as the other state sinks. Batch
+    CORRECTNESS twin: queries.x57_per_source_reservoir is
+    driver-verified against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            reservoir_batch_writer(spark, state_dir, k=k)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -423,3 +423,82 @@ def test_stream_logbin_hist_folds_and_serves_quantiles(spark, tmp_path):
     assert set(g for g, _ in est) == {"click", "view"}
     assert 100 <= est[("click", 0.5)] <= 15000
     assert 1000 <= est[("view", 0.5)] <= 20000
+
+
+RES_SCHEMA = "source string, doc_id long, n_chars long"
+R1 = [("web", 1, 100), ("web", 2, 900), ("web", 3, 50), ("books", 10, 400)]
+R2 = [("web", 4, 700), ("web", 5, 30), ("books", 11, 200), ("books", 12, 800)]
+
+
+def _write_res_batch(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "source": [r[0] for r in rows],
+                "doc_id": [r[1] for r in rows],
+                "n_chars": [r[2] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_reservoir_folds_to_full_recompute(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from python_etl_pipeline_spark.llm.dedup import _hexint
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        reservoir_from_state_dir,
+        stream_reservoir_available_now,
+    )
+
+    K = 2
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def full(rows):
+        df = spark.createDataFrame(rows, RES_SCHEMA)
+        u = (
+            _hexint(
+                F.md5(F.concat_ws("|", F.lit("ps"), F.col("doc_id"))), 8
+            )
+            + 0.5
+        ) / F.lit(4294967296.0)
+        scored = df.select(
+            "source", "doc_id",
+            F.round(F.log(u) / F.col("n_chars"), 8).alias("priority"),
+        )
+        wnd = Window.partitionBy("source").orderBy(
+            F.col("priority").desc(), "doc_id"
+        )
+        return {
+            (r["source"], r["doc_id"])
+            for r in scored.withColumn("rk", F.row_number().over(wnd))
+            .filter(F.col("rk") <= K)
+            .collect()
+        }
+
+    _write_res_batch(str(src / "b1.parquet"), R1)
+    stream_reservoir_available_now(
+        spark, str(src), RES_SCHEMA, state_dir, ckpt, k=K
+    )
+    got = {
+        (r["source"], r["doc_id"])
+        for r in reservoir_from_state_dir(spark, state_dir, k=K).collect()
+    }
+    assert got == full(R1)
+
+    _write_res_batch(str(src / "b2.parquet"), R2)
+    stream_reservoir_available_now(
+        spark, str(src), RES_SCHEMA, state_dir, ckpt, k=K
+    )
+    got = {
+        (r["source"], r["doc_id"])
+        for r in reservoir_from_state_dir(spark, state_dir, k=K).collect()
+    }
+    assert got == full(R1 + R2)  # fold == full recompute (merge property)
