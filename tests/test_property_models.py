@@ -191,3 +191,132 @@ def test_hll_registers_match_python_model_and_merge(spark):
         for k, v in model(sh).items():
             merged[k] = max(merged.get(k, 0), v)
     assert merged == model(docs)
+
+
+def test_funnel_and_attribution_match_python_model(spark):
+    """Model check for the event-analytics pair: random event streams
+    (ties broken by event_id, shuffled arrival order) — the strict
+    funnel's per-user step flags and last-touch attribution must equal
+    a direct Python recomputation of the same rules."""
+    import datetime
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    base = datetime.datetime(2024, 3, 1)
+    types = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for user in range(40):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (
+                    user,
+                    eid,
+                    base + datetime.timedelta(minutes=rng.randint(0, 5000)),
+                    rng.choice(types),
+                )
+            )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+
+    # --- strict funnel: Spark (x59's exact construction) ---
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = df.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in s2.select("user_id", "t1", "t2", t3.alias("t3"))
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+        .collect()
+    }
+
+    # --- strict funnel: Python model ---
+    by_user: dict[int, list] = {}
+    for u, e, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, e, ty))
+    for u, evs in by_user.items():
+        m1 = min((ts for ts, _, ty in evs if ty == "view"), default=None)
+        m2 = (
+            min(
+                (ts for ts, _, ty in evs if ty == "click" and ts > m1),
+                default=None,
+            )
+            if m1
+            else None
+        )
+        m3 = (
+            min(
+                (ts for ts, _, ty in evs if ty == "purchase" and ts > m2),
+                default=None,
+            )
+            if m2
+            else None
+        )
+        assert got[u] == (m1, m2, m3), (u, got[u], (m1, m2, m3))
+
+    # --- last-touch attribution: Spark (x60's construction) ---
+    conv = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = df.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wnd = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), "channel"
+    )
+    got_att = {
+        r["conv_id"]: r["channel"]
+        for r in pairs.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == 1)
+        .select("conv_id", "channel")
+        .collect()
+    }
+
+    # --- attribution: Python model ---
+    want_att = {}
+    for u, e, ts, ty in rows:
+        if ty != "purchase":
+            continue
+        cands = [
+            (t2_, ch)
+            for (u2, _, t2_, ch) in rows
+            if u2 == u
+            and ch in ("view", "click")
+            and t2_ <= ts
+            and t2_ > ts - datetime.timedelta(days=7)
+        ]
+        if cands:
+            # latest touch; tie -> lexicographically smaller channel
+            latest = max(c[0] for c in cands)
+            chans = sorted(ch for t, ch in cands if t == latest)
+            want_att[e] = chans[0]
+    assert got_att == want_att
