@@ -10452,9 +10452,11 @@ _EXPENSIVE_LAST = [
     "x51_graph_pagerank",
     # round-9 third-wave heavies: ann21 runs four searches (brute
     # truth + three probe levels) in one plan by design; dd17 pays
-    # dd2's candidate build PLUS the exact-Jaccard truth join
+    # dd2's candidate build PLUS the exact-Jaccard truth join; ann22's
+    # 48-projection agg is its fixed build cost
     "ann21_probe_recall_curve",
     "dd17_minhash_estimator_error",
+    "ann22_binary_hamming_topk",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
