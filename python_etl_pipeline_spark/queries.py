@@ -9003,6 +9003,116 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TX26_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+           AS n_sentences
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks) AS n_words, n_sentences,
+         list_aggregate(list_transform(toks, x ->
+           greatest(1,
+             length(regexp_replace(lower(x), '[aeiouy]+', 'V', 'g'))
+             - length(replace(regexp_replace(lower(x), '[aeiouy]+', 'V', 'g'),
+                              'V', '')))), 'sum') AS n_syllables
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, cast(n_words AS BIGINT) AS n_words,
+       cast(n_sentences AS BIGINT) AS n_sentences,
+       cast(n_syllables AS BIGINT) AS n_syllables,
+       -- flesch to 2 dp via EXACT integer half-up rounding of the
+       -- rational (N/D)*? -- see the Spark twin for the tie story
+       (((200 * (206835 * n_sentences * n_words
+                 - 1015 * n_words * n_words
+                 - 84600 * n_syllables * n_sentences
+                 + 1000000 * n_sentences * n_words)
+          + 1000 * n_sentences * n_words)
+         // (2000 * n_sentences * n_words)) - 100000) / 100.0 AS flesch
+FROM m
+"""
+
+
+@register("tx26_readability", _TX26_SQL)
+def tx26_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    score (206.835 - 1.015*words/sentences - 84.6*syllables/word)
+    with the standard cheap proxies: sentences = terminal-punctuation
+    count (floored at 1), syllables = vowel GROUPS per word (floored
+    at 1 — 'strength' has one group, 'audio' three). Readability is a
+    curation axis orthogonal to tx15's structural rules and tx23's
+    learned score: a kids-corpus mix target, a legal-text detector,
+    or a curriculum key (x42 ordered by perplexity; reading ease is
+    the human-facing analog). Both engines count groups by the same
+    collapse-to-sentinel trick (regexp_replace group -> 'V', count
+    the V's), so the score is engine-exact.
+
+    Plan shape: the zero-shuffle ideal — every column is a map-side
+    expression over the token array (F.aggregate/F.transform; no
+    explode, no exchange of any kind), x53's economics applied to
+    scoring. Reference analog: the per-row banding functions of
+    src/transform.py (F6/F10), upgraded to a composite linguistic
+    score."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")),
+    )
+    groups = lambda t: F.regexp_replace(F.lower(t), "[aeiouy]+", "V")  # noqa: E731
+    syl = lambda t: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.length(groups(t))
+        - F.length(F.regexp_replace(groups(t), "V", "")),
+    )
+    n_syllables = F.aggregate(
+        F.transform(toks, syl), F.lit(0), lambda a, x: a + x
+    )
+    out = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sentences.cast("bigint").alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    # flesch = N/D with N = 206835*s*w - 1015*w^2 - 84600*y*s and
+    # D = 1000*s*w — an exact rational. Rounding THAT to 2 dp in
+    # doubles hits engine-split ties (Spark rounds the shortest
+    # decimal repr half-up, DuckDB rounds the double — 85.165 split
+    # them in testing), so the half-up round happens in EXACT bigint
+    # arithmetic: floor((200N + D) / (2D)) / 100 — computed on a
+    # +1000-shifted value so the dividend is always positive
+    # (truncating and flooring division agree, sidestepping the
+    # engines' negative-division split observed in testing).
+    w_, s_, y_ = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    n_num = (
+        F.lit(206835) * s_ * w_ - F.lit(1015) * w_ * w_
+        - F.lit(84600) * y_ * s_
+        + F.lit(1000000) * s_ * w_  # +1000 flesch points, removed below
+    )
+    d_den = F.lit(1000) * s_ * w_
+    # decimal (not double) division keeps the quotient exact past
+    # 2^53 — a 10^6-token document would otherwise overflow double
+    # integer precision and split the engines by one ulp at the cut
+    flesch_c = (
+        F.floor(
+            (200 * n_num + d_den).cast("decimal(38,0)")
+            / (2 * d_den).cast("decimal(38,0)")
+        ).cast("bigint")
+        - F.lit(100000)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (flesch_c / 100.0).alias("flesch"),
+    )
+
+
 def _dd17_sql() -> str:
     agree = " + ".join(
         f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(16)
@@ -10371,8 +10481,8 @@ _GATE_PREFIX = [
     # reservoir, the one-pass Poisson-bootstrap SE, the Zipf/Heaps
     # corpus fingerprint, the binary-code Hamming serve, the
     # strict-order funnel, last-touch attribution, the retention
-    # cohort matrix, the Markov transition matrix, and the MinHash
-    # estimator-error contract.
+    # cohort matrix, the Markov transition matrix, the MinHash
+    # estimator-error contract, and the Flesch readability score.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10393,18 +10503,18 @@ _GATE_PREFIX = [
     "x61_retention_cohorts",
     "x62_markov_transitions",
     "dd17_minhash_estimator_error",
+    "tx26_readability",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (10), oldest last-driver-row first: the r5 cohort
-    # MINUS st3/tx15 and
+    # (3) rotation (9), oldest last-driver-row first: the r5 cohort
+    # MINUS st2/st3/tx15 and
     # x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/x19/x20/x30/x31/
-    # x33 (10 of its 30 — all due at round 10; those twenty stay on
-    # the normal horizon and the gate-policy test will force them
-    # into the round-10 gate). The five oldest r6 queries (a0-a4,
-    # due round 11) wait their turn.
+    # x33 (9 of its 30 — under the round-9 horizon-5 escalation the
+    # displaced members are due round 11, not 10). The five oldest
+    # r6 queries (a0-a4) are due round 11 as well.
     "a7_shipping_priority",
     "a8_local_supplier_volume",
     "ann8_embedding_moments",
@@ -10414,7 +10524,6 @@ _GATE_PREFIX = [
     "mm2_frame_sample",
     "mm3_frame_dedup",
     "s5_jdbc_partitioned",
-    "st2_session_window",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

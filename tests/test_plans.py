@@ -767,3 +767,11 @@ def test_minhash_estimator_error_pair_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd17_minhash_estimator_error")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_readability_zero_shuffle(spark, sf_dir):
+    """tx26 is the zero-shuffle ideal: every column (sentence count,
+    per-word syllable fold, the exact-integer score) is a map-side
+    expression — no exchange of any kind."""
+    plan = _plan(spark, sf_dir, "tx26_readability")
+    assert "Exchange" not in plan

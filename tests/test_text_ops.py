@@ -180,3 +180,41 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     m = {r["doc_id"]: r["m"] for r in cnt.collect()}
     for did, fps in by_doc.items():
         assert 0 < len(fps) < m[did]
+
+
+def test_readability_bounds_and_syllable_proxy(spark, sf_dir):
+    """tx26: syllable count >= word count (every word contributes at
+    least 1); sentences >= 1; flesch well-defined for every non-empty
+    doc; and the vowel-group proxy on hand words: 'strength' = 1,
+    'audio' = 3, 'rhythm' = 1 (y counts), 'aaa' = 1 (one group)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["tx26_readability"].spark(spark, sf_dir).collect()
+    n_docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) >= 0)
+        .count()
+    )
+    assert len(rows) == n_docs  # synthetic docs all have >= 1 token
+    for r in rows:
+        assert r["n_syllables"] >= r["n_words"] >= 1
+        assert r["n_sentences"] >= 1
+        assert r["flesch"] is not None
+
+    groups = lambda t: F.regexp_replace(F.lower(t), "[aeiouy]+", "V")  # noqa: E731
+    syl = F.greatest(
+        F.lit(1),
+        F.length(groups(F.col("w")))
+        - F.length(F.regexp_replace(groups(F.col("w")), "V", "")),
+    )
+    got = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame(
+            [("strength",), ("audio",), ("rhythm",), ("aaa",)], "w string"
+        )
+        .select("w", syl.alias("s"))
+        .collect()
+    }
+    assert got == {"strength": 1, "audio": 2, "rhythm": 1, "aaa": 1}
