@@ -161,6 +161,8 @@ HEADLINE = [
     "x62_markov_transitions",
     # MinHash estimator contract: dd2 candidates + exact-Jaccard truth
     "dd17_minhash_estimator_error",
+    # readability: zero-shuffle per-doc score fold
+    "tx26_readability",
 ]
 
 
