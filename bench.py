@@ -163,6 +163,8 @@ HEADLINE = [
     "dd17_minhash_estimator_error",
     # readability: zero-shuffle per-doc score fold
     "tx26_readability",
+    # FK integrity audit: anti-join orphan counts per relationship
+    "i10_fk_integrity_audit",
 ]
 
 
