@@ -165,6 +165,9 @@ HEADLINE = [
     "tx26_readability",
     # FK integrity audit: anti-join orphan counts per relationship
     "i10_fk_integrity_audit",
+    # exact-span decontamination: broadcast benchmark grams + doc-keyed
+    # interval merge
+    "dd18_exact_span_decontaminate",
 ]
 
 

@@ -58,6 +58,17 @@ class QuerySpec:
     sql: str | None  # None => non-SQL-expressible; driver does rows-only check
 
 
+# Query -> the round it was first registered. A query cannot carry a
+# driver CORRECTNESS row from before it existed, so the staleness gate
+# (tests/test_gate_policy.py) anchors a never-gated query's clock at
+# ``first_round - 1``: it becomes overdue HORIZON rounds after
+# registration, not retroactively on the round it lands. Only queries
+# registered AFTER their round's 50-slot gate was frozen appear here —
+# everything older either holds a driver row or was rotated by the
+# standing policy.
+_FIRST_ROUND: dict[str, int] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
@@ -76,9 +87,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql: str | None, first_round: int | None = None):
     def deco(fn):
         REGISTRY[name] = QuerySpec(spark=fn, sql=sql)
+        if first_round is not None:
+            _FIRST_ROUND[name] = first_round
         return fn
 
     return deco
@@ -9312,6 +9325,144 @@ def dd17_minhash_estimator_error(
 
 
 REGISTRY["dd17_minhash_estimator_error"].sql = _dd17_sql()
+
+
+def _dd18_sql() -> str:
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(t) AS n_tokens, t,
+             unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS start
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, n_tokens, start,
+             array_to_string(list_slice(t, start, start + 7), ' ') AS s
+      FROM pos
+    ),
+    bench AS (SELECT DISTINCT s FROM grams WHERE doc_id % 29 = 0),
+    hits AS (
+      SELECT g.doc_id, g.n_tokens, g.start, g.start + 7 AS fin
+      FROM grams g JOIN bench USING (s)
+      WHERE g.doc_id % 29 <> 0
+    ),
+    isl AS (
+      SELECT doc_id, n_tokens, start, fin,
+             CASE WHEN start > coalesce(max(fin) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1
+                  THEN 1 ELSE 0 END AS newspan
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, start, fin,
+             sum(newspan) OVER (PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS span_id
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, n_tokens, span_id,
+             min(start) AS s0, max(fin) AS s1, count(*) AS n_grams
+      FROM spans GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           cast(n_tokens AS BIGINT) AS n_tokens,
+           cast(sum(n_grams) AS BIGINT) AS n_matched_grams,
+           cast(count(*) AS BIGINT) AS n_spans,
+           cast(sum(s1 - s0 + 1) AS BIGINT) AS covered_tokens,
+           round(sum(s1 - s0 + 1) * 1.0 / n_tokens, 4)
+             AS contamination_frac
+    FROM merged GROUP BY doc_id, n_tokens
+    """
+
+
+@register("dd18_exact_span_decontaminate", None, first_round=9)
+def dd18_exact_span_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-match span decontamination (the GPT-3/PaLM recipe): every
+    corpus document is scanned for token 8-grams that appear VERBATIM
+    in the benchmark split (doc_id % 29 = 0, dd8's convention), the
+    matched [start, start+7] token intervals are merged into maximal
+    contaminated spans (overlapping OR adjacent intervals coalesce),
+    and each contaminated document reports its span count and the
+    fraction of its tokens covered. dd8 answers "does this doc share
+    shingles with the benchmark" (a set-overlap signal that tolerates
+    paraphrase); this is the stricter positional contract — exact
+    contiguous reproductions and HOW MUCH of the document they cover —
+    which is what the published decontamination procedures actually
+    threshold on before dropping or splitting documents.
+
+    Plan shape: benchmark 8-grams are benchmark-sized and BROADCAST to
+    the corpus gram stream — the corpus never shuffles on gram content
+    (dd8's scale rule). After the match, everything is keyed on doc_id:
+    one window pair (running max-end -> island ids, the gaps-and-
+    islands merge) and two doc-keyed aggs, all hash-partitioned on
+    doc_id with sizes bounded by matched grams, not corpus grams. At
+    100 TB the only corpus-sized stages are the gram projection (map-
+    side) and the broadcast-hash match. Reference analog: the
+    staging-vs-final reconciliation of src/load.py lifted from row
+    counts to span content."""
+    from .llm.dedup import shingles, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.posexplode(shingles(F.col("text"), 8)).alias("p", "s"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p") + 1).alias("start"), "s"
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 29 == 0).select("s").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 29 != 0)
+        .join(F.broadcast(bench), "s")
+        .select(
+            "doc_id", "n_tokens", "start",
+            (F.col("start") + 7).alias("fin"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_fin = F.max("fin").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "newspan",
+        (F.col("start") > F.coalesce(prev_fin, F.lit(-1)) + 1).cast("int"),
+    )
+    spans = isl.withColumn(
+        "span_id",
+        F.sum("newspan").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = (
+        spans.withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+        .groupBy("doc_id", "n_tokens", "span_id")
+        .agg(
+            F.min("start").alias("s0"),
+            F.max("fin").alias("s1"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return merged.groupBy("doc_id", "n_tokens").agg(
+        F.sum("n_grams").cast("bigint").alias("n_matched_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("s1") - F.col("s0") + 1)
+        .cast("bigint")
+        .alias("covered_tokens"),
+        F.round(
+            F.sum(F.col("s1") - F.col("s0") + 1) / F.col("n_tokens"), 4
+        ).alias("contamination_frac"),
+    )
+
+
+REGISTRY["dd18_exact_span_decontaminate"].sql = _dd18_sql()
 
 
 _X62_SQL = """

@@ -822,3 +822,66 @@ def test_markov_rows_are_stochastic(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+
+
+def test_exact_span_decontaminate_matches_pure_python(spark, sf_dir):
+    """dd18: the whole operator re-derived in pure Python (tokenize,
+    exact 8-gram match against the doc_id%29==0 benchmark split, merge
+    overlapping/adjacent intervals) must agree row-for-row — an
+    independent third implementation beside the Spark plan and the
+    DuckDB oracle."""
+    import re
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = 8
+    bench: set[str] = set()
+    for did, t in docs.items():
+        if did % 29 == 0:
+            for i in range(len(t) - n + 1):
+                bench.add(" ".join(t[i : i + n]))
+    expected = {}
+    for did, t in docs.items():
+        if did % 29 == 0:
+            continue
+        starts = [
+            i
+            for i in range(len(t) - n + 1)
+            if " ".join(t[i : i + n]) in bench
+        ]
+        if not starts:
+            continue
+        spans, n_grams = [], len(starts)
+        for i in starts:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + n - 1)
+            else:
+                spans.append([i, i + n - 1])
+        covered = sum(b - a + 1 for a, b in spans)
+        expected[did] = (
+            len(t),
+            n_grams,
+            len(spans),
+            covered,
+            round(covered / len(t), 4),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_matched_grams"],
+            r["n_spans"],
+            r["covered_tokens"],
+            round(r["contamination_frac"], 4),
+        )
+        for r in REGISTRY["dd18_exact_span_decontaminate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert expected  # the fixture must actually exercise the operator

@@ -125,12 +125,21 @@ def test_no_query_exceeds_staleness_horizon():
         REGISTRY,
     )
 
+    from python_etl_pipeline_spark.queries import _FIRST_ROUND
+
     last, _ = _last_verified(before_round=_GATE_ROUND)
     gate = set(_GATE_PREFIX)
+    # A query registered AFTER its round's 50-slot gate was frozen
+    # cannot hold a driver row yet; its staleness clock starts at
+    # registration (last-verified = first_round - 1), so it is due a
+    # gate slot by first_round + HORIZON - 1 — the same bound every
+    # other query lives under, just not retroactive to round 0.
     overdue = sorted(
         q
         for q in REGISTRY
-        if _GATE_ROUND - last.get(q, 0) > STALENESS_HORIZON and q not in gate
+        if _GATE_ROUND - last.get(q, _FIRST_ROUND.get(q, 1) - 1)
+        > STALENESS_HORIZON
+        and q not in gate
     )
     assert not overdue, (
         f"gate round {_GATE_ROUND}: these queries have gone more than "

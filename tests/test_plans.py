@@ -784,3 +784,17 @@ def test_fk_audit_anti_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_span_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """dd18: the benchmark 8-gram set broadcasts onto the corpus gram
+    stream (the corpus never shuffles on gram content, dd8's rule);
+    after the match every exchange is keyed on doc_id — no cartesian,
+    no single-partition stage, no global range sort."""
+    plan = _plan(spark, sf_dir, "dd18_exact_span_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(doc_id" in plan
