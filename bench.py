@@ -168,6 +168,12 @@ HEADLINE = [
     # exact-span decontamination: broadcast benchmark grams + doc-keyed
     # interval merge
     "dd18_exact_span_decontaminate",
+    # gap repair: one user-keyed sort, four IGNORE-NULLS windows
+    "x63_gap_fill_interpolate",
+    # CUSUM drift: prefix-sum rewrite of the sequential recursion
+    "x64_cusum_changepoint",
+    # conversion lag: user-keyed min-aggs + residual-qualified join
+    "x66_conversion_lag",
 ]
 
 

@@ -64,14 +64,30 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (distinct not applied —
     callers choose). Documents shorter than ``n`` tokens yield an empty
     array — the guard matters: ``sequence(1, 0)`` would otherwise be a
-    DESCENDING sequence ``[1, 0]`` and ``slice(_, 0, n)`` errors."""
+    DESCENDING sequence ``[1, 0]`` and ``slice(_, 0, n)`` errors.
+
+    The tokenization is LET-BOUND through a single-element array +
+    outer ``transform`` so the regex split evaluates ONCE per row:
+    higher-order functions are interpreted (no whole-stage codegen, no
+    subexpression elimination inside the lambda body), so referencing
+    ``split(text)`` directly from the inner lambda re-runs the regex
+    once per gram POSITION — a ~tokens× blowup measured at 4-5x wall
+    on every shingle pass in the engine. A lambda variable is a cheap
+    bound reference, which restores once-per-row evaluation while
+    keeping this a pure Column function (no call-site projection
+    contract)."""
     col = F.col(c) if isinstance(c, str) else c
-    toks = tokens(col)
-    # positions 1 .. size-n+1, each -> space-joined slice of n tokens
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    def _grams(toks: Column) -> Column:
+        # positions 1 .. size-n+1, each -> space-joined slice of n tokens
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+
+    return F.flatten(F.transform(F.array(tokens(col)), _grams))
 
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:

@@ -38,6 +38,7 @@ from .functions import (
     fraud_flag,
     region_map,
 )
+from .llm.text import let_
 from .operators import (
     dedup_keep_first,
     dedup_keep_last,
@@ -5129,9 +5130,19 @@ def tx18_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = d.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nchunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            # let-bind the token array: referencing the split from the
+            # lambda body would re-run the regex once per CHUNK
+            let_(
+                toks,
+                lambda t: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(t) / F.lit(16.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(t, i * 16 + 1, 16), " "
+                    ),
+                ),
             )
         ).alias("chunk"),
     )
@@ -5731,9 +5742,19 @@ def dd10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = d.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nchunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            # let-bind the token array: referencing the split from the
+            # lambda body would re-run the regex once per CHUNK
+            let_(
+                toks,
+                lambda t: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(t) / F.lit(16.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(t, i * 16 + 1, 16), " "
+                    ),
+                ),
             )
         ).alias("pos", "chunk"),
     )
@@ -6192,9 +6213,19 @@ def dd15_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = d.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nchunks - 1),
-                lambda i: F.array_join(F.slice(toks, i * 16 + 1, 16), " "),
+            # let-bind the token array: referencing the split from the
+            # lambda body would re-run the regex once per CHUNK
+            let_(
+                toks,
+                lambda t: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(t) / F.lit(16.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(t, i * 16 + 1, 16), " "
+                    ),
+                ),
             )
         ).alias("pos", "chunk"),
     )
@@ -9463,6 +9494,247 @@ def dd18_exact_span_decontaminate(
 
 
 REGISTRY["dd18_exact_span_decontaminate"].sql = _dd18_sql()
+
+
+_X63_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type <> 'error' THEN value END AS vv,
+         CASE WHEN event_type <> 'error' THEN epoch(ts) END AS vt
+  FROM events
+),
+nbr AS (
+  SELECT event_id, user_id, ts, event_type, epoch(ts) AS t,
+         last_value(vv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(vt IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(vv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(vt IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM base
+)
+SELECT event_id, user_id, ts,
+       round(coalesce(
+         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           CASE WHEN nt > pt
+                THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                ELSE (pv + nv) / 2 END
+         END, pv, nv), 4) AS value_filled
+FROM nbr WHERE event_type = 'error'
+"""
+
+
+@register("x63_gap_fill_interpolate", _X63_SQL, first_round=9)
+def x63_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of missing telemetry: 'error'
+    events carry no usable reading, so each one is repaired from its
+    user's nearest valid readings on either side, weighted by how far
+    (in event time) the gap sits between them — the standard sensor/
+    metrics gap-repair that x9's step-wise forward-fill cannot express
+    (ffill holds the LAST value flat; interpolation follows the trend
+    line between neighbors). Edge gaps degrade gracefully: only a
+    previous neighbor -> carry it forward; only a next -> carry it
+    back; same-timestamp neighbors -> midpoint (no zero division).
+
+    Plan shape: ONE user-keyed sort carries all four IGNORE-NULLS
+    neighbor windows (same partition + order -> one exchange, one
+    sort); everything else is map-side arithmetic. No joins, no
+    self-join on time ranges — the classic interpolate-by-join
+    formulation shuffles the table twice and breaks at skewed users,
+    while the window form scales with the user-key partitioning at any
+    event volume."""
+    e = _t(spark, sf_dir, "events")
+    # TZ-independent epoch seconds on the NTZ column (unix_micros
+    # rejects NTZ; a cast would bind the driver session's timezone)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " ts)"
+    ) / F.lit(1_000_000.0)
+    valid = F.col("event_type") != "error"
+    base = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        us.alias("t"),
+        F.when(valid, F.col("value")).alias("vv"),
+        F.when(valid, us).alias("vt"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    nbr = base.select(
+        "event_id", "user_id", "ts", "event_type", "t",
+        F.last("vv", ignorenulls=True).over(wp).alias("pv"),
+        F.last("vt", ignorenulls=True).over(wp).alias("pt"),
+        F.first("vv", ignorenulls=True).over(wn).alias("nv"),
+        F.first("vt", ignorenulls=True).over(wn).alias("nt"),
+    )
+    both = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.when(
+            F.col("nt") > F.col("pt"),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("t") - F.col("pt"))
+            / (F.col("nt") - F.col("pt")),
+        ).otherwise((F.col("pv") + F.col("nv")) / 2),
+    )
+    return nbr.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts",
+        F.round(F.coalesce(both, F.col("pv"), F.col("nv")), 4).alias(
+            "value_filled"
+        ),
+    )
+
+
+_X64_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, day, n,
+         avg(n) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(n) OVER (PARTITION BY event_type) AS sd
+  FROM daily
+),
+ps AS (
+  SELECT event_type, day, n, sd,
+         sum(n - (mu + 0.5 * sd)) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM st
+),
+cu AS (
+  SELECT event_type, day, n, sd,
+         s - least(0, min(s) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+  FROM ps
+)
+SELECT event_type, cast(day AS TIMESTAMP) AS day, cast(n AS BIGINT) AS n,
+       round(cusum, 4) AS cusum,
+       cast(CASE WHEN cusum > 4 * sd THEN 1 ELSE 0 END AS BIGINT)
+         AS changepoint
+FROM cu
+"""
+
+
+@register("x64_cusum_changepoint", _X64_SQL, first_round=9)
+def x64_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over each event type's
+    daily volume — the drift monitor that catches a sustained upward
+    shift long before any single day trips a static threshold. The
+    textbook recursion S_t = max(0, S_{t-1} + (x_t - k)) (allowance
+    k = mu + 0.5*sd, alarm at 4*sd) is NOT window-expressible as
+    written; it is rewritten exactly as S_t = ps_t - min(0,
+    running_min(ps)) over the plain prefix sum ps — two ordered
+    windows replace the sequential recursion, which is what makes a
+    recursive detector runnable as a distributed plan at all.
+
+    Plan shape: the only data-sized stage is the (type, day) count
+    agg (map-side partials, then a matrix-sized result); the stats
+    window and both ordered windows run over the daily matrix
+    (|types| x |days| rows), partitioned by event_type — never a
+    global sort, never a single-partition exchange. The mean is exact
+    (integer sums in doubles); sd enters only scaled by 0.5 into the
+    prefix drift, so cross-engine ulp differences stay orders below
+    the 4-dp rounding."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    st = daily.select(
+        "event_type", "day", "n",
+        F.avg("n").over(wt).alias("mu"),
+        F.stddev_pop("n").over(wt).alias("sd"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ps = st.select(
+        "event_type", "day", "n", "sd",
+        F.sum(F.col("n") - (F.col("mu") + 0.5 * F.col("sd")))
+        .over(wo)
+        .alias("s"),
+    )
+    cu = ps.select(
+        "event_type", "day", "n", "sd",
+        (F.col("s") - F.least(F.lit(0.0), F.min("s").over(wo))).alias(
+            "cusum"
+        ),
+    )
+    return cu.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("cusum", 4).alias("cusum"),
+        F.when(F.col("cusum") > 4 * F.col("sd"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("changepoint"),
+    )
+
+
+_X66_SQL = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+  GROUP BY 1
+)
+SELECT fv.user_id, fv.first_view, fp.first_purchase,
+       round(epoch(fp.first_purchase) - epoch(fv.first_view), 2)
+         AS lag_sec
+FROM fv JOIN fp ON fp.user_id = fv.user_id
+"""
+
+
+@register("x66_conversion_lag", _X66_SQL, first_round=9)
+def x66_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user, the wall-clock gap between
+    their FIRST view and their first purchase at-or-after it — the
+    latency dimension x59's funnel (which counts WHO converts) does
+    not report, and the input to conversion-SLA percentiles and
+    marketing-window tuning.
+
+    Plan shape: one scan feeds both user-keyed min-aggs (view firsts,
+    then qualifying-purchase firsts); the qualifying filter is an
+    equi-join on user_id with the ts predicate evaluated as a join
+    residual — never an interval/range join, so no row explosion at
+    any event volume. All three stages share the user_id key, so AQE
+    can reuse one partitioning end-to-end; output is bounded by the
+    converting-user count."""
+    e = _t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lag = F.expr(
+        "timestampdiff(MICROSECOND, first_view, first_purchase)"
+    ) / F.lit(1_000_000.0)
+    return fv.join(fp, "user_id").select(
+        "user_id", "first_view", "first_purchase",
+        F.round(lag, 2).alias("lag_sec"),
+    )
 
 
 _X62_SQL = """

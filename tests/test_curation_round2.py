@@ -885,3 +885,133 @@ def test_exact_span_decontaminate_matches_pure_python(spark, sf_dir):
     }
     assert got == expected
     assert expected  # the fixture must actually exercise the operator
+
+
+def test_gap_fill_interpolate_matches_pure_python(spark, sf_dir):
+    """x63: the time-weighted interpolation re-derived sequentially in
+    Python over each user's (ts, event_id)-ordered stream must agree
+    on every repaired 'error' event (edge carries, midpoint ties
+    included)."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = sorted(
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    by_user: dict[int, list] = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = {}
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            if r["event_type"] != "error":
+                continue
+            t = r["ts"].timestamp()
+            prev = next_ = None
+            for q in reversed(rows[:i]):
+                if q["event_type"] != "error" and q["value"] is not None:
+                    prev = (q["value"], q["ts"].timestamp())
+                    break
+            for q in rows[i + 1 :]:
+                if q["event_type"] != "error" and q["value"] is not None:
+                    next_ = (q["value"], q["ts"].timestamp())
+                    break
+            if prev and next_:
+                pv, pt = prev
+                nv, nt = next_
+                v = (
+                    pv + (nv - pv) * (t - pt) / (nt - pt)
+                    if nt > pt
+                    else (pv + nv) / 2
+                )
+            elif prev:
+                v = prev[0]
+            elif next_:
+                v = next_[0]
+            else:
+                v = None
+            expected[r["event_id"]] = (
+                None if v is None else round(v, 4)
+            )
+    got = {
+        r["event_id"]: (
+            None if r["value_filled"] is None else round(r["value_filled"], 4)
+        )
+        for r in REGISTRY["x63_gap_fill_interpolate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        e, g = expected[k], got[k]
+        if e is None:
+            assert g is None, k
+        else:
+            assert abs(e - g) <= 1e-6, (k, e, g)
+    assert expected
+
+
+def test_cusum_matches_sequential_recursion(spark, sf_dir):
+    """x64: the two-window prefix-sum rewrite must equal the textbook
+    sequential recursion S_t = max(0, S_{t-1} + (x_t - k)) computed in
+    Python from the same daily counts; cusum is non-negative by
+    construction."""
+    import statistics as stats
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["x64_cusum_changepoint"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["cusum"] >= 0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        xs = [r["n"] for r in rs]
+        mu = sum(xs) / len(xs)
+        sd = stats.pstdev(xs)
+        k = mu + 0.5 * sd
+        s = 0.0
+        for r, x in zip(rs, xs):
+            s = max(0.0, s + (x - k))
+            assert abs(s - r["cusum"]) <= 2e-4, (et, r["day"], s, r["cusum"])
+            assert r["changepoint"] == (1 if s > 4 * sd else 0)
+
+
+def test_conversion_lag_matches_pure_python(spark, sf_dir):
+    """x66: converting-user set and per-user lag re-derived in Python
+    (first view, first purchase at-or-after it)."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    fv: dict[int, object] = {}
+    for r in evs:
+        if r["event_type"] == "view":
+            if r["user_id"] not in fv or r["ts"] < fv[r["user_id"]]:
+                fv[r["user_id"]] = r["ts"]
+    fp: dict[int, object] = {}
+    for r in evs:
+        if (
+            r["event_type"] == "purchase"
+            and r["user_id"] in fv
+            and r["ts"] >= fv[r["user_id"]]
+        ):
+            if r["user_id"] not in fp or r["ts"] < fp[r["user_id"]]:
+                fp[r["user_id"]] = r["ts"]
+    got = {
+        r["user_id"]: (r["first_view"], r["first_purchase"], r["lag_sec"])
+        for r in REGISTRY["x66_conversion_lag"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(fp)
+    for u, (v, p, lag) in got.items():
+        assert v == fv[u] and p == fp[u]
+        assert abs(lag - (p - v).total_seconds()) <= 0.01
+        assert lag >= 0
+    assert got

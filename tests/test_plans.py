@@ -798,3 +798,36 @@ def test_exact_span_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_gap_fill_single_user_sort(spark, sf_dir):
+    """x63: all four IGNORE-NULLS neighbor windows share one user-keyed
+    exchange + sort; no joins, no cartesian, no global range sort, no
+    single-partition stage."""
+    plan = _plan(spark, sf_dir, "x63_gap_fill_interpolate")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cusum_windows_stay_keyed(spark, sf_dir):
+    """x64: the only data-sized stage is the (type, day) count agg;
+    the stats and both ordered windows run keyed on event_type over
+    the daily matrix — never a global sort or single-partition
+    exchange."""
+    plan = _plan(spark, sf_dir, "x64_cusum_changepoint")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_conversion_lag_user_keyed(spark, sf_dir):
+    """x66: both min-aggs and both joins share the user_id key; the ts
+    qualifier is a join residual, never an interval join — no
+    cartesian, no range sort, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x66_conversion_lag")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
