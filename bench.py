@@ -174,6 +174,12 @@ HEADLINE = [
     "x64_cusum_changepoint",
     # conversion lag: user-keyed min-aggs + residual-qualified join
     "x66_conversion_lag",
+    # snapshot CDC extraction: PK-keyed full-outer diff
+    "i11_snapshot_cdc_extract",
+    # triangle census: checkpointed edge list + endpoint-keyed joins
+    "x67_copurchase_triangles",
+    # KMV audience overlap: bottom-64 sketches + exact contract
+    "hh6_kmv_overlap",
 ]
 
 

@@ -9737,6 +9737,389 @@ def x66_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_I11_SQL = """
+WITH old_snap AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 <> 0
+),
+new_snap AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0
+              THEN round(c_acctbal + 100, 2) ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       round(o.c_acctbal, 2) AS old_acctbal,
+       round(n.c_acctbal, 2) AS new_acctbal
+FROM old_snap o FULL OUTER JOIN new_snap n ON n.c_custkey = o.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal <> n.c_acctbal
+"""
+
+
+@register("i11_snapshot_cdc_extract", _I11_SQL, first_round=9)
+def i11_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream EXTRACTION from two table snapshots — the inverse of
+    x25 (which APPLIES a change stream): a full-outer diff on the
+    primary key classifies every divergent row as insert / delete /
+    update and emits old/new values, turning periodic snapshot dumps
+    into the change feed an incremental consumer (x25, the streaming
+    MERGE sink, a downstream warehouse) expects. This is how CDC gets
+    backfilled when the source system offers no binlog — the
+    complement the reference's ON-DUPLICATE-KEY loader
+    (src/extract.py:328-357) assumes exists upstream. Snapshots are
+    derived deterministically from `customer` (old: keys % 11 != 0;
+    new: keys % 13 != 0 with acctbal +100 on keys % 5 == 0) so the
+    oracle replays them exactly.
+
+    Plan shape: ONE scan feeds both snapshot projections (map-side
+    filters); the full-outer join is keyed on the PK, so at any table
+    size the work is one co-partitioned shuffle — and unchanged rows
+    are dropped by a join residual, never materialized. Output is
+    bounded by the churn, not the table."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("o_key"),
+        F.round("c_acctbal", 2).alias("old_acctbal"),
+    )
+    new = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("n_key"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.round(F.col("c_acctbal") + 100, 2),
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("new_acctbal"),
+    )
+    diff = old.join(
+        new, old["o_key"] == new["n_key"], "full_outer"
+    ).filter(
+        F.col("o_key").isNull()
+        | F.col("n_key").isNull()
+        | (F.col("old_acctbal") != F.col("new_acctbal"))
+    )
+    return diff.select(
+        F.coalesce("o_key", "n_key").alias("c_custkey"),
+        F.when(F.col("o_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        "old_acctbal",
+        "new_acctbal",
+    )
+
+
+_X67_SQL = """
+WITH buy AS (
+  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+pairs AS (
+  SELECT a.ck AS a, b.ck AS b
+  FROM buy a JOIN buy b ON b.pk = a.pk AND a.ck < b.ck
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY 1
+),
+dstat AS (
+  SELECT cast(count(*) AS BIGINT) AS n_nodes,
+         sum(d * (d - 1) / 2.0) AS wedges
+  FROM deg
+),
+estat AS (SELECT cast(count(*) AS BIGINT) AS n_edges FROM pairs),
+tri AS (
+  SELECT cast(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_nodes, n_edges, n_triangles,
+       round(3.0 * n_triangles / wedges, 6) AS global_clustering
+FROM dstat, estat, tri
+"""
+
+
+@register("x67_copurchase_triangles", _X67_SQL, first_round=9)
+def x67_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    co-purchase graph — customers become neighbors when they bought
+    >= 3 common parts (the support threshold that turns the bipartite
+    projection into a meaningful similarity graph instead of a hairball),
+    and the triangle census over that graph is the standard cohesion
+    measure behind community detection and recommendation neighborhoods.
+    Complements x51 (PageRank = centrality on a directed similarity
+    graph) with the undirected local-structure statistic.
+
+    Plan shape: the bipartite projection is a part-keyed self-join
+    (fan-out bounded by buyers-per-part, the same inverted-index
+    economics as dd3); the thresholded edge list is eagerly
+    checkpointed ONCE and reused by the degree pass and all three legs
+    of the triangle join — without the pin Spark would rebuild the
+    projection five times. Triangle enumeration is two hash joins on
+    edge endpoints with the a<b orientation guaranteeing each triangle
+    counted exactly once — never an all-pairs stage; work scales with
+    the edge list, which the support threshold keeps sparse as the
+    customer count grows (co-purchase collisions thin out at fixed
+    basket size)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    buy = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck")
+        )
+        .distinct()
+    )
+    a, b = buy.alias("ea"), buy.alias("eb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("ea.pk") == F.col("eb.pk"))
+            & (F.col("ea.ck") < F.col("eb.ck")),
+        )
+        .groupBy(
+            F.col("ea.ck").alias("a"), F.col("eb.ck").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 3)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused 5x: degrees + 3 join legs
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dstat = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("wedges"),
+    )
+    estat = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        dstat.crossJoin(estat)
+        .crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+def _hh6_sql() -> str:
+    from .llm.dedup import _hexint_sql
+
+    hv = _hexint_sql("md5(cast(user_id AS VARCHAR))", 15)
+    return f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type AS t, user_id FROM events
+    ),
+    h AS (SELECT DISTINCT t, {hv} AS hv FROM uh),
+    ranked AS (
+      SELECT t, hv, row_number() OVER (PARTITION BY t ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT t, max(CASE WHEN rn = 64 THEN hv END) AS hk,
+             count(*) AS nh
+      FROM ranked GROUP BY 1
+    ),
+    est1 AS (
+      SELECT t, CASE WHEN nh < 64 THEN cast(nh AS DOUBLE)
+                ELSE 63.0 * cast(1152921504606846976 AS DOUBLE) / hk END
+               AS est
+      FROM sk
+    ),
+    exact1 AS (SELECT t, count(*) AS n FROM uh GROUP BY 1),
+    prs AS (
+      SELECT a.t AS ta, b.t AS tb
+      FROM (SELECT DISTINCT t FROM uh) a
+      JOIN (SELECT DISTINCT t FROM uh) b ON a.t < b.t
+    ),
+    members AS (
+      SELECT ta, tb, ta AS m FROM prs
+      UNION ALL SELECT ta, tb, tb AS m FROM prs
+    ),
+    uhash AS (
+      SELECT DISTINCT ms.ta, ms.tb, h.hv
+      FROM members ms JOIN h ON h.t = ms.m
+    ),
+    uranked AS (
+      SELECT ta, tb, hv,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM uhash
+    ),
+    usk AS (
+      SELECT ta, tb, max(CASE WHEN rn = 64 THEN hv END) AS hk,
+             count(*) AS nh
+      FROM uranked GROUP BY 1, 2
+    ),
+    estu AS (
+      SELECT ta, tb,
+             CASE WHEN nh < 64 THEN cast(nh AS DOUBLE)
+             ELSE 63.0 * cast(1152921504606846976 AS DOUBLE) / hk END
+               AS est_union
+      FROM usk
+    ),
+    einter AS (
+      SELECT x.t AS ta, y.t AS tb, count(*) AS n_inter
+      FROM uh x JOIN uh y ON y.user_id = x.user_id AND x.t < y.t
+      GROUP BY 1, 2
+    )
+    SELECT e.ta, e.tb,
+           round(e.est_union, 2) AS est_union,
+           cast(xa.n + xb.n - coalesce(ei.n_inter, 0) AS BIGINT)
+             AS exact_union,
+           round(ea.est + eb.est - e.est_union, 2) AS est_inter,
+           cast(coalesce(ei.n_inter, 0) AS BIGINT) AS exact_inter,
+           round(abs(e.est_union - (xa.n + xb.n - coalesce(ei.n_inter, 0)))
+                 / (xa.n + xb.n - coalesce(ei.n_inter, 0)), 4)
+             AS rel_err_union
+    FROM estu e
+    JOIN est1 ea ON ea.t = e.ta
+    JOIN est1 eb ON eb.t = e.tb
+    JOIN exact1 xa ON xa.t = e.ta
+    JOIN exact1 xb ON xb.t = e.tb
+    LEFT JOIN einter ei ON ei.ta = e.ta AND ei.tb = e.tb
+    """
+
+
+@register("hh6_kmv_overlap", None, first_round=9)
+def hh6_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) sketch set operations:
+    per-event-type audiences sketched as their 64 smallest md5-derived
+    user hashes, then UNION cardinality estimated from the merged
+    sketch's 64th value and INTERSECTION by inclusion-exclusion — the
+    mergeable-sketch algebra behind audience-overlap dashboards, where
+    exact pairwise distinct-intersections over raw IDs are the
+    quadratic cost you refuse to pay at 100 TB. Sketches are unioned
+    by taking the bottom-k of concatenated sketches — the same
+    commutative-monoid shape as hh2/hh4/x41, so the per-type sketches
+    persist and merge incrementally. Every estimate row carries its
+    exact contract (hh4's discipline): exact_union / exact_inter and
+    the union relative error are computed alongside, so the
+    approximation is a verified number, not a hope.
+
+    Plan shape: one distinct over (type, user) is the only data-sized
+    stage; everything downstream operates on k-sized sketches (<= 64
+    rows per type / per pair) and a |types|^2 pair frame. The exact
+    contract side is a user-keyed self-join — contract-only, exactly
+    like hh4's truth leg; production serves the sketch."""
+    from .llm.dedup import _hexint
+
+    e = _t(spark, sf_dir, "events")
+    uh = e.select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct()
+    h = uh.select(
+        "t", _hexint(F.md5(F.col("u").cast("string")), 15).alias("hv")
+    ).distinct()
+    wk = Window.partitionBy("t").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wk))
+        .groupBy("t")
+        .agg(
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("hk"),
+            F.count(F.lit(1)).alias("nh"),
+        )
+    )
+    scale = F.lit(63.0) * F.lit(float(1152921504606846976))
+    est1 = sk.select(
+        "t",
+        F.when(F.col("nh") < 64, F.col("nh").cast("double"))
+        .otherwise(scale / F.col("hk"))
+        .alias("est"),
+    )
+    exact1 = uh.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    types = uh.select("t").distinct()
+    ta, tb = types.alias("pa"), types.alias("pb")
+    prs = ta.join(tb, F.col("pa.t") < F.col("pb.t")).select(
+        F.col("pa.t").alias("ta"), F.col("pb.t").alias("tb")
+    )
+    members = prs.select("ta", "tb", F.col("ta").alias("m")).unionAll(
+        prs.select("ta", "tb", F.col("tb").alias("m"))
+    )
+    uhash = (
+        members.join(h, h["t"] == F.col("m"))
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    usk = (
+        uhash.withColumn("rn", F.row_number().over(wu))
+        .groupBy("ta", "tb")
+        .agg(
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("hk"),
+            F.count(F.lit(1)).alias("nh"),
+        )
+    )
+    estu = usk.select(
+        "ta", "tb",
+        F.when(F.col("nh") < 64, F.col("nh").cast("double"))
+        .otherwise(scale / F.col("hk"))
+        .alias("est_union"),
+    )
+    x, y = uh.alias("ia"), uh.alias("ib")
+    einter = (
+        x.join(
+            y,
+            (F.col("ib.u") == F.col("ia.u"))
+            & (F.col("ia.t") < F.col("ib.t")),
+        )
+        .groupBy(F.col("ia.t").alias("ta"), F.col("ib.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ea = est1.select(F.col("t").alias("ta"), F.col("est").alias("ea"))
+    eb = est1.select(F.col("t").alias("tb"), F.col("est").alias("eb"))
+    xa = exact1.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    xb = exact1.select(F.col("t").alias("tb"), F.col("n").alias("nb"))
+    out = (
+        estu.join(ea, "ta")
+        .join(eb, "tb")
+        .join(xa, "ta")
+        .join(xb, "tb")
+        .join(einter, ["ta", "tb"], "left")
+    )
+    exact_union = (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))
+    )
+    return out.select(
+        "ta", "tb",
+        F.round("est_union", 2).alias("est_union"),
+        exact_union.cast("bigint").alias("exact_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("est_union"), 2).alias(
+            "est_inter"
+        ),
+        F.coalesce(F.col("n_inter"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_inter"),
+        F.round(
+            F.abs(F.col("est_union") - exact_union) / exact_union, 4
+        ).alias("rel_err_union"),
+    )
+
+
+REGISTRY["hh6_kmv_overlap"].sql = _hh6_sql()
+
+
 _X62_SQL = """
 WITH seq AS (
   SELECT user_id, event_type AS cur, ts, event_id,

@@ -1015,3 +1015,140 @@ def test_conversion_lag_matches_pure_python(spark, sf_dir):
         assert abs(lag - (p - v).total_seconds()) <= 0.01
         assert lag >= 0
     assert got
+
+
+def test_snapshot_cdc_matches_pure_python(spark, sf_dir):
+    """i11: the full diff re-derived in Python from the same snapshot
+    construction — every op classification and old/new value."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    old = {
+        r["c_custkey"]: round(r["c_acctbal"], 2)
+        for r in rows
+        if r["c_custkey"] % 11 != 0
+    }
+    new = {
+        r["c_custkey"]: round(
+            r["c_acctbal"] + 100 if r["c_custkey"] % 5 == 0
+            else r["c_acctbal"],
+            2,
+        )
+        for r in rows
+        if r["c_custkey"] % 13 != 0
+    }
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = ("insert", None, new[k])
+        elif k not in new:
+            expected[k] = ("delete", old[k], None)
+        elif old[k] != new[k]:
+            expected[k] = ("update", old[k], new[k])
+    got = {
+        r["c_custkey"]: (r["op"], r["old_acctbal"], r["new_acctbal"])
+        for r in REGISTRY["i11_snapshot_cdc_extract"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert {op for op, _, _ in got.values()} == {
+        "insert", "delete", "update"
+    }
+
+
+def test_copurchase_triangles_match_pure_python(spark, sf_dir):
+    """x67: edge list, triangle count and clustering coefficient
+    re-derived with dict/set arithmetic from the raw tables."""
+    from itertools import combinations
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    by_part: dict[int, set] = {}
+    for r in li:
+        ck = orders.get(r["l_orderkey"])
+        if ck is not None:
+            by_part.setdefault(r["l_partkey"], set()).add(ck)
+    wt: dict[tuple, int] = {}
+    for cks in by_part.values():
+        for a, b in combinations(sorted(cks), 2):
+            wt[(a, b)] = wt.get((a, b), 0) + 1
+    edges = {p for p, w in wt.items() if w >= 3}
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        # count c > b adjacent to both (a<b<c orientation)
+        tri += len({c for c in adj[a] & adj[b] if c > b})
+    wedges = sum(len(s) * (len(s) - 1) / 2 for s in adj.values())
+    row = (
+        REGISTRY["x67_copurchase_triangles"].spark(spark, sf_dir).first()
+    )
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert abs(row["global_clustering"] - 3.0 * tri / wedges) <= 1e-5
+    assert tri > 0
+
+
+def test_kmv_overlap_matches_pure_python(spark, sf_dir):
+    """hh6: the portable md5 hash, the bottom-64 sketch, the merged
+    union estimate and both exact contracts re-derived with hashlib."""
+    import hashlib
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).distinct().collect()
+    users: dict[str, set] = {}
+    for r in evs:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+
+    def hv(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    def est(hashes: set) -> float:
+        hs = sorted(hashes)
+        if len(hs) < 64:
+            return float(len(hs))
+        return 63.0 * float(16**15) / hs[63]
+
+    got = {
+        (r["ta"], r["tb"]): r
+        for r in REGISTRY["hh6_kmv_overlap"].spark(spark, sf_dir).collect()
+    }
+    types = sorted(users)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        ha = {hv(u) for u in users[a]}
+        hb = {hv(u) for u in users[b]}
+        eu = est(ha | hb)
+        assert abs(r["est_union"] - round(eu, 2)) <= 1e-6
+        assert r["exact_union"] == len(users[a] | users[b])
+        assert r["exact_inter"] == len(users[a] & users[b])
+        assert abs(
+            r["est_inter"] - round(est(ha) + est(hb) - eu, 2)
+        ) <= 1e-6
+    # at this sf every audience is < k, so the sketch must degrade to
+    # EXACT counts (the estimating regime is exercised by the sf0.01
+    # oracle parity, where audiences are ~10x k)
+    if all(len(users[t] | users[u]) < 64 for t in types for u in types):
+        for (a, b), r in got.items():
+            assert r["est_union"] == float(r["exact_union"])
+            assert r["est_inter"] == float(r["exact_inter"])

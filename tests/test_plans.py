@@ -831,3 +831,38 @@ def test_conversion_lag_user_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_cdc_single_keyed_join(spark, sf_dir):
+    """i11: one scan feeds both snapshot projections; the diff is a
+    PK-keyed full-outer join with the unchanged-row filter as a join
+    residual — no cartesian, no range sort, no single-partition
+    exchange."""
+    plan = _plan(spark, sf_dir, "i11_snapshot_cdc_extract")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "FullOuter" in plan
+
+
+def test_triangle_census_edge_keyed(spark, sf_dir):
+    """x67: the bipartite projection is part-keyed, the triangle legs
+    are endpoint-keyed hash joins over the checkpointed edge list —
+    no cartesian stage, no global range sort; the only
+    single-partition stages are the three one-row report aggregates."""
+    plan = _plan(spark, sf_dir, "x67_copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # three scalar aggs + their one-row crossJoin assembly may each
+    # plan a single-partition exchange; nothing data-sized may
+    assert plan.count("Exchange SinglePartition") <= 4
+
+
+def test_kmv_sketch_stays_k_sized(spark, sf_dir):
+    """hh6: after the (type, user) distinct, every frame is sketch-
+    (<=64 rows) or pair-table-sized; windows are keyed on type / pair
+    — no cartesian (the |types|^2 pair build is a keyed theta-join on
+    t< t), no global range sort, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "hh6_kmv_overlap")
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
