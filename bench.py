@@ -180,6 +180,8 @@ HEADLINE = [
     "x67_copurchase_triangles",
     # KMV audience overlap: bottom-64 sketches + exact contract
     "hh6_kmv_overlap",
+    # item-item Jaccard top-5: buyer-keyed co-occurrence + WindowGroupLimit
+    "x68_item_similarity_topk",
 ]
 
 

@@ -17,7 +17,7 @@ hh2 contract queries, never a claim.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_bucket
@@ -239,5 +239,58 @@ def logbin_quantiles(
         .groupBy(key_col, "q")
         .agg(
             F.min_by("rep", F.col("blen") * 8 + F.col("sub")).alias("est")
+        )
+    )
+
+
+KMV_K = 64
+KMV_SCALE = float(16**15)  # kmv_hash values are uniform on [0, 2^60)
+
+
+def kmv_hash(id_col: Column) -> Column:
+    """Portable 60-bit md5-derived hash (identical in DuckDB via
+    _hexint_sql) — the KMV sketch's hash space."""
+    from .dedup import _hexint
+
+    return _hexint(F.md5(id_col.cast("string")), 15)
+
+
+def kmv_bottomk(df: DataFrame, keys: list[str], hv: str = "hv", k: int = KMV_K) -> DataFrame:
+    """Bottom-k distinct hashes per key group — the KMV / bottom-k
+    theta sketch. A UNION monoid: merging two sketches = union the
+    rows, distinct, bottom-k again; so per-batch sketches persist and
+    fold without rescanning history (hh6's streaming twin)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(hv)
+    return (
+        df.select(*keys, hv)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(sk: DataFrame, keys: list[str], hv: str = "hv", k: int = KMV_K) -> DataFrame:
+    """(keys..., est, nh) distinct-count estimate from a bottom-k
+    sketch: exact below k (the sketch IS the value set), else the
+    classic (k-1)/h_k estimator on the k-th smallest normalized hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(hv)
+    r = sk.withColumn("__rn", F.row_number().over(w))
+    return (
+        r.groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("__rn") == k, F.col(hv))).alias("hk"),
+            F.count(F.lit(1)).alias("nh"),
+        )
+        .select(
+            *keys,
+            F.when(F.col("nh") < k, F.col("nh").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(KMV_SCALE) / F.col("hk"))
+            .alias("est"),
+            "nh",
         )
     )

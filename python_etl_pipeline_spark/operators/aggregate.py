@@ -58,3 +58,60 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[refn[fn](f"{fn}_{c}").alias(f"{fn}_{c}") for c, fn in aggs.items()]
     )
+
+
+def daily_counts(
+    df: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """(key, day, n) daily volume matrix — map-side-combinable count,
+    the sum-monoid state the streaming CUSUM twin persists per batch."""
+    return df.groupBy(
+        F.col(key_col).alias("k"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cusum_over_daily(
+    daily: DataFrame,
+    allowance: float = 0.5,
+    alarm: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM over a (k, day, n) daily matrix — the shared
+    algebra behind x64 and its streaming twin. The sequential
+    recursion S_t = max(0, S_{t-1} + (x_t - (mu + allowance*sd))) is
+    rewritten as S_t = ps_t - min(0, running_min(ps)) over the plain
+    prefix sum: two ordered key-partitioned windows instead of a
+    sequential loop. Emits (k, day, n, cusum, changepoint) with the
+    alarm at ``alarm``*sd."""
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("k")
+    st = daily.select(
+        "k", "day", "n",
+        F.avg("n").over(wt).alias("mu"),
+        F.stddev_pop("n").over(wt).alias("sd"),
+    )
+    wo = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ps = st.select(
+        "k", "day", "n", "sd",
+        F.sum(F.col("n") - (F.col("mu") + allowance * F.col("sd")))
+        .over(wo)
+        .alias("s"),
+    )
+    cu = ps.select(
+        "k", "day", "n", "sd",
+        (F.col("s") - F.least(F.lit(0.0), F.min("s").over(wo))).alias(
+            "cusum"
+        ),
+    )
+    return cu.select(
+        "k", "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("cusum", 4).alias("cusum"),
+        F.when(F.col("cusum") > alarm * F.col("sd"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("changepoint"),
+    )

@@ -9645,40 +9645,12 @@ def x64_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer sums in doubles); sd enters only scaled by 0.5 into the
     prefix drift, so cross-engine ulp differences stay orders below
     the 4-dp rounding."""
+    from .operators.aggregate import cusum_over_daily, daily_counts
+
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    wt = Window.partitionBy("event_type")
-    st = daily.select(
-        "event_type", "day", "n",
-        F.avg("n").over(wt).alias("mu"),
-        F.stddev_pop("n").over(wt).alias("sd"),
-    )
-    wo = Window.partitionBy("event_type").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ps = st.select(
-        "event_type", "day", "n", "sd",
-        F.sum(F.col("n") - (F.col("mu") + 0.5 * F.col("sd")))
-        .over(wo)
-        .alias("s"),
-    )
-    cu = ps.select(
-        "event_type", "day", "n", "sd",
-        (F.col("s") - F.least(F.lit(0.0), F.min("s").over(wo))).alias(
-            "cusum"
-        ),
-    )
-    return cu.select(
-        "event_type",
-        "day",
-        F.col("n").cast("bigint").alias("n"),
-        F.round("cusum", 4).alias("cusum"),
-        F.when(F.col("cusum") > 4 * F.col("sd"), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("changepoint"),
+    out = cusum_over_daily(daily_counts(e, "event_type", "ts"))
+    return out.select(
+        F.col("k").alias("event_type"), "day", "n", "cusum", "changepoint"
     )
 
 
@@ -10023,31 +9995,15 @@ def hh6_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per type / per pair) and a |types|^2 pair frame. The exact
     contract side is a user-keyed self-join — contract-only, exactly
     like hh4's truth leg; production serves the sketch."""
-    from .llm.dedup import _hexint
+    from .llm.sketch import kmv_bottomk, kmv_estimate, kmv_hash
 
     e = _t(spark, sf_dir, "events")
     uh = e.select(
         F.col("event_type").alias("t"), F.col("user_id").alias("u")
     ).distinct()
-    h = uh.select(
-        "t", _hexint(F.md5(F.col("u").cast("string")), 15).alias("hv")
-    ).distinct()
-    wk = Window.partitionBy("t").orderBy("hv")
-    sk = (
-        h.withColumn("rn", F.row_number().over(wk))
-        .groupBy("t")
-        .agg(
-            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("hk"),
-            F.count(F.lit(1)).alias("nh"),
-        )
-    )
-    scale = F.lit(63.0) * F.lit(float(1152921504606846976))
-    est1 = sk.select(
-        "t",
-        F.when(F.col("nh") < 64, F.col("nh").cast("double"))
-        .otherwise(scale / F.col("hk"))
-        .alias("est"),
-    )
+    h = uh.select("t", kmv_hash(F.col("u")).alias("hv"))
+    sk_t = kmv_bottomk(h, ["t"])
+    est1 = kmv_estimate(sk_t, ["t"]).select("t", "est")
     exact1 = uh.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     types = uh.select("t").distinct()
     ta, tb = types.alias("pa"), types.alias("pb")
@@ -10057,25 +10013,18 @@ def hh6_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = prs.select("ta", "tb", F.col("ta").alias("m")).unionAll(
         prs.select("ta", "tb", F.col("tb").alias("m"))
     )
+    # pair-union sketches are merged from the per-type SKETCHES, not
+    # the raw hash sets — the union monoid guarantees bottom-k(A ∪ B)
+    # = bottom-k(bottom-k(A) ∪ bottom-k(B)), which is exactly how
+    # persisted sketches merge at serving time
     uhash = (
-        members.join(h, h["t"] == F.col("m"))
+        members.join(sk_t, sk_t["t"] == F.col("m"))
         .select("ta", "tb", "hv")
         .distinct()
     )
-    wu = Window.partitionBy("ta", "tb").orderBy("hv")
-    usk = (
-        uhash.withColumn("rn", F.row_number().over(wu))
-        .groupBy("ta", "tb")
-        .agg(
-            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("hk"),
-            F.count(F.lit(1)).alias("nh"),
-        )
-    )
-    estu = usk.select(
-        "ta", "tb",
-        F.when(F.col("nh") < 64, F.col("nh").cast("double"))
-        .otherwise(scale / F.col("hk"))
-        .alias("est_union"),
+    usk = kmv_bottomk(uhash, ["ta", "tb"])
+    estu = kmv_estimate(usk, ["ta", "tb"]).select(
+        "ta", "tb", F.col("est").alias("est_union")
     )
     x, y = uh.alias("ia"), uh.alias("ib")
     einter = (
@@ -10118,6 +10067,109 @@ def hh6_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["hh6_kmv_overlap"].sql = _hh6_sql()
+
+
+_X68_SQL = """
+WITH buy AS (
+  SELECT DISTINCT l_partkey AS pk, o_custkey AS ck
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+sizes AS (SELECT pk, count(*) AS n FROM buy GROUP BY 1),
+inter AS (
+  SELECT a.pk AS pa, b.pk AS pb, count(*) AS i
+  FROM buy a JOIN buy b ON b.ck = a.ck AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+  SELECT pa AS p, pb AS q, i FROM inter
+  UNION ALL SELECT pb AS p, pa AS q, i FROM inter
+),
+jac AS (
+  SELECT s.p, s.q, s.i,
+         s.i * 1.0 / (sa.n + sb.n - s.i) AS j
+  FROM sym s JOIN sizes sa ON sa.pk = s.p JOIN sizes sb ON sb.pk = s.q
+),
+ranked AS (
+  SELECT p, q, i, j,
+         row_number() OVER (PARTITION BY p ORDER BY j DESC, q) AS rnk
+  FROM jac
+)
+SELECT p AS partkey, q AS neighbor,
+       cast(i AS BIGINT) AS n_common_buyers,
+       round(j, 4) AS jaccard,
+       cast(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("x68_item_similarity_topk", _X68_SQL, first_round=9)
+def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, its top-5
+    most similar parts by Jaccard similarity of buyer sets (support
+    >= 2 common buyers) — the classic neighborhood model behind
+    "customers who bought this also bought", and the item-side
+    complement of x67's customer-graph census. Ties rank
+    deterministically (similarity desc, then neighbor id).
+
+    Plan shape: the co-occurrence build is a buyer-keyed self-join
+    (inverted-index economics — fan-out bounded by parts-per-buyer,
+    the basket size, which does NOT grow with catalog or customer
+    count); sizes join back as a part-keyed table. The top-5 cut is a
+    row_number + filter that compiles to WindowGroupLimit, so each
+    partition keeps a 5-element heap per part instead of sorting the
+    full similarity list — the shape that keeps the cut constant-
+    memory at any catalog size. No all-pairs stage anywhere: parts
+    never meet unless a real basket joins them."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    buy = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck")
+        )
+        .distinct()
+    )
+    sizes = buy.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a, b = buy.alias("ba"), buy.alias("bb")
+    inter = (
+        a.join(
+            b,
+            (F.col("bb.ck") == F.col("ba.ck"))
+            & (F.col("ba.pk") < F.col("bb.pk")),
+        )
+        .groupBy(F.col("ba.pk").alias("pa"), F.col("bb.pk").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .filter(F.col("i") >= 2)
+    )
+    sym = inter.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "i"
+    ).unionAll(
+        inter.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "i")
+    )
+    sa = sizes.select(F.col("pk").alias("p"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("pk").alias("q"), F.col("n").alias("nb"))
+    jac = (
+        sym.join(sa, "p")
+        .join(sb, "q")
+        .select(
+            "p", "q", "i",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "j"
+            ),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.col("j").desc(), "q")
+    return (
+        jac.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("q").alias("neighbor"),
+            F.col("i").cast("bigint").alias("n_common_buyers"),
+            F.round("j", 4).alias("jaccard"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
 
 
 _X62_SQL = """

@@ -1514,3 +1514,173 @@ def stream_reservoir_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def daily_counts_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """foreachBatch sink for incremental daily volume counts — x64's
+    operational twin state: each arrival batch's (key, day) partial
+    counts land under ``state_dir/batch_id=N``. Counts are a SUM
+    monoid, so the corpus-so-far daily matrix is a sum over the state
+    log — the CUSUM drift monitor re-derives from a matrix-sized fold,
+    never rescanning event history. Re-delivered batches overwrite
+    their own batch_id partition (exactly-once, same contract as the
+    CM/LM/datacard sinks)."""
+    import os
+
+    from ..operators.aggregate import daily_counts
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        daily_counts(batch_df, key_col, ts_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def daily_counts_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(k, day, n) — the folded daily matrix (sum-monoid merge over
+    the per-batch partials)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("k", "day")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def compact_daily_counts_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)
+    — same stop-the-world contract and crash-safe swap as the other
+    state compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = daily_counts_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def cusum_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The CUSUM change-point report served from the persisted daily
+    state — the same ``cusum_over_daily`` algebra the driver
+    hash-verifies via x64's DuckDB oracle, applied to the folded
+    matrix instead of a full event scan."""
+    from ..operators.aggregate import cusum_over_daily
+
+    return cusum_over_daily(daily_counts_from_state_dir(spark, state_dir))
+
+
+def stream_daily_cusum_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental CUSUM drift monitor — x64's operational
+    twin, same AvailableNow cadence as the other state sinks. Batch
+    CORRECTNESS twin: queries.x64_cusum_changepoint is driver-verified
+    against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            daily_counts_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kmv_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+):
+    """foreachBatch sink for incremental KMV (bottom-k) distinct
+    sketches — hh6's operational twin: each arrival batch's per-key
+    bottom-64 hash set lands under ``state_dir/batch_id=N``. The
+    sketch is a UNION monoid (bottom-k of unioned bottom-ks), so the
+    audience-so-far sketch folds from k-sized rows per key — a
+    distinct-count monitor over a growing stream never rescans id
+    history. Re-delivered batches overwrite their own batch_id
+    partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.sketch import kmv_bottomk, kmv_hash
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        h = batch_df.select(
+            F.col(key_col).alias("k"),
+            kmv_hash(F.col(id_col)).alias("hv"),
+        )
+        kmv_bottomk(h, ["k"]).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def kmv_from_state_dir(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(k, hv) — the folded bottom-64 sketch per key (union-monoid
+    merge: union the per-batch sketches, distinct, bottom-k again)."""
+    from ..llm.sketch import kmv_bottomk
+
+    return kmv_bottomk(
+        spark.read.parquet(state_dir).drop("batch_id"), ["k"]
+    )
+
+
+def compact_kmv_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = kmv_from_state_dir(spark, state_dir).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_kmv_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental KMV distinct-count sketch — hh6's
+    operational twin, same AvailableNow cadence as the other state
+    sinks. Batch CORRECTNESS twin: queries.hh6_kmv_overlap is
+    driver-verified against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            kmv_state_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1152,3 +1152,56 @@ def test_kmv_overlap_matches_pure_python(spark, sf_dir):
         for (a, b), r in got.items():
             assert r["est_union"] == float(r["exact_union"])
             assert r["est_inter"] == float(r["exact_inter"])
+
+
+def test_item_similarity_matches_pure_python(spark, sf_dir):
+    """x68: buyer sets, Jaccard, support filter and deterministic
+    top-5 ranking re-derived with dict/set arithmetic."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    buyers: dict[int, set] = {}
+    for r in li:
+        ck = orders.get(r["l_orderkey"])
+        if ck is not None:
+            buyers.setdefault(r["l_partkey"], set()).add(ck)
+    by_buyer: dict[int, set] = {}
+    for pk, cks in buyers.items():
+        for ck in cks:
+            by_buyer.setdefault(ck, set()).add(pk)
+    inter: dict[tuple, int] = {}
+    for pks in by_buyer.values():
+        ps = sorted(pks)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                inter[(a, b)] = inter.get((a, b), 0) + 1
+    neigh: dict[int, list] = {}
+    for (a, b), i in inter.items():
+        if i < 2:
+            continue
+        j = i / (len(buyers[a]) + len(buyers[b]) - i)
+        neigh.setdefault(a, []).append((j, b, i))
+        neigh.setdefault(b, []).append((j, a, i))
+    expected = {}
+    for p, lst in neigh.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (j, q, i) in enumerate(lst[:5], 1):
+            expected[(p, q)] = (i, round(j, 4), rnk)
+    got = {
+        (r["partkey"], r["neighbor"]): (
+            r["n_common_buyers"], round(r["jaccard"], 4), r["rnk"]
+        )
+        for r in REGISTRY["x68_item_similarity_topk"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert expected

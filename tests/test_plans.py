@@ -866,3 +866,15 @@ def test_kmv_sketch_stays_k_sized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hh6_kmv_overlap")
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_item_similarity_windowgrouplimit(spark, sf_dir):
+    """x68: the top-5 cut compiles to WindowGroupLimit (per-partition
+    5-element heaps, never a full sort of the similarity list); the
+    co-occurrence build is buyer-keyed — no cartesian, no global range
+    sort, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x68_item_similarity_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan

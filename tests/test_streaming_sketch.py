@@ -502,3 +502,224 @@ def test_stream_reservoir_folds_to_full_recompute(spark, tmp_path):
         for r in reservoir_from_state_dir(spark, state_dir, k=K).collect()
     }
     assert got == full(R1 + R2)  # fold == full recompute (merge property)
+
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write_events(path, rows):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2024, 1, r[1], r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[3] for r in rows], pa.int64()),
+                "event_type": [r[4] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+# (event_id, day-of-month, hour, user_id, type)
+EV1 = [
+    (1, 1, 9, 10, "click"), (2, 1, 10, 11, "click"), (3, 1, 11, 10, "view"),
+    (4, 2, 9, 12, "click"), (5, 2, 10, 13, "view"),
+]
+EV2 = [
+    (6, 2, 11, 10, "click"), (7, 3, 9, 14, "click"), (8, 3, 10, 11, "click"),
+    (9, 3, 11, 15, "view"), (10, 3, 12, 16, "view"),
+]
+EV3 = [(11, 4, 9, 17, "click"), (12, 4, 10, 10, "view")]
+
+
+def _cusum_rows(df):
+    return {
+        (r["k"], r["day"]): (r["n"], r["cusum"], r["changepoint"])
+        for r in df.collect()
+    }
+
+
+def _full_cusum(spark, rows):
+    from python_etl_pipeline_spark.operators.aggregate import (
+        cusum_over_daily,
+        daily_counts,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (
+                r[0],
+                __import__("datetime").datetime(2024, 1, r[1], r[2]),
+                r[3],
+                r[4],
+            )
+            for r in rows
+        ],
+        EV_SCHEMA,
+    )
+    return _cusum_rows(cusum_over_daily(daily_counts(d)))
+
+
+def test_stream_cusum_folds_to_full_recompute(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_daily_counts_state,
+        cusum_from_state_dir,
+        stream_daily_cusum_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(str(src / "b1.parquet"), EV1)
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _cusum_rows(cusum_from_state_dir(spark, state_dir)) == _full_cusum(
+        spark, EV1
+    )
+
+    _write_events(str(src / "b2.parquet"), EV2)
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _cusum_rows(cusum_from_state_dir(spark, state_dir)) == _full_cusum(
+        spark, EV1 + EV2
+    )
+
+    before = _cusum_rows(cusum_from_state_dir(spark, state_dir))
+    compact_daily_counts_state(spark, state_dir)
+    assert _cusum_rows(cusum_from_state_dir(spark, state_dir)) == before
+    assert len(glob.glob(f"{state_dir}/batch_id=*")) == 1
+
+    _write_events(str(src / "b3.parquet"), EV3)
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _cusum_rows(cusum_from_state_dir(spark, state_dir)) == _full_cusum(
+        spark, EV1 + EV2 + EV3
+    )
+
+
+def test_daily_counts_writer_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch may re-run a batch after a crash: re-invoking the
+    writer with the SAME batch_id must leave the folded matrix
+    unchanged (overwrite, not append)."""
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        daily_counts_batch_writer,
+        daily_counts_from_state_dir,
+    )
+
+    state_dir = str(tmp_path / "state")
+    writer = daily_counts_batch_writer(spark, state_dir)
+    import datetime
+
+    def df(rows):
+        return spark.createDataFrame(
+            [
+                (r[0], datetime.datetime(2024, 1, r[1], r[2]), r[3], r[4])
+                for r in rows
+            ],
+            EV_SCHEMA,
+        )
+
+    writer(df(EV1), 0)
+    writer(df(EV2), 1)
+    once = {
+        (r["k"], r["day"]): r["n"]
+        for r in daily_counts_from_state_dir(spark, state_dir).collect()
+    }
+    writer(df(EV2), 1)  # redelivery
+    again = {
+        (r["k"], r["day"]): r["n"]
+        for r in daily_counts_from_state_dir(spark, state_dir).collect()
+    }
+    assert once == again
+
+
+def _kmv_fold(spark, rows):
+    from python_etl_pipeline_spark.llm.sketch import (
+        kmv_bottomk,
+        kmv_estimate,
+        kmv_hash,
+    )
+
+    import datetime
+
+    d = spark.createDataFrame(
+        [
+            (r[0], datetime.datetime(2024, 1, r[1], r[2]), r[3], r[4])
+            for r in rows
+        ],
+        EV_SCHEMA,
+    )
+    h = d.select(
+        F.col("event_type").alias("k"), kmv_hash(F.col("user_id")).alias("hv")
+    )
+    return {
+        (r["k"], r["hv"])
+        for r in kmv_bottomk(h, ["k"]).collect()
+    }, {
+        r["k"]: (r["est"], r["nh"])
+        for r in kmv_estimate(kmv_bottomk(h, ["k"]), ["k"]).collect()
+    }
+
+
+def test_stream_kmv_folds_to_full_recompute(spark, tmp_path):
+    from python_etl_pipeline_spark.llm.sketch import kmv_estimate
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_kmv_state,
+        kmv_from_state_dir,
+        stream_kmv_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_events(str(src / "b1.parquet"), EV1)
+    stream_kmv_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    sk, est = _kmv_fold(spark, EV1)
+    assert {
+        (r["k"], r["hv"]) for r in kmv_from_state_dir(spark, state_dir).collect()
+    } == sk
+
+    _write_events(str(src / "b2.parquet"), EV2)
+    stream_kmv_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    sk2, est2 = _kmv_fold(spark, EV1 + EV2)
+    folded = kmv_from_state_dir(spark, state_dir)
+    assert {(r["k"], r["hv"]) for r in folded.collect()} == sk2
+    assert {
+        r["k"]: (r["est"], r["nh"])
+        for r in kmv_estimate(folded, ["k"]).collect()
+    } == est2
+
+    before = {(r["k"], r["hv"]) for r in kmv_from_state_dir(spark, state_dir).collect()}
+    compact_kmv_state(spark, state_dir)
+    assert {
+        (r["k"], r["hv"]) for r in kmv_from_state_dir(spark, state_dir).collect()
+    } == before
+    assert len(glob.glob(f"{state_dir}/batch_id=*")) == 1
+
+    # the exact-regime contract: every audience here is < k, so the
+    # estimate equals the true distinct count
+    truth: dict[str, set] = {}
+    for r in EV1 + EV2:
+        truth.setdefault(r[4], set()).add(r[3])
+    for k, (est_v, nh) in {
+        r["k"]: (r["est"], r["nh"])
+        for r in kmv_estimate(kmv_from_state_dir(spark, state_dir), ["k"]).collect()
+    }.items():
+        assert est_v == float(len(truth[k])) and nh == len(truth[k])
