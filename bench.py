@@ -182,6 +182,10 @@ HEADLINE = [
     "hh6_kmv_overlap",
     # item-item Jaccard top-5: buyer-keyed co-occurrence + WindowGroupLimit
     "x68_item_similarity_topk",
+    # BM25 retrieval: broadcast stats, TakeOrderedAndProject cut
+    "x69_bm25_topk",
+    # hybrid RRF: two candidate-cut legs + id-keyed fusion
+    "ann23_hybrid_rrf",
 ]
 
 

@@ -10172,6 +10172,256 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["hash", "join", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_scores_sql() -> str:
+    """Shared CTE block: (doc_id, score) BM25 scores for the fixed
+    query over every matching document."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(ln((cast(stats.n AS DOUBLE) - df.df + 0.5e0)
+                    / (df.df + 0.5e0) + 1)
+                 * tf.tf * ({_BM25_K1}e0 + 1)
+                 / (tf.tf + {_BM25_K1}e0
+                    * (1 - {_BM25_B}e0
+                       + {_BM25_B}e0 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1
+    )"""
+
+
+_X69_SQL = f"""
+WITH {_bm25_scores_sql()}
+SELECT doc_id, round(score, 4) AS score,
+       cast(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM bm25
+QUALIFY rnk <= 10
+"""
+
+
+def _bm25_scores_spark(d: DataFrame) -> DataFrame:
+    """(doc_id, score) BM25 scores for the fixed query — the Spark
+    twin of _bm25_scores_sql, shared by x69 and ann23."""
+    from .llm.text import tokens
+
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+
+
+@register("x69_bm25_topk", _X69_SQL, first_round=9)
+def x69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson k1=1.2, b=0.75, the Lucene
+    idf variant ln((N-df+0.5)/(df+0.5)+1)): top-10 documents for the
+    fixed query "hash join stream" — the exact keyword-search scoring
+    a corpus-curation stack uses for benchmark mining, targeted
+    filtering, and as the lexical leg of hybrid retrieval (ann23).
+    tx9's TF-IDF ranks terms WITHIN a document; BM25 ranks DOCUMENTS
+    for a query, with document-length normalization TF-IDF lacks.
+
+    Plan shape: one token explode feeds both the per-doc length agg
+    and the query-term tf counts (the term filter prunes the explode
+    to query-vocabulary size immediately); df and the (N, avgdl) stats
+    frame are term-/single-row-sized broadcasts onto the tf stream —
+    the corpus never shuffles on token content. The top-10 cut
+    compiles to TakeOrderedAndProject (LimitPushDownThroughWindow
+    converts the empty-partition row_number filter into per-partition
+    heaps), never a full sort of the scored set."""
+    d = _t(spark, sf_dir, "documents")
+    scored = _bm25_scores_spark(d)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+_ANN23_SQL = f"""
+WITH {_bm25_scores_sql()},
+bm_ranked AS (
+  SELECT id, rb FROM (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+    FROM bm25
+  ) WHERE rb <= 1000
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+cos AS (
+  SELECT c.vec_id,
+         sum(c.v * q.qv)
+           / (sqrt(sum(c.v * c.v)) * sqrt((SELECT sum(qv * qv) FROM q)))
+           AS cosim
+  FROM comp c JOIN q ON q.i = c.i
+  WHERE c.vec_id <> 0
+  GROUP BY 1
+),
+cos_ranked AS (
+  SELECT id, rc FROM (
+    SELECT vec_id AS id,
+           row_number() OVER (ORDER BY cosim DESC, vec_id) AS rc
+    FROM cos
+  ) WHERE rc <= 1000
+),
+fused AS (
+  SELECT coalesce(b.id, c.id) AS doc_id,
+         coalesce(1e0 / (60 + b.rb), 0)
+           + coalesce(1e0 / (60 + c.rc), 0)
+           AS rrf,
+         b.rb AS bm25_rank, c.rc AS cos_rank
+  FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON c.id = b.id
+)
+SELECT doc_id, round(rrf, 6) AS rrf,
+       cast(bm25_rank AS BIGINT) AS bm25_rank,
+       cast(cos_rank AS BIGINT) AS cos_rank,
+       cast(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM fused
+QUALIFY rnk <= 10
+"""
+
+
+@register("ann23_hybrid_rrf", _ANN23_SQL, first_round=9)
+def ann23_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, the industry-
+    standard score-free fusion: sum of 1/(60+rank) over legs): the
+    lexical leg is x69's BM25 ranking for "hash join stream", the
+    dense leg is exact cosine against the stored query vector
+    (vec_id 0, ann1's convention), each leg CUT to its top-1000
+    candidates before fusion (the production hybrid shape — fusion
+    work is candidate-list-sized, never corpus-sized), and documents
+    missing from a leg contribute nothing for it — lexical-only and
+    dense-only matches both stay retrievable, which is the whole
+    point of hybrid search. Top-10 by fused score with per-leg ranks
+    reported for explainability.
+
+    Plan shape: each leg is its own keyed pipeline (BM25: broadcast
+    stats onto the term-filtered token stream; cosine: one array fold
+    per vector against a broadcast query); the fusion is an id-keyed
+    full-outer join of two rank tables, and the final cut is
+    TakeOrderedAndProject. Nothing in the fusion grows faster than
+    the leg outputs."""
+    from .llm.similarity import cosine_expr
+
+    d = _t(spark, sf_dir, "documents")
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm = (
+        _bm25_scores_spark(d)
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 1000)  # candidate cut -> TakeOrdered
+        .select(F.col("doc_id").alias("id"), "rb")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_expr(F.col("embedding"), F.col("qe")).alias("cosim"),
+        )
+    )
+    wc = Window.orderBy(F.col("cosim").desc(), "vec_id")
+    cr = (
+        cos.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= 1000)  # candidate cut -> TakeOrdered
+        .select(F.col("vec_id").alias("id"), "rc")
+    )
+    fused = bm.join(cr, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+            F.col("cos_rank").cast("bigint").alias("cos_rank"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 _X62_SQL = """
 WITH seq AS (
   SELECT user_id, event_type AS cur, ts, event_id,

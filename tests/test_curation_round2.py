@@ -1205,3 +1205,139 @@ def test_item_similarity_matches_pure_python(spark, sf_dir):
     }
     assert got == expected
     assert expected
+
+
+def _bm25_python(docs: dict[int, list], terms, k1=1.2, b=0.75):
+    import math
+
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in terms
+    }
+    scores = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+        if s > 0:
+            scores[did] = s
+    return scores
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """x69: scores and the deterministic top-10 re-derived with
+    math.log arithmetic."""
+    import re
+
+    from python_etl_pipeline_spark.queries import (
+        _BM25_TERMS,
+        REGISTRY,
+        _t,
+    )
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    scores = _bm25_python(docs, _BM25_TERMS)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = {
+        did: (round(s, 4), rnk)
+        for rnk, (did, s) in enumerate(ranked, 1)
+    }
+    got = {
+        r["doc_id"]: (round(r["score"], 4), r["rnk"])
+        for r in REGISTRY["x69_bm25_topk"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == 10
+
+
+def test_hybrid_rrf_matches_pure_python(spark, sf_dir):
+    """ann23: both legs and the fusion re-derived in Python — BM25
+    ranks via _bm25_python, cosine ranks via sequential float
+    arithmetic over the same arrays, RRF = sum of 1/(60+rank)."""
+    import math
+    import re
+
+    from python_etl_pipeline_spark.queries import (
+        _BM25_TERMS,
+        REGISTRY,
+        _t,
+    )
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    scores = _bm25_python(docs, _BM25_TERMS)
+    bm_rank = {
+        did: rnk
+        for rnk, (did, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:1000],
+            1,
+        )
+    }
+    embs = {
+        r["vec_id"]: r["embedding"]
+        for r in _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q = embs[0]
+    qn = math.sqrt(sum(v * v for v in q))
+
+    def cosim(v):
+        dot = 0.0
+        nn = 0.0
+        for a, b in zip(v, q):
+            dot += a * b
+            nn += a * a
+        return dot / (math.sqrt(nn) * qn)
+
+    cos_rank = {
+        vid: rnk
+        for rnk, (vid, _) in enumerate(
+            sorted(
+                ((vid, cosim(v)) for vid, v in embs.items() if vid != 0),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:1000],
+            1,
+        )
+    }
+    rrf = {}
+    for i in set(bm_rank) | set(cos_rank):
+        rrf[i] = (1.0 / (60 + bm_rank[i]) if i in bm_rank else 0.0) + (
+            1.0 / (60 + cos_rank[i]) if i in cos_rank else 0.0
+        )
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = {
+        did: (
+            round(s, 6),
+            bm_rank.get(did),
+            cos_rank.get(did),
+            rnk,
+        )
+        for rnk, (did, s) in enumerate(top, 1)
+    }
+    got = {
+        r["doc_id"]: (
+            round(r["rrf"], 6),
+            r["bm25_rank"],
+            r["cos_rank"],
+            r["rnk"],
+        )
+        for r in REGISTRY["ann23_hybrid_rrf"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -878,3 +878,26 @@ def test_item_similarity_windowgrouplimit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bm25_broadcast_stats_and_grouplimit(spark, sf_dir):
+    """x69: df and corpus stats broadcast onto the term-filtered token
+    stream (the corpus never shuffles on token content); the top-10
+    cut compiles to TakeOrderedAndProject (LimitPushDownThroughWindow
+    turns the empty-partition row_number filter into per-partition
+    heaps) — no global range sort."""
+    plan = _plan(spark, sf_dir, "x69_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_hybrid_rrf_leg_cuts(spark, sf_dir):
+    """ann23: all three cuts (two 1000-candidate legs + the final
+    top-10) compile to TakeOrderedAndProject, the query vector
+    broadcasts onto the vector scan, and the fusion join is id-keyed
+    — no global range sort."""
+    plan = _plan(spark, sf_dir, "ann23_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "rangepartitioning" not in plan
