@@ -186,6 +186,10 @@ HEADLINE = [
     "x69_bm25_topk",
     # hybrid RRF: two candidate-cut legs + id-keyed fusion
     "ann23_hybrid_rrf",
+    # quantile normalization: source-keyed rank + broadcast grid
+    "x70_quantile_normalize",
+    # A/B z-test: map-side assignment, user-keyed aggs, 1-row stats
+    "x71_ab_test_ztest",
 ]
 
 

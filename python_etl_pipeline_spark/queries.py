@@ -10172,6 +10172,200 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X70_FRACS = ", ".join(f"{i / 256:.8f}e0" for i in range(257))
+_X70_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, cast(n_chars AS DOUBLE) AS score FROM documents
+),
+pr AS (
+  SELECT doc_id, source, score,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY score, doc_id) AS pr
+  FROM scored
+),
+qarr AS (
+  SELECT quantile_cont(score, [{_X70_FRACS}]) AS qs FROM scored
+),
+grid AS (
+  SELECT generate_subscripts(qs, 1) - 1 AS i, unnest(qs) AS qv FROM qarr
+)
+SELECT pr.doc_id, pr.source, pr.score,
+       round(pr.pr, 6) AS pr,
+       round(grid.qv, 4) AS norm_score
+FROM pr JOIN grid
+  ON grid.i = cast(floor(pr.pr * 256) AS BIGINT)
+"""
+
+
+@register("x70_quantile_normalize", _X70_SQL, first_round=9)
+def x70_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document score —
+    the calibration step a mixed-corpus curation pipeline runs before
+    thresholding: each document's WITHIN-SOURCE percent rank is mapped
+    onto the GLOBAL score distribution, so "top 10% of arxiv" and
+    "top 10% of webcrawl" land on the same scale even when the raw
+    score distributions differ wildly (quantile normalization, the
+    microarray-analysis classic applied to quality scores; score here
+    is the stored n_chars signal, standing in for any per-doc score).
+
+    Plan shape: the within-source rank is a source-keyed window (the
+    only data-sized exchange). The global distribution is NOT a global
+    sort: it is compressed to a 257-point interpolated quantile GRID
+    (one single-row exact-percentile agg -> exploded -> broadcast),
+    and each doc joins its grid cell map-side. Exact-rank quantile
+    normalization would need a full-corpus range sort; the grid form
+    is the shape that survives 100 TB, with resolution 1/256 of the
+    distribution (documented, tunable)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    wp = Window.partitionBy("source").orderBy("score", "doc_id")
+    pr = scored.select(
+        "doc_id", "source", "score",
+        F.percent_rank().over(wp).alias("pr"),
+    )
+    fracs = F.array(*[F.lit(i / 256.0) for i in range(257)])
+    grid = (
+        scored.agg(
+            F.percentile("score", fracs).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("i", "qv"))
+    )
+    return (
+        pr.join(
+            F.broadcast(grid),
+            F.col("i") == F.floor(F.col("pr") * 256).cast("bigint"),
+        )
+        .select(
+            "doc_id", "source", "score",
+            F.round("pr", 6).alias("pr"),
+            F.round("qv", 4).alias("norm_score"),
+        )
+    )
+
+
+_X71_SQL = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN md5(cast(user_id AS VARCHAR)) < '8' THEN 'A'
+              ELSE 'B' END AS variant
+  FROM events
+),
+firsts AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1
+),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts <= f.t0 + INTERVAL 1 DAY
+),
+arms AS (
+  SELECT variant,
+         count(*) AS n_users,
+         sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_conv
+  FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id
+  GROUP BY 1
+),
+wide AS (
+  SELECT
+    max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+    max(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+    max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+    max(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+  FROM arms
+),
+stat AS (
+  SELECT na, ca, nb, cb,
+         ca * 1e0 / na AS pa, cb * 1e0 / nb AS pb,
+         (ca + cb) * 1e0 / (na + nb) AS pp
+  FROM wide
+)
+SELECT cast(na AS BIGINT) AS n_a, cast(ca AS BIGINT) AS conv_a,
+       round(pa, 6) AS rate_a,
+       cast(nb AS BIGINT) AS n_b, cast(cb AS BIGINT) AS conv_b,
+       round(pb, 6) AS rate_b,
+       round((pa - pb)
+             / sqrt(pp * (1 - pp) * (1e0 / na + 1e0 / nb)), 4) AS z,
+       cast(CASE WHEN abs((pa - pb)
+             / sqrt(pp * (1 - pp) * (1e0 / na + 1e0 / nb))) > 1.96
+             THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM stat
+"""
+
+
+@register("x71_ab_test_ztest", _X71_SQL, first_round=9)
+def x71_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a two-proportion z-test: users are
+    assigned to arms by a deterministic md5 split (first hex digit
+    < '8' -> A, the hash-based bucketing every experimentation system
+    uses so assignment is stable and joins-free), conversion = a
+    purchase within ONE DAY of the user's first event (the activation
+    metric — chosen over raw "ever purchased", which is ~100% in this
+    data and would put the pooled variance at the degenerate 0), and
+    the pooled-variance z statistic decides
+    significance at |z| > 1.96 — the closed-form readout an
+    experimentation dashboard serves, computed in one pass.
+
+    Plan shape: two user-keyed distincts and a user-keyed left join,
+    then everything is arm-sized (2 rows) — the z arithmetic is a
+    1-row projection. At any event volume the only data-sized stages
+    are the distincts; assignment is a map-side hash expression, so
+    no assignment table ever materializes or shuffles."""
+    e = _t(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        F.when(
+            F.md5(F.col("user_id").cast("string")) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+    ).distinct()
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") <= F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na")
+    pb = F.col("cb") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.round(pa, 6).alias("rate_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("bigint").alias(
+            "significant"
+        ),
+    )
+
+
 _BM25_TERMS = ["hash", "join", "stream"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75

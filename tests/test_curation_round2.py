@@ -1341,3 +1341,99 @@ def test_hybrid_rrf_matches_pure_python(spark, sf_dir):
         for r in REGISTRY["ann23_hybrid_rrf"].spark(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_quantile_normalize_matches_pure_python(spark, sf_dir):
+    """x70: within-source percent ranks and the 257-point interpolated
+    global grid re-derived in Python; every doc's normalized score
+    must match its grid cell's quantile."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    rows = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (float(r["n_chars"]), r["doc_id"])
+        )
+    pr = {}
+    for src, lst in by_src.items():
+        lst.sort()
+        n = len(lst)
+        for i, (s, did) in enumerate(lst):
+            pr[did] = 0.0 if n == 1 else i / (n - 1)
+    allscores = sorted(float(r["n_chars"]) for r in rows)
+    m = len(allscores)
+
+    def quantile(p):  # linear interpolation at p*(m-1)
+        pos = p * (m - 1)
+        lo = int(pos)
+        hi = min(lo + 1, m - 1)
+        frac = pos - lo
+        return allscores[lo] * (1 - frac) + allscores[hi] * frac
+
+    got = {
+        r["doc_id"]: (round(r["pr"], 6), round(r["norm_score"], 4))
+        for r in REGISTRY["x70_quantile_normalize"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(pr)
+    for did, p in pr.items():
+        cell = int(p * 256)
+        want = quantile(cell / 256.0)
+        gp, gn = got[did]
+        assert abs(gp - round(p, 6)) <= 1e-6, did
+        assert abs(gn - want) <= 5e-4, (did, gn, want)
+    # normalization must be monotone in within-source rank
+    for src, lst in by_src.items():
+        ns = [got[did][1] for _, did in sorted(lst)]
+        assert ns == sorted(ns), src
+
+
+def test_ab_ztest_matches_pure_python(spark, sf_dir):
+    """x71: assignment split, activation conversion and the pooled z
+    statistic re-derived with hashlib + math."""
+    import hashlib
+    import math
+    from datetime import timedelta
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    t0: dict[int, object] = {}
+    for r in evs:
+        if r["user_id"] not in t0 or r["ts"] < t0[r["user_id"]]:
+            t0[r["user_id"]] = r["ts"]
+    conv = set()
+    for r in evs:
+        if (
+            r["event_type"] == "purchase"
+            and r["ts"] <= t0[r["user_id"]] + timedelta(days=1)
+        ):
+            conv.add(r["user_id"])
+    arm = {
+        u: (
+            "A"
+            if hashlib.md5(str(u).encode()).hexdigest() < "8"
+            else "B"
+        )
+        for u in t0
+    }
+    na = sum(1 for u in arm if arm[u] == "A")
+    nb = len(arm) - na
+    ca = sum(1 for u in conv if arm[u] == "A")
+    cb = len(conv) - ca
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    r = REGISTRY["x71_ab_test_ztest"].spark(spark, sf_dir).first()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        na, ca, nb, cb,
+    )
+    assert abs(r["z"] - round(z, 4)) <= 1e-6
+    assert r["significant"] == (1 if abs(z) > 1.96 else 0)
+    assert 0 < ca < na and 0 < cb < nb  # non-degenerate fixture

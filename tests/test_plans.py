@@ -901,3 +901,23 @@ def test_hybrid_rrf_leg_cuts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann23_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 3
     assert "rangepartitioning" not in plan
+
+
+def test_quantile_normalize_grid_broadcasts(spark, sf_dir):
+    """x70: the global distribution is a 257-point grid (single-row
+    percentile agg -> explode -> broadcast), NOT a global sort of the
+    corpus; the within-source rank is the only data-sized window."""
+    plan = _plan(spark, sf_dir, "x70_quantile_normalize")
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_ab_ztest_user_keyed(spark, sf_dir):
+    """x71: assignment is a map-side hash expression; the only
+    data-sized stages are user-keyed aggs/joins; the z arithmetic is
+    a 1-row projection."""
+    plan = _plan(spark, sf_dir, "x71_ab_test_ztest")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
