@@ -190,6 +190,8 @@ HEADLINE = [
     "x70_quantile_normalize",
     # A/B z-test: map-side assignment, user-keyed aggs, 1-row stats
     "x71_ab_test_ztest",
+    # perceptual near-dup: tile signatures, band buckets, Hamming verify
+    "mm5_perceptual_neardup",
 ]
 
 

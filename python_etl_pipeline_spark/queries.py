@@ -10172,6 +10172,128 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm5_sig_sql() -> str:
+    nib = ", ".join(
+        f"substring(md5(substring(text, 1 + {i} * w, w)), 1, 1)"
+        for i in range(16)
+    )
+    return f"""
+    sized AS (
+      SELECT doc_id, text,
+             cast(ceil(length(text) / 16.0e0) AS INT) AS w
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, concat({nib}) AS sig FROM sized
+    )"""
+
+
+def _mm5_sql() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substring(a.sig, {i + 1}, 1)"
+        f" <> substring(b.sig, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH {_mm5_sig_sql()},
+    bands AS (
+      SELECT doc_id, i AS band, substring(sig, 1 + i * 4, 4) AS bv
+      FROM sig, unnest(range(0, 4)) r(i)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON y.band = x.band AND y.bv = x.bv AND x.doc_id < y.doc_id
+    ),
+    scored AS (
+      SELECT cand.a, cand.b, {ham} AS hamming
+      FROM cand
+      JOIN sig a ON a.doc_id = cand.a
+      JOIN sig b ON b.doc_id = cand.b
+    )
+    SELECT a, b, cast(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= 4
+    """
+
+
+@register("mm5_perceptual_neardup", None, first_round=9)
+def mm5_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-signature near-dup over opaque media payloads — the
+    pHash recipe transplanted to the binary column mm1-mm4 process:
+    each payload is cut into a FIXED GRID of 16 tiles (variable tile
+    width, like pHash's grid over variable-size images), each tile
+    contributes one md5-derived nibble, and two payloads are near-dups
+    when their 16-nibble signatures differ in at most 4 positions — a
+    small local edit changes 1-2 tiles, so re-encoded/lightly-edited
+    copies land inside the Hamming ball while distinct content falls
+    far outside. Real codecs would replace the tile hash with DCT
+    coefficients (llm/multimodal.py:73 documents the environment
+    gate); every distribution property is identical.
+
+    Plan shape: dd2's LSH economics on the signature — 4 bands of 4
+    nibbles, candidates only on exact band match (bucket join, never
+    all-pairs), then the 16-comparison exact Hamming verify on the
+    candidate set. Signature construction is one map-side projection
+    (16 tile md5s ~= one full-payload md5). Reference analog: the
+    file-level md5 guard of src/extract.py:222-270, relaxed from
+    exact identity to perceptual identity."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "text",
+        F.ceil(F.length("text") / F.lit(16.0)).cast("int").alias("w"),
+    )
+    sig = sized.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.substring(
+                    F.md5(F.expr(f"substring(text, 1 + {i} * w, w)")), 1, 1
+                )
+                for i in range(16)
+            ]
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+        "sig",
+    ).select(
+        "doc_id", "band",
+        F.expr("substring(sig, 1 + band * 4, 4)").alias("bv"),
+    )
+    x, y = bands.alias("bx"), bands.alias("by")
+    cand = (
+        x.join(
+            y,
+            (F.col("by.band") == F.col("bx.band"))
+            & (F.col("by.bv") == F.col("bx.bv"))
+            & (F.col("bx.doc_id") < F.col("by.doc_id")),
+        )
+        .select(
+            F.col("bx.doc_id").alias("a"), F.col("by.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    ham = sum(
+        F.when(
+            F.substring("siga", i + 1, 1) != F.substring("sigb", i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= 4)
+    )
+
+
+REGISTRY["mm5_perceptual_neardup"].sql = _mm5_sql()
+
+
 _X70_FRACS = ", ".join(f"{i / 256:.8f}e0" for i in range(257))
 _X70_SQL = f"""
 WITH scored AS (

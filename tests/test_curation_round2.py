@@ -1437,3 +1437,65 @@ def test_ab_ztest_matches_pure_python(spark, sf_dir):
     assert abs(r["z"] - round(z, 4)) <= 1e-6
     assert r["significant"] == (1 if abs(z) > 1.96 else 0)
     assert 0 < ca < na and 0 < cb < nb  # non-degenerate fixture
+
+
+def test_perceptual_neardup_matches_pure_python(spark, sf_dir):
+    """mm5: tile signatures, band candidates and the Hamming verify
+    re-derived with hashlib; exact duplicates must land at hamming 0."""
+    import hashlib
+    import math
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def sig(t: str) -> str:
+        w = math.ceil(len(t) / 16)
+        return "".join(
+            hashlib.md5(t[i * w : i * w + w].encode()).hexdigest()[0]
+            for i in range(16)
+        )
+
+    sigs = {did: sig(t) for did, t in texts.items()}
+    buckets: dict[tuple, list] = {}
+    for did, s in sigs.items():
+        for band in range(4):
+            buckets.setdefault(
+                (band, s[band * 4 : band * 4 + 4]), []
+            ).append(did)
+    expected = {}
+    for ids in buckets.values():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = sum(
+                    1 for x, y in zip(sigs[a], sigs[b]) if x != y
+                )
+                if h <= 4:
+                    expected[(a, b)] = h
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in REGISTRY["mm5_perceptual_neardup"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    # the perceptual property itself: a same-length single-character
+    # edit touches exactly one tile, so the signature moves by at most
+    # one nibble (inside the <=4 ball); an unrelated text lands far
+    # outside it
+    base = texts[sorted(texts)[0]]
+    mid = len(base) // 2
+    edited = base[:mid] + ("x" if base[mid] != "x" else "y") + base[mid + 1 :]
+
+    def hamm(u, v):
+        return sum(1 for x, y in zip(u, v) if x != y)
+
+    assert hamm(sig(base), sig(edited)) <= 1
+    other = texts[sorted(texts)[len(texts) // 2]]
+    assert hamm(sig(base), sig(other)) > 4

@@ -921,3 +921,13 @@ def test_ab_ztest_user_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x71_ab_test_ztest")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_perceptual_neardup_band_bucketed(spark, sf_dir):
+    """mm5: candidates come from the (band, value) bucket join —
+    never an all-pairs stage; the signature build is one map-side
+    projection; the Hamming verify joins are doc-keyed."""
+    plan = _plan(spark, sf_dir, "mm5_perceptual_neardup")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
