@@ -192,6 +192,10 @@ HEADLINE = [
     "x71_ab_test_ztest",
     # perceptual near-dup: tile signatures, band buckets, Hamming verify
     "mm5_perceptual_neardup",
+    # PMI collocations: doc-keyed pair build + broadcast df
+    "tx27_pmi_collocations",
+    # behavior entropy: one lead window, user-bounded aggs
+    "x72_behavior_entropy",
 ]
 
 

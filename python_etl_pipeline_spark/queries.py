@@ -10172,6 +10172,183 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TX27_SQL = """
+WITH dtok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dtok),
+df AS (SELECT tok, count(*) AS df FROM dtok GROUP BY 1),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb, count(*) AS c
+  FROM dtok a JOIN dtok b
+    ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+scored AS (
+  SELECT ta, tb, c,
+         ln(c * cast(n.n_docs AS DOUBLE) / (fa.df * fb.df)) AS pmi
+  FROM pairs
+  JOIN df fa ON fa.tok = pairs.ta
+  JOIN df fb ON fb.tok = pairs.tb
+  CROSS JOIN n
+)
+SELECT ta, tb, cast(c AS BIGINT) AS n_docs_together,
+       round(pmi, 4) AS pmi,
+       cast(row_number() OVER (ORDER BY pmi DESC, ta, tb) AS BIGINT)
+         AS rnk
+FROM scored
+QUALIFY rnk <= 20
+"""
+
+
+@register("tx27_pmi_collocations", _TX27_SQL, first_round=9)
+def tx27_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocation mining: for every token pair
+    co-occurring in >= 5 documents, the pointwise mutual information
+    ln(P(a,b) / (P(a)P(b))) of their document co-occurrence — the
+    classic collocation/phrase-mining signal (and the association
+    matrix topic models start from). tx5 ranks tokens by frequency and
+    tx9 ranks terms within a doc; this ranks PAIRS by how much more
+    often they travel together than independence predicts.
+
+    Plan shape: the pair build is a doc-keyed self-join over the
+    DISTINCT (doc, token) table — fan-out per doc is the distinct-
+    token count (bounded by document length, not corpus size, the
+    same basket-bound argument as x68); df and the doc count are
+    vocabulary-/single-row-sized broadcasts; the top-20 cut compiles
+    to TakeOrderedAndProject."""
+    from .llm.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    dtok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    ).distinct()
+    n = dtok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a, b = dtok.alias("pa"), dtok.alias("pb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("pb.doc_id") == F.col("pa.doc_id"))
+            & (F.col("pa.tok") < F.col("pb.tok")),
+        )
+        .groupBy(F.col("pa.tok").alias("ta"), F.col("pb.tok").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    fa = df.select(F.col("tok").alias("ta"), F.col("df").alias("dfa"))
+    fb = df.select(F.col("tok").alias("tb"), F.col("df").alias("dfb"))
+    scored = (
+        pairs.join(F.broadcast(fa), "ta")
+        .join(F.broadcast(fb), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta", "tb", "c",
+            F.log(
+                F.col("c")
+                * F.col("n_docs").cast("double")
+                / (F.col("dfa") * F.col("dfb"))
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "ta", "tb")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "ta", "tb",
+            F.col("c").cast("bigint").alias("n_docs_together"),
+            F.round("pmi", 4).alias("pmi"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+_X72_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT user_id, cur, nxt, count(*) AS c FROM seq
+  WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+),
+rowsum AS (
+  SELECT user_id, cur, sum(c) AS rc FROM trans GROUP BY 1, 2
+),
+tot AS (SELECT user_id, sum(c) AS n FROM trans GROUP BY 1),
+cond AS (
+  SELECT t.user_id, t.cur, t.c, r.rc,
+         -(t.c * 1e0 / r.rc) * ln(t.c * 1e0 / r.rc) AS h_term
+  FROM trans t JOIN rowsum r
+    ON r.user_id = t.user_id AND r.cur = t.cur
+),
+hrow AS (
+  SELECT user_id, cur, sum(h_term) AS h_cur, max(rc) AS rc
+  FROM cond GROUP BY 1, 2
+)
+SELECT h.user_id,
+       cast(tot.n AS BIGINT) AS n_transitions,
+       round(sum(h.rc * 1e0 / tot.n * h.h_cur), 4) AS entropy_rate
+FROM hrow h JOIN tot ON tot.user_id = h.user_id
+GROUP BY h.user_id, tot.n
+"""
+
+
+@register("x72_behavior_entropy", _X72_SQL, first_round=9)
+def x72_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy rate: the Shannon entropy of each
+    user's first-order Markov transition matrix (x62's per-user form),
+    weighted by observed state occupancy — H = sum_cur p(cur) *
+    H(next | cur) in nats. Near-zero entropy marks deterministic,
+    scripted clients (the bot signal x62's docstring promises);
+    high entropy is organic browsing. This is the per-entity
+    generalization of x62's corpus-level matrix.
+
+    Plan shape: one user-keyed lead window (the same single exchange
+    as x15/x62), then every aggregate is keyed on (user) or
+    (user, cur) — the transition table per user is at most
+    |types|^2 = 25 rows, so all post-window frames are user-bounded.
+    No joins cross users; no global stage of any kind."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id", "cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("user_id", "cur")
+    wu = Window.partitionBy("user_id")
+    p = F.col("c") / F.col("rc")
+    cond = trans.withColumn("rc", F.sum("c").over(wr)).withColumn(
+        "n", F.sum("c").over(wu)
+    )
+    h_cur = cond.groupBy("user_id", "cur", "rc", "n").agg(
+        F.sum(-p * F.log(p)).alias("h_cur")
+    )
+    out = h_cur.groupBy("user_id", "n").agg(
+        F.round(
+            F.sum(F.col("rc") / F.col("n") * F.col("h_cur")), 4
+        ).alias("entropy_rate"),
+    )
+    return out.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        "entropy_rate",
+    )
+
+
 def _mm5_sig_sql() -> str:
     nib = ", ".join(
         f"substring(md5(substring(text, 1 + {i} * w, w)), 1, 1)"

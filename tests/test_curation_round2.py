@@ -1499,3 +1499,99 @@ def test_perceptual_neardup_matches_pure_python(spark, sf_dir):
     assert hamm(sig(base), sig(edited)) <= 1
     other = texts[sorted(texts)[len(texts) // 2]]
     assert hamm(sig(base), sig(other)) > 4
+
+
+def test_pmi_collocations_match_pure_python(spark, sf_dir):
+    """tx27: document co-occurrence counts, PMI and the top-20 cut
+    re-derived with set arithmetic + math.log."""
+    import math
+    import re
+    from itertools import combinations
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    docs = {
+        r["doc_id"]: set(re.split(r"\s+", r["text"].strip()))
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    df: dict[str, int] = {}
+    co: dict[tuple, int] = {}
+    for toks in docs.values():
+        for t in toks:
+            df[t] = df.get(t, 0) + 1
+        for a, b in combinations(sorted(toks), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    scored = [
+        (math.log(c * n / (df[a] * df[b])), a, b, c)
+        for (a, b), c in co.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = {
+        (a, b): (c, round(pmi, 4), rnk)
+        for rnk, (pmi, a, b, c) in enumerate(scored[:20], 1)
+    }
+    got = {
+        (r["ta"], r["tb"]): (
+            r["n_docs_together"], round(r["pmi"], 4), r["rnk"]
+        )
+        for r in REGISTRY["tx27_pmi_collocations"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 20
+
+
+def test_behavior_entropy_matches_pure_python(spark, sf_dir):
+    """x72: per-user transition matrices and the occupancy-weighted
+    conditional entropy re-derived sequentially; deterministic users
+    (single repeated transition type) must land at exactly 0."""
+    import math
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    by_user: dict[int, list] = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(r["event_type"])
+    expected = {}
+    for u, seq in by_user.items():
+        trans: dict[tuple, int] = {}
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+        if not trans:
+            continue
+        n = sum(trans.values())
+        rows: dict[str, int] = {}
+        for (a, _), c in trans.items():
+            rows[a] = rows.get(a, 0) + c
+        h = 0.0
+        for a, rc in rows.items():
+            hc = 0.0
+            for (x, _), c in trans.items():
+                if x == a:
+                    p = c / rc
+                    hc += -p * math.log(p)
+            h += rc / n * hc
+        expected[u] = (n, round(h, 4))
+    got = {
+        r["user_id"]: (r["n_transitions"], round(r["entropy_rate"], 4))
+        for r in REGISTRY["x72_behavior_entropy"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0], u
+        assert abs(got[u][1] - expected[u][1]) <= 2e-4, u
+    assert expected
+    assert all(h >= 0 for _, h in got.values())

@@ -931,3 +931,24 @@ def test_perceptual_neardup_band_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pmi_doc_keyed_pair_build(spark, sf_dir):
+    """tx27: the pair build is a doc-keyed self-join; df/stats
+    broadcast; top-20 compiles to TakeOrderedAndProject — no
+    cartesian, no global range sort."""
+    plan = _plan(spark, sf_dir, "tx27_pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_behavior_entropy_user_keyed(spark, sf_dir):
+    """x72: one user-keyed lead window, then user-bounded aggregates
+    — no joins across users, no cartesian, no range sort, no
+    single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x72_behavior_entropy")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
