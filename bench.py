@@ -196,6 +196,12 @@ HEADLINE = [
     "tx27_pmi_collocations",
     # behavior entropy: one lead window, user-bounded aggs
     "x72_behavior_entropy",
+    # CDC compaction: one user-keyed window stage, no joins
+    "i12_cdc_compaction",
+    # FIFO matching: rank windows -> (user, position) hash join
+    "x73_fifo_match",
+    # MIPS + augmentation contract: two rankings, one scan each
+    "ann24_mips_topk",
 ]
 
 

@@ -10172,6 +10172,288 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_I12_SQL = """
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'purchase' THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events WHERE event_type <> 'error'
+),
+folded AS (
+  SELECT user_id,
+         first_value(op) OVER w AS first_op,
+         last_value(op) OVER w AS last_op,
+         last_value(CASE WHEN op <> 'D' THEN value END IGNORE NULLS)
+           OVER w AS last_val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       CASE WHEN last_op = 'D' THEN 'D'
+            WHEN first_op = 'I' THEN 'I'
+            ELSE 'U' END AS op,
+       round(CASE WHEN last_op <> 'D' THEN last_val END, 4) AS value
+FROM folded
+WHERE rn = 1 AND NOT (first_op = 'I' AND last_op = 'D')
+"""
+
+
+@register("i12_cdc_compaction", _I12_SQL, first_round=9)
+def i12_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC NET-EFFECT compaction: a change stream with many operations
+    per key collapses to at most one operation — the batch-side
+    optimization every CDC consumer runs before MERGE, because
+    applying N ops per key costs N upserts while the net effect costs
+    one (and insert-then-delete within the batch cancels to nothing).
+    The standard fold needs only each key's FIRST op, LAST op and
+    last surviving value: I..D -> drop, I..x -> INSERT(last value),
+    x..D -> DELETE, else UPDATE(last value). The stream here is
+    derived from events (signup=I, purchase=D, click/view=U, errors
+    skipped) so the oracle replays it; x25 APPLIES a change stream,
+    i11 EXTRACTS one from snapshots — this completes the CDC triangle
+    with the compactor between them. Reference analog: the staged
+    upsert batches of src/load.py:210-240, which this would shrink.
+
+    Plan shape: ONE user-keyed sort carries all three full-frame
+    windows plus the keep-last rank (same partition + order -> one
+    exchange, one sort) — the entire compactor is a single window
+    stage, no joins, no second shuffle."""
+    e = _t(spark, sf_dir, "events")
+    ops = e.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    folded = ops.select(
+        "user_id",
+        F.first("op").over(wf).alias("first_op"),
+        F.last("op").over(wf).alias("last_op"),
+        F.last(
+            F.when(F.col("op") != "D", F.col("value")), ignorenulls=True
+        )
+        .over(wf)
+        .alias("last_val"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return folded.filter(
+        (F.col("rn") == 1)
+        & ~((F.col("first_op") == "I") & (F.col("last_op") == "D"))
+    ).select(
+        "user_id",
+        F.when(F.col("last_op") == "D", "D")
+        .when(F.col("first_op") == "I", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(
+            F.when(F.col("last_op") != "D", F.col("last_val")), 4
+        ).alias("value"),
+    )
+
+
+_X73_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, cast(v.rn AS BIGINT) AS rn, v.view_ts, p.purchase_ts,
+       round(epoch(p.purchase_ts) - epoch(v.view_ts), 2) AS lag_sec
+FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.rn
+"""
+
+
+@register("x73_fifo_match", _X73_SQL, first_round=9)
+def x73_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO ordinal matching: each user's k-th purchase is matched to
+    their k-th view — the first-in-first-out allocation used for
+    inventory lot accounting, payment-to-invoice application, and
+    demand-to-supply attribution, where the join key is POSITION in
+    arrival order rather than any stored id. Unmatched tail positions
+    (views with no k-th purchase or vice versa) drop out, exactly as
+    FIFO leaves open lots.
+
+    Plan shape: two user-keyed rank windows (one per stream, both
+    riding the same user partitioning) and one equi-join on
+    (user, position) — the ordinal join is hash-joinable because the
+    rank turned ORDER into a KEY; the naive formulation (nth_value
+    over a cross of the two streams) would be quadratic per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"),
+                F.row_number().over(w).alias("rn"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                F.row_number().over(w).alias("rn"))
+    )
+    lag = F.expr(
+        "timestampdiff(MICROSECOND, view_ts, purchase_ts)"
+    ) / F.lit(1_000_000.0)
+    return v.join(p, ["user_id", "rn"]).select(
+        "user_id",
+        F.col("rn").cast("bigint").alias("rn"),
+        "view_ts",
+        "purchase_ts",
+        F.round(lag, 2).alias("lag_sec"),
+    )
+
+
+_ANN24_SQL = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sum(v * v) AS sq FROM comp GROUP BY 1
+),
+mx AS (SELECT max(sq) AS msq FROM norms),
+-- the augmented component: every vector gets one extra coordinate
+-- sqrt(M^2 - |x|^2); the query's extra coordinate is 0
+acomp AS (
+  SELECT vec_id, i, v FROM comp
+  UNION ALL
+  SELECT n.vec_id, 65 AS i, sqrt(mx.msq - n.sq) AS v FROM norms n, mx
+),
+q AS (SELECT i, qv FROM (
+  SELECT i, v AS qv FROM comp WHERE vec_id = 0
+  UNION ALL SELECT 65 AS i, 0e0 AS qv
+)),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dot
+  FROM comp c JOIN (SELECT i, qv FROM q WHERE i <= 64) q ON q.i = c.i
+  WHERE c.vec_id <> 0 GROUP BY 1
+),
+augsc AS (
+  SELECT a.vec_id,
+         sum(a.v * q.qv) / (sqrt(sum(a.v * a.v)) * any_value(qn.qnorm))
+           AS aug_cos
+  FROM acomp a JOIN q ON q.i = a.i, qn
+  WHERE a.vec_id <> 0 GROUP BY 1
+),
+ranked AS (
+  SELECT d.vec_id, d.dot, g.aug_cos,
+         row_number() OVER (ORDER BY d.dot DESC, d.vec_id) AS rnk,
+         row_number() OVER (ORDER BY g.aug_cos DESC, g.vec_id)
+           AS aug_rnk
+  FROM dots d JOIN augsc g ON g.vec_id = d.vec_id
+)
+SELECT vec_id, round(dot, 4) AS dot,
+       cast(rnk AS BIGINT) AS rnk,
+       cast(aug_rnk AS BIGINT) AS aug_rnk,
+       cast(CASE WHEN rnk = aug_rnk THEN 1 ELSE 0 END AS BIGINT)
+         AS ranks_agree
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("ann24_mips_topk", _ANN24_SQL, first_round=9)
+def ann24_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) with the norm-augmentation
+    contract: top-10 vectors by RAW dot product with the stored query
+    (recommendation scoring, where popular items legitimately have
+    bigger norms and cosine would erase that), plus the
+    Shrivastava-Li reduction verified as data: augmenting each vector
+    with sqrt(M^2-|x|^2) (M = max norm) and the query with 0 makes
+    augmented-norms constant, so augmented-COSINE rank must equal raw
+    dot rank — both rankings are computed and the per-row agreement
+    flag is part of the output (the property that lets every cosine
+    index in this engine — IVF/PQ/SQ8/LSH — serve MIPS unchanged).
+
+    Plan shape: ann1's one-fold-per-vector scan economics; the max-
+    norm and query-norm are single-row broadcasts; both top cuts ride
+    one TakeOrderedAndProject each. Nothing here is more than one
+    corpus scan."""
+    from .llm.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform(vd, lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    mx = emb.agg(F.max(sq).alias("msq"))
+    # augmented vectors materialized as data (double precision, the
+    # same arithmetic the oracle's UNION ALL component row carries):
+    # x' = [x, sqrt(M^2-|x|^2)], q' = [q, 0]
+    aug = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id", "embedding",
+            F.concat(
+                vd, F.array(F.sqrt(F.col("msq") - sq))
+            ).alias("aug_emb"),
+        )
+    )
+    qaug = qrow.select(
+        "qe",
+        F.concat(
+            F.transform(F.col("qe"), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("q_aug"),
+    )
+    scored = aug.crossJoin(F.broadcast(qaug)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("qe"), lambda x: x.cast("double")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dot"),
+        cosine_expr(F.col("aug_emb"), F.col("q_aug")).alias("aug_cos"),
+    )
+    wd_ = Window.orderBy(F.col("dot").desc(), "vec_id")
+    wa = Window.orderBy(F.col("aug_cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wd_))
+        .withColumn("aug_rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "vec_id",
+            F.round("dot", 4).alias("dot"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("aug_rnk").cast("bigint").alias("aug_rnk"),
+            F.when(F.col("rnk") == F.col("aug_rnk"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("ranks_agree"),
+        )
+    )
+
+
 _TX27_SQL = """
 WITH dtok AS (
   SELECT DISTINCT doc_id,

@@ -1595,3 +1595,112 @@ def test_behavior_entropy_matches_pure_python(spark, sf_dir):
         assert abs(got[u][1] - expected[u][1]) <= 2e-4, u
     assert expected
     assert all(h >= 0 for _, h in got.values())
+
+
+def test_cdc_compaction_matches_pure_python(spark, sf_dir):
+    """i12: the first/last net-effect fold re-derived sequentially,
+    including the insert-then-delete cancellation."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    streams: dict[int, list] = {}
+    for r in evs:
+        if r["event_type"] == "error":
+            continue
+        op = {"signup": "I", "purchase": "D"}.get(r["event_type"], "U")
+        streams.setdefault(r["user_id"], []).append((op, r["value"]))
+    expected = {}
+    for u, ops in streams.items():
+        first_op = ops[0][0]
+        last_op = ops[-1][0]
+        if first_op == "I" and last_op == "D":
+            continue
+        last_val = None
+        for op, v in ops:
+            if op != "D" and v is not None:
+                last_val = v
+        if last_op == "D":
+            expected[u] = ("D", None)
+        else:
+            net = "I" if first_op == "I" else "U"
+            expected[u] = (
+                net, None if last_val is None else round(last_val, 4)
+            )
+    got = {
+        r["user_id"]: (
+            r["op"],
+            None if r["value"] is None else round(r["value"], 4),
+        )
+        for r in REGISTRY["i12_cdc_compaction"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected
+
+
+def test_fifo_match_matches_pure_python(spark, sf_dir):
+    """x73: per-user ordinal matching re-derived with sorted lists;
+    unmatched tails must drop."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = sorted(
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    views: dict[int, list] = {}
+    purch: dict[int, list] = {}
+    for r in evs:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append(r["ts"])
+        elif r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["ts"])
+    expected = {}
+    for u in set(views) & set(purch):
+        for k, (v, p) in enumerate(zip(views[u], purch[u]), 1):
+            expected[(u, k)] = (
+                v, p, round((p - v).total_seconds(), 2)
+            )
+    got = {
+        (r["user_id"], r["rn"]): (
+            r["view_ts"], r["purchase_ts"], round(r["lag_sec"], 2)
+        )
+        for r in REGISTRY["x73_fifo_match"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected
+
+
+def test_mips_ranks_agree_and_match_pure_python(spark, sf_dir):
+    """ann24: the norm-augmentation theorem must hold as data (raw-dot
+    rank == augmented-cosine rank on every output row), and the top-10
+    dots re-derive with sequential float arithmetic."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    q = embs[0]
+    dots = {
+        vid: sum(a * b for a, b in zip(v, q))
+        for vid, v in embs.items()
+        if vid != 0
+    }
+    top = sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = {
+        vid: (round(d, 4), rnk) for rnk, (vid, d) in enumerate(top, 1)
+    }
+    rows = REGISTRY["ann24_mips_topk"].spark(spark, sf_dir).collect()
+    got = {r["vec_id"]: (round(r["dot"], 4), r["rnk"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r["ranks_agree"] == 1, r
+        assert r["rnk"] == r["aug_rnk"], r

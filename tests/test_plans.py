@@ -952,3 +952,32 @@ def test_behavior_entropy_user_keyed(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_cdc_compaction_single_window_stage(spark, sf_dir):
+    """i12: the whole compactor is one user-keyed window stage — no
+    joins, no second data shuffle, no cartesian/range sort."""
+    plan = _plan(spark, sf_dir, "i12_cdc_compaction")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_fifo_match_ordinal_hash_join(spark, sf_dir):
+    """x73: the rank windows turn arrival order into a join KEY, so
+    the ordinal match is a hash join on (user, position) — no
+    cartesian, no range sort, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x73_fifo_match")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mips_single_scan_economics(spark, sf_dir):
+    """ann24: one corpus scan per ranking leg, max-norm/query frames
+    broadcast, both cuts via TakeOrderedAndProject or group-limited
+    windows — no range sort."""
+    plan = _plan(spark, sf_dir, "ann24_mips_topk")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
