@@ -202,6 +202,10 @@ HEADLINE = [
     "x73_fifo_match",
     # MIPS + augmentation contract: two rankings, one scan each
     "ann24_mips_topk",
+    # cohort LTV: user-keyed join + cohort-matrix running sum
+    "x74_cohort_ltv",
+    # rolling DAU/WAU: span-explode rewrite of sliding distinct
+    "x75_rolling_active_users",
 ]
 
 

@@ -10172,6 +10172,163 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X74_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+rev AS (
+  SELECT e.user_id, f.cohort_week,
+         cast(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) / 7 AS BIGINT)
+           AS week_offset,
+         e.value
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+),
+cells AS (
+  SELECT cohort_week, week_offset, sum(value) AS wk_rev
+  FROM rev GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY 1)
+SELECT cast(c.cohort_week AS TIMESTAMP) AS cohort_week,
+       c.week_offset,
+       cast(s.n_cohort AS BIGINT) AS n_cohort,
+       round(sum(c.wk_rev) OVER (PARTITION BY c.cohort_week
+                                 ORDER BY c.week_offset
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+             / s.n_cohort, 4) AS cum_ltv_per_user
+FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+"""
+
+
+@register("x74_cohort_ltv", _X74_SQL, first_round=9)
+def x74_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    signup-week cohort, per user, as a function of weeks since the
+    cohort formed — x61 answers "are they still here", this answers
+    "what are they worth by week k", the curve payback-period and
+    LTV/CAC decisions read off. Week arithmetic matches x61's
+    (date_trunc week, offset in whole weeks).
+
+    Plan shape: the same two user-keyed stages as x61 (first-event
+    agg, then a fact join keyed on user) followed by a cohort-matrix-
+    sized running sum — the cumulative window runs over (cohorts x
+    weeks) rows, never over events. Cohort sizes join as a
+    cohort-sized broadcast."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "value",
+        )
+    )
+    cells = rev.groupBy("cohort_week", "week_offset").agg(
+        F.sum("value").alias("wk_rev")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            F.round(
+                F.sum("wk_rev").over(w) / F.col("n_cohort"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+_X75_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+-- each (user, day) activity contributes to the 7-day windows ending
+-- on day .. day+6; distinct again because a user active twice in a
+-- window must count once
+spans AS (
+  SELECT DISTINCT user_id, day + to_days(cast(k AS INT)) AS wday
+  FROM ud, unnest(range(0, 7)) r(k)
+),
+wau AS (SELECT wday AS day, count(*) AS wau FROM spans GROUP BY 1)
+SELECT cast(d.day AS TIMESTAMP) AS day,
+       cast(d.dau AS BIGINT) AS dau,
+       cast(w.wau AS BIGINT) AS wau,
+       round(d.dau * 1e0 / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+@register("x75_rolling_active_users", _X75_SQL, first_round=9)
+def x75_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: DAU, trailing-7-day WAU and the DAU/WAU
+    stickiness ratio per day. DISTINCT users over a SLIDING window is
+    not window-function-expressible (count-distinct does not compose
+    over frames), so the scale-correct rewrite is the span explode:
+    each (user, day) activity row contributes membership to the 7
+    window-ending days, and a distinct + count per day recovers the
+    exact rolling distinct — work scales with active-user-days x 7,
+    never with the all-pairs of users x windows. WAU days trailing
+    off the calendar edge (the first 6 days have partial windows) are
+    reported as-is, exactly as a dashboard shows them.
+
+    Plan shape: one distinct over (user, day) (the only event-sized
+    stage), a 7-way span explode of that user-day table (map-side),
+    and two day-keyed counts joined day-on-day. No window functions
+    at all — the rolling distinct is pure explode + agg."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spans = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(7)])
+        ).alias("k"),
+        "day",
+    ).select(
+        "user_id",
+        F.col("day")
+        + F.make_dt_interval(days=F.col("k")).alias("iv"),
+    ).toDF("user_id", "wday").distinct()
+    wau = spans.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )
+
+
 _I12_SQL = """
 WITH ops AS (
   SELECT user_id, ts, event_id, value,
@@ -12526,6 +12683,11 @@ _EXPENSIVE_LAST = [
     "ann21_probe_recall_curve",
     "dd17_minhash_estimator_error",
     "ann22_binary_hamming_topk",
+    # round-9 fourth-wave heavies: x67 pays the bipartite projection +
+    # triangle joins; x68 pays the full buyer-keyed co-occurrence
+    # build (support-1 pairs dominate before the HAVING)
+    "x67_copurchase_triangles",
+    "x68_item_similarity_topk",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would

@@ -1704,3 +1704,88 @@ def test_mips_ranks_agree_and_match_pure_python(spark, sf_dir):
     for r in rows:
         assert r["ranks_agree"] == 1, r
         assert r["rnk"] == r["aug_rnk"], r
+
+
+def test_cohort_ltv_matches_pure_python(spark, sf_dir):
+    """x74: cohort assignment, weekly revenue cells and the cumulative
+    per-user curve re-derived sequentially; curves must be
+    non-decreasing along week_offset."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+
+    def week(ts):
+        # ISO Monday truncation, matching date_trunc('week', ...)
+        d = ts.date()
+        from datetime import timedelta
+
+        return d - timedelta(days=d.weekday())
+
+    first_ts: dict[int, object] = {}
+    for r in evs:
+        if r["user_id"] not in first_ts or r["ts"] < first_ts[r["user_id"]]:
+            first_ts[r["user_id"]] = r["ts"]
+    cohort = {u: week(t) for u, t in first_ts.items()}
+    sizes: dict[object, int] = {}
+    for c in cohort.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells: dict[tuple, float] = {}
+    for r in evs:
+        if r["event_type"] != "purchase" or r["value"] is None:
+            continue
+        c = cohort[r["user_id"]]
+        off = (week(r["ts"]) - c).days // 7
+        cells[(c, off)] = cells.get((c, off), 0.0) + r["value"]
+    expected = {}
+    for c in sizes:
+        cum = 0.0
+        for off in sorted(o for (cc, o) in cells if cc == c):
+            cum += cells[(c, off)]
+            expected[(c, off)] = (sizes[c], round(cum / sizes[c], 4))
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): (
+            r["n_cohort"], round(r["cum_ltv_per_user"], 4)
+        )
+        for r in REGISTRY["x74_cohort_ltv"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        assert abs(got[k][1] - expected[k][1]) <= 2e-4, k
+    # monotone curves
+    by_c: dict[object, list] = {}
+    for (c, off), (_, v) in got.items():
+        by_c.setdefault(c, []).append((off, v))
+    for c, pts in by_c.items():
+        vals = [v for _, v in sorted(pts)]
+        assert vals == sorted(vals), c
+
+
+def test_rolling_active_users_matches_pure_python(spark, sf_dir):
+    """x75: DAU/WAU/stickiness re-derived with per-day user sets; WAU
+    must equal the union of the trailing 7 daily sets."""
+    from datetime import timedelta
+
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select("user_id", "ts").collect()
+    daysets: dict[object, set] = {}
+    for r in evs:
+        daysets.setdefault(r["ts"].date(), set()).add(r["user_id"])
+    got = {
+        r["day"].date(): (r["dau"], r["wau"], round(r["stickiness"], 4))
+        for r in REGISTRY["x75_rolling_active_users"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(daysets)
+    for d, users in daysets.items():
+        wau_set = set()
+        for k in range(7):
+            wau_set |= daysets.get(d - timedelta(days=k), set())
+        dau, wau, stick = got[d]
+        assert dau == len(users), d
+        assert wau == len(wau_set), d
+        assert abs(stick - round(dau / wau, 4)) <= 1e-6, d

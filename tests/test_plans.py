@@ -981,3 +981,25 @@ def test_mips_single_scan_economics(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann24_mips_topk")
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_matrix_sized_window(spark, sf_dir):
+    """x74: the cumulative window runs over the cohort matrix, keyed
+    on cohort_week; cohort sizes broadcast; no cartesian, no range
+    sort, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "x74_cohort_ltv")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_active_users_no_windows(spark, sf_dir):
+    """x75: the rolling distinct is explode + agg — no window
+    functions, no cartesian, no range sort, no single-partition
+    exchange; every exchange is keyed on day or (user, day)."""
+    plan = _plan(spark, sf_dir, "x75_rolling_active_users")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
