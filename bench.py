@@ -206,6 +206,8 @@ HEADLINE = [
     "x74_cohort_ltv",
     # rolling DAU/WAU: span-explode rewrite of sliding distinct
     "x75_rolling_active_users",
+    # ABC analysis: integer revenue agg + catalog-sized ranking
+    "x76_abc_analysis",
 ]
 
 

@@ -115,3 +115,46 @@ def cusum_over_daily(
         .cast("bigint")
         .alias("changepoint"),
     )
+
+
+def user_days(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """DISTINCT (user_id, day) activity table — the union-monoid state
+    behind rolling active-user metrics (x75 and its streaming twin)."""
+    return df.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).distinct()
+
+
+def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, dau, wau, stickiness) from a distinct (user_id, day)
+    table. Sliding COUNT DISTINCT does not compose over window frames,
+    so the scale-correct rewrite is the span explode: each user-day
+    contributes membership to the ``window_days`` window-ending days,
+    then distinct + count per day recovers the exact rolling distinct.
+    Shared by x75 and the streaming DAU/WAU state reader."""
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spans = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(window_days)])
+            ).alias("k"),
+            "day",
+        )
+        .select(
+            "user_id",
+            F.col("day") + F.make_dt_interval(days=F.col("k")),
+        )
+        .toDF("user_id", "wday")
+        .distinct()
+    )
+    wau = spans.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )

@@ -10172,6 +10172,81 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X76_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         sum(cast(round(l_extendedprice * 100) AS BIGINT)
+             * cast(round(100 - l_discount * 100) AS BIGINT)) AS rc
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rc) AS total FROM rev),
+ranked AS (
+  SELECT partkey, rc,
+         sum(rc) OVER (ORDER BY rc DESC, partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+  FROM rev
+)
+SELECT partkey,
+       cast((rc + 50) // 100 AS BIGINT) / 1e2 AS revenue,
+       round(cum * 1e0 / tot.total, 6) AS cum_share,
+       CASE WHEN cum * 1e0 / tot.total <= 0.8 THEN 'A'
+            WHEN cum * 1e0 / tot.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+"""
+
+
+@register("x76_abc_analysis", _X76_SQL, first_round=9)
+def x76_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of the part catalog by revenue:
+    parts are ranked by net revenue, the running share of total
+    revenue is computed along that ranking, and each part lands in
+    class A (first 80% of revenue), B (to 95%) or C (tail) — the
+    inventory-management classic, and the curation analog of "which
+    sources carry 80% of the tokens".
+
+    Plan shape: the fact scan collapses to a part-keyed revenue agg
+    FIRST (map-side partials; the only event-sized stage), so the
+    ordered cumulative window runs over the CATALOG-sized frame — its
+    global sort is a deliberate, documented exception to the no-range-
+    sort rule because its input is bounded by part count, not fact
+    count (the same dispensation o1/w1's sequence engine gets). The
+    grand total is a single-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    # cent x percent integer arithmetic: prices carry 2 decimals and
+    # discounts 2, so the per-line revenue is EXACT in 64-bit ints —
+    # the ranking, cumulative sum and class boundaries involve no
+    # float summation order at all (a .005-boundary ulp difference
+    # between engines flipped the display rounding in the double form)
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round(100 - F.col("l_discount") * 100).cast("bigint")
+        ).alias("rc")
+    )
+    tot = rev.agg(F.sum("rc").alias("total"))
+    w = Window.orderBy(F.col("rc").desc(), "partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.col("cum") / F.col("total")
+    return (
+        rev.withColumn("cum", F.sum("rc").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            # half-up to cents in INTEGER space — a float round at the
+            # .005 boundary goes opposite ways in the two engines
+            (F.expr("(rc + 50) div 100") / F.lit(1e2)).alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
 _X74_SQL = """
 WITH firsts AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -10302,31 +10377,10 @@ def x75_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage), a 7-way span explode of that user-day table (map-side),
     and two day-keyed counts joined day-on-day. No window functions
     at all — the rolling distinct is pure explode + agg."""
+    from .operators.aggregate import rolling_active_users, user_days
+
     e = _t(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    spans = ud.select(
-        "user_id",
-        F.explode(
-            F.array(*[F.lit(k) for k in range(7)])
-        ).alias("k"),
-        "day",
-    ).select(
-        "user_id",
-        F.col("day")
-        + F.make_dt_interval(days=F.col("k")).alias("iv"),
-    ).toDF("user_id", "wday").distinct()
-    wau = spans.groupBy(F.col("wday").alias("day")).agg(
-        F.count(F.lit(1)).alias("wau")
-    )
-    return dau.join(wau, "day").select(
-        "day",
-        F.col("dau").cast("bigint").alias("dau"),
-        F.col("wau").cast("bigint").alias("wau"),
-        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
-    )
+    return rolling_active_users(user_days(e))
 
 
 _I12_SQL = """

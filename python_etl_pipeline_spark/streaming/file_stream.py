@@ -1684,3 +1684,85 @@ def stream_kmv_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def user_days_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """foreachBatch sink for incremental rolling-engagement state —
+    x75's operational twin: each arrival batch's DISTINCT (user, day)
+    activity set lands under ``state_dir/batch_id=N``. The state is a
+    UNION monoid (same shape as the LC bitmap), so DAU/WAU over a
+    growing stream folds from user-day rows — no event history
+    rescans. Re-delivered batches overwrite their own batch_id
+    partition (exactly-once, same contract as the other state
+    sinks)."""
+    import os
+
+    from ..operators.aggregate import user_days
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        user_days(batch_df, user_col, ts_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def user_days_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(user_id, day) — the folded activity set (union-monoid merge)."""
+    return spark.read.parquet(state_dir).drop("batch_id").distinct()
+
+
+def compact_user_days_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = user_days_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def rolling_active_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The DAU/WAU/stickiness report served from the persisted
+    activity state — the same ``rolling_active_users`` algebra the
+    driver hash-verifies via x75's DuckDB oracle."""
+    from ..operators.aggregate import rolling_active_users
+
+    return rolling_active_users(user_days_from_state_dir(spark, state_dir))
+
+
+def stream_rolling_active_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental DAU/WAU — x75's operational twin, same
+    AvailableNow cadence as the other state sinks. Batch CORRECTNESS
+    twin: queries.x75_rolling_active_users is driver-verified against
+    its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            user_days_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1789,3 +1789,143 @@ def test_rolling_active_users_matches_pure_python(spark, sf_dir):
         assert dau == len(users), d
         assert wau == len(wau_set), d
         assert abs(stick - round(dau / wau, 4)) <= 1e-6, d
+
+
+def test_abc_analysis_matches_pure_python(spark, sf_dir):
+    """x76: exact integer revenue, the cumulative share and the class
+    boundaries re-derived with int arithmetic; Pareto invariants
+    (class ordering along the ranking, share monotone to 1.0)."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rc: dict[int, int] = {}
+    for r in li:
+        c = round(r["l_extendedprice"] * 100) * round(
+            100 - r["l_discount"] * 100
+        )
+        rc[r["l_partkey"]] = rc.get(r["l_partkey"], 0) + c
+    total = sum(rc.values())
+    ranked = sorted(rc.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {}
+    cum = 0
+    for pk, c in ranked:
+        cum += c
+        share = cum / total
+        cls = "A" if share <= 0.8 else ("B" if share <= 0.95 else "C")
+        expected[pk] = ((c + 50) // 100 / 100, round(share, 6), cls)
+    got = {
+        r["partkey"]: (r["revenue"], round(r["cum_share"], 6), r["abc_class"])
+        for r in REGISTRY["x76_abc_analysis"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert {c for _, _, c in got.values()} == {"A", "B", "C"}
+    # shares monotone along the ranking and ending at 1
+    shares = [got[pk][1] for pk, _ in ranked]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) <= 1e-6
+
+
+def test_streaming_rolling_active_folds(spark, tmp_path):
+    """x75's operational twin: the DAU/WAU report served from the
+    folded (user, day) state must equal the batch recompute over
+    everything ingested so far; redelivery is idempotent."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from python_etl_pipeline_spark.operators.aggregate import (
+        rolling_active_users,
+        user_days,
+    )
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        compact_user_days_state,
+        rolling_active_from_state_dir,
+        stream_rolling_active_available_now,
+        user_days_batch_writer,
+        user_days_from_state_dir,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [
+                            datetime.datetime(2024, 1, r[1], r[2])
+                            for r in rows
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    def report(df):
+        return {
+            r["day"]: (r["dau"], r["wau"], r["stickiness"])
+            for r in df.collect()
+        }
+
+    b1 = [(1, 1, 9), (2, 1, 10), (1, 2, 9), (3, 2, 11)]
+    b2 = [(2, 3, 9), (4, 3, 10), (1, 9, 9), (2, 9, 12)]
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def full(rows):
+        d = spark.createDataFrame(
+            [
+                (r[0], datetime.datetime(2024, 1, r[1], r[2]))
+                for r in rows
+            ],
+            schema,
+        )
+        return report(rolling_active_users(user_days(d)))
+
+    write(str(src / "b1.parquet"), b1)
+    stream_rolling_active_available_now(spark, str(src), schema, state, ckpt)
+    assert report(rolling_active_from_state_dir(spark, state)) == full(b1)
+
+    write(str(src / "b2.parquet"), b2)
+    stream_rolling_active_available_now(spark, str(src), schema, state, ckpt)
+    assert report(rolling_active_from_state_dir(spark, state)) == full(
+        b1 + b2
+    )
+
+    before = report(rolling_active_from_state_dir(spark, state))
+    compact_user_days_state(spark, state)
+    assert report(rolling_active_from_state_dir(spark, state)) == before
+
+    # redelivery idempotency at the writer level
+    writer = user_days_batch_writer(spark, state)
+    d2 = spark.createDataFrame(
+        [(r[0], datetime.datetime(2024, 1, r[1], r[2])) for r in b2],
+        schema,
+    )
+    writer(d2, 99)
+    once = {
+        (r["user_id"], r["day"])
+        for r in user_days_from_state_dir(spark, state).collect()
+    }
+    writer(d2, 99)
+    again = {
+        (r["user_id"], r["day"])
+        for r in user_days_from_state_dir(spark, state).collect()
+    }
+    assert once == again

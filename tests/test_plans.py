@@ -1003,3 +1003,14 @@ def test_rolling_active_users_no_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_abc_catalog_sized_sort(spark, sf_dir):
+    """x76: the fact scan collapses to the part-keyed integer-revenue
+    agg before the ordered cumulative window, so the global sort input
+    is catalog-sized (the documented o1/w1-style dispensation); the
+    grand total broadcasts."""
+    plan = _plan(spark, sf_dir, "x76_abc_analysis")
+    assert "CartesianProduct" not in plan
+    # the part-keyed agg must appear BELOW the window sort
+    assert "hashpartitioning(partkey" in plan or "hashpartitioning(l_partkey" in plan
