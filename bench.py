@@ -208,6 +208,9 @@ HEADLINE = [
     "x75_rolling_active_users",
     # ABC analysis: integer revenue agg + catalog-sized ranking
     "x76_abc_analysis",
+    # seasonal profile + trend forecast: matrix-sized after one agg
+    "x77_seasonal_profile",
+    "x78_trend_forecast",
 ]
 
 

@@ -10172,6 +10172,146 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X77_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+dw AS (
+  SELECT event_type, isodow(day) AS isodow, n FROM daily
+),
+prof AS (
+  SELECT event_type, isodow,
+         count(*) AS n_days,
+         avg(n) AS dow_mean
+  FROM dw GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type, avg(n) AS o_mean FROM dw GROUP BY 1
+)
+SELECT p.event_type, cast(p.isodow AS BIGINT) AS isodow,
+       cast(p.n_days AS BIGINT) AS n_days,
+       round(p.dow_mean, 4) AS dow_mean,
+       round(p.dow_mean / o.o_mean, 4) AS seasonal_index
+FROM prof p JOIN overall o ON o.event_type = p.event_type
+"""
+
+
+@register("x77_seasonal_profile", _X77_SQL, first_round=9)
+def x77_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event type: the mean daily
+    volume for each ISO weekday and its seasonal index (ratio to the
+    type's overall daily mean) — the baseline a monitor divides out
+    before alerting, so Saturday's dip stops looking like an incident
+    (x64's CUSUM detects level SHIFTS; this captures the periodic
+    component those shifts are judged against).
+
+    Plan shape: identical economics to x64 — one (type, day) count
+    agg is the only event-sized stage, then every frame is the
+    |types| x 7 profile matrix; means are exact-integer sums divided
+    by counts, so the cross-engine float story is trivial."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dw = daily.select(
+        "event_type", (F.weekday("day") + 1).alias("isodow"), "n"
+    )
+    prof = dw.groupBy("event_type", "isodow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("n").alias("dow_mean")
+    )
+    overall = dw.groupBy("event_type").agg(F.avg("n").alias("o_mean"))
+    return prof.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        F.col("isodow").cast("bigint").alias("isodow"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round("dow_mean", 4).alias("dow_mean"),
+        F.round(F.col("dow_mean") / F.col("o_mean"), 4).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+_X78_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         date_diff('day',
+                   min(day) OVER (PARTITION BY event_type), day) AS t
+  FROM daily
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n, sum(t) AS st, sum(y) AS sy,
+         sum(t * y) AS sty, sum(t * t) AS stt, max(t) AS tmax
+  FROM idx GROUP BY 1
+),
+fit AS (
+  SELECT event_type, n, tmax,
+         (n * sty - st * sy) * 1e0 / (n * stt - st * st) AS slope,
+         (sy - (n * sty - st * sy) * 1e0 / (n * stt - st * st) * st)
+           / n AS intercept
+  FROM s
+)
+SELECT event_type, cast(n AS BIGINT) AS n_days,
+       round(slope, 6) AS slope,
+       round(intercept, 4) AS intercept,
+       round(intercept + slope * (tmax + 7), 2) AS forecast_next_week
+FROM fit
+"""
+
+
+@register("x78_trend_forecast", _X78_SQL, first_round=9)
+def x78_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend fit + one-week-ahead forecast per event type:
+    closed-form OLS over the daily volume series (slope in
+    events/day, intercept, and the projected volume 7 days past the
+    last observation) — the capacity-planning readout that tells you
+    WHEN a queue outgrows its workers, complementing x64 (is the
+    level shifting NOW) and x77 (what is periodic). Every OLS moment
+    (sum t, sum y, sum ty, sum t^2) is an exact integer sum — day
+    indexes and counts are small ints, so the normal equations carry
+    ZERO float accumulation and both engines divide identical
+    integers.
+
+    Plan shape: the (type, day) count agg is the only event-sized
+    stage; the index window and moment agg run over the daily matrix
+    keyed on type; the fit is a |types|-row projection."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "y",
+        F.datediff(F.col("day"), F.min("day").over(wt)).alias("t"),
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.max("t").alias("tmax"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sy") - slope * F.col("st")) / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(intercept + slope * (F.col("tmax") + 7), 2).alias(
+            "forecast_next_week"
+        ),
+    )
+
+
 _X76_SQL = """
 WITH rev AS (
   SELECT l_partkey AS partkey,

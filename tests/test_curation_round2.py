@@ -1929,3 +1929,92 @@ def test_streaming_rolling_active_folds(spark, tmp_path):
         for r in user_days_from_state_dir(spark, state).collect()
     }
     assert once == again
+
+
+def test_seasonal_profile_matches_pure_python(spark, sf_dir):
+    """x77: per-type day-of-week means and seasonal indexes
+    re-derived with dict arithmetic; indexes must average to ~1
+    weighted by day counts."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: dict[tuple, int] = {}
+    for r in evs:
+        daily[(r["event_type"], r["ts"].date())] = (
+            daily.get((r["event_type"], r["ts"].date()), 0) + 1
+        )
+    by_cell: dict[tuple, list] = {}
+    by_type: dict[str, list] = {}
+    for (et, d), n in daily.items():
+        by_cell.setdefault((et, d.isoweekday()), []).append(n)
+        by_type.setdefault(et, []).append(n)
+    expected = {}
+    for (et, dow), ns in by_cell.items():
+        o = sum(by_type[et]) / len(by_type[et])
+        m = sum(ns) / len(ns)
+        expected[(et, dow)] = (len(ns), round(m, 4), round(m / o, 4))
+    got = {
+        (r["event_type"], r["isodow"]): (
+            r["n_days"], round(r["dow_mean"], 4),
+            round(r["seasonal_index"], 4),
+        )
+        for r in REGISTRY["x77_seasonal_profile"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    # weighted mean of indexes is 1 per type
+    for et, ns in by_type.items():
+        tot_days = len(ns)
+        wsum = sum(
+            got[(et, dow)][0] * got[(et, dow)][2]
+            for (t, dow) in got
+            if t == et
+        )
+        assert abs(wsum / tot_days - 1.0) <= 5e-3, et
+
+
+def test_trend_forecast_matches_pure_python(spark, sf_dir):
+    """x78: the OLS normal equations re-derived with exact ints; the
+    fitted line must pass through the centroid and the forecast must
+    equal intercept + slope*(tmax+7)."""
+    from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+    evs = _t(spark, sf_dir, "events").select("event_type", "ts").collect()
+    daily: dict[tuple, int] = {}
+    for r in evs:
+        daily[(r["event_type"], r["ts"].date())] = (
+            daily.get((r["event_type"], r["ts"].date()), 0) + 1
+        )
+    series: dict[str, list] = {}
+    for (et, d), n in daily.items():
+        series.setdefault(et, []).append((d, n))
+    expected = {}
+    for et, pts in series.items():
+        d0 = min(d for d, _ in pts)
+        ty = [((d - d0).days, n) for d, n in pts]
+        n = len(ty)
+        st = sum(t for t, _ in ty)
+        sy = sum(y for _, y in ty)
+        sty = sum(t * y for t, y in ty)
+        stt = sum(t * t for t, _ in ty)
+        tmax = max(t for t, _ in ty)
+        slope = (n * sty - st * sy) / (n * stt - st * st)
+        intercept = (sy - slope * st) / n
+        expected[et] = (
+            n,
+            round(slope, 6),
+            round(intercept, 4),
+            round(intercept + slope * (tmax + 7), 2),
+        )
+        # the OLS line passes through the centroid
+        assert abs((intercept + slope * st / n) - sy / n) <= 1e-9
+    got = {
+        r["event_type"]: (
+            r["n_days"], round(r["slope"], 6),
+            round(r["intercept"], 4),
+            round(r["forecast_next_week"], 2),
+        )
+        for r in REGISTRY["x78_trend_forecast"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected

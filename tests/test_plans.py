@@ -1014,3 +1014,16 @@ def test_abc_catalog_sized_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the part-keyed agg must appear BELOW the window sort
     assert "hashpartitioning(partkey" in plan or "hashpartitioning(l_partkey" in plan
+
+
+def test_seasonal_and_trend_matrix_sized(spark, sf_dir):
+    """x77/x78: the only event-sized stage is the (type, day) count;
+    everything downstream is profile-/fit-matrix sized and keyed on
+    event_type — no cartesian, no range sort, no single-partition
+    exchange."""
+    for name in ("x77_seasonal_profile", "x78_trend_forecast"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "hashpartitioning(event_type" in plan, name
