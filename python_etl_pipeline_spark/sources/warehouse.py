@@ -100,6 +100,46 @@ class Warehouse:
         """K4: CSV export with NULL -> 'NA' (src/transform.py:493-515)."""
         df.na.fill("NA").write.mode("overwrite").option("header", True).csv(out_dir)
 
+    def export_jsonl_shards(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        shard_col: str | None = None,
+        n_shards: int | None = None,
+    ) -> dict:
+        """Training-data delivery: export as JSON-Lines shard files —
+        the format dataloaders (webdataset-style readers, HF
+        datasets, streaming tokenizers) actually consume. If
+        ``shard_col`` is given (e.g. x40's LPT shard assignment) the
+        output is partitioned by it with ONE file per shard (the
+        writer repartitions on the shard key first, so each shard
+        directory holds exactly one sequentially-readable file);
+        otherwise ``n_shards`` round-robin shards. Returns a manifest
+        {shard_value: row_count} — the sidecar a dataloader uses for
+        length-aware scheduling. At 100 TB this is the same
+        partitioned-write economics as the year-partitioned fact sink:
+        shard count must track data volume, and the per-shard
+        repartition guarantees no tiny-file explosion."""
+        from pyspark.sql import functions as F
+
+        if shard_col is None:
+            n = n_shards or 16
+            df = df.withColumn(
+                "shard",
+                F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n),
+            )
+            shard_col = "shard"
+        out = df.repartition(shard_col)
+        out.write.mode("overwrite").partitionBy(shard_col).json(out_dir)
+        back = self.spark.read.json(out_dir)
+        manifest = {
+            r["sv"]: r["n"]
+            for r in back.groupBy(F.col(shard_col).alias("sv"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return manifest
+
     def publish_staged(
         self,
         df: DataFrame,
