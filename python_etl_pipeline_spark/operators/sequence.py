@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_sequence"]
+__all__ = ["with_global_sequence", "with_global_prefix_sum"]
 
 
 def _bucket_expr(key: str, boundaries: list[float]) -> Column:
@@ -123,6 +123,93 @@ def with_global_sequence(
         .withColumn(
             name,
             (F.element_at(mapping, F.col("__bkt")) + F.col("__local")).cast("bigint"),
+        )
+        .drop("__bkt", "__local")
+    )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    ascending: list[bool] | None = None,
+    name: str = "cum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Append a global running SUM of ``value_col`` following
+    ``ORDER BY order_cols`` (per-column direction in ``ascending``,
+    default all ascending) — the cumulative-total sibling of
+    ``with_global_sequence``, with the same scale contract: no row
+    ever passes through a single-partition window.
+
+    Same zipWithIndex-style decomposition: equi-depth buckets on the
+    leading order key (frozen as literals), per-bucket SUBTOTALS —
+    O(num_buckets) rows — collected and folded into cumulative start
+    offsets on the driver (respecting the leading key's direction),
+    then a per-bucket cumulative window plus the broadcast offset.
+    Exact total-order semantics (ties share a bucket because boundary
+    comparison is ``<=``), fully parallel over the data.
+
+    The leading order key must be numeric and NON-NULL (same
+    assert_true guard as the sequence engine). ``value_col`` should be
+    exact (integer/decimal) if cross-engine reproducibility matters:
+    per-bucket floats sum in a different order than a single-partition
+    window would.
+    """
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    key = order_cols[0]
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = sorted(set(df.approxQuantile(key, qs, 0.001))) if qs else []
+
+    bucket = F.when(
+        F.assert_true(
+            F.col(key).isNotNull(),
+            F.lit(
+                f"with_global_prefix_sum: null in leading order column "
+                f"'{key}'"
+            ),
+        ).isNull(),
+        _bucket_expr(key, boundaries),
+    )
+    tagged = df.withColumn("__bkt", bucket)
+
+    subtotals = (
+        tagged.groupBy("__bkt").agg(F.sum(value_col).alias("__sub")).collect()
+    )
+    if not subtotals:
+        return df.withColumn(name, F.lit(None).cast("bigint"))
+    # Buckets ascend with the key; a DESCENDING leading key consumes
+    # them highest-bucket-first, so the fold direction flips with it.
+    acc = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(
+        subtotals, key=lambda r: r["__bkt"], reverse=not ascending[0]
+    ):
+        offsets[row["__bkt"]] = acc
+        acc += row["__sub"]
+
+    mapping: Column = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    order_exprs = [
+        F.col(c) if asc else F.col(c).desc()
+        for c, asc in zip(order_cols, ascending)
+    ]
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("__local", F.sum(value_col).over(w))
+        .withColumn(
+            name, F.element_at(mapping, F.col("__bkt")) + F.col("__local")
         )
         .drop("__bkt", "__local")
     )

@@ -9499,8 +9499,10 @@ REGISTRY["dd18_exact_span_decontaminate"].sql = _dd18_sql()
 _X63_SQL = """
 WITH base AS (
   SELECT event_id, user_id, ts, event_type,
-         CASE WHEN event_type <> 'error' THEN value END AS vv,
-         CASE WHEN event_type <> 'error' THEN epoch(ts) END AS vt
+         CASE WHEN event_type <> 'error' AND value IS NOT NULL
+              THEN value END AS vv,
+         CASE WHEN event_type <> 'error' AND value IS NOT NULL
+              THEN epoch(ts) END AS vt
   FROM events
 ),
 nbr AS (
@@ -9556,7 +9558,11 @@ def x63_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
         " ts)"
     ) / F.lit(1_000_000.0)
-    valid = F.col("event_type") != "error"
+    # Anchor BOTH the value and its timestamp at value-BEARING valid
+    # events: a valid event whose reading is NULL must contribute
+    # neither (else pv and pt come from different events and the
+    # interpolation weight is wrong) — r9 advice fix.
+    valid = (F.col("event_type") != "error") & F.col("value").isNotNull()
     base = e.select(
         "event_id", "user_id", "ts", "event_type",
         us.alias("t"),
@@ -10347,12 +10353,21 @@ def x76_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources carry 80% of the tokens".
 
     Plan shape: the fact scan collapses to a part-keyed revenue agg
-    FIRST (map-side partials; the only event-sized stage), so the
-    ordered cumulative window runs over the CATALOG-sized frame — its
-    global sort is a deliberate, documented exception to the no-range-
-    sort rule because its input is bounded by part count, not fact
-    count (the same dispensation o1/w1's sequence engine gets). The
+    FIRST (map-side partials; the only event-sized stage). The
+    cumulative revenue then rides the sequence engine's bucketed
+    prefix-sum (``with_global_prefix_sum``): equi-depth buckets on the
+    revenue key, O(buckets) driver-folded offsets, per-bucket windows
+    — NO single-partition exchange anywhere, because unlike x55's
+    ~100-row source catalog the part catalog grows with the corpus
+    (tens of millions of parts at 100x) and the r9 unpartitioned
+    window would funnel all of it through one task (r9 verdict fix;
+    plan guard in test_plans.py). The aggregated frame is lazily
+    localCheckpointed so the three passes the prefix-sum needs
+    (quantile sketch, subtotal fold, final window) reuse one
+    materialization of the fact scan instead of re-running it. The
     grand total is a single-row broadcast."""
+    from .operators.sequence import with_global_prefix_sum
+
     li = _t(spark, sf_dir, "lineitem")
     # cent x percent integer arithmetic: prices carry 2 decimals and
     # discounts 2, so the per-line revenue is EXACT in 64-bit ints —
@@ -10365,13 +10380,14 @@ def x76_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.round(100 - F.col("l_discount") * 100).cast("bigint")
         ).alias("rc")
     )
+    rev = rev.localCheckpoint(eager=False)
     tot = rev.agg(F.sum("rc").alias("total"))
-    w = Window.orderBy(F.col("rc").desc(), "partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     share = F.col("cum") / F.col("total")
     return (
-        rev.withColumn("cum", F.sum("rc").over(w))
+        with_global_prefix_sum(
+            rev, "rc", ["rc", "partkey"], ascending=[False, True],
+            name="cum",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "partkey",
@@ -10683,21 +10699,26 @@ norms AS (
   SELECT vec_id, sum(v * v) AS sq FROM comp GROUP BY 1
 ),
 mx AS (SELECT max(sq) AS msq FROM norms),
+-- derive the augmented index from the data's own dimensionality so a
+-- dimension change fails loudly instead of truncating dots (r9 advice)
+dims AS (SELECT max(i) AS d FROM comp),
 -- the augmented component: every vector gets one extra coordinate
 -- sqrt(M^2 - |x|^2); the query's extra coordinate is 0
 acomp AS (
   SELECT vec_id, i, v FROM comp
   UNION ALL
-  SELECT n.vec_id, 65 AS i, sqrt(mx.msq - n.sq) AS v FROM norms n, mx
+  SELECT n.vec_id, dims.d + 1 AS i, sqrt(mx.msq - n.sq) AS v
+  FROM norms n, mx, dims
 ),
 q AS (SELECT i, qv FROM (
   SELECT i, v AS qv FROM comp WHERE vec_id = 0
-  UNION ALL SELECT 65 AS i, 0e0 AS qv
+  UNION ALL SELECT dims.d + 1 AS i, 0e0 AS qv FROM dims
 )),
 qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
 dots AS (
   SELECT c.vec_id, sum(c.v * q.qv) AS dot
-  FROM comp c JOIN (SELECT i, qv FROM q WHERE i <= 64) q ON q.i = c.i
+  FROM comp c
+  JOIN (SELECT i, qv FROM q, dims WHERE i <= dims.d) q ON q.i = c.i
   WHERE c.vec_id <> 0 GROUP BY 1
 ),
 augsc AS (
@@ -11007,8 +11028,8 @@ def _mm5_sql() -> str:
     return f"""
     WITH {_mm5_sig_sql()},
     bands AS (
-      SELECT doc_id, i AS band, substring(sig, 1 + i * 4, 4) AS bv
-      FROM sig, unnest(range(0, 4)) r(i)
+      SELECT doc_id, i AS band, substring(sig, 1 + i * 2, 2) AS bv
+      FROM sig, unnest(range(0, 8)) r(i)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -11040,10 +11061,15 @@ def mm5_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficients (llm/multimodal.py:73 documents the environment
     gate); every distribution property is identical.
 
-    Plan shape: dd2's LSH economics on the signature — 4 bands of 4
+    Plan shape: dd2's LSH economics on the signature — 8 bands of 2
     nibbles, candidates only on exact band match (bucket join, never
     all-pairs), then the 16-comparison exact Hamming verify on the
-    candidate set. Signature construction is one map-side projection
+    candidate set. 8 bands make the hamming<=4 contract EXACT by
+    pigeonhole: any pair differing in at most 7 of 16 positions leaves
+    at least one of the 8 bands clean, so every qualifying pair is a
+    candidate (the r9 4x4 banding only guaranteed recall for <=3
+    mismatches — r9 advice fix). Coarser 2-nibble buckets cost more
+    candidates, all killed by the exact verify. Signature construction is one map-side projection
     (16 tile md5s ~= one full-payload md5). Reference analog: the
     file-level md5 guard of src/extract.py:222-270, relaxed from
     exact identity to perceptual identity."""
@@ -11065,11 +11091,11 @@ def mm5_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sig.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("band"),
         "sig",
     ).select(
         "doc_id", "band",
-        F.expr("substring(sig, 1 + band * 4, 4)").alias("bv"),
+        F.expr("substring(sig, 1 + band * 2, 2)").alias("bv"),
     )
     x, y = bands.alias("bx"), bands.alias("by")
     cand = (

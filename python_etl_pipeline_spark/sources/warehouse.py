@@ -114,20 +114,36 @@ class Warehouse:
         output is partitioned by it with ONE file per shard (the
         writer repartitions on the shard key first, so each shard
         directory holds exactly one sequentially-readable file);
-        otherwise ``n_shards`` round-robin shards. Returns a manifest
-        {shard_value: row_count} — the sidecar a dataloader uses for
-        length-aware scheduling. At 100 TB this is the same
-        partitioned-write economics as the year-partitioned fact sink:
-        shard count must track data volume, and the per-shard
-        repartition guarantees no tiny-file explosion."""
+        ``shard_col`` values must be non-null — a NULL would land in
+        Hive's default partition and corrupt the manifest key, so the
+        writer rejects it up front. Otherwise rows are content-hash
+        sharded into ``n_shards`` buckets (xxhash64 over all columns —
+        deterministic and replay-stable, but fully-duplicate rows
+        collide into one shard; dedupe first if exact balance
+        matters). Returns a manifest {shard_value: row_count} — the
+        sidecar a dataloader uses for length-aware scheduling. At
+        100 TB this is the same partitioned-write economics as the
+        year-partitioned fact sink: shard count must track data
+        volume, and the per-shard repartition guarantees no tiny-file
+        explosion."""
         from pyspark.sql import functions as F
 
         if shard_col is None:
-            n = n_shards or 16
+            if n_shards is not None and n_shards < 1:
+                raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+            n = 16 if n_shards is None else n_shards
             df = df.withColumn(
                 "shard",
                 F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n),
             )
+        else:
+            if df.filter(F.col(shard_col).isNull()).limit(1).count():
+                raise ValueError(
+                    f"shard_col {shard_col!r} contains NULLs — they would "
+                    "land in __HIVE_DEFAULT_PARTITION__ and break the "
+                    "manifest; fill or filter them first"
+                )
+        if shard_col is None:
             shard_col = "shard"
         out = df.repartition(shard_col)
         out.write.mode("overwrite").partitionBy(shard_col).json(out_dir)

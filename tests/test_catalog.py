@@ -428,3 +428,18 @@ def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
     )
     assert sum(m2.values()) == d.count()
     assert set(m2) <= set(range(8))
+
+    # r9 advice guards: degenerate shard counts and NULL shard values
+    # fail loudly instead of silently exporting garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards must be >= 1"):
+        wh.export_jsonl_shards(
+            d.drop("shard"), str(tmp_path / "jsonl3"), n_shards=0
+        )
+    nulled = d.withColumn(
+        "shard", F.when(F.col("doc_id") % 5 != 0, F.col("shard"))
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        wh.export_jsonl_shards(nulled, str(tmp_path / "jsonl4"),
+                               shard_col="shard")

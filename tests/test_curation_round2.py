@@ -1462,22 +1462,16 @@ def test_perceptual_neardup_matches_pure_python(spark, sf_dir):
         )
 
     sigs = {did: sig(t) for did, t in texts.items()}
-    buckets: dict[tuple, list] = {}
-    for did, s in sigs.items():
-        for band in range(4):
-            buckets.setdefault(
-                (band, s[band * 4 : band * 4 + 4]), []
-            ).append(did)
+    # 8 bands of 2 nibbles make the banding COMPLETE for hamming<=7
+    # (pigeonhole), so the engine output must equal the brute-force
+    # all-pairs <=4 ball — no recall caveat (r10 contract upgrade).
     expected = {}
-    for ids in buckets.values():
-        ids.sort()
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                h = sum(
-                    1 for x, y in zip(sigs[a], sigs[b]) if x != y
-                )
-                if h <= 4:
-                    expected[(a, b)] = h
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(1 for x, y in zip(sigs[a], sigs[b]) if x != y)
+            if h <= 4:
+                expected[(a, b)] = h
     got = {
         (r["a"], r["b"]): r["hamming"]
         for r in REGISTRY["mm5_perceptual_neardup"]

@@ -159,3 +159,52 @@ def test_global_sequence_empty_input_short_circuits(spark):
     out = with_global_sequence(df, ["k"], name="seq")
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["k", "v", "seq"]
+
+
+def test_global_prefix_sum_matches_serial_scan(spark):
+    """with_global_prefix_sum must equal the single-partition running
+    total for ascending AND descending leading keys, under duplicates
+    (ties resolved by the trailing key), hot keys and singletons."""
+    import random
+
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_sum,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        [(rng.randrange(10_000), i, rng.randrange(100)) for i in range(400)],
+        [(rng.choice([1, 2, 3]), i, rng.randrange(50)) for i in range(300)],
+        [(42, i, 7) for i in range(50)],
+        [(5, 0, 9)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k long, t long, v long")
+        for asc in (True, False):
+            got = {
+                (r["k"], r["t"]): r["cum"]
+                for r in with_global_prefix_sum(
+                    df, "v", ["k", "t"], ascending=[asc, True]
+                ).collect()
+            }
+            acc, want = 0, {}
+            for k, t, v in sorted(
+                rows, key=lambda r: ((r[0] if asc else -r[0]), r[1])
+            ):
+                acc += v
+                want[(k, t)] = acc
+            assert got == want, f"ascending={asc}"
+
+
+def test_global_prefix_sum_rejects_null_leading_key(spark):
+    import pytest
+
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 2), (3.0, 3)], "k double, v long"
+    )
+    with pytest.raises(Exception, match="null in leading order column"):
+        with_global_prefix_sum(df, "v", ["k"]).collect()

@@ -1005,15 +1005,23 @@ def test_rolling_active_users_no_windows(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_abc_catalog_sized_sort(spark, sf_dir):
-    """x76: the fact scan collapses to the part-keyed integer-revenue
-    agg before the ordered cumulative window, so the global sort input
-    is catalog-sized (the documented o1/w1-style dispensation); the
-    grand total broadcasts."""
+def test_abc_cumulative_fully_parallel(spark, sf_dir):
+    """x76: the cumulative revenue rides the bucketed prefix-sum
+    (with_global_prefix_sum) — per-bucket windows keyed on __bkt, NO
+    single-partition exchange and no global range sort anywhere, even
+    though the running total is over the whole catalog (r9 verdict:
+    the part catalog is corpus-proportional, unlike x55's source
+    catalog, so the o1/w1 dispensation no longer applies)."""
     plan = _plan(spark, sf_dir, "x76_abc_analysis")
     assert "CartesianProduct" not in plan
-    # the part-keyed agg must appear BELOW the window sort
-    assert "hashpartitioning(partkey" in plan or "hashpartitioning(l_partkey" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(__bkt" in plan
+    # the part-keyed agg ran once and was localCheckpointed; the plan's
+    # data inputs are the checkpoint RDD (catalog-sized), not repeated
+    # fact scans — three downstream passes, one fact-scan execution
+    assert "lineitem.parquet" not in plan
+    assert "localCheckpoint" in plan
 
 
 def test_seasonal_and_trend_matrix_sized(spark, sf_dir):
