@@ -211,6 +211,27 @@ HEADLINE = [
     # seasonal profile + trend forecast: matrix-sized after one agg
     "x77_seasonal_profile",
     "x78_trend_forecast",
+    # round 10 additions
+    # user feature pivot: fixed value list -> ONE user-keyed agg
+    "x79_user_feature_pivot",
+    # RFM quintiles: boundary broadcast, no ntile window
+    "x80_rfm_scores",
+    # EWMA smoothing: two cumulative sums over the daily matrix
+    "x81_ewma_smoothing",
+    # RAKE keywords: (doc, term) agg + doc-keyed group-limit window
+    "tx28_rake_keywords",
+    # lexical diversity: two doc-keyed aggs, one-pass entropy fold
+    "tx29_lexical_diversity",
+    # bag-of-words dedup: map-side canonical hash, one 16-byte agg
+    "dd19_bow_dedup",
+    # cosine range search: pure filter, no top-k cut
+    "ann25_range_search",
+    # Bloom membership: vocabulary distinct + 256-int sketch per source
+    "hh7_bloom_membership",
+    # late-arriving dim: one LEFT broadcast join, coalesced placeholders
+    "i13_late_arriving_dim",
+    # content-defined chunking: candidate fan-out + doc-keyed lead
+    "mm6_cdc_chunks",
 ]
 
 
@@ -336,6 +357,35 @@ def main():
         "sf": sf,
         "pipeline_e2e_rows_per_sec": round(sum(counts.values()) / e2e),
     }
+    # Shared-slot comparison vs the previous round's recorded bench:
+    # with a growing headline list the TOTAL reads as a regression every
+    # round, so the primary round-over-round signal is the sum over the
+    # slot intersection (r9 verdict). prev=last round's sum over shared
+    # slots, curr=this run's sum over the same slots.
+    import glob
+    import re as _re
+
+    benches = sorted(
+        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", Path(p).name).group(1)),
+    )
+    if benches:
+        try:
+            prev = json.load(open(benches[-1]))
+            pq = prev.get("queries") or {}
+            shared = sorted(set(pq) & set(timings))
+            result["shared_prev_sec"] = round(
+                sum(pq[q] for q in shared), 3
+            )
+            result["shared_curr_sec"] = round(
+                sum(timings[q] for q in shared), 3
+            )
+            result["shared_n"] = len(shared)
+            result["shared_prev_round"] = int(
+                _re.search(r"r(\d+)", Path(benches[-1]).name).group(1)
+            )
+        except Exception:
+            pass  # a malformed prior record must not sink this run
     # The driver captures only a ~2000-char stdout TAIL: the one-line
     # result JSON must stay under that or it is recorded truncated
     # (BENCH_r06.json parsed as null). Per-run spreads go to a side

@@ -1,0 +1,1930 @@
+"""Similarity search / ANN family (ann1-ann24): brute-force cosine, IVF, PQ/SQ8/binary quantization, MIPS, hybrid RRF.
+
+Mechanically split from the former flat queries.py (r10);
+docstrings and within-family registration order unchanged.
+"""
+
+from ._shared import *  # noqa: F401,F403 — F, Window, scalar/op helpers, register
+from ._shared import _t, AS_OF, REGISTRY, register  # noqa: F401
+from ._helpers import (  # noqa: F401
+    _DUCK_COMP,
+    _KMEANS_CHAINS,
+    _bm25_scores_spark,
+    _bm25_scores_sql,
+    _kmeans_iter_sql,
+)
+
+@register(
+    "ann1_bruteforce_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    WHERE vec_id <> 0
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (exact): brute-force cosine top-10 for a stored
+    query vector."""
+    from ..llm import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "ann2_ivf_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assign WHERE vec_id = 0),
+    cluster AS (
+      SELECT assign.vec_id FROM assign, qc
+      WHERE assign.centroid = qc.centroid AND assign.vec_id <> 0
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i
+      WHERE c.vec_id IN (SELECT vec_id FROM cluster)
+      GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 5
+    """,
+)
+def ann2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (IVF): nearest-centroid assignment, then exact
+    search inside the query's cell only."""
+    from ..llm.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8)
+
+
+@register(
+    "ann6_recall_at_k",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    alldots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot
+      FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+    ),
+    scoredall AS (
+      SELECT d.vec_id, d.dot / (n.norm * qn.qnorm) AS cos
+      FROM alldots d JOIN norms n ON n.vec_id = d.vec_id, qn
+      WHERE d.vec_id <> 0
+    ),
+    bf AS (SELECT vec_id FROM scoredall
+           ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assign WHERE vec_id = 0),
+    cluster AS (
+      SELECT assign.vec_id FROM assign, qc
+      WHERE assign.centroid = qc.centroid AND assign.vec_id <> 0
+    ),
+    ivf AS (SELECT vec_id FROM scoredall
+            WHERE vec_id IN (SELECT vec_id FROM cluster)
+            ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+    inter AS (SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM ivf)
+    SELECT cast(10 AS BIGINT) AS k, count(*) AS n_hits,
+           round(count(*) / 10.0, 4) AS recall_at_k
+    FROM inter
+    """,
+)
+def ann6_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality CONTRACT as a query: recall@10 of the IVF search
+    (ann2's single-probe path, nprobe=1 reads ~1/n_cells of the corpus)
+    against the exact brute-force top-10 (ann1) for the same stored
+    query vector. IVF's speed comes from searching one coarse cell —
+    this measures exactly what that pruning costs in recall, the same
+    way CORRECTNESS measures value parity: the oracle recomputes both
+    top-10 sets and the identical intersection. Deterministic on both
+    engines (4-dp rounded cosine, ties by vec_id).
+    tests/test_similarity.py pins recall_at_k >= 0.5 at gate scale."""
+    from ..llm.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, query_id=0, k=10)
+    ivf = ivf_topk(emb, query_id=0, k=10, n_centroids=8)
+    inter = bf.select("vec_id").intersect(ivf.select("vec_id"))
+    return inter.agg(F.count("*").cast("bigint").alias("n_hits")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+def _pq_iter_sql(prev: str, it: int, comp: str, sfx: str) -> str:
+    """One Lloyd iteration scoped to a PQ subspace: same math as
+    _kmeans_iter_sql but parameterized on the component CTE and a
+    name suffix so two subspaces can train in one WITH chain."""
+    return f"""
+    assign{it}{sfx} AS (
+      SELECT {comp}.vec_id, {prev}.cell,
+             row_number() OVER (
+               PARTITION BY {comp}.vec_id
+               ORDER BY sum(({comp}.v - {prev}.v) * ({comp}.v - {prev}.v)), {prev}.cell
+             ) AS rn
+      FROM {comp} JOIN {prev} ON {comp}.i = {prev}.i
+      GROUP BY {comp}.vec_id, {prev}.cell
+    ),
+    cent{it}{sfx} AS (
+      SELECT a.cell, {comp}.i, avg({comp}.v) AS v
+      FROM assign{it}{sfx} a JOIN {comp} ON {comp}.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2
+    )"""
+
+
+def _ann9_sql() -> str:
+    # split conditions are 1-based (generate_subscripts): i <= d2 with
+    # d2 = floor(max_i/2) matches Spark's 0-based i < floor((max_i+1)/2)
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id <> 0
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 100
+    ),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann9_pq_topk", None)  # finalized below (composed CTE chain)
+def ann9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — the IVF-PQ code
+    path) in its production shape: vectors compress to a 2-code tuple
+    (one k-means code per half-space, 16 codes each), the query scans
+    CODES via a broadcast lookup table of query-to-centroid dots
+    (approx_dot = t0[code0] + t1[code1] — no vector arithmetic per
+    candidate), the top-100 shortlist is then rescored with EXACT
+    cosine and the true top-10 emitted. The memory/IO win at 100 TB:
+    the code scan touches 1 byte/subspace per vector instead of 256
+    float bytes; exact work is confined to the shortlist. Quantization
+    error only moves the shortlist boundary (recall ~0.8 here vs ~0.2
+    for raw PQ ranking on these near-random vectors — PQ's worst
+    case). Oracle replays both subspace trainings, code assignment,
+    lookup tables, the 4-dp-rounded shortlist cut, and the exact
+    rerank."""
+    from ..llm.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=100,
+        n_codes=16,
+    )
+
+
+REGISTRY["ann9_pq_topk"].sql = _ann9_sql()
+
+
+def _ann10_sql() -> str:
+    # ann9's PQ chain (full-corpus codes + lookup tables) composed with
+    # ann2's coarse-cell chain; the shortlist is cut INSIDE the query's
+    # cell. Sub-CTE names are disjoint by construction (PQ uses
+    # {comp,cent,assign}N{a,b}; IVF uses centc/cross_dots/scoredc/...).
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    centc AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, centc.c, sum(comp.v * centc.cv) AS dot
+      FROM comp JOIN centc ON comp.i = centc.i GROUP BY 1, 2
+    ),
+    scoredc AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assignc AS (
+      SELECT vec_id, c AS centroid FROM scoredc
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (SELECT centroid FROM assignc WHERE vec_id = 0),
+    cluster AS (
+      SELECT assignc.vec_id FROM assignc, qc
+      WHERE assignc.centroid = qc.centroid AND assignc.vec_id <> 0
+    ),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id <> 0
+        AND adot.vec_id IN (SELECT vec_id FROM cluster)
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 50
+    ),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann10_ivfpq_topk", None)  # finalized below (composed CTE chain)
+def ann10_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ ANN (Jégou et al. 2011 — the FAISS IVFPQ layout,
+    composing ann2's coarse quantizer with ann9's product quantizer):
+    the query probes its coarse cell, PQ asymmetric distance ranks ONLY
+    that cell's members from compressed codes, the in-cell top-50
+    shortlist is rescored with exact cosine, and the true top-10 is
+    emitted. Per-query IO at 100 TB: one broadcast centroid table, the
+    probed cell's CODE rows (bytes/vector), 50 full vectors. The PQ
+    codes are trained on the full corpus — cell membership only filters
+    the code scan, exactly how a persisted IVFPQ index serves every
+    query from one code table. The oracle replays coarse assignment,
+    both subspace trainings, the lookup tables, the 4-dp-rounded
+    in-cell shortlist cut, and the exact rerank."""
+    from ..llm.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50,
+        n_codes=16, n_centroids=8,
+    )
+
+
+REGISTRY["ann10_ivfpq_topk"].sql = _ann10_sql()
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Cache location for the persisted IVF-PQ index over this
+    sf_dir's embeddings — keyed by resolved path + file stats so a
+    regenerated dataset invalidates the cache, and parameter-versioned
+    so an index-layout change can never serve stale results."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|coarse4x2_pq16x2_v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
+
+
+def _ann11_sql() -> str:
+    # ann9's PQ chains + ann4's coarse-kmeans chain (the EXACT trainers
+    # build_ivfpq_index persists) + the stored-index serve path: L2
+    # probe of the trained centroids, member semi-join, in-member PQ
+    # shortlist, exact rerank. Because the index build is fully
+    # deterministic, replaying it from scratch here equals reading the
+    # persisted tables on the Spark side.
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    q{sfx} AS (SELECT i, v AS qv FROM comp{sfx} WHERE vec_id = 0),
+    tab{sfx} AS (
+      SELECT c.cell, sum(c.v * q{sfx}.qv) AS t{sfx}
+      FROM cent2{sfx} c JOIN q{sfx} ON c.i = q{sfx}.i
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    adot AS (
+      SELECT codea.vec_id, taba.ta + tabb.tb AS adot
+      FROM codea
+      JOIN taba ON taba.cell = codea.cell
+      JOIN codeb ON codeb.vec_id = codea.vec_id
+      JOIN tabb ON tabb.cell = codeb.cell
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {_kmeans_iter_sql('cent0', 1)},
+    {_kmeans_iter_sql('cent1', 2)},
+    {_kmeans_iter_sql('cent2', 3)},
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qfull AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qfull.qv) * (cent2.v - qfull.qv)) AS dist
+      FROM cent2 JOIN qfull ON cent2.i = qfull.i GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT asg.vec_id FROM asg JOIN probe USING (cell)
+      WHERE asg.vec_id <> 0
+    ),
+    shortlist AS (
+      SELECT adot.vec_id,
+             round(adot / (n.norm * qn.qnorm), 4) AS ac
+      FROM adot JOIN norms n ON n.vec_id = adot.vec_id, qn
+      WHERE adot.vec_id IN (SELECT vec_id FROM members)
+      ORDER BY ac DESC, adot.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT c.vec_id, sum(c.v * qfull.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qfull ON c.i = qfull.i
+      WHERE c.vec_id IN (SELECT vec_id FROM shortlist)
+      GROUP BY 1
+    )
+    SELECT exact.vec_id, round(dot / (norm * qn.qnorm), 4) AS cosine
+    FROM exact, qn
+    ORDER BY round(dot / (norm * qn.qnorm), 4) DESC, exact.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann11_ivfpq_from_index", None)  # finalized below (composed CTEs)
+def ann11_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from a PERSISTED IVF-PQ index — the query-latency
+    half of ann10's build+query conflation, separated so the bench
+    quotes what a 100 TB vector store actually serves: ann10's headline
+    is dominated by the two in-plan PQ subspace trainings; this query
+    trains NOTHING in-plan. The index (coarse k-means centroids + full
+    assignment + PQ codes + two subspace centroid tables,
+    llm.similarity.build_ivfpq_index) is built once per dataset and
+    cached on disk keyed by the embeddings file's identity; the serve
+    path (ivfpq_query_from_index) reads only index state plus the
+    query's own row: L2 probe of the k-row centroid table, member
+    semi-join against the stored assignment, PQ-code shortlist via two
+    broadcast lookup tables, exact rerank of 50 vectors. The oracle
+    replays the deterministic index BUILD from scratch and the same
+    serve path — stored == retrained, which is exactly the persisted-
+    index contract (the ANN analog of x21's stored-signature index;
+    reference-analog: the stored-state idempotency of
+    src/extract.py:222-270 applied to vectors)."""
+    from ..llm.similarity import ivfpq_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _cached_ivfpq_index(spark, sf_dir, emb)
+    return ivfpq_query_from_index(
+        emb, *idx, query_id=0, k=10, shortlist=50, nprobe=2
+    )
+
+
+def _cached_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Build-once/serve-many for the registered persisted-index
+    queries: the five IVF-PQ index tables for this sf_dir's embeddings,
+    built on first use and cached on disk (:func:`_ivfpq_index_dir` —
+    keyed by file identity + params, promoted atomically). The build is
+    fully deterministic, so stored == retrained and a DuckDB oracle
+    replaying the training from scratch verifies a query served from
+    this cache. Shared by ann11 (single IVF-PQ query) and ann14
+    (batched coarse-IVF serve — it reads the coarse centroid +
+    assignment tables and ignores the PQ ones)."""
+    import os
+    import shutil
+
+    from ..llm.similarity import build_ivfpq_index, read_ivfpq_index
+
+    idx_dir = _ivfpq_index_dir(sf_dir)
+    if not os.path.isdir(idx_dir):
+        staging = f"{idx_dir}.build_{os.getpid()}"
+        build_ivfpq_index(
+            emb, staging, coarse_k=4, coarse_iters=2, n_codes=16, pq_iters=2
+        )
+        try:
+            os.rename(staging, idx_dir)  # atomic promote
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # concurrent build won
+    return read_ivfpq_index(spark, idx_dir)
+
+
+_ANN12_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+full_assign AS (
+  SELECT comp.vec_id, cent2.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent2.v) * (comp.v - cent2.v)), cent2.cell
+         ) AS rn
+  FROM comp JOIN cent2 ON comp.i = cent2.i
+  GROUP BY comp.vec_id, cent2.cell
+)
+SELECT vec_id, cell FROM full_assign
+WHERE rn = 1 AND vec_id % 5 = 4
+"""
+
+
+_ANN13_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+full_assign AS (
+  SELECT comp.vec_id, cent2.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent2.v) * (comp.v - cent2.v)), cent2.cell
+         ) AS rn
+  FROM comp JOIN cent2 ON comp.i = cent2.i
+  GROUP BY comp.vec_id, cent2.cell
+),
+asg AS (SELECT vec_id, cell FROM full_assign WHERE rn = 1),
+before AS (
+  SELECT cell, count(*) AS n_before FROM asg WHERE vec_id % 5 <> 4 GROUP BY 1
+),
+after AS (SELECT cell, count(*) AS n_after FROM asg GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(n_before) FROM before) AS tb,
+         (SELECT sum(n_after) FROM after) AS ta
+)
+SELECT a.cell,
+       coalesce(b.n_before, 0) AS n_before,
+       a.n_after,
+       round(coalesce(b.n_before, 0) * 1.0 / tot.tb, 6) AS share_before,
+       round(a.n_after * 1.0 / tot.ta, 6) AS share_after,
+       (coalesce(b.n_before, 0) = 0
+        OR a.n_after * 1.0 / tot.ta
+           > 2.0 * (coalesce(b.n_before, 0) * 1.0 / tot.tb)) AS retrain
+FROM after a LEFT JOIN before b USING (cell), tot
+"""
+
+
+@register("ann13_index_drift", _ANN13_SQL)
+def ann13_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift report that closes ann12's maintenance loop, as a
+    hash-verified query rather than a pytest-only claim: after folding
+    the delta batch (vec_id % 5 == 4) into the stored IVF assignment
+    against frozen centroids, report per cell how the corpus share
+    moved and whether re-training is warranted (share more than
+    doubled, or the cell was empty at build time —
+    llm.similarity.ivf_cell_drift, the exact threshold a maintenance
+    scheduler acts on). The oracle replays the base training, the
+    frozen-centroid re-assignment, and the same count/share/flag
+    algebra. Cell-count-sized output; the only corpus-sized work is
+    the assignment ann12 already does."""
+    from ..llm.similarity import (
+        ivf_cell_drift,
+        ivf_incremental_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cent, assign_before = kmeans_fit(
+        base, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    assign_after = assign_before.unionByName(
+        ivf_incremental_assign(delta, cent)
+    )
+    return ivf_cell_drift(assign_before, assign_after)
+
+
+def _ann14_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT vec_id AS qid, i, v AS qv FROM comp WHERE vec_id < 5),
+    qd AS (
+      SELECT qcomp.qid, cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT qid, cell FROM qd
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, cell) <= 2
+    ),
+    members AS (
+      SELECT p.qid, a.vec_id
+      FROM asg a JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid
+    ),
+    dots AS (
+      SELECT m.qid, m.vec_id, sum(c.v * qc.qv) AS dot
+      FROM members m
+      JOIN comp c ON c.vec_id = m.vec_id
+      JOIN qcomp qc ON qc.qid = m.qid AND qc.i = c.i
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    scored AS (
+      SELECT d.qid AS query_id, d.vec_id,
+             round(d.dot / (n.norm * qn.norm), 4) AS cosine
+      FROM dots d
+      JOIN norms n ON n.vec_id = d.vec_id
+      JOIN norms qn ON qn.vec_id = d.qid
+    )
+    SELECT query_id, vec_id, cosine FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= 5
+    """
+
+
+@register("ann14_batch_ivf_serve", None)  # sql attached after _kmeans_iter_sql
+def ann14_batch_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving from ONE shared IVF index — the read path a
+    near-dup pass or retrieval dataloader actually runs: many queries
+    per micro-batch against the same stored index, answered in a
+    single plan (per-query job submission would dominate at thousands
+    of lookups). Five stored vectors (vec_id < 5) are answered top-5
+    each; every stage is batched — one (qid, cell) probe agg over the
+    broadcast centroid table, one assignment join for all members, one
+    (qid, candidate)-keyed exact rerank with the queries' components
+    broadcast, one qid-partitioned cut window (parallel across
+    queries, no global sort). Serves from the SAME cached persisted
+    index as ann11 (coarse centroid + assignment tables; the PQ tables
+    go unused) — zero in-plan training, so the bench number is batch
+    serve latency. The oracle replays the deterministic k-means
+    training (ann4's chain), the batched L2 probe, member join, and
+    rerank — stored == retrained, ann11's contract. Per-query equality
+    with the single-query serve path is pinned in
+    test_similarity.py."""
+    from ..llm.similarity import ivf_batch_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    return ivf_batch_query_from_index(
+        emb, cent, assign, [0, 1, 2, 3, 4], k=5, nprobe=2
+    )
+
+
+@register("ann15_filtered_topk", None)  # sql attached after _kmeans_iter_sql
+def ann15_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN from the persisted IVF index: top-10
+    cosine neighbors of vector 0 among only the vectors with
+    ``label = 3`` (~12% of the corpus) — the filtered-search mode every
+    production vector store serves ("nearest passages with license X /
+    language Y / date > Z"). The filter lands at CANDIDATE GENERATION:
+    the probed cells' member set is semi-joined to the predicate ids
+    BEFORE any distance work (llm.similarity.
+    ivf_filtered_query_from_index), so the rerank still yields a full
+    k. The naive alternative — post-filtering an unfiltered top-k —
+    silently returns fewer than k under any selective predicate
+    (pinned in test_similarity.py). Serves from the SAME cached
+    persisted index as ann11/ann14 (coarse tables only); the predicate
+    side is a pushed-down parquet scan of (vec_id, label) — at 100 TB
+    the filter only ever SHRINKS the reranked member set, and the
+    vectors of excluded ids are never read past the scan. The oracle
+    replays the deterministic index build and the same filtered serve
+    chain — stored == retrained, ann11's contract."""
+    from ..llm.similarity import ivf_filtered_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    return ivf_filtered_query_from_index(
+        emb, cent, assign, allowed, query_id=0, k=10, nprobe=2
+    )
+
+
+@register("ann17_filtered_recall", None)  # sql attached after _kmeans_iter_sql
+def ann17_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERED-search quality contract: recall@10 of ann15's
+    pre-filtered IVF serve against the exact brute-force top-10 over
+    the same predicate subset (label = 3). Filtered ANN has a known
+    failure mode the unfiltered contract (ann6) cannot see — a
+    selective predicate thins every probed cell, so the same nprobe
+    covers less of the *eligible* neighborhood and recall can collapse
+    even while unfiltered recall looks healthy (the problem
+    ACORN-style filter-aware indexes exist to fix). This query makes
+    that trade a verified number, the same discipline as ann6/dd14:
+    both the approximate and exact sides replayed by the oracle,
+    deterministic on both engines (4-dp rounded cosine, vec_id
+    tie-break). The recall floor is pinned in test_similarity.py."""
+    from ..llm.similarity import brute_force_topk, ivf_filtered_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    allowed = emb.filter(F.col("label") == 3).select("vec_id")
+    approx = ivf_filtered_query_from_index(
+        emb, cent, assign, allowed, query_id=0, k=10, nprobe=2
+    )
+    exact = brute_force_topk(
+        emb.filter((F.col("label") == 3) | (F.col("vec_id") == 0)),
+        query_id=0,
+        k=10,
+    )
+    inter = exact.select("vec_id").intersect(approx.select("vec_id"))
+    return inter.agg(F.count("*").cast("bigint").alias("n_hits")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+def _ann17_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT a.vec_id FROM asg a JOIN probe USING (cell)
+      WHERE a.vec_id <> 0
+        AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    ),
+    exactf AS (
+      SELECT c.vec_id, sum(c.v * qcomp.qv) AS dot,
+             sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qcomp ON c.i = qcomp.i
+      WHERE c.vec_id <> 0
+        AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+      GROUP BY 1
+    ),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp),
+    bf AS (
+      SELECT e.vec_id FROM exactf e, qn
+      ORDER BY round(e.dot / (e.norm * qn.qnorm), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    ivf AS (
+      SELECT e.vec_id FROM exactf e, qn
+      WHERE e.vec_id IN (SELECT vec_id FROM members)
+      ORDER BY round(e.dot / (e.norm * qn.qnorm), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    inter AS (SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM ivf)
+    SELECT cast(10 AS BIGINT) AS k, count(*) AS n_hits,
+           round(count(*) / 10.0, 4) AS recall_at_k
+    FROM inter
+    """
+
+
+def _ann15_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    {{KMEANS_CHAINS}}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qd AS (
+      SELECT cent2.cell,
+             sum((cent2.v - qcomp.qv) * (cent2.v - qcomp.qv)) AS dist
+      FROM cent2 JOIN qcomp ON cent2.i = qcomp.i
+      GROUP BY 1
+    ),
+    probe AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT 2),
+    members AS (
+      SELECT a.vec_id FROM asg a JOIN probe USING (cell)
+      WHERE a.vec_id <> 0
+        AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    ),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * qcomp.qv) AS dot,
+             sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qcomp ON c.i = qcomp.i
+      WHERE c.vec_id IN (SELECT vec_id FROM members)
+      GROUP BY 1
+    ),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp)
+    SELECT d.vec_id, round(d.dot / (d.norm * qn.qnorm), 4) AS cosine
+    FROM dots d, qn
+    ORDER BY round(d.dot / (d.norm * qn.qnorm), 4) DESC, d.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann12_incremental_assign", _ANN12_SQL)
+def ann12_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: fold a new vector batch
+    (vec_id % 5 == 4 stands in for today's arrivals) into a persisted
+    IVF index WITHOUT re-clustering — assign only the delta to the
+    existing centroids in one broadcast pass and append to the stored
+    assignment table. The oracle proves the folding is exact: it trains
+    the same centroids on the base corpus, re-assigns EVERYTHING to
+    those fixed centroids from scratch, and restricts to the delta —
+    incremental-assign == full-assign on fixed centroids, so the grown
+    index is byte-identical to a rebuild (until centroid DRIFT says
+    retrain: llm.similarity.ivf_cell_drift reports per-cell share growth
+    and flags when re-training is warranted — pinned in
+    test_similarity.py). x21/x41's incremental pattern applied to the
+    last index in the engine that previously required a full rebuild.
+    In production `cent` is a parquet read of the stored index; here it
+    is retrained in-plan so the DuckDB oracle can replay it."""
+    from ..llm.similarity import ivf_incremental_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cent, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2,
+                         materialize=True)
+    return ivf_incremental_assign(delta, cent)
+
+
+_ANN16_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+cent0 AS (SELECT vec_id AS cell, i, v FROM base WHERE vec_id < 4),
+{_pq_iter_sql('cent0', 1, 'base', '')},
+{_pq_iter_sql('cent1', 2, 'base', '')},
+{_pq_iter_sql('cent2', 3, 'comp', '')},
+final_assign AS (
+  SELECT comp.vec_id, cent3.cell,
+         row_number() OVER (
+           PARTITION BY comp.vec_id
+           ORDER BY sum((comp.v - cent3.v) * (comp.v - cent3.v)), cent3.cell
+         ) AS rn
+  FROM comp JOIN cent3 ON comp.i = cent3.i
+  GROUP BY comp.vec_id, cent3.cell
+),
+members AS (
+  SELECT cell, count(*) AS n_members FROM final_assign WHERE rn = 1 GROUP BY 1
+),
+norms AS (
+  SELECT cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+  FROM cent3 GROUP BY 1
+)
+SELECT m.cell, m.n_members, n.centroid_norm
+FROM members m JOIN norms n USING (cell)
+"""
+
+
+@register("ann16_centroid_refresh", _ANN16_SQL)
+def ann16_centroid_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start centroid REFRESH — the step ann13's drift report
+    triggers, completing the index lifecycle (build ann11 → serve
+    ann11/ann14/ann15 → grow ann12 → drift ann13 → REFRESH): one Lloyd
+    iteration over the GROWN corpus (base + the ann12 delta)
+    initialized from the stored base-trained centroids
+    (kmeans_fit(init=...)), instead of a from-scratch re-train. Warm
+    start converges in 1-2 iterations because the stored centroids
+    already describe most of the mass — at 100 TB that's the
+    difference between one corpus pass and the full Lloyd schedule,
+    and it never re-seeds, so cell identities are STABLE across
+    refreshes (the stored assignment/code tables stay joinable on
+    cell). Output is ann4's shape on the refreshed index: per-cell
+    member count + centroid norm. Descent property (refresh never
+    increases within-cell SSE on the grown corpus) is pinned in
+    test_similarity.py; the oracle replays base training then the
+    warm-start iteration and final re-assignment as CTE chains."""
+    from ..llm.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    stored, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2,
+                           materialize=True)
+    refreshed, assign = kmeans_fit(emb, "vec_id", "embedding", iters=1,
+                                   materialize=True, init=stored)
+    norms = refreshed.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(norms, "cell")
+        .select("cell", "n_members", "centroid_norm")
+    )
+
+
+@register(
+    "ann7_multiprobe_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+    cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+    cross_dots AS (
+      SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+      FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+      FROM cross_dots
+      JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+      JOIN norms nc ON nc.vec_id = c
+    ),
+    assign AS (
+      SELECT vec_id, c AS centroid FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+    ),
+    qc AS (
+      SELECT c AS centroid FROM scored WHERE vec_id = 0
+      QUALIFY row_number() OVER (ORDER BY cos DESC, c) <= 2
+    ),
+    cluster AS (
+      SELECT assign.vec_id FROM assign JOIN qc USING (centroid)
+      WHERE assign.vec_id <> 0
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    dots AS (
+      SELECT c.vec_id, sum(c.v * q.qv) AS dot, sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN q ON c.i = q.i
+      WHERE c.vec_id IN (SELECT vec_id FROM cluster)
+      GROUP BY c.vec_id
+    ),
+    qn AS (SELECT sqrt(sum(v*v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine
+    FROM dots, qn
+    ORDER BY round(dot / (norm * qnorm), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann7_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (multi-probe IVF): the recall/cost dial that
+    ann6 measures, turned one notch — search the TWO cells nearest the
+    query (nprobe=2) instead of one. Coarse-quantizer misses (a true
+    neighbor assigned to the runner-up cell) are exactly what the extra
+    probe recovers; cost grows to ~2/n_cells of the corpus, still a
+    fraction of the exact scan. tests pin recall(nprobe=2) >=
+    recall(nprobe=1) on the same ground truth."""
+    from ..llm.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_centroids=8,
+        nprobe=2,
+    )
+
+
+@register(
+    "ann8_embedding_moments",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    stats AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS n,
+             sum(a.v * b.v) AS sxy, sum(a.v) AS sx, sum(b.v) AS sy
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT cast(i - 1 AS BIGINT) AS i, cast(j - 1 AS BIGINT) AS j,
+           round(sxy / n - (sx / n) * (sy / n), 6) + 0.0 AS cov
+    FROM stats
+    """,
+)  # i/j re-based (generate_subscripts is 1-based, posexplode 0-based);
+# "+ 0.0" canonicalizes IEEE negative zero, which the engines produce
+# on different sides of values that round to 0.000000
+def ann8_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space moments: per-dimension means and the full
+    covariance matrix (upper triangle, population form E[xy]-E[x]E[y]) —
+    the statistics whitening, PCA initialization, and drift monitoring
+    consume. Distributed shape: the component self-join co-partitions on
+    vec_id (one keyed shuffle of N*d rows); the d^2 fan-out happens
+    AFTER the join and collapses immediately via map-side partial aggs
+    into d(d+1)/2 output groups — no d^2-sized shuffle ever
+    materializes, and nothing scales with N past the join. cov rounded
+    at 6 dp: double accumulation across partitionings agrees far below
+    1e-6 at any N where covariance is meaningful."""
+    from ..llm.similarity import _components
+
+    comp = _components(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    a = comp.select("vec_id", F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = comp.select("vec_id", F.col("i").alias("jb"), F.col("v").alias("vb"))
+    stats = (
+        a.join(b, "vec_id")
+        .filter(F.col("ia") <= F.col("jb"))
+        .groupBy("ia", "jb")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("va") * F.col("vb")).alias("sxy"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+        )
+    )
+    return stats.select(
+        F.col("ia").cast("bigint").alias("i"),
+        F.col("jb").cast("bigint").alias("j"),
+        (
+            F.round(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                6,
+            )
+            + F.lit(0.0)  # canonicalize IEEE -0.0 (see oracle note)
+        ).alias("cov"),
+    )
+
+
+@register(
+    "ann3_batch_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    q AS (SELECT vec_id AS q, i, v AS qv FROM comp WHERE vec_id < 3),
+    dots AS (
+      SELECT c.vec_id, q.q, sum(c.v * q.qv) AS dot
+      FROM comp c JOIN q ON c.i = q.i GROUP BY 1, 2
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY 1),
+    scored AS (
+      SELECT d.q, d.vec_id, d.dot / (nv.norm * nq.norm) AS cos_raw
+      FROM dots d
+      JOIN norms nv ON nv.vec_id = d.vec_id
+      JOIN norms nq ON nq.vec_id = d.q
+      WHERE d.vec_id <> d.q
+    )
+    SELECT q, vec_id, round(cos_raw, 4) AS cosine,
+           cast(row_number() OVER (PARTITION BY q ORDER BY cos_raw DESC, vec_id)
+                AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q ORDER BY cos_raw DESC, vec_id) <= 3
+    """,
+)
+def ann3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (batched): top-3 neighbors for EVERY query in a
+    query set, in one plan — the production ANN shape (queries arrive in
+    batches, not one at a time). The query-side components broadcast;
+    scoring is one groupBy; ranking is a per-query window."""
+    from ..llm.similarity import _components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = _components(emb, "vec_id", "embedding")
+    q = comp.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q"), "i", F.col("v").alias("qv")
+    )
+    dots = (
+        comp.join(F.broadcast(q), "i")
+        .groupBy("vec_id", "q")
+        .agg(F.sum(F.col("v") * F.col("qv")).alias("dot"))
+    )
+    norms = comp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
+    qnorms = norms.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q"), F.col("norm").alias("qnorm")
+    )
+    scored = (
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(qnorms), "q")
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", "vec_id", (F.col("dot") / (F.col("norm") * F.col("qnorm"))).alias("cos_raw"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+_KMEANS_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+),
+{_kmeans_iter_sql('cent0', 1)},
+{_kmeans_iter_sql('cent1', 2)},
+{_kmeans_iter_sql('cent2', 3)},
+members AS (
+  SELECT cell, count(*) AS n_members FROM assign3 WHERE rn = 1 GROUP BY 1
+),
+norms AS (
+  SELECT cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+  FROM cent2 GROUP BY 1
+)
+SELECT members.cell, members.n_members, norms.centroid_norm
+FROM members JOIN norms USING (cell)
+"""
+
+
+# ann11/ann14's oracles compose _kmeans_iter_sql (defined just above)
+# with their serve chains — attached here because the helper does not
+# exist yet at their registration sites
+REGISTRY["ann11_ivfpq_from_index"].sql = _ann11_sql()
+
+
+REGISTRY["ann14_batch_ivf_serve"].sql = _ann14_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
+)
+
+
+REGISTRY["ann15_filtered_topk"].sql = _ann15_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
+)
+
+
+REGISTRY["ann17_filtered_recall"].sql = _ann17_sql().replace(
+    "{KMEANS_CHAINS}", _KMEANS_CHAINS
+)
+
+
+@register("ann4_kmeans_train", _KMEANS_SQL)
+def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING: two Lloyd's k-means iterations (k=4,
+    deterministic init = vectors 0..3) expressed entirely as DataFrame
+    ops — assignment is a component-join + argmin window, the update is
+    a per-(cell, dim) average. No vector ever reaches the driver; each
+    iteration is two keyed shuffles (vector-sized and k x d-sized).
+    Output: per-cell member count and centroid L2 norm. Completes the
+    IVF story: ann4 trains the cells ann2_ivf_topk probes. The DuckDB
+    oracle replays both iterations as CTE chains — the argmin tie-break
+    (distance, then cell) and the count/avg algebra are engine-exact.
+    The Lloyd loop itself is :func:`llm.similarity.kmeans_fit` — the
+    same trainer dd11_semantic_dedup clusters with."""
+    from ..llm.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    norms = cent.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias("centroid_norm")
+    )
+    return (
+        assign.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .join(norms, "cell")
+        .select("cell", "n_members", "centroid_norm")
+    )
+
+
+_KNN_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+),
+{_kmeans_iter_sql('cent0', 1)},
+{_kmeans_iter_sql('cent1', 2)},
+{_kmeans_iter_sql('cent2', 3)},
+asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
+  FROM cand c
+  JOIN comp ca ON ca.vec_id = c.a
+  JOIN comp cb ON cb.vec_id = c.b AND cb.i = ca.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.a, dots.b, round(dot / (na.norm * nb.norm), 4) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = dots.a
+  JOIN norms nb ON nb.vec_id = dots.b
+  WHERE na.norm > 0 AND nb.norm > 0
+)
+SELECT a AS vec_id, b AS neighbor, cosine,
+       cast(row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS BIGINT) AS rnk
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) <= 3
+"""
+
+
+@register("ann5_knn_graph", _KNN_SQL)
+def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: the k-NN GRAPH — top-3 cosine neighbors for
+    EVERY vector, restricted to its IVF cell (ann1/ann3 answer one
+    query or a query set; this materializes the all-nodes graph that
+    clustering, graph-based dedup, and diversity sampling consume).
+
+    IVF-cell restriction is the scale contract: cells bound the
+    per-task pairwise work exactly as in dd11, so the graph build is
+    k-means assignment + one per-cell gram + a per-vector top-k window
+    keyed on the vector id. Recall is cell-local (the IVF
+    approximation); raise k-means k to shrink cells, or probe multiple
+    cells for higher recall. Both directions of each in-cell pair are
+    ranked, ties broken by neighbor id on the 4-dp rounded cosine in
+    BOTH engines (ordering by the raw value would let sub-rounding
+    noise pick different top-3 sets)."""
+    from ..llm.similarity import _gram_pair_fn, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
+    )
+    # min_sim below any cosine: keep every in-cell pair (a < b), then
+    # mirror to both directions for the per-vector ranking
+    pairs = vecs.groupBy("cell").applyInPandas(
+        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("a").alias("vec_id"),
+            F.col("b").alias("neighbor"),
+            "cosine",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register("ann18_index_delete", None)  # sql attached below (ann11's + tombstones)
+def ann18_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES from the persisted IVF-PQ index — the shrink half of the
+    maintenance pair ann12 opened (grow): tombstone every ``vec_id % 9
+    == 1`` (three of ann11's current top-10 neighbors die, so the
+    deletion is OBSERVABLE in the answer, not a no-op filter), anti-join
+    the stored assignment + PQ-code tables against the tombstones
+    (llm.similarity.ivfpq_delete_tombstones), and serve the same top-10
+    query ann11 serves. Deleted vectors must vanish from every stage —
+    coarse members, PQ shortlist, exact rerank — which filtering the
+    membership tables guarantees by construction; centroids stay (a
+    delete doesn't move a trained centroid; ann13's drift report says
+    when to retrain). The oracle replays ann11's full deterministic
+    build + serve with the tombstone predicate on the member set.
+    Physical compaction (rewrite-minus-tombstones, atomic swap) and
+    tombstone==compacted serve equivalence are pinned in
+    tests/test_similarity.py. Reference analog: the delete-aware half
+    of the stored-state idempotency of src/extract.py:222-270."""
+    from ..llm.similarity import ivfpq_delete_tombstones, ivfpq_query_from_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, codes, ca, cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    tomb = emb.filter(F.col("vec_id") % 9 == 1).select("vec_id")
+    assign_r, codes_r = ivfpq_delete_tombstones(assign, codes, tomb)
+    emb_r = emb.join(tomb, "vec_id", "left_anti")
+    return ivfpq_query_from_index(
+        emb_r, cent, assign_r, codes_r, ca, cb, query_id=0, k=10,
+        shortlist=50, nprobe=2,
+    )
+
+
+REGISTRY["ann18_index_delete"].sql = _ann11_sql().replace(
+    "WHERE asg.vec_id <> 0",
+    "WHERE asg.vec_id <> 0 AND asg.vec_id % 9 <> 1",
+)
+
+
+@register(
+    "ann19_sq8_topk",
+    f"""
+    WITH comp AS ({_DUCK_COMP}),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM comp GROUP BY i),
+    codes AS (
+      SELECT vec_id, comp.i,
+             CASE WHEN mx > mn
+                  THEN least(255, floor((v - mn) / (mx - mn) * 256))
+                  ELSE 0 END AS code
+      FROM comp JOIN stats ON comp.i = stats.i
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id,
+             round(sum((mn + (code + 0.5) * (mx - mn) / 256) * qv), 4)
+               AS sq8_score
+      FROM codes c
+      JOIN stats ON c.i = stats.i
+      JOIN q ON c.i = q.i
+      WHERE c.vec_id <> 0
+      GROUP BY 1
+      ORDER BY sq8_score DESC, c.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT comp.vec_id, a.sq8_score, sum(comp.v * q.qv) AS dot,
+             sqrt(sum(comp.v * comp.v)) AS norm
+      FROM comp JOIN approx a ON comp.vec_id = a.vec_id
+      JOIN q ON comp.i = q.i
+      GROUP BY 1, 2
+    ),
+    qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine, sq8_score
+    FROM exact, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann19_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, scalar-quantized (SQ8) serve mode: 8-bit
+    per-dimension quantization against corpus [min, max] — 1 byte/dim
+    storage with NO training step (one mergeable d-sized min/max agg),
+    the cheap default real vector stores offer before IVF/PQ tuning.
+    Approximate scan over dequantized codes cuts a 50-candidate
+    shortlist (4-dp rounded score, pq_topk's engine-stable convention),
+    exact rerank returns top-10. See llm/similarity.sq8_topk for the
+    plan-shape notes."""
+    from ..llm.similarity import sq8_topk
+
+    return sq8_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50)
+
+
+def _ann20_sql() -> str:
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    cent0 AS (
+      SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+    ),
+    {_KMEANS_CHAINS}
+    asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+    qc AS (SELECT cell FROM asg WHERE vec_id = 0),
+    members AS (
+      SELECT a.vec_id FROM asg a, qc
+      WHERE a.cell = qc.cell AND a.vec_id <> 0
+    ),
+    stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM comp GROUP BY i),
+    codes AS (
+      SELECT comp.vec_id, comp.i,
+             CASE WHEN mx > mn
+                  THEN least(255, floor((v - mn) / (mx - mn) * 256))
+                  ELSE 0 END AS code
+      FROM comp JOIN stats ON comp.i = stats.i
+      WHERE comp.vec_id IN (SELECT vec_id FROM members)
+    ),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    approx AS (
+      SELECT c.vec_id,
+             round(sum((mn + (code + 0.5) * (mx - mn) / 256) * qv), 4)
+               AS sq8_score
+      FROM codes c
+      JOIN stats ON c.i = stats.i
+      JOIN q ON c.i = q.i
+      GROUP BY 1
+      ORDER BY sq8_score DESC, c.vec_id
+      LIMIT 50
+    ),
+    exact AS (
+      SELECT comp.vec_id, a.sq8_score, sum(comp.v * q.qv) AS dot,
+             sqrt(sum(comp.v * comp.v)) AS norm
+      FROM comp JOIN approx a ON comp.vec_id = a.vec_id
+      JOIN q ON comp.i = q.i
+      GROUP BY 1, 2
+    ),
+    qn AS (SELECT sqrt(sum(v * v)) AS qnorm FROM comp WHERE vec_id = 0)
+    SELECT vec_id, round(dot / (norm * qnorm), 4) AS cosine, sq8_score
+    FROM exact, qn
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("ann20_ivf_sq8_topk", None)  # sql attached below
+def ann20_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, IVF x SQ8 composition (FAISS's ``IVF<n>,SQ8``
+    index type): the coarse cells prune the CANDIDATE SET to the
+    query's cell, scalar quantization shrinks the SCANNED BYTES to 1
+    per dimension, and the savings multiply — closing the loop ann19's
+    scale note promised ("at production scale SQ8 composes with IVF").
+    Like ann10/ann16, the REGISTERED form trains the cells in-plan so
+    the oracle can replay them — its bench wall is dominated by the
+    two Lloyd iterations, a build-time number; the serve-path story is
+    the quantized scan itself, which is cell-scoped (1/k of ann19's
+    code rows) and would ride a persisted index exactly as ann11
+    serves ann10's. See llm/similarity.ivf_sq8_topk."""
+    from ..llm.similarity import ivf_sq8_topk
+
+    return ivf_sq8_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50
+    )
+
+
+REGISTRY["ann20_ivf_sq8_topk"].sql = _ann20_sql()
+
+
+_ANN21_PROBES = (1, 2, 4)
+
+
+_ANN21_SQL = f"""
+WITH comp AS ({{comp}}),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+alldots AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dot
+  FROM comp c JOIN q ON c.i = q.i GROUP BY c.vec_id
+),
+scoredall AS (
+  SELECT d.vec_id, d.dot / (n.norm * qn.qnorm) AS cos
+  FROM alldots d JOIN norms n ON n.vec_id = d.vec_id, qn
+  WHERE d.vec_id <> 0
+),
+bf AS (SELECT vec_id FROM scoredall
+       ORDER BY round(cos, 4) DESC, vec_id LIMIT 10),
+cent AS (SELECT vec_id AS c, i, v AS cv FROM comp WHERE vec_id < 8),
+cross_dots AS (
+  SELECT comp.vec_id, cent.c, sum(comp.v * cent.cv) AS dot
+  FROM comp JOIN cent ON comp.i = cent.i GROUP BY 1, 2
+),
+scored AS (
+  SELECT cross_dots.vec_id, c, dot / (nv.norm * nc.norm) AS cos
+  FROM cross_dots
+  JOIN norms nv ON nv.vec_id = cross_dots.vec_id
+  JOIN norms nc ON nc.vec_id = c
+),
+assign AS (
+  SELECT vec_id, c AS centroid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) = 1
+),
+qcells AS (
+  SELECT c, row_number() OVER (ORDER BY cos DESC, c) AS pr
+  FROM scored WHERE vec_id = 0
+),
+nps AS (SELECT unnest([{", ".join(str(p) for p in _ANN21_PROBES)}]) AS np),
+cand AS (
+  SELECT nps.np, a.vec_id
+  FROM assign a
+  JOIN qcells qc ON a.centroid = qc.c
+  JOIN nps ON qc.pr <= nps.np
+  WHERE a.vec_id <> 0
+),
+ivfk AS (
+  SELECT np, vec_id FROM (
+    SELECT cand.np, s.vec_id,
+           row_number() OVER (PARTITION BY cand.np
+                              ORDER BY round(s.cos, 4) DESC, s.vec_id) AS rn
+    FROM cand JOIN scoredall s ON s.vec_id = cand.vec_id
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT np, count(*) AS n_hits FROM ivfk
+  WHERE vec_id IN (SELECT vec_id FROM bf) GROUP BY 1
+),
+scan AS (SELECT np, count(*) AS n_scanned FROM cand GROUP BY 1)
+SELECT nps.np AS nprobe, cast(10 AS BIGINT) AS k,
+       cast(coalesce(scan.n_scanned, 0) AS BIGINT) AS n_scanned,
+       cast(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / 10.0, 4) AS recall_at_k
+FROM nps
+LEFT JOIN scan ON scan.np = nps.np
+LEFT JOIN hits ON hits.np = nps.np
+"""
+
+
+@register("ann21_probe_recall_curve", None)  # sql attached below
+def ann21_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-cost TUNING CURVE in one plan: recall@10 and
+    candidate-scan size for nprobe in {1, 2, 4} against the same
+    brute-force ground truth — the table an ANN operator actually
+    reads before picking a probe count. ann6 measures one point and
+    ann7 one notch up; this emits the curve, so "how many probes buy
+    recall 0.9, and what do they cost in scanned rows" is a SELECT,
+    not three reruns. n_scanned is the cost axis: it grows ~linearly
+    in nprobe while recall saturates — the knee is the operating
+    point. Monotonicity in both axes is pinned (more probes never
+    scan less or recall less; candidates nest by construction).
+
+    Plan shape: one coarse-assignment (the broadcast-centroid pass
+    ann2 ships) shared by all three curve points via the probe-rank
+    join — the probes table is 3 rows, so the fan-out is the
+    candidate union, not three corpus scans; the exact rerank per
+    probe level cuts via per-partition heaps."""
+    from ..llm.similarity import _ivf_cluster_members, _rerank_members, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = brute_force_topk(emb, query_id=0, k=10).select("vec_id")
+    parts = []
+    for np_ in _ANN21_PROBES:
+        members = _ivf_cluster_members(
+            emb, query_id=0, n_centroids=8, nprobe=np_
+        )
+        topk = _rerank_members(emb, members, 0, 10, "vec_id", "embedding")
+        hits = topk.select("vec_id").intersect(bf)
+        parts.append(
+            members.agg(F.count(F.lit(1)).alias("n_scanned"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.col("n_scanned").cast("bigint").alias("n_scanned"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _ann21_sql() -> str:
+    return _ANN21_SQL.format(comp=_DUCK_COMP)
+
+
+REGISTRY["ann21_probe_recall_curve"].sql = _ann21_sql()
+
+
+_ANN24_SQL = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, sum(v * v) AS sq FROM comp GROUP BY 1
+),
+mx AS (SELECT max(sq) AS msq FROM norms),
+-- derive the augmented index from the data's own dimensionality so a
+-- dimension change fails loudly instead of truncating dots (r9 advice)
+dims AS (SELECT max(i) AS d FROM comp),
+-- the augmented component: every vector gets one extra coordinate
+-- sqrt(M^2 - |x|^2); the query's extra coordinate is 0
+acomp AS (
+  SELECT vec_id, i, v FROM comp
+  UNION ALL
+  SELECT n.vec_id, dims.d + 1 AS i, sqrt(mx.msq - n.sq) AS v
+  FROM norms n, mx, dims
+),
+q AS (SELECT i, qv FROM (
+  SELECT i, v AS qv FROM comp WHERE vec_id = 0
+  UNION ALL SELECT dims.d + 1 AS i, 0e0 AS qv FROM dims
+)),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dot
+  FROM comp c
+  JOIN (SELECT i, qv FROM q, dims WHERE i <= dims.d) q ON q.i = c.i
+  WHERE c.vec_id <> 0 GROUP BY 1
+),
+augsc AS (
+  SELECT a.vec_id,
+         sum(a.v * q.qv) / (sqrt(sum(a.v * a.v)) * any_value(qn.qnorm))
+           AS aug_cos
+  FROM acomp a JOIN q ON q.i = a.i, qn
+  WHERE a.vec_id <> 0 GROUP BY 1
+),
+ranked AS (
+  SELECT d.vec_id, d.dot, g.aug_cos,
+         row_number() OVER (ORDER BY d.dot DESC, d.vec_id) AS rnk,
+         row_number() OVER (ORDER BY g.aug_cos DESC, g.vec_id)
+           AS aug_rnk
+  FROM dots d JOIN augsc g ON g.vec_id = d.vec_id
+)
+SELECT vec_id, round(dot, 4) AS dot,
+       cast(rnk AS BIGINT) AS rnk,
+       cast(aug_rnk AS BIGINT) AS aug_rnk,
+       cast(CASE WHEN rnk = aug_rnk THEN 1 ELSE 0 END AS BIGINT)
+         AS ranks_agree
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("ann24_mips_topk", _ANN24_SQL, first_round=9)
+def ann24_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) with the norm-augmentation
+    contract: top-10 vectors by RAW dot product with the stored query
+    (recommendation scoring, where popular items legitimately have
+    bigger norms and cosine would erase that), plus the
+    Shrivastava-Li reduction verified as data: augmenting each vector
+    with sqrt(M^2-|x|^2) (M = max norm) and the query with 0 makes
+    augmented-norms constant, so augmented-COSINE rank must equal raw
+    dot rank — both rankings are computed and the per-row agreement
+    flag is part of the output (the property that lets every cosine
+    index in this engine — IVF/PQ/SQ8/LSH — serve MIPS unchanged).
+
+    Plan shape: ann1's one-fold-per-vector scan economics; the max-
+    norm and query-norm are single-row broadcasts; both top cuts ride
+    one TakeOrderedAndProject each. Nothing here is more than one
+    corpus scan."""
+    from ..llm.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform(vd, lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    mx = emb.agg(F.max(sq).alias("msq"))
+    # augmented vectors materialized as data (double precision, the
+    # same arithmetic the oracle's UNION ALL component row carries):
+    # x' = [x, sqrt(M^2-|x|^2)], q' = [q, 0]
+    aug = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "vec_id", "embedding",
+            F.concat(
+                vd, F.array(F.sqrt(F.col("msq") - sq))
+            ).alias("aug_emb"),
+        )
+    )
+    qaug = qrow.select(
+        "qe",
+        F.concat(
+            F.transform(F.col("qe"), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("q_aug"),
+    )
+    scored = aug.crossJoin(F.broadcast(qaug)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.transform(F.col("qe"), lambda x: x.cast("double")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dot"),
+        cosine_expr(F.col("aug_emb"), F.col("q_aug")).alias("aug_cos"),
+    )
+    wd_ = Window.orderBy(F.col("dot").desc(), "vec_id")
+    wa = Window.orderBy(F.col("aug_cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wd_))
+        .withColumn("aug_rnk", F.row_number().over(wa))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "vec_id",
+            F.round("dot", 4).alias("dot"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("aug_rnk").cast("bigint").alias("aug_rnk"),
+            F.when(F.col("rnk") == F.col("aug_rnk"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("ranks_agree"),
+        )
+    )
+
+
+_ANN23_SQL = f"""
+WITH {_bm25_scores_sql()},
+bm_ranked AS (
+  SELECT id, rb FROM (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+    FROM bm25
+  ) WHERE rb <= 1000
+),
+comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+cos AS (
+  SELECT c.vec_id,
+         sum(c.v * q.qv)
+           / (sqrt(sum(c.v * c.v)) * sqrt((SELECT sum(qv * qv) FROM q)))
+           AS cosim
+  FROM comp c JOIN q ON q.i = c.i
+  WHERE c.vec_id <> 0
+  GROUP BY 1
+),
+cos_ranked AS (
+  SELECT id, rc FROM (
+    SELECT vec_id AS id,
+           row_number() OVER (ORDER BY cosim DESC, vec_id) AS rc
+    FROM cos
+  ) WHERE rc <= 1000
+),
+fused AS (
+  SELECT coalesce(b.id, c.id) AS doc_id,
+         coalesce(1e0 / (60 + b.rb), 0)
+           + coalesce(1e0 / (60 + c.rc), 0)
+           AS rrf,
+         b.rb AS bm25_rank, c.rc AS cos_rank
+  FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON c.id = b.id
+)
+SELECT doc_id, round(rrf, 6) AS rrf,
+       cast(bm25_rank AS BIGINT) AS bm25_rank,
+       cast(cos_rank AS BIGINT) AS cos_rank,
+       cast(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM fused
+QUALIFY rnk <= 10
+"""
+
+
+@register("ann23_hybrid_rrf", _ANN23_SQL, first_round=9)
+def ann23_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, the industry-
+    standard score-free fusion: sum of 1/(60+rank) over legs): the
+    lexical leg is x69's BM25 ranking for "hash join stream", the
+    dense leg is exact cosine against the stored query vector
+    (vec_id 0, ann1's convention), each leg CUT to its top-1000
+    candidates before fusion (the production hybrid shape — fusion
+    work is candidate-list-sized, never corpus-sized), and documents
+    missing from a leg contribute nothing for it — lexical-only and
+    dense-only matches both stay retrievable, which is the whole
+    point of hybrid search. Top-10 by fused score with per-leg ranks
+    reported for explainability.
+
+    Plan shape: each leg is its own keyed pipeline (BM25: broadcast
+    stats onto the term-filtered token stream; cosine: one array fold
+    per vector against a broadcast query); the fusion is an id-keyed
+    full-outer join of two rank tables, and the final cut is
+    TakeOrderedAndProject. Nothing in the fusion grows faster than
+    the leg outputs."""
+    from ..llm.similarity import cosine_expr
+
+    d = _t(spark, sf_dir, "documents")
+    wb = Window.orderBy(F.col("score").desc(), "doc_id")
+    bm = (
+        _bm25_scores_spark(d)
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 1000)  # candidate cut -> TakeOrdered
+        .select(F.col("doc_id").alias("id"), "rb")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine_expr(F.col("embedding"), F.col("qe")).alias("cosim"),
+        )
+    )
+    wc = Window.orderBy(F.col("cosim").desc(), "vec_id")
+    cr = (
+        cos.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= 1000)  # candidate cut -> TakeOrdered
+        .select(F.col("vec_id").alias("id"), "rc")
+    )
+    fused = bm.join(cr, "id", "full_outer").select(
+        F.col("id").alias("doc_id"),
+        (
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cos_rank"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+            F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+            F.col("cos_rank").cast("bigint").alias("cos_rank"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+_ANN22_PLANES = 48
+
+
+_ANN22_SHORTLIST = 50
+
+
+def _ann22_sql() -> str:
+    from ..llm.dedup import _hexint_sql
+
+    n = _ANN22_PLANES
+    md5_exprs = ", ".join(
+        f"md5('rp{p}|' || cast(i AS VARCHAR)) AS m{p}" for p in range(n)
+    )
+    coef_exprs = ", ".join(
+        f"({_hexint_sql(f'm{p}', 8)} / 2147483648.0 - 1.0) AS r{p}"
+        for p in range(n)
+    )
+    proj_exprs = ", ".join(f"sum(v * r{p}) AS pr{p}" for p in range(n))
+    code_expr = " + ".join(
+        f"CASE WHEN pr{p} >= 0 THEN cast({1 << p} AS BIGINT) "
+        f"ELSE 0 END"
+        for p in range(n)
+    )
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    idx AS (SELECT DISTINCT i FROM comp),
+    md5s AS (SELECT i, {md5_exprs} FROM idx),
+    coefs AS (SELECT i, {coef_exprs} FROM md5s),
+    joined AS (
+      SELECT comp.vec_id, comp.v,
+             {', '.join(f'coefs.r{p}' for p in range(n))}
+      FROM comp JOIN coefs ON comp.i = coefs.i
+    ),
+    proj AS (SELECT vec_id, {proj_exprs} FROM joined GROUP BY vec_id),
+    codes AS (SELECT vec_id, ({code_expr}) AS code FROM proj),
+    qc AS (SELECT code AS qcode FROM codes WHERE vec_id = 0),
+    ham AS (
+      SELECT vec_id, bit_count(xor(code, qcode)) AS hamming
+      FROM codes, qc WHERE vec_id <> 0
+    ),
+    short AS (
+      SELECT vec_id, hamming FROM ham
+      ORDER BY hamming, vec_id LIMIT {_ANN22_SHORTLIST}
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY 1),
+    q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+    qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
+    exact AS (
+      SELECT comp.vec_id, sum(comp.v * q.qv) AS dot
+      FROM comp JOIN q ON comp.i = q.i
+      WHERE comp.vec_id IN (SELECT vec_id FROM short)
+      GROUP BY 1
+    ),
+    topk AS (
+      SELECT e.vec_id,
+             round(e.dot / (n2.norm * qn.qnorm), 4) AS cosine
+      FROM exact e JOIN norms n2 ON n2.vec_id = e.vec_id, qn
+      ORDER BY cosine DESC, e.vec_id LIMIT 10
+    )
+    SELECT topk.vec_id, topk.cosine,
+           cast(short.hamming AS BIGINT) AS hamming
+    FROM topk JOIN short ON short.vec_id = topk.vec_id
+    """
+
+
+@register("ann22_binary_hamming_topk", None)  # sql attached below
+def ann22_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search from BINARY codes — the most compressed member
+    of the quantization family (ann19 SQ8 = 1 byte/dim, ann9/ann10 PQ
+    = codebook ids, this = 48 BITS per vector regardless of dimension,
+    a 21x shrink vs SQ8 at d=128): pack 48 random-hyperplane sign bits
+    into one bigint, shortlist by Hamming distance — one
+    ``bit_count(code XOR qcode)`` instruction per candidate — and
+    exact-rerank the survivors. dd5 uses the same hyperplanes to BUCKET
+    for dedup; this SERVES top-k from them, completing the
+    dedup/search symmetry. At 100 TB the code table is 8 bytes/vector
+    (a 10^10-vector corpus fits in 80 GB — broadcastable per
+    executor), so the full-precision scan shrinks to the shortlist.
+    Plane coefficients are the md5-derived constants
+    hyperplane_lsh_buckets ships, so the oracle packs bit-identical
+    codes; the Hamming cut is integer-exact (no rounding anywhere
+    before the final cosine).
+
+    Plan shape: one broadcast coefficient join + id-keyed projection
+    agg builds codes; the Hamming cut compiles to
+    TakeOrderedAndProject; only shortlist vectors are read at full
+    precision (ann19's serve pattern, smaller state)."""
+    from ..llm.similarity import binary_hamming_topk
+
+    return binary_hamming_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0,
+        k=10,
+        shortlist=_ANN22_SHORTLIST,
+        n_planes=_ANN22_PLANES,
+    )
+
+
+REGISTRY["ann22_binary_hamming_topk"].sql = _ann22_sql()
+
+
+_ANN25_RADIUS = 0.25  # cosine floor for the range query
+
+_ANN25_SQL = f"""
+WITH comp AS ({{comp}}),
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY 1
+),
+q AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+qn AS (SELECT nrm AS qnrm FROM norms WHERE vec_id = 0),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dot
+  FROM comp c JOIN q ON q.i = c.i
+  WHERE c.vec_id <> 0 GROUP BY 1
+)
+SELECT d.vec_id, round(d.dot / (n.nrm * qn.qnrm), 4) AS cos
+FROM dots d JOIN norms n ON n.vec_id = d.vec_id, qn
+WHERE d.dot / (n.nrm * qn.qnrm) >= {_ANN25_RADIUS}
+"""
+
+
+@register("ann25_range_search", None, first_round=10)
+def ann25_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: EVERY vector whose cosine to
+    the stored query (vec_id 0) clears a fixed floor — the
+    "find all near-duplicates / all relevant passages" contract,
+    complementing ann1's top-k (k-bounded) cut. Unlike top-k, range
+    search needs NO global ordering stage at any scale: the predicate
+    is a pure per-row filter after the one fold-per-vector cosine, so
+    the plan is a single scan with map-side evaluation — the result
+    set size is data-dependent by definition, and downstream consumers
+    cap it themselves if they must.
+
+    Plan shape: one embeddings scan, one fold per vector
+    (F.aggregate dot + norm against the broadcast single-row query),
+    filter, project. No exchange except the tiny query-row broadcast;
+    no TakeOrdered, no window."""
+    from ..llm.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vd.alias("v"))
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    cos = cosine_expr(F.col("v"), F.col("qv"))
+    return (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("rawcos"))
+        .filter(F.col("rawcos") >= _ANN25_RADIUS)
+        .select("vec_id", F.round("rawcos", 4).alias("cos"))
+    )
+
+
+REGISTRY["ann25_range_search"].sql = _ANN25_SQL.format(comp=_DUCK_COMP)

@@ -1,0 +1,1994 @@
+"""Reference-series queries: flagship, aggregations (a), projections (p), joins (j), sources (s), sinks (k), scalar functions (f), sort/dedup/slice (o), windows (w), incremental/temporal (i), streaming batch forms (st), set ops.
+
+Mechanically split from the former flat queries.py (r10);
+docstrings and within-family registration order unchanged.
+"""
+
+from ._shared import *  # noqa: F401,F403 — F, Window, scalar/op helpers, register
+from ._shared import _t, AS_OF, REGISTRY, register  # noqa: F401
+from ._helpers import (  # noqa: F401
+    _DUCK_TOKS,
+    _EN,
+    _minhash_ctes,
+)
+
+# ===========================================================================
+# Flagship — scan → broadcast FK joins → cleanse → band → aggregate
+# ===========================================================================
+
+@register(
+    "flagship_customer_segments",
+    """
+    SELECT r_name AS region,
+           CASE WHEN c_acctbal > 5000 THEN 'VIP'
+                WHEN c_acctbal > 1000 THEN 'Regular'
+                WHEN c_acctbal > 0    THEN 'New'
+                ELSE 'NA' END AS segment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_acctbal,
+           round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def flagship_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's whole transform tier in one plan — FK joins
+    it only declares (J3), segment banding (F6-shape), multi-agg (A3).
+    Dimensions broadcast (25 + 5 rows); the agg partial-aggregates map-side."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    seg = (
+        F.when(F.col("c_acctbal") > 5000, "VIP")
+        .when(F.col("c_acctbal") > 1000, "Regular")
+        .when(F.col("c_acctbal") > 0, "New")
+        .otherwise("NA")
+    )
+    return (
+        fk_join(customer, nation, on=[customer.c_nationkey == nation.n_nationkey], broadcast_dim=True)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("segment", seg)
+        .groupBy(F.col("r_name").alias("region"), "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+# ===========================================================================
+# Aggregations (A1–A6) + TPC-H Q1-style pricing summary
+# ===========================================================================
+
+@register(
+    "a0_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a0_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the engine's headline agg — 8 aggregates, 2 group
+    keys, filter pushed to the parquet scan, fully map-side-combinable."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a1_table_counts",
+    """
+    SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    """,
+)
+def a1_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-table row counts (verification surface, src/extract.py:558)."""
+    from ..operators import table_counts
+
+    return table_counts(
+        {name: _t(spark, sf_dir, name) for name in ("customer", "orders", "lineitem")}
+    )
+
+
+@register(
+    "a2_max_watermark",
+    "SELECT max(o_orderkey) AS max_key, max(o_orderdate) AS max_date FROM orders",
+)
+def a2_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: high-watermark probe (src/load.py:133-134)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_key"), F.max("o_orderdate").alias("max_date")
+    )
+
+
+@register(
+    "a3_multiagg_summary",
+    """
+    SELECT count(*) AS n, round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+    FROM events
+    """,
+)
+def a3_multiagg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: one-pass COUNT/SUM/MAX summary (src/extract.py:573-580)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@register("a4_distinct_keys", "SELECT DISTINCT o_custkey FROM orders")
+def a4_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: DISTINCT key projection (src/extract.py:320)."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@register(
+    "a6_dedup_counters",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT o_custkey) AS distinct_keys,
+           count(*) - count(DISTINCT o_custkey) AS duplicates
+    FROM orders
+    """,
+)
+def a6_dedup_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: duplicate accounting (src/transform.py:33-38)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("o_custkey").alias("distinct_keys"),
+        (F.count("*") - F.countDistinct("o_custkey")).alias("duplicates"),
+    )
+
+
+# ===========================================================================
+# Projections / filters (P1–P5)
+# ===========================================================================
+
+@register(
+    "p1_projection_reorder",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def p1_projection_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: validated projection into canonical order; Catalyst prunes the
+    scan to exactly these columns (check ReadSchema)."""
+    from ..operators import validate_and_project
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return validate_and_project(l, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+
+@register(
+    "p2_pk_filter",
+    """
+    WITH messy AS (
+      SELECT CASE WHEN doc_id % 10 = 0 THEN ''
+                  WHEN doc_id % 10 = 5 THEN NULL
+                  ELSE cast(doc_id AS VARCHAR) END AS pk
+      FROM documents
+    )
+    SELECT pk FROM messy WHERE pk IS NOT NULL AND trim(pk) <> ''
+    """,
+)
+def p2_pk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: PK non-null/non-empty guard (src/extract.py:387-388)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 10 == 0, F.lit(""))
+        .when(F.col("doc_id") % 10 == 5, F.lit(None))
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("pk")
+    )
+    return pk_filter(d, "pk")
+
+
+@register(
+    "p3_null_sentinels",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['ok','nan','None','NaT','<NA>','','NULL','value'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN trim(raw) IN ('nan','None','NaT','<NA>','','NaN','NULL','null','N/A')
+                THEN NULL ELSE raw END AS cleaned
+    FROM messy
+    """,
+)
+def p3_null_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: null-sentinel normalization (src/extract.py:297-306)."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["ok", "nan", "None", "NaT", "<NA>", "", "NULL", "value"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    return e.select("event_id", normalize_null_sentinels(raw).alias("cleaned"))
+
+
+@register(
+    "p5_date_range_guard",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE year(o_orderdate) BETWEEN 1900 AND 2000
+    """,
+)
+def p5_date_range_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: year-validity range predicate (src/transform.py:189)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderdate").filter(
+        F.year("o_orderdate").between(1900, 2000)
+    )
+
+
+# ===========================================================================
+# Joins / set ops (J1, J3, set)
+# ===========================================================================
+
+@register(
+    "j1_anti_new_keys",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 420000)
+    """,
+)
+def j1_anti_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (new half): customers absent from the existing key set — the
+    reference's Python set difference (src/extract.py:397-402) as a
+    distributed anti-join. The 'existing' side is the high-value-order
+    key set so both halves of the split are non-empty at every sf."""
+    new_rows, _ = split_new_vs_existing(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 420000)
+        .withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+    )
+    return new_rows.select("c_custkey")
+
+
+@register(
+    "j1_semi_existing_keys",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j1_semi_existing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (updated half): customers present in orders (semi join)."""
+    _, updated = split_new_vs_existing(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey",
+    )
+    return updated.select("c_custkey")
+
+
+@register(
+    "j3_fact_dim_join",
+    """
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j3_fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the fact-fact FK join (orders ⋈ lineitem on the key both sides
+    shuffle on; AQE right-sizes the exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "set1_except_intersect",
+    """
+    SELECT 'only_customers' AS side, count(*) AS n FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'both', count(*) FROM (
+      SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+    )
+    """,
+)
+def set1_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: set algebra on key projections (EXCEPT / INTERSECT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    only = c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("only_customers").alias("side"), "n"
+    )
+    both = c.intersect(o).agg(F.count("*").alias("n")).select(F.lit("both").alias("side"), "n")
+    return only.unionByName(both)
+
+
+# ===========================================================================
+# Sort / dedup / windows (O1–O5, W)
+# ===========================================================================
+
+@register(
+    "o1_digit_sort",
+    """
+    SELECT c_custkey,
+           cast(coalesce(try_cast(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT), 0) AS BIGINT) AS sort_key,
+           cast(row_number() OVER (
+             ORDER BY coalesce(try_cast(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT), 0),
+                      c_custkey) AS BIGINT) AS rn
+    FROM customer
+    """,
+)
+def o1_digit_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/F14: digit-concatenation sort key ('Customer#000000042' -> 42)
+    with an observable total order (src/extract.py:272-294).
+
+    The dense numbering rides the partition-offset sequence engine
+    (operators/sequence.py) exactly like w1/o5/x32 — a bare
+    ``row_number() OVER (ORDER BY ...)`` plans ``Exchange
+    SinglePartition`` and funnels the whole table through one task,
+    which was the last data-sized single-partition window in the
+    registry (VERDICT r5 §What's wrong #1)."""
+    from ..operators.sequence import with_global_sequence
+
+    c = _t(spark, sf_dir, "customer")
+    key = numeric_id(F.col("c_name")).cast("bigint")
+    keyed = c.select("c_custkey", key.alias("sort_key"))
+    return with_global_sequence(
+        keyed, ["sort_key", "c_custkey"], name="rn"
+    ).select("c_custkey", "sort_key", "rn")
+
+
+@register(
+    "o2_dedup_keep_last",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def o2_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: keep-last dedup as a ranking window (src/extract.py:389).
+    Deterministic under parallelism via explicit (date, key) order."""
+    o = _t(spark, sf_dir, "orders")
+    d = dedup_keep_last(o, "o_custkey", [F.col("o_orderdate"), F.col("o_orderkey")])
+    return d.select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+@register(
+    "o3_dedup_keep_first",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    """,
+)
+def o3_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: keep-first dedup (src/transform.py:244)."""
+    o = _t(spark, sf_dir, "orders")
+    d = dedup_keep_first(o, "o_custkey", [F.col("o_orderdate"), F.col("o_orderkey")])
+    return d.select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+@register(
+    "w1_display_id",
+    """
+    SELECT o_orderkey, cast(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS display_id
+    FROM orders
+    """,
+)
+def w1_display_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: AUTO_INCREMENT display_id (src/transform.py:85) via
+    zipWithIndex-style partition-offset composition
+    (:func:`operators.sequence.with_global_sequence`): range-partition on
+    the key, rank locally per partition, add driver-computed cumulative
+    offsets (O(num_partitions) rows).  Exact dense-sequence semantics,
+    zero single-partition stages — the plan-guard test pins the absence
+    of ``Exchange SinglePartition``."""
+    o = _t(spark, sf_dir, "orders")
+    return with_global_sequence(
+        o.select("o_orderkey"), ["o_orderkey"], name="display_id"
+    ).select("o_orderkey", "display_id")
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window extension: per-customer running total (engine surface beyond
+    the reference, natural on the banking schema)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "w3_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+           cast(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def w3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — windowed rank + filter (guide's OLAP pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# ===========================================================================
+# Scalar cleansing functions (F1–F16)
+# ===========================================================================
+
+@register(
+    "f1_safe_val",
+    """
+    WITH messy AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN '  ' || c_mktsegment || '  '
+                  WHEN c_custkey % 5 = 1 THEN 'NaN'
+                  WHEN c_custkey % 5 = 2 THEN ''
+                  WHEN c_custkey % 5 = 3 THEN NULL
+                  ELSE c_mktsegment END AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN raw IS NULL OR trim(raw) IN
+                  ('nan','None','NaT','<NA>','','NaN','NULL','null','N/A')
+                THEN 'Na'
+                ELSE upper(substr(trim(raw), 1, 1)) || lower(substr(trim(raw), 2)) END AS cleaned
+    FROM messy
+    """,
+)
+def f1_safe_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: safe_val with title-casing — null-ish -> 'NA' (title-cased to
+    'Na' here since the default passes through the case normalizer, exactly
+    as the reference's safe_val(default)+str.title() composition behaves)."""
+    c = _t(spark, sf_dir, "customer")
+    raw = (
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  ")))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("NaN"))
+        .when(F.col("c_custkey") % 5 == 2, F.lit(""))
+        .when(F.col("c_custkey") % 5 == 3, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return c.select("c_custkey", safe_val(raw, title=True).alias("cleaned"))
+
+
+@register(
+    "f3_safe_num",
+    """
+    WITH cents AS (
+      SELECT o_orderkey, cast(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), messy AS (
+      SELECT o_orderkey,
+             '₹ ' || format('{:,}', c // 100) || '.' || lpad(cast(c % 100 AS VARCHAR), 2, '0') AS raw,
+             c
+      FROM cents
+    )
+    SELECT o_orderkey, raw,
+           cast(cast(c // 100 AS VARCHAR) || '.' || lpad(cast(c % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS amount
+    FROM messy
+    """,
+)
+def f3_safe_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: currency-stripping numeric parse. Builds '₹ 123,456.78'-style
+    strings deterministically from o_totalprice, then parses them back with
+    safe_num (strip ₹/$/,/space -> decimal(15,2) -> double)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    intpart = F.floor(cents / 100).cast("bigint")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    raw = F.concat(F.lit("₹ "), F.format_number(intpart, 0), F.lit("."), frac)
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        safe_num(raw).cast("double").alias("amount"),
+    )
+
+
+@register(
+    "f2_safe_date",
+    """
+    WITH formatted AS (
+      SELECT o_orderkey, o_orderdate AS d,
+             CASE cast(o_orderkey % 4 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%d-%m-%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 2 THEN strftime(o_orderdate, '%d/%m/%Y')
+               ELSE strftime(o_orderdate, '%d-%m-%y')
+             END AS raw
+      FROM orders
+    )
+    SELECT o_orderkey, raw, cast(cast(d AS DATE) AS TIMESTAMP) AS parsed
+    FROM formatted
+    """,
+)
+def f2_safe_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: multi-format date parse round-trip. Four surface formats
+    (dd-mm-yyyy, iso, dd/mm/yyyy, dd-mm-yy with the 2-digit pivot) are
+    generated from o_orderdate and must all parse back to the original
+    date. The oracle emits the original date directly — parity proves the
+    parser inverts every format, pivot included."""
+    from ..llm.dedup import _spread
+
+    # regex-chain parse is CPU-bound: fan a narrow single-split source
+    # out to cluster width (no-op when the source already has >= cores
+    # splits — see dedup._spread)
+    o = _spread(_t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"))
+    d = F.col("o_orderdate")
+    raw = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "dd-MM-yyyy"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "dd-MM-yy"))
+    )
+    return o.select(
+        "o_orderkey", raw.alias("raw"), safe_date(raw).cast("timestamp").alias("parsed")
+    )
+
+
+@register(
+    "f4_calc_age",
+    f"""
+    SELECT o_orderkey,
+           cast(greatest(
+             year(DATE '{AS_OF}') - year(o_orderdate)
+             - CASE WHEN (month(DATE '{AS_OF}'), day(DATE '{AS_OF}'))
+                       < (month(o_orderdate), day(o_orderdate))
+                    THEN 1 ELSE 0 END,
+             0) AS BIGINT) AS age
+    FROM orders
+    """,
+)
+def f4_calc_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: birthday-aware age (o_orderdate standing in for dob; fixed
+    as-of date for determinism)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        calc_age(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date")).cast("bigint").alias("age"),
+    )
+
+
+@register(
+    "f5_tenure_days",
+    f"""
+    SELECT o_orderkey,
+           cast(greatest(coalesce(date_diff('day', cast(o_orderdate AS DATE), DATE '{AS_OF}'), 0), 0) AS BIGINT)
+             AS tenure_days
+    FROM orders
+    """,
+)
+def f5_tenure_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: tenure in days, clamped at 0 (src/transform.py:310-314)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        tenure_days(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date"))
+        .cast("bigint")
+        .alias("tenure_days"),
+    )
+
+
+@register(
+    "f6_customer_segment",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey,
+             greatest(coalesce(date_diff('day', cast(o_orderdate AS DATE), DATE '{AS_OF}'), 0), 0) AS tenure
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN tenure >= 730 THEN 'VIP'
+                WHEN tenure >= 180 THEN 'Regular'
+                WHEN tenure > 0 THEN 'New'
+                ELSE 'NA' END AS segment
+    FROM t
+    """,
+)
+def f6_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: tenure banding (src/transform.py:316-317)."""
+    o = _t(spark, sf_dir, "orders")
+    tenure = tenure_days(F.col("o_orderdate"), as_of=F.lit(AS_OF).cast("date"))
+    return o.select("o_orderkey", customer_segment(tenure).alias("segment"))
+
+
+@register(
+    "f7_region_map",
+    """
+    SELECT c_custkey,
+           CASE WHEN upper(c_mktsegment) LIKE '%FURN%' OR upper(c_mktsegment) LIKE '%AUTO%' THEN 'North'
+                WHEN upper(c_mktsegment) LIKE '%MACH%' THEN 'West'
+                WHEN upper(c_mktsegment) LIKE '%HOUSE%' THEN 'South'
+                ELSE 'NA' END AS region
+    FROM customer
+    """,
+)
+def f7_region_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: substring-containment region mapping (src/transform.py:251-258)
+    — 'HOUSE' matching HOUSEHOLD reproduces the reference's 'UP' ⊂
+    'UTTAR PRADESH' quirk."""
+    c = _t(spark, sf_dir, "customer")
+    words = [
+        ("North", ["FURN", "AUTO"]),
+        ("West", ["MACH"]),
+        ("South", ["HOUSE"]),
+    ]
+    return c.select("c_custkey", region_map(F.col("c_mktsegment"), words).alias("region"))
+
+
+@register(
+    "f8_gender_norm",
+    """
+    WITH messy AS (
+      SELECT c_custkey,
+             (['M','f','male','Female','  FEMALE  ','x'])[cast(c_custkey % 6 + 1 AS INT)] AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN lower(trim(raw)) IN ('m','male') THEN 'M'
+                WHEN lower(trim(raw)) IN ('f','female') THEN 'F'
+                ELSE 'N' END AS gender
+    FROM messy
+    """,
+)
+def f8_gender_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: gender normalization (src/transform.py:323-327)."""
+    c = _t(spark, sf_dir, "customer")
+    choices = F.array(*[F.lit(s) for s in ["M", "f", "male", "Female", "  FEMALE  ", "x"]])
+    raw = F.element_at(choices, (F.col("c_custkey") % 6 + 1).cast("int"))
+    return c.select("c_custkey", gender_norm(raw).alias("gender"))
+
+
+@register(
+    "f9_duration_months",
+    """
+    SELECT o_orderkey,
+           cast(greatest((2025 - year(o_orderdate)) * 12 + (6 - month(o_orderdate)), 0) AS BIGINT)
+             AS duration_months
+    FROM orders
+    """,
+)
+def f9_duration_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: calendar-month period difference, day-insensitive, clamped
+    (src/transform.py:392-395) — deliberately NOT months_between."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        duration_months(F.col("o_orderdate"), F.lit("2025-06-15").cast("date"))
+        .cast("bigint")
+        .alias("duration_months"),
+    )
+
+
+@register(
+    "f10_risk_category",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 500000 THEN 'High'
+                WHEN o_totalprice > 100000 THEN 'Medium'
+                ELSE 'Low' END AS risk_category
+    FROM orders
+    """,
+)
+def f10_risk_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: loan-amount banding (src/transform.py:397-398)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", risk_category(F.col("o_totalprice")).alias("risk_category"))
+
+
+@register(
+    "f11_transaction_category",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice > 10000 THEN 'Large'
+                WHEN l_extendedprice > 1000 THEN 'Medium'
+                ELSE 'Small' END AS txn_category
+    FROM lineitem
+    """,
+)
+def f11_transaction_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: transaction amount banding (src/transform.py:462-463)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        transaction_category(F.col("l_extendedprice")).alias("txn_category"),
+    )
+
+
+@register(
+    "f12_fraud_flag",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['true','1','yes','y','no','0','TRUE','zzz'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id, lower(trim(raw)) IN ('true','1','yes','y') AS fraud
+    FROM messy
+    """,
+)
+def f12_fraud_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: tolerant boolean parse (src/transform.py:457-460)."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["true", "1", "yes", "y", "no", "0", "TRUE", "zzz"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    return e.select("event_id", fraud_flag(raw).alias("fraud"))
+
+
+@register(
+    "f15_md5_hash",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def f15_md5_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: content hashing (file-level in the reference; row-level here —
+    same primitive both engines compute identically)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+@register(
+    "f16_case_norms",
+    """
+    SELECT doc_id,
+           upper(source) AS source_upper,
+           lower(lang) AS lang_lower,
+           upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS source_title
+    FROM documents
+    """,
+)
+def f16_case_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: case normalizations (initcap/upper/lower call sites in
+    src/transform.py:246-321)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("source_upper"),
+        F.lower("lang").alias("lang_lower"),
+        F.initcap("source").alias("source_title"),
+    )
+
+
+# ===========================================================================
+# Incremental / merge (I2, I3, I4)
+# ===========================================================================
+
+@register(
+    "i2_upsert_last_writer_wins",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, 1 AS batch FROM orders
+    ), incoming AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 2 AS batch
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM incoming
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, cast(batch AS BIGINT) AS batch
+    FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) = 1
+    """,
+)
+def i2_upsert_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2/K1: ON-DUPLICATE-KEY-UPDATE as union + ranked dedup with an
+    explicit version column (src/extract.py:328-357)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", F.lit(1).alias("batch"))
+    incoming = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"), F.lit(2).alias("batch"))
+    )
+    merged = upsert_last_writer_wins(base, incoming, "o_orderkey", "batch")
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("batch").cast("bigint").alias("batch"),
+    )
+
+
+@register(
+    "i3_watermark_append",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-12-31 00:00:00'
+    """,
+)
+def i3_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: high-watermark incremental append — the predicate pushes into
+    the scan (replaces the reference's LIMIT/OFFSET heuristic,
+    src/load.py:124-205)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return incremental_append_watermark(
+        o, "o_orderdate", F.lit("1999-12-31 00:00:00").cast("timestamp")
+    )
+
+
+@register(
+    "i3_antijoin_append",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+    """,
+)
+def i3_antijoin_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 (exact form): anti-join append of rows absent from the target
+    (target simulated as the even-key half)."""
+    from ..plans import incremental_append_antijoin
+
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    return incremental_append_antijoin(o, target, "o_orderkey").select("o_orderkey")
+
+
+@register(
+    "i4_reconcile_counts",
+    """
+    SELECT (SELECT count(*) FROM orders) AS source_count,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS target_count,
+           (SELECT count(*) FROM orders) = (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS synced
+    """,
+)
+def i4_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: row-count reconciliation as a single-row report
+    (src/load.py:317-360)."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.agg(F.count("*").alias("source_count"))
+    dst = o.filter(F.col("o_orderkey") % 2 == 0).agg(F.count("*").alias("target_count"))
+    return src.crossJoin(dst).select(
+        "source_count",
+        "target_count",
+        (F.col("source_count") == F.col("target_count")).alias("synced"),
+    )
+
+
+# ===========================================================================
+# Streaming-shaped (event-time windows over the events table)
+# ===========================================================================
+
+@register(
+    "st1_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: tumbling event-time window aggregation — same
+    F.window operator Structured Streaming uses, run in batch."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ===========================================================================
+# Remaining §2 surface: scans/sinks/pruning/metrics/slices
+# ===========================================================================
+
+@register(
+    "s1_allstring_scan",
+    """
+    SELECT cast(o_orderkey AS VARCHAR) AS o_orderkey,
+           cast(o_custkey AS VARCHAR) AS o_custkey,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def s1_allstring_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the tier-1 all-string read contract — every business column a
+    string, no inference (src/extract.py:430)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "s2_partitioned_scan",
+    """
+    SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def s2_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the reference's chunked big-file read (src/extract.py:359-425)
+    is Spark's native partitioned scan — `spark.sql.files.maxPartitionBytes`
+    governs split size (set in session.py); the aggregate is
+    split-count-invariant."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "s3_multifile_glob",
+    """
+    WITH u AS (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+    SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys FROM u
+    """,
+)
+def s3_multifile_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: multi-file source — one read over a path list (the engine form
+    of the reference's `{table}*.csv` glob, src/extract.py:527-538); the
+    same file twice makes the multiplicity observable."""
+    p = f"{sf_dir}/orders.parquet"
+    o = spark.read.parquet(p, p)
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@register(
+    "s5_jdbc_partitioned",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def s5_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the reference's paginated database extract
+    (src/transform.py:150-168, LIMIT/OFFSET batches of 5000) as a real
+    partitioned JDBC read. customer is staged into an embedded Derby
+    database (whose driver ships inside Spark's own jars), then read
+    back through the range-partitioned JDBC source: each of the 4 tasks
+    pushes its own `WHERE c_custkey >= lo AND < hi` predicate to the
+    database — the parallel restatement of LIMIT/OFFSET pagination.
+    The oracle reads the same rows straight from parquet, proving the
+    round-trip is lossless."""
+    import tempfile
+
+    from ..sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        jdbc_reader_partitioned,
+        jdbc_write,
+    )
+
+    props = {"driver": DERBY_DRIVER}
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    bounds = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    db = tempfile.mkdtemp(prefix="s5_derby_") + "/db"
+    url = derby_url(db)
+    jdbc_write(c, url, "CUSTOMER_STAGE", properties=props)
+    back = jdbc_reader_partitioned(
+        spark, url, "CUSTOMER_STAGE", "c_custkey",
+        bounds[0], bounds[1] + 1, num_partitions=4, properties=props,
+    ).load()
+    return back.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+@register(
+    "s4_file_identity",
+    "SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders",
+)
+def s4_file_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/I1: per-input-file row accounting via input_file_name() — the
+    query-side face of the idempotent ingest log."""
+    o = _t(spark, sf_dir, "orders")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return o.groupBy(fname.alias("file_name")).agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "k4_export_nafill",
+    """
+    SELECT c_custkey,
+           coalesce(CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END, 'NA')
+             AS segment_export
+    FROM customer
+    """,
+)
+def k4_export_nafill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: CSV-export NULL->'NA' convention (src/transform.py:493-515)."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.when(F.col("c_custkey") % 4 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+    return c.select("c_custkey", raw.alias("segment_export")).na.fill(
+        {"segment_export": "NA"}
+    )
+
+
+@register(
+    "p4_prune_valid_columns",
+    "SELECT l_linenumber, l_quantity, l_tax FROM lineitem",
+)
+def p4_prune_valid_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: declared ∩ existing minus excluded (src/load.py:161-171) — a
+    declared column that does not exist ('l_bogus') and an excluded key
+    both drop; the scan's ReadSchema narrows to the survivors."""
+    from ..operators.project import prune_valid_columns
+
+    l = _t(spark, sf_dir, "lineitem")
+    return prune_valid_columns(
+        l,
+        declared=["l_orderkey", "l_linenumber", "l_quantity", "l_tax", "l_bogus"],
+        exclude=["l_orderkey"],
+    )
+
+
+@register(
+    "f13_boolean_recast",
+    """
+    WITH messy AS (
+      SELECT event_id,
+             (['true','1','yes','y','no','0','TRUE','zzz'])[cast(event_id % 8 + 1 AS INT)] AS raw
+      FROM events
+    )
+    SELECT event_id,
+           cast(lower(trim(raw)) IN ('true','1','yes','y') AS BIGINT) AS flag_int,
+           lower(trim(raw)) IN ('true','1','yes','y') AS flag_bool
+    FROM messy
+    """,
+)
+def f13_boolean_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: boolean <-> int recast at the tier boundary (src/load.py:222-232)
+    — a no-op in Spark's type system, pinned here as a round-trip."""
+    e = _t(spark, sf_dir, "events")
+    choices = F.array(*[F.lit(s) for s in ["true", "1", "yes", "y", "no", "0", "TRUE", "zzz"]])
+    raw = F.element_at(choices, (F.col("event_id") % 8 + 1).cast("int"))
+    flag = fraud_flag(raw)
+    return e.select(
+        "event_id",
+        flag.cast("bigint").alias("flag_int"),
+        flag.cast("int").cast("boolean").alias("flag_bool"),
+    )
+
+
+@register(
+    "o5_offset_slice",
+    """
+    SELECT o_orderkey, rn FROM (
+      SELECT o_orderkey, cast(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn > 1000 AND rn <= 1100
+    """,
+)
+def o5_offset_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/I3: the reference's LIMIT/OFFSET positional slice pinned as a
+    ranked-window filter (src/load.py:188-193). The engine's incremental
+    path prefers watermarks/anti-joins; this query preserves the exact
+    positional semantics for parity.
+
+    The positional rank comes from the partition-offset composition
+    (:func:`operators.sequence.with_global_sequence`) — no
+    single-partition window; the slice predicate then prunes to the one
+    or two range partitions that overlap [offset, offset+limit)."""
+    o = _t(spark, sf_dir, "orders")
+    return with_global_sequence(
+        o.select("o_orderkey"), ["o_orderkey"], name="rn"
+    ).filter((F.col("rn") > 1000) & (F.col("rn") <= 1100)).select("o_orderkey", "rn")
+
+
+@register(
+    "a5_metrics_fold",
+    """
+    SELECT 'customer' AS table_name, count(*) AS n_rows,
+           count(DISTINCT c_custkey) AS n_keys,
+           round(count(DISTINCT c_custkey) * 100.0 / count(*), 2) AS key_uniqueness_pct
+    FROM customer
+    UNION ALL
+    SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+           round(count(DISTINCT o_orderkey) * 100.0 / count(*), 2)
+    FROM orders
+    """,
+)
+def a5_metrics_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/M2: DataQualityMetrics-style accounting as a metrics DataFrame
+    (main.py:55-113)."""
+    parts = []
+    for name, key in [("customer", "c_custkey"), ("orders", "o_orderkey")]:
+        df = _t(spark, sf_dir, name)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_keys",
+                F.round(F.col("n_keys") * 100.0 / F.col("n_rows"), 2).alias(
+                    "key_uniqueness_pct"
+                ),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
+    "st2_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR date_diff('microsecond', prev, ts) >= 300000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (§2.10): gap-based session windows — the same
+    F.session_window operator Structured Streaming uses, batch-run.
+    Oracle reproduces the merge rule (new session at gap >= 5 min) via
+    lag + cumulative break-count sessionization."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "llm_curation_pipeline",
+    f"""
+    WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+    scored AS (
+      SELECT doc_id, text, lang,
+             round(0.4 * least(length(text) / 500.0, 1.0)
+                 + 0.3 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text))
+                 + 0.3 * least(len(list_filter({_DUCK_TOKS}, x -> list_contains({_EN}, x))) * 1.0
+                               / len({_DUCK_TOKS}) * 5.0, 1.0), 10) AS quality
+      FROM documents
+    ),
+    deduped AS (
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    ),
+    edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+    neardup_drop AS (SELECT node FROM labels WHERE node <> label)
+    SELECT s.doc_id, s.lang, s.quality,
+           cast(length(s.text) AS BIGINT) AS n_chars
+    FROM scored s
+    JOIN deduped d ON d.keep_id = s.doc_id
+    LEFT JOIN neardup_drop nd ON nd.node = s.doc_id
+    WHERE nd.node IS NULL AND s.quality >= 0.5
+    """,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation — the full corpus spine:
+    scan -> quality-score -> exact dedup (keep lowest id) -> NEAR-dup
+    removal (MinHash-LSH pairs -> connected components -> keep each
+    cluster's minimum) -> quality filter.
+
+    Plan shape: the score is a pure projection; exact dedup is one
+    shuffle on the 16-byte content hash; near-dup pairs shuffle on
+    (band, bucket) with the degenerate-bucket cap; cluster labels are
+    the fixed-point propagation (diameter-bounded rounds); both drop
+    sets apply as semi/anti joins that broadcast at dimension size. The
+    oracle reproduces the clusters with a recursive CTE — so the whole
+    composite, including the iterative step's result, is hash-checked."""
+    from ..llm import exact_dedup_groups, quality_score
+    from ..llm.dedup import connected_components, minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "text", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    keep = exact_dedup_groups(d, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", max_bucket_size=100, materialize=True
+    ).localCheckpoint(eager=True)
+    neardup_drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        scored.join(keep, "doc_id", "left_semi")
+        .join(neardup_drop, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id", "lang", "quality", F.length("text").cast("bigint").alias("n_chars")
+        )
+    )
+
+
+@register(
+    "i5_incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def i5_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate (materialized-view) maintenance: per-key
+    count/sum state built from the history partition, then a delta
+    batch's partials folded in with plans.merge_agg_state. The oracle is
+    a FULL recompute over all of orders — passing proves merged
+    increments equal the from-scratch aggregate, the property that lets
+    a 100 TB rollup update per batch instead of per full scan."""
+    from ..plans import merge_agg_state
+
+    o = _t(spark, sf_dir, "orders")
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+
+    history = partials(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partials(o.filter(F.col("o_orderkey") % 5 == 0))
+    merged = merge_agg_state(
+        history, delta, ["o_orderpriority"], count_col="n_rows", sum_cols=["sum_price"]
+    )
+    return merged.select(
+        "o_orderpriority", "n_rows", F.round("sum_price", 2).alias("sum_price")
+    )
+
+
+@register(
+    "a7_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def a7_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + grouped revenue + top-10.
+    Catalyst pushes both date filters and the segment filter to the
+    scans, joins smallest-first, and compiles the sort+limit to
+    TakeOrderedAndProject (per-partition heap, no global sort) — the plan
+    a 100 TB top-k needs."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "a8_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def a8_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (two facts, four dims) with a
+    same-nation theta condition. The dims broadcast; the only shuffles
+    are the two fact-fact key exchanges and the final (25-key) agg —
+    exactly the shuffle floor this query has at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "st3_sliding_window",
+    """
+    WITH expanded AS (
+      SELECT make_timestamp(cast((floor((epoch(ts) - k * 900) / 3600) * 3600
+                                  + k * 900) * 1000000 AS BIGINT)) AS window_start,
+             value
+      FROM events, (VALUES (0), (1), (2), (3)) AS o(k)
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension: SLIDING event-time windows (1 h window, 15 min
+    slide) — each event lands in 4 overlapping windows; same F.window
+    operator Structured Streaming uses. The oracle enumerates the 4
+    containing windows per event explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "i6_scd2_history",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus AS status FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.status AS s1, v2.status AS s2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT o_orderkey, s1 AS status, cast(1 AS BIGINT) AS valid_from,
+           cast(2 AS BIGINT) AS valid_to, false AS is_current
+    FROM j WHERE s1 IS NOT NULL AND (s2 IS NULL OR s1 <> s2)
+    UNION ALL
+    SELECT o_orderkey, s1, cast(1 AS BIGINT), cast(NULL AS BIGINT), true
+    FROM j WHERE s1 IS NOT NULL AND s2 = s1
+    UNION ALL
+    SELECT o_orderkey, s2, cast(2 AS BIGINT), cast(NULL AS BIGINT), true
+    FROM j WHERE s2 IS NOT NULL AND (s1 IS NULL OR s1 <> s2)
+    """,
+)
+def i6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: diff two snapshot
+    versions (same deterministic perturbation as x16) into
+    valid_from/valid_to/is_current rows — close changed/deleted rows,
+    open changed/new ones. One full-outer join on the PK + three
+    projection branches unioned; the union folds into one exchange
+    because all branches share the join output."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", F.col("o_orderstatus").alias("s1"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("s2"),
+        )
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    lit_from = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    closed = j.filter(
+        F.col("s1").isNotNull() & (F.col("s2").isNull() | (F.col("s1") != F.col("s2")))
+    ).select(
+        "o_orderkey",
+        F.col("s1").alias("status"),
+        lit_from(1).alias("valid_from"),
+        lit_from(2).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    unchanged = j.filter(F.col("s2") == F.col("s1")).select(
+        "o_orderkey",
+        F.col("s1").alias("status"),
+        lit_from(1).alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    opened = j.filter(
+        F.col("s2").isNotNull() & (F.col("s1").isNull() | (F.col("s1") != F.col("s2")))
+    ).select(
+        "o_orderkey",
+        F.col("s2").alias("status"),
+        lit_from(2).alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(unchanged).unionByName(opened)
+
+
+# ===========================================================================
+# Round 9 — temporal correctness, retractable MV maintenance, mixture
+# planning, importance resampling, payload block dedup, index deletes
+# ===========================================================================
+
+
+@register(
+    "i7_pointintime_join",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus AS status FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END AS status
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    j AS (
+      SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             v1.status AS s1, v2.status AS s2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    ),
+    hist AS (
+      SELECT o_orderkey, s1 AS status, 1 AS valid_from, 2 AS valid_to
+      FROM j WHERE s1 IS NOT NULL AND (s2 IS NULL OR s1 <> s2)
+      UNION ALL
+      SELECT o_orderkey, s1, 1, NULL FROM j WHERE s1 IS NOT NULL AND s2 = s1
+      UNION ALL
+      SELECT o_orderkey, s2, 2, NULL
+      FROM j WHERE s2 IS NOT NULL AND (s1 IS NULL OR s1 <> s2)
+    ),
+    f AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 2 END AS as_of_version
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           cast(f.as_of_version AS BIGINT) AS as_of_version, h.status
+    FROM f JOIN hist h
+      ON h.o_orderkey = f.l_orderkey
+     AND h.valid_from <= f.as_of_version
+     AND (h.valid_to IS NULL OR f.as_of_version < h.valid_to)
+    """,
+)
+def i7_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF) join of a fact feed against the SCD2
+    history i6 builds — the temporal-correctness join a feature store
+    runs so a fact dated at version 1 sees the dimension AS IT WAS at
+    version 1, never the current row (joining today's dimension onto
+    yesterday's fact is training-serving leakage, the silent killer of
+    offline/online parity). Facts: every 10th order's lineitems,
+    stamped with version 1 or 2 by line parity; dimension: i6's exact
+    closed/unchanged/opened interval rows. Facts stamped v=2 on keys
+    deleted in v2 correctly drop out (no dimension version was valid).
+    Plan: Catalyst keys the join on the PK equality alone and runs the
+    interval predicate as a join residual — one keyed shuffle, history
+    depth irrelevant (plans.point_in_time_join). Reference analog: the
+    staged-upsert snapshot that src/load.py:210-286 overwrites — this
+    is the query shape that recovers what it was at any past point."""
+    from ..plans import point_in_time_join
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", F.col("o_orderstatus").alias("s1"))
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    changed = F.col("s1") != F.col("s2")
+    hist = (
+        j.filter(F.col("s1").isNotNull() & (F.col("s2").isNull() | changed))
+        .select(
+            "o_orderkey",
+            F.col("s1").alias("status"),
+            F.lit(1).alias("valid_from"),
+            F.lit(2).alias("valid_to"),
+        )
+        .unionByName(
+            j.filter(F.col("s2") == F.col("s1")).select(
+                "o_orderkey",
+                F.col("s1").alias("status"),
+                F.lit(1).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        )
+        .unionByName(
+            j.filter(
+                F.col("s2").isNotNull() & (F.col("s1").isNull() | changed)
+            ).select(
+                "o_orderkey",
+                F.col("s2").alias("status"),
+                F.lit(2).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        )
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    facts = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_linenumber") % 2 == 1, 1)
+            .otherwise(2)
+            .cast("bigint")
+            .alias("as_of_version"),
+        )
+    )
+    return point_in_time_join(
+        facts, hist, "l_orderkey", "as_of_version"
+    ).select("l_orderkey", "l_linenumber", "as_of_version", "status")
+
+
+_I10_SQL = """
+WITH checks AS (
+  SELECT 'orders.o_custkey -> customer' AS relationship,
+         (SELECT count(*) FROM orders) AS n_child,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+)
+SELECT relationship, cast(n_child AS BIGINT) AS n_child,
+       cast(n_orphans AS BIGINT) AS n_orphans,
+       n_orphans = 0 AS intact
+FROM checks
+"""
+
+
+@register("i10_fk_integrity_audit", _I10_SQL)
+def i10_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK graph:
+    per declared relationship, how many child rows point at a parent
+    that does not exist — the data-level counterpart of the engine's
+    M4 health check (which verifies tables EXIST; this verifies they
+    AGREE), and the report a load gate reads before publishing (the
+    write-audit-publish pattern the warehouse ships). The reference
+    declares these FKs as MySQL indexes (K6) and trusts the database
+    to enforce them; a lake has no enforcing engine, so integrity is
+    a QUERY you run — this one.
+
+    Plan shape: each check is a left-anti join (child minus parents);
+    dimension parents (nation) broadcast, fact-fact checks shuffle on
+    the key — the same shapes j1 pins. Orphan counts are exactly zero
+    on this corpus (pinned): a nonzero count is the alert."""
+    checks = [
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for rel, child, ck, parent, pk in checks:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        row = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(rel).alias("relationship"),
+            F.col("n_child").cast("bigint").alias("n_child"),
+            F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_I11_SQL = """
+WITH old_snap AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 <> 0
+),
+new_snap AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0
+              THEN round(c_acctbal + 100, 2) ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       round(o.c_acctbal, 2) AS old_acctbal,
+       round(n.c_acctbal, 2) AS new_acctbal
+FROM old_snap o FULL OUTER JOIN new_snap n ON n.c_custkey = o.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal <> n.c_acctbal
+"""
+
+
+@register("i11_snapshot_cdc_extract", _I11_SQL, first_round=9)
+def i11_snapshot_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC stream EXTRACTION from two table snapshots — the inverse of
+    x25 (which APPLIES a change stream): a full-outer diff on the
+    primary key classifies every divergent row as insert / delete /
+    update and emits old/new values, turning periodic snapshot dumps
+    into the change feed an incremental consumer (x25, the streaming
+    MERGE sink, a downstream warehouse) expects. This is how CDC gets
+    backfilled when the source system offers no binlog — the
+    complement the reference's ON-DUPLICATE-KEY loader
+    (src/extract.py:328-357) assumes exists upstream. Snapshots are
+    derived deterministically from `customer` (old: keys % 11 != 0;
+    new: keys % 13 != 0 with acctbal +100 on keys % 5 == 0) so the
+    oracle replays them exactly.
+
+    Plan shape: ONE scan feeds both snapshot projections (map-side
+    filters); the full-outer join is keyed on the PK, so at any table
+    size the work is one co-partitioned shuffle — and unchanged rows
+    are dropped by a join residual, never materialized. Output is
+    bounded by the churn, not the table."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("o_key"),
+        F.round("c_acctbal", 2).alias("old_acctbal"),
+    )
+    new = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("n_key"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.round(F.col("c_acctbal") + 100, 2),
+        )
+        .otherwise(F.round("c_acctbal", 2))
+        .alias("new_acctbal"),
+    )
+    diff = old.join(
+        new, old["o_key"] == new["n_key"], "full_outer"
+    ).filter(
+        F.col("o_key").isNull()
+        | F.col("n_key").isNull()
+        | (F.col("old_acctbal") != F.col("new_acctbal"))
+    )
+    return diff.select(
+        F.coalesce("o_key", "n_key").alias("c_custkey"),
+        F.when(F.col("o_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        "old_acctbal",
+        "new_acctbal",
+    )
+
+
+_I12_SQL = """
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'purchase' THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events WHERE event_type <> 'error'
+),
+folded AS (
+  SELECT user_id,
+         first_value(op) OVER w AS first_op,
+         last_value(op) OVER w AS last_op,
+         last_value(CASE WHEN op <> 'D' THEN value END IGNORE NULLS)
+           OVER w AS last_val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       CASE WHEN last_op = 'D' THEN 'D'
+            WHEN first_op = 'I' THEN 'I'
+            ELSE 'U' END AS op,
+       round(CASE WHEN last_op <> 'D' THEN last_val END, 4) AS value
+FROM folded
+WHERE rn = 1 AND NOT (first_op = 'I' AND last_op = 'D')
+"""
+
+
+@register("i12_cdc_compaction", _I12_SQL, first_round=9)
+def i12_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC NET-EFFECT compaction: a change stream with many operations
+    per key collapses to at most one operation — the batch-side
+    optimization every CDC consumer runs before MERGE, because
+    applying N ops per key costs N upserts while the net effect costs
+    one (and insert-then-delete within the batch cancels to nothing).
+    The standard fold needs only each key's FIRST op, LAST op and
+    last surviving value: I..D -> drop, I..x -> INSERT(last value),
+    x..D -> DELETE, else UPDATE(last value). The stream here is
+    derived from events (signup=I, purchase=D, click/view=U, errors
+    skipped) so the oracle replays it; x25 APPLIES a change stream,
+    i11 EXTRACTS one from snapshots — this completes the CDC triangle
+    with the compactor between them. Reference analog: the staged
+    upsert batches of src/load.py:210-240, which this would shrink.
+
+    Plan shape: ONE user-keyed sort carries all three full-frame
+    windows plus the keep-last rank (same partition + order -> one
+    exchange, one sort) — the entire compactor is a single window
+    stage, no joins, no second shuffle."""
+    e = _t(spark, sf_dir, "events")
+    ops = e.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    folded = ops.select(
+        "user_id",
+        F.first("op").over(wf).alias("first_op"),
+        F.last("op").over(wf).alias("last_op"),
+        F.last(
+            F.when(F.col("op") != "D", F.col("value")), ignorenulls=True
+        )
+        .over(wf)
+        .alias("last_val"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return folded.filter(
+        (F.col("rn") == 1)
+        & ~((F.col("first_op") == "I") & (F.col("last_op") == "D"))
+    ).select(
+        "user_id",
+        F.when(F.col("last_op") == "D", "D")
+        .when(F.col("first_op") == "I", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round(
+            F.when(F.col("last_op") != "D", F.col("last_val")), 4
+        ).alias("value"),
+    )
+
+
+_I8_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+u AS (
+  SELECT *, 'v1' AS batch_version FROM v1
+  UNION ALL BY NAME
+  SELECT *, 'v2' AS batch_version FROM v2
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, batch_version
+FROM u
+"""
+
+
+@register("i8_schema_evolution", _I8_SQL)
+def i8_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant ingestion: two batch versions of the same
+    feed whose schemas DIVERGED — v1 predates the o_orderdate /
+    o_orderpriority columns, v2 dropped o_orderstatus — union into one
+    evolved table where every batch's missing columns are typed NULLs
+    and the final schema is the name-union. This is the incremental
+    family's (§2.9) missing operator: feeds drift, and a pipeline that
+    hard-fails on the first added column loses data while one that
+    positionally unions silently CORRUPTS it (the reference's pandas
+    concat aligns by name implicitly; Spark's positional union is the
+    trap). ``unionByName(allowMissingColumns=True)`` is the engine
+    form; DuckDB's ``UNION ALL BY NAME`` replays it, so the alignment
+    itself is oracle-verified — column order, null backfill, and the
+    per-row batch_version provenance tag the warehouse keeps so late
+    backfills know which rows can carry the new columns.
+
+    Plan shape: union is exchange-free in Spark — two pushed scans
+    concatenate partition-wise with zero shuffles at any scale; the
+    projections fuse into each scan (PushedFilters on both sides).
+    Reference analog: src/extract.py's column-list discovery (S6)
+    turned from a read-time check into a write-time policy."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("batch_version", F.lit("v1"))
+    v2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    ).withColumn("batch_version", F.lit("v2"))
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        "batch_version",
+    )
+
+
+_I13_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_nationkey
+  FROM customer WHERE c_custkey % 97 <> 0
+)
+SELECT o.o_orderkey, o.o_custkey,
+       coalesce(d.c_name, 'INFERRED') AS cust_name,
+       cast(coalesce(d.c_nationkey, -1) AS BIGINT) AS nationkey,
+       cast(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS inferred
+FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+"""
+
+
+@register("i13_late_arriving_dim", _I13_SQL, first_round=10)
+def i13_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling: facts whose dimension member
+    has not landed yet (simulated as every 97th customer key missing
+    from the dim) join against an INFERRED placeholder member instead
+    of being dropped or stalling the load — the standard warehouse
+    pattern (Kimball's "inferred member") that keeps fact loads
+    flowing and lets a later dim upsert (i2) heal the placeholder
+    rows, which the ``inferred`` flag makes findable. The reference
+    pipeline inner-joins and silently loses such facts
+    (src/transform.py:220-260); this keeps them, flagged.
+
+    Plan shape: one LEFT broadcast-hash join (dim side is
+    catalog-sized and filtered before the broadcast); placeholder
+    values are map-side coalesces — no second pass, no fact-sized
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    j = o.join(
+        F.broadcast(dim), o.o_custkey == dim.c_custkey, "left"
+    )
+    return j.select(
+        "o_orderkey", "o_custkey",
+        F.coalesce("c_name", F.lit("INFERRED")).alias("cust_name"),
+        F.coalesce(F.col("c_nationkey"), F.lit(-1))
+        .cast("bigint")
+        .alias("nationkey"),
+        F.when(F.col("c_custkey").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("inferred"),
+    )
