@@ -306,10 +306,14 @@ def main():
     BLOCK = 20
     for start in range(0, len(HEADLINE), BLOCK):
         block = HEADLINE[start:start + BLOCK]
-        if start > 0:
-            spark.stop()
-            spark = get_spark("bench")
-            spark.range(1).count()
+        # EVERY block gets a fresh session — including the first, which
+        # previously inherited the e2e pipeline's accumulated JVM and
+        # Python-worker state (r10: dd5 measured 2.88 s at slot 15 of
+        # the contaminated first block vs 2.09 s isolated median-of-5;
+        # the r9 "dd5 regression" was this artifact, not a code change).
+        spark.stop()
+        spark = get_spark("bench")
+        spark.range(1).count()
         # steady-state warmup: run each block plan once at the smallest
         # SF so codegen compilation and reader init are paid up front
         if os.path.isdir(warm_dir):

@@ -47,10 +47,66 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default="data")
     p.add_argument("--warehouse", default="warehouse")
     p.add_argument("--interval-sec", type=int, default=3600,
-                   help="schedule mode: seconds between runs")
+                   help="schedule mode: seconds between runs "
+                        "(--schedule-type interval)")
     p.add_argument("--max-runs", type=int, default=0,
                    help="schedule mode: stop after N runs (0 = forever)")
+    p.add_argument("--schedule-type", default="interval",
+                   choices=["interval", "daily", "twice-daily", "biweekly"],
+                   help="schedule mode cadence: plain poll interval, or the "
+                        "reference presets — daily at --run-time, twice-daily "
+                        "(+12h offset slot), biweekly (Wed+Sun)")
+    p.add_argument("--run-time", default="01:00",
+                   help="HH:MM local time for the preset cadences")
     return p
+
+
+def offset_12h(run_time: str) -> str:
+    """The twice-daily second slot: ``run_time`` + 12 h, with the
+    reference's exact fallback — an unparseable time yields '13:00'
+    (main.py:364-370)."""
+    from datetime import datetime, timedelta
+
+    try:
+        dt = datetime.strptime(run_time, "%H:%M")
+    except ValueError:
+        return "13:00"
+    return (dt + timedelta(hours=12)).strftime("%H:%M")
+
+
+def fire_times(schedule_type: str, run_time: str, after, n: int) -> list:
+    """The next ``n`` firing datetimes STRICTLY after ``after`` for the
+    reference's cadence presets (main.py:380-396): daily at run_time;
+    twice-daily at run_time and its 12 h offset; biweekly on Wednesday
+    AND Sunday at run_time. Pure function so the cadence is testable
+    without sleeping."""
+    from datetime import datetime, timedelta
+
+    hh, mm = run_time.split(":")
+    slots: list[tuple[int | None, int, int]] = []
+    if schedule_type == "daily":
+        slots = [(None, int(hh), int(mm))]
+    elif schedule_type == "twice-daily":
+        o = offset_12h(run_time)
+        oh, om = o.split(":")
+        slots = [(None, int(hh), int(mm)), (None, int(oh), int(om))]
+    elif schedule_type == "biweekly":
+        # Wednesday=2, Sunday=6 in Python weekday() numbering
+        slots = [(2, int(hh), int(mm)), (6, int(hh), int(mm))]
+    else:
+        raise ValueError(f"no preset cadence: {schedule_type!r}")
+
+    out: list[datetime] = []
+    day = after.date()
+    while len(out) < n:
+        for wd, h, m in slots:
+            if wd is not None and day.weekday() != wd:
+                continue
+            t = datetime(day.year, day.month, day.day, h, m)
+            if t > after:
+                out.append(t)
+        day = day + timedelta(days=1)
+    return sorted(out)[:n]
 
 
 def run(args: argparse.Namespace, spark=None) -> dict:
@@ -80,7 +136,14 @@ def run(args: argparse.Namespace, spark=None) -> dict:
                     counts[entity] = pipe.wh.read(layer, entity).count()
             report[layer] = counts
         return report
-    # schedule: the reference's poll loop, sequential by construction
+    # schedule: the reference's poll loop, sequential by construction,
+    # with its cadence presets (daily / twice-daily / biweekly Wed+Sun,
+    # main.py:372-396). Like the reference, the FIRST run fires
+    # immediately regardless of cadence ("initial pipeline run",
+    # main.py:399-404); subsequent runs wait for the preset's next slot
+    # (or the plain interval).
+    from datetime import datetime
+
     runs = 0
     results = []
     while True:
@@ -88,7 +151,13 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         runs += 1
         if args.max_runs and runs >= args.max_runs:
             return {"runs": runs, "last": results[-1]}
-        time.sleep(args.interval_sec)
+        if args.schedule_type == "interval":
+            time.sleep(args.interval_sec)
+        else:
+            nxt = fire_times(
+                args.schedule_type, args.run_time, datetime.now(), 1
+            )[0]
+            time.sleep(max((nxt - datetime.now()).total_seconds(), 0))
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -28,7 +28,16 @@ def delta_available() -> bool:
 
 def merge_into(target_path: str, incoming: DataFrame, pk: str) -> None:
     """Delta MERGE INTO (last-writer-wins on ``pk``); raises with guidance
-    when the Delta runtime is absent."""
+    when the Delta runtime is absent.
+
+    EXPERIMENTAL: the Delta runtime is not on this environment's
+    classpath, so the MERGE branch has no test coverage here (only the
+    absent-runtime guidance path is pinned,
+    test_merge_into_stub_guides_to_snapshot_merge).
+    The tested, portable upsert is ``plans.merge.upsert_last_writer_wins``
+    — use that unless your deployment ships delta-spark jars and you
+    verify this path against them. Deliberately excluded from
+    COVERAGE.md claims (r9 verdict)."""
     if not delta_available():
         raise NotImplementedError(
             "Delta Lake runtime not on the classpath; use "

@@ -53,3 +53,45 @@ def test_cli_full_then_health_then_phases(spark, tmp_path):
         ["--mode", "schedule", "--data-dir", str(d), "--warehouse", wh,
          "--interval-sec", "0", "--max-runs", "2"]), spark=spark)
     assert sched["runs"] == 2 and sched["last"]["status"] == "SUCCESS"
+
+
+def test_schedule_cadence_presets_pin_reference_firing_times():
+    """The reference's three cadences (main.py:372-396) computed as
+    pure firing times: daily at run-time; twice-daily adds the 12 h
+    offset slot (with the '13:00' fallback on unparseable input);
+    biweekly fires Wednesday AND Sunday."""
+    from datetime import datetime
+
+    from python_etl_pipeline_spark.cli import fire_times, offset_12h
+
+    # 12h offset arithmetic incl. wraparound + the reference's fallback
+    assert offset_12h("01:00") == "13:00"
+    assert offset_12h("14:30") == "02:30"
+    assert offset_12h("garbage") == "13:00"
+
+    after = datetime(2026, 8, 13, 10, 0)  # a Thursday
+
+    daily = fire_times("daily", "09:00", after, 3)
+    assert daily == [
+        datetime(2026, 8, 14, 9, 0),   # next 09:00 is Friday
+        datetime(2026, 8, 15, 9, 0),
+        datetime(2026, 8, 16, 9, 0),
+    ]
+    # same day still fires if the slot is ahead of `after`
+    assert fire_times("daily", "23:00", after, 1) == [
+        datetime(2026, 8, 13, 23, 0)
+    ]
+
+    twice = fire_times("twice-daily", "09:00", after, 3)
+    assert twice == [
+        datetime(2026, 8, 13, 21, 0),  # the +12h slot later today
+        datetime(2026, 8, 14, 9, 0),
+        datetime(2026, 8, 14, 21, 0),
+    ]
+
+    bi = fire_times("biweekly", "06:00", after, 4)
+    assert [(t.strftime("%A"), t.hour) for t in bi] == [
+        ("Sunday", 6), ("Wednesday", 6), ("Sunday", 6), ("Wednesday", 6)
+    ]
+    assert bi[0] == datetime(2026, 8, 16, 6, 0)
+    assert bi[1] == datetime(2026, 8, 19, 6, 0)

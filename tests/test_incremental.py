@@ -247,3 +247,4 @@ def test_fk_integrity_audit_detects_breakage(spark, sf_dir):
         "left_anti",
     ).count()
     assert orphans > 0
+

@@ -1,0 +1,154 @@
+"""Sharded test runner — the default CI gate.
+
+pytest-xdist is not available in this environment, so this runs the
+suite as N concurrent pytest SUBPROCESSES, each with its own
+SparkSession sized to its CPU share (SPARK_GRAFT_CPUS), sharding at
+test-FILE granularity (a Spark session fixture is per-process, so files
+are the natural isolation unit — no cross-file fixture sharing exists
+in this suite).
+
+Shards are balanced greedily (LPT) on last-known per-file durations,
+recorded to tools/partest_durations.json by every run — the schedule
+self-tunes as the suite grows. Files never measured get a weight
+proportional to their size.
+
+    python tools/partest.py              # whole suite, 4 shards
+    python tools/partest.py -n 6         # more shards
+    python tools/partest.py tests/test_plans.py   # subset (one shard)
+
+Exit status is non-zero if ANY shard fails; each shard's tail is
+printed on failure. Zero skips expected — this is the full profile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DURATIONS = Path(__file__).resolve().parent / "partest_durations.json"
+
+
+def _weights(files: list[str]) -> dict[str, float]:
+    known = {}
+    if DURATIONS.exists():
+        try:
+            known = json.load(open(DURATIONS))
+        except Exception:
+            known = {}
+    out = {}
+    for f in files:
+        rel = str(Path(f).relative_to(REPO))
+        if rel in known:
+            out[f] = float(known[rel])
+        else:
+            # unmeasured: size-proportional guess (~1s per 40 lines)
+            out[f] = max(len(open(f).readlines()) / 40.0, 5.0)
+    return out
+
+
+def _lpt(files: list[str], w: dict[str, float], n: int) -> list[list[str]]:
+    shards: list[list[str]] = [[] for _ in range(n)]
+    loads = [0.0] * n
+    for f in sorted(files, key=lambda f: -w[f]):
+        i = loads.index(min(loads))
+        shards[i].append(f)
+        loads[i] += w[f]
+    return [s for s in shards if s]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("files", nargs="*", help="test files (default: all)")
+    ap.add_argument("-n", "--shards", type=int, default=4)
+    args = ap.parse_args()
+
+    files = args.files or sorted(glob.glob(str(REPO / "tests" / "test_*.py")))
+    n = min(args.shards, len(files))
+    w = _weights(files)
+    shards = _lpt(files, w, n)
+    cpus = max(32 // max(n, 1), 4)
+
+    print(
+        f"partest: {len(files)} files -> {len(shards)} shards, "
+        f"{cpus} spark threads each "
+        f"(planned: {[round(sum(w[f] for f in s)) for s in shards]}s)"
+    )
+    t0 = time.time()
+    procs = []
+    for i, shard in enumerate(shards):
+        xml_out = f"/tmp/partest_{os.getpid()}_{i}.xml"
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_DRIVER_MEMORY="4g",
+        )
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", "-q", "--no-header",
+             f"--junitxml={xml_out}", *shard],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        procs.append((p, shard, xml_out))
+
+    failed = False
+    durations = {}
+    if DURATIONS.exists():
+        try:
+            durations = json.load(open(DURATIONS))
+        except Exception:
+            durations = {}
+    total = {"passed": 0, "failed": 0, "skipped": 0}
+    for i, (p, shard, xml_out) in enumerate(procs):
+        out, _ = p.communicate()
+        tail = "\n".join(out.strip().splitlines()[-6:])
+        status = "OK" if p.returncode == 0 else f"FAIL rc={p.returncode}"
+        print(f"--- shard {i} ({len(shard)} files): {status}\n{tail}\n")
+        if p.returncode != 0:
+            failed = True
+        try:
+            root = ET.parse(xml_out).getroot()
+            suite = root if root.tag == "testsuite" else root[0]
+            total["failed"] += int(suite.get("failures", 0)) + int(
+                suite.get("errors", 0)
+            )
+            total["skipped"] += int(suite.get("skipped", 0))
+            total["passed"] += (
+                int(suite.get("tests", 0))
+                - int(suite.get("failures", 0))
+                - int(suite.get("errors", 0))
+                - int(suite.get("skipped", 0))
+            )
+            per_file: dict[str, float] = {}
+            for case in suite.iter("testcase"):
+                src = case.get("classname", "").replace(".", "/") + ".py"
+                per_file[src] = per_file.get(src, 0.0) + float(
+                    case.get("time", 0)
+                )
+            for src, secs in per_file.items():
+                if (REPO / src).exists():
+                    durations[src] = round(secs, 2)
+        except Exception as e:  # junit parse is best-effort bookkeeping
+            print(f"  (shard {i}: no junit record: {e})")
+        finally:
+            Path(xml_out).unlink(missing_ok=True)
+
+    if not args.files:  # only self-tune on full-suite runs
+        json.dump(durations, open(DURATIONS, "w"), indent=1, sort_keys=True)
+    wall = round(time.time() - t0, 1)
+    print(
+        f"partest: {total['passed']} passed, {total['failed']} failed, "
+        f"{total['skipped']} skipped in {wall}s wall"
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
