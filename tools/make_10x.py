@@ -41,13 +41,20 @@ def build(out_dir: str, tables: list[str]) -> None:
             off = con.sql(
                 f"SELECT max(doc_id) + 1 FROM '{src}'"
             ).fetchone()[0]
+            # ROW_GROUP_SIZE: DuckDB's default writes this table as ONE
+            # row group, and a single row group is unsplittable — every
+            # Spark scan (and the CPU-heavy explode stages fused above
+            # it) collapses to 1 task no matter what maxPartitionBytes
+            # says (r10 finding: tx29's 10x wall was 30/32 cores idle).
+            # Production corpora are many-file; bounded row groups make
+            # the fixture's layout honest about that.
             q = f"""
             COPY (
               SELECT doc_id + k * {off} AS doc_id,
                      text || ' c' || k AS text,
                      lang, source, n_chars + 3 AS n_chars
               FROM '{src}', range(0, 10) r(k)
-            ) TO '{dst}' (FORMAT PARQUET)
+            ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
             """
         elif t == "embeddings":
             cols = [
