@@ -232,6 +232,20 @@ HEADLINE = [
     "i13_late_arriving_dim",
     # content-defined chunking: candidate fan-out + doc-keyed lead
     "mm6_cdc_chunks",
+    # Gini: x76's integer revenue agg + bucketed global rank
+    "x82_gini_concentration",
+    # cluster-quality audit: one component shuffle + matrix-sized joins
+    "ann26_label_centroid_quality",
+    # prefix dedup: two md5s map-side, one 16-byte-key agg
+    "dd20_prefix_dedup",
+    # AMS F2: (source, token) count agg -> 8 signed sums per source
+    "hh8_ams_f2",
+    # bitemporal AS-OF: one PK-keyed join, two interval residuals
+    "i14_bitemporal_asof",
+    # backlog aging: pushed status filter + tiny grid agg
+    "x83_backlog_aging",
+    # centroid confusion: broadcast matrix + vec-keyed argmax window
+    "ann27_centroid_confusion",
 ]
 
 
@@ -361,35 +375,46 @@ def main():
         "sf": sf,
         "pipeline_e2e_rows_per_sec": round(sum(counts.values()) / e2e),
     }
-    # Shared-slot comparison vs the previous round's recorded bench:
-    # with a growing headline list the TOTAL reads as a regression every
-    # round, so the primary round-over-round signal is the sum over the
-    # slot intersection (r9 verdict). prev=last round's sum over shared
-    # slots, curr=this run's sum over the same slots.
+    # Shared-slot comparison vs the previous recorded bench: with a
+    # growing headline list the TOTAL reads as a regression every
+    # round, so the primary round-over-round signal is the sum over
+    # the slot intersection (r9 verdict). The per-query map of the
+    # PREVIOUS round lives in the last COMMITTED BENCH_DETAIL.json
+    # (the BENCH_r*.json stdout records may have dropped their query
+    # maps to fit the driver's line budget), so read it from git HEAD;
+    # fall back to the newest BENCH_r*.json that still carries one.
     import glob
     import re as _re
+    import subprocess
 
-    benches = sorted(
-        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
-        key=lambda p: int(_re.search(r"r(\d+)", Path(p).name).group(1)),
-    )
-    if benches:
-        try:
-            prev = json.load(open(benches[-1]))
-            pq = prev.get("queries") or {}
-            shared = sorted(set(pq) & set(timings))
-            result["shared_prev_sec"] = round(
-                sum(pq[q] for q in shared), 3
+    pq = {}
+    try:
+        prev = json.loads(
+            subprocess.check_output(
+                ["git", "show", "HEAD:BENCH_DETAIL.json"],
+                cwd=Path(__file__).resolve().parent,
+                stderr=subprocess.DEVNULL,
             )
-            result["shared_curr_sec"] = round(
-                sum(timings[q] for q in shared), 3
-            )
-            result["shared_n"] = len(shared)
-            result["shared_prev_round"] = int(
-                _re.search(r"r(\d+)", Path(benches[-1]).name).group(1)
-            )
-        except Exception:
-            pass  # a malformed prior record must not sink this run
+        )
+        pq = prev.get("queries") or {}
+    except Exception:
+        for b in sorted(
+            glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
+            key=lambda p: -int(_re.search(r"r(\d+)", Path(p).name).group(1)),
+        ):
+            try:
+                pq = json.load(open(b)).get("queries") or {}
+            except Exception:
+                continue
+            if pq:
+                break
+    if pq:
+        shared = sorted(set(pq) & set(timings))
+        result["shared_prev_sec"] = round(sum(pq[q] for q in shared), 3)
+        result["shared_curr_sec"] = round(
+            sum(timings[q] for q in shared), 3
+        )
+        result["shared_n"] = len(shared)
     # The driver captures only a ~2000-char stdout TAIL: the one-line
     # result JSON must stay under that or it is recorded truncated
     # (BENCH_r06.json parsed as null). Per-run spreads go to a side

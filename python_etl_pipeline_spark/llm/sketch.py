@@ -294,3 +294,69 @@ def kmv_estimate(sk: DataFrame, keys: list[str], hv: str = "hv", k: int = KMV_K)
             "nh",
         )
     )
+
+
+# ------------------------------------------------------------------ Bloom
+# 256-bit / 4-hash Bloom filter over a keyed vocabulary, represented as
+# the SET of occupied bit positions (<= 256 ints per key) — a union
+# monoid like the LC bitmap, so shard/batch sketches merge by DISTINCT.
+BLOOM_M = 256
+BLOOM_K = 4
+
+
+def bloom_pos(col: Column, j: int, m: int = BLOOM_M) -> Column:
+    """Hash j's bit position for a token column: first 4 md5 hex chars
+    of 'bf<j>|' || token, mod m — the arithmetic both engines replay."""
+    from .dedup import _hexint
+
+    return (_hexint(F.md5(F.concat(F.lit(f"bf{j}|"), col)), 4) % m).cast(
+        "int"
+    )
+
+
+def bloom_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "source",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(key, pos) — the occupied-position set for each key's token
+    vocabulary. One explode + k map-side hashes + a distinct; the only
+    data-sized stage is the vocabulary distinct."""
+    toks = df.select(
+        key_col,
+        F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"),
+    ).distinct()
+    return (
+        toks.select(
+            key_col,
+            F.explode(
+                F.array(*[bloom_pos(F.col("tok"), j) for j in range(k)])
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    occupied: DataFrame,
+    probes: list[str],
+    key_col: str = "source",
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(key, probe, bloom_hit) — membership answers served from the
+    occupied-position state (folded or single-batch). The per-key bit
+    set collects to <= BLOOM_M ints; the probe grid is keys x probes."""
+    bits = occupied.groupBy(key_col).agg(F.collect_set("pos").alias("bits"))
+    grid = bits.select(
+        key_col, "bits",
+        F.explode(F.array(*[F.lit(t) for t in probes])).alias("probe"),
+    )
+    hit = None
+    for j in range(k):
+        c = F.array_contains("bits", bloom_pos(F.col("probe"), j))
+        hit = c if hit is None else (hit & c)
+    return grid.select(
+        key_col, "probe",
+        F.when(hit, 1).otherwise(0).cast("bigint").alias("bloom_hit"),
+    )

@@ -158,3 +158,70 @@ def rolling_active_users(ud: DataFrame, window_days: int = 7) -> DataFrame:
         F.col("wau").cast("bigint").alias("wau"),
         F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_partials(df: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts") -> DataFrame:
+    """Per-user RFM state: (user, last_ts, freq, mon_cents) — a
+    (max, sum, sum) monoid, so per-batch partials fold exactly into
+    the full-history values (the streaming twin's state rows)."""
+    pur = F.col("event_type") == "purchase"
+    # cents are rounded PER EVENT, then summed as exact integers — a
+    # true monoid (round-of-batch-sums is NOT: sum-of-rounds drifts
+    # when a batch boundary splits sub-cent residue), and immune to
+    # float summation order across engines and batchings.
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return df.groupBy(user_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.when(pur, 1)).alias("freq"),
+        F.coalesce(F.sum(F.when(pur, cents)), F.lit(0))
+        .cast("bigint").alias("mon_cents"),
+    )
+
+
+def rfm_fold(partials: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Merge RFM partials (max, sum, sum) — batch-state fold."""
+    return partials.groupBy(user_col).agg(
+        F.max("last_ts").alias("last_ts"),
+        F.sum("freq").alias("freq"),
+        F.sum("mon_cents").alias("mon_cents"),
+    )
+
+
+def rfm_scores(state: DataFrame, ref: str,
+               user_col: str = "user_id") -> DataFrame:
+    """Quintile-score folded RFM state against the population's
+    20/40/60/80th percentiles — boundary broadcast, never ntile()
+    (single-partition funnel at scale). Shared verbatim between the
+    x80 batch query and the streaming serve path."""
+    m = state.select(
+        user_col,
+        F.datediff(F.lit(ref).cast("timestamp"), F.col("last_ts"))
+        .cast("bigint").alias("r_days"),
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("mon_cents").cast("bigint").alias("mon_cents"),
+    )
+    b = m.agg(
+        *[
+            F.percentile(F.col(c), F.lit(q)).alias(f"{c[0]}q{i}")
+            for c in ("r_days", "freq", "mon_cents")
+            for i, q in enumerate(RFM_QS)
+        ]
+    )
+
+    def score(col: str, pfx: str, invert: bool):
+        n = sum(
+            F.when(F.col(col) > F.col(f"{pfx}q{i}"), 1).otherwise(0)
+            for i in range(len(RFM_QS))
+        )
+        return (5 - n if invert else 1 + n).cast("bigint")
+
+    return m.crossJoin(F.broadcast(b)).select(
+        user_col, "r_days", "freq", "mon_cents",
+        score("r_days", "r", True).alias("r_score"),
+        score("freq", "f", False).alias("f_score"),
+        score("mon_cents", "m", False).alias("m_score"),
+    )

@@ -116,25 +116,29 @@ _GATE_PREFIX = [
     "hh7_bloom_membership",
     "i13_late_arriving_dim",
     "mm6_cdc_chunks",
-    # (3) rotation (13), oldest last-driver-row first: the head of the
-    # remaining last=r5 cohort (s5/st2/st3/tx15 + the oldest x-series
-    # members displaced from the r9 gate). The 10 new queries above
-    # displaced the tail of this cohort (x14/x15/x16/x17/x19/x20/x30/
-    # x31/x33 and a0) — displaced members carry r5/r6 rows and are due
-    # round 11, within horizon.
+    # second wave: Gini concentration (prefix-rank engine reuse), the
+    # labeled-centroid cluster-quality audit, shared-prefix boilerplate
+    # detection, and the AMS F2 sketch contract.
+    "x82_gini_concentration",
+    "ann26_label_centroid_quality",
+    "dd20_prefix_dedup",
+    "hh8_ams_f2",
+    # third wave: the bitemporal (two-clock) AS-OF join, backlog aging
+    # buckets, and the nearest-centroid confusion matrix.
+    "i14_bitemporal_asof",
+    "x83_backlog_aging",
+    "ann27_centroid_confusion",
+    # (3) rotation (6), oldest last-driver-row first: the head of the
+    # remaining last=r5 cohort (s5/st2/st3/tx15/x2/x3). The 17 new
+    # queries above displaced the cohort tail (x4/x5/x7/x8/x9/x12/x13/
+    # x14/x15/x16/x17/x19/x20/x30/x31/x33 and a0) — displaced members
+    # carry r5/r6 rows and are due round 11, within horizon.
     "s5_jdbc_partitioned",
     "st2_session_window",
     "st3_sliding_window",
     "tx15_gopher_rules",
     "x2_rollup",
     "x3_cube",
-    "x4_outlier_flag",
-    "x5_asof_join",
-    "x7_group_zscore",
-    "x8_unpivot",
-    "x9_resample_ffill",
-    "x12_stratified_sample",
-    "x13_json_extract",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -1928,3 +1928,224 @@ def ann25_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ann25_range_search"].sql = _ANN25_SQL.format(comp=_DUCK_COMP)
+
+
+_ANN26_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, avg(v) AS cv FROM comp GROUP BY 1, 2
+),
+cnorm AS (
+  SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1
+),
+memdot AS (
+  SELECT c.vec_id, c.label,
+         sum(c.v * ct.cv) AS dot,
+         sqrt(sum(c.v * c.v)) AS vn
+  FROM comp c JOIN cent ct ON ct.label = c.label AND ct.i = c.i
+  GROUP BY 1, 2
+),
+cohesion AS (
+  SELECT m.label, count(*) AS n,
+         avg(m.dot / (m.vn * cn.cn)) AS coh
+  FROM memdot m JOIN cnorm cn ON cn.label = m.label
+  GROUP BY 1
+),
+cc AS (
+  SELECT a.label AS la, b.label AS lb,
+         sum(a.cv * b.cv) AS dot
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+),
+sep AS (
+  SELECT cc.la AS label,
+         max(cc.dot / (na.cn * nb.cn)) AS max_other
+  FROM cc JOIN cnorm na ON na.label = cc.la
+          JOIN cnorm nb ON nb.label = cc.lb
+  GROUP BY 1
+)
+SELECT c.label, cast(c.n AS BIGINT) AS n_members,
+       round(c.coh, 4) AS cohesion,
+       round(s.max_other, 4) AS max_other_centroid_cos,
+       cast(CASE WHEN c.coh > s.max_other THEN 1 ELSE 0 END AS BIGINT)
+         AS separated
+FROM cohesion c JOIN sep s ON s.label = c.label
+"""
+
+
+@register("ann26_label_centroid_quality", _ANN26_SQL, first_round=10)
+def ann26_label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster-quality audit over the LABELED corpus:
+    per label, the member count, COHESION (mean cosine of members to
+    their own label centroid) and SEPARATION (max cosine between this
+    centroid and any other), with a per-label separated flag — the
+    silhouette-style health check a curation pipeline runs after
+    retraining an embedder or ingesting a new source, answering "are
+    the classes still tight and apart" from one scan plus
+    label-matrix-sized joins.
+
+    Plan shape: one posexplode feeds a (label, dim) mean agg — the
+    centroid matrix is |labels| x dims and everything downstream
+    (centroid norms, the centroid-centroid cosine grid, the
+    separation max) is matrix-sized. Member-to-centroid cosines join
+    the component stream to the BROADCAST centroid matrix keyed on
+    (label, dim) and fold per vector — one corpus-sized shuffle
+    total. No k-means training: labels are data, so the audit is
+    deterministic and oracle-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("i0", "v"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
+    cent = comp.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn")
+    )
+    memdot = (
+        comp.join(
+            F.broadcast(cent.withColumnRenamed("label", "clabel")),
+            (F.col("clabel") == F.col("label"))
+            & (cent["i"] == comp["i"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+    )
+    cohesion = (
+        memdot.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("dot") / (F.col("vn") * F.col("cn"))).alias(
+                "coh"
+            ),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("cv").alias("av")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "i", F.col("cv").alias("bv")
+    )
+    cc = (
+        a.join(b, ["i"])
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+    )
+    na = cnorm.select(F.col("label").alias("la"), F.col("cn").alias("can"))
+    nb = cnorm.select(F.col("label").alias("lb"), F.col("cn").alias("cbn"))
+    sep = (
+        cc.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.max(F.col("dot") / (F.col("can") * F.col("cbn"))).alias(
+            "max_other"
+        ))
+    )
+    return (
+        cohesion.join(sep, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_members"),
+            F.round("coh", 4).alias("cohesion"),
+            F.round("max_other", 4).alias("max_other_centroid_cos"),
+            F.when(F.col("coh") > F.col("max_other"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("separated"),
+        )
+    )
+
+
+_ANN27_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, i, avg(v) AS cv FROM comp GROUP BY 1, 2
+),
+cnorm AS (SELECT clabel, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+scored AS (
+  SELECT c.vec_id, c.label, ct.clabel,
+         sum(c.v * ct.cv) AS dot,
+         sqrt(sum(c.v * c.v)) AS vn
+  FROM comp c JOIN cent ct ON ct.i = c.i
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT s.vec_id, s.label, s.clabel,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY s.dot / (s.vn * n.cn) DESC, s.clabel) AS rnk
+  FROM scored s JOIN cnorm n ON n.clabel = s.clabel
+)
+SELECT label AS true_label, clabel AS pred_label,
+       cast(count(*) AS BIGINT) AS n
+FROM ranked WHERE rnk = 1
+GROUP BY 1, 2
+"""
+
+
+@register("ann27_centroid_confusion", _ANN27_SQL, first_round=10)
+def ann27_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix: every vector is
+    assigned to its max-cosine LABEL centroid (tie-break: smaller
+    label) and the (true, predicted) grid is counted — the one-scan
+    "is the embedding space linearly usable" audit that complements
+    ann26's geometry numbers with an actual classification outcome;
+    diagonal mass = nearest-centroid accuracy, off-diagonal cells name
+    WHICH classes bleed into each other (the label-noise shortlist a
+    curation pass reviews first).
+
+    Plan shape: the centroid matrix is |labels| x dims (one component
+    agg) and BROADCASTS into the scoring join, which folds |labels|
+    cosines per vector in one pass; the argmax is a vec_id-keyed
+    row_number window (group-limited), and the confusion grid is a
+    final |labels|^2-bounded agg. One corpus-sized shuffle total —
+    training-free, so the whole audit is oracle-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("i0", "v"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "v")
+    cent = comp.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.avg("v").alias("cv")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cn")
+    )
+    scored = (
+        comp.join(F.broadcast(cent), ["i"])
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(F.col("v") * F.col("cv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("dot") / (F.col("vn") * F.col("cn"))).desc(), "clabel"
+    )
+    ranked = scored.join(F.broadcast(cnorm), "clabel").withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .groupBy(
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

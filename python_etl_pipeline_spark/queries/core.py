@@ -1992,3 +1992,94 @@ def i13_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inferred"),
     )
+
+
+_I14_SQL = """
+WITH dim AS (
+  -- recorded at tx 1: every customer, original segment, open-ended in
+  -- both business time and transaction time; corrected keys close at tx 2
+  SELECT c_custkey, c_mktsegment AS attr,
+         1 AS valid_from, CAST(NULL AS INT) AS valid_to,
+         1 AS tx_from,
+         CASE WHEN c_custkey % 7 = 0 THEN 2 END AS tx_to
+  FROM customer
+  UNION ALL
+  -- the tx-2 correction: same business validity, new attribute
+  SELECT c_custkey, 'CORRECTED', 1, CAST(NULL AS INT), 2, CAST(NULL AS INT)
+  FROM customer WHERE c_custkey % 7 = 0
+),
+f AS (
+  SELECT o_orderkey, o_custkey,
+         1 + (o_orderkey // 10) % 2 AS as_of_tx, 1 AS as_of_valid
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT f.o_orderkey, f.o_custkey,
+       cast(f.as_of_tx AS BIGINT) AS as_of_tx, d.attr
+FROM f JOIN dim d
+  ON d.c_custkey = f.o_custkey
+ AND d.tx_from <= f.as_of_tx AND (d.tx_to IS NULL OR f.as_of_tx < d.tx_to)
+ AND d.valid_from <= f.as_of_valid
+ AND (d.valid_to IS NULL OR f.as_of_valid < d.valid_to)
+"""
+
+
+@register("i14_bitemporal_asof", _I14_SQL, first_round=10)
+def i14_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF join — the two-clock extension of i7: each
+    dimension row carries BUSINESS validity (valid_from/valid_to) AND
+    TRANSACTION (record) time (tx_from/tx_to), so the query answers
+    "what did we BELIEVE at tx time T about business time B". Facts
+    stamped as_of_tx=1 see the ORIGINAL attribute even for keys later
+    corrected (time travel ignores corrections recorded after T — the
+    audit/reproducibility property a plain SCD2 history cannot give,
+    because a correction OVERWRITES the belief history); facts at
+    as_of_tx=2 see the correction. Corrections here: every 7th
+    customer's segment re-recorded at tx 2 with unchanged business
+    validity.
+
+    Plan shape: i7's economics exactly — the join keys on the PK
+    equality alone and both interval predicates ride as join
+    residuals, so history depth and correction count never change the
+    shuffle (one PK-keyed exchange); the dimension build is two
+    map-side projections unioned. Reference analog: src/load.py's
+    staged upsert destroys this distinction — the engine keeps it as a
+    first-class query."""
+    c = _t(spark, sf_dir, "customer")
+    orig = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(1).alias("tx_from"),
+        F.when(F.col("c_custkey") % 7 == 0, 2).alias("tx_to"),
+    )
+    corr = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("CORRECTED").alias("attr"),
+        F.lit(1).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(2).alias("tx_from"),
+        F.lit(None).cast("int").alias("tx_to"),
+    )
+    dim = orig.unionByName(corr)
+    f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey",
+            # ok % 10 == 0 keys are all even, so parity of ok itself
+            # would pin every fact at tx 1 — stamp by decade parity
+            (1 + (F.col("o_orderkey") / 10).cast("bigint") % 2)
+            .cast("bigint").alias("as_of_tx"),
+            F.lit(1).alias("as_of_valid"),
+        )
+    )
+    j = f.join(
+        dim,
+        (dim.c_custkey == f.o_custkey)
+        & (dim.tx_from <= f.as_of_tx)
+        & (dim.tx_to.isNull() | (f.as_of_tx < dim.tx_to))
+        & (dim.valid_from <= f.as_of_valid)
+        & (dim.valid_to.isNull() | (f.as_of_valid < dim.valid_to)),
+    )
+    return j.select("o_orderkey", "o_custkey", "as_of_tx", "attr")

@@ -1200,3 +1200,48 @@ def dd19_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         )
     )
+
+
+_DD20_PREFIX = 64  # chars of leading boilerplate keyed on
+
+_DD20_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(substring(text, 1, {_DD20_PREFIX})) AS prefix_hash,
+         md5(text) AS full_hash
+  FROM documents
+)
+SELECT prefix_hash,
+       min(doc_id) AS keep_id,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(DISTINCT full_hash) AS BIGINT) AS n_variants
+FROM p GROUP BY 1
+"""
+
+
+@register("dd20_prefix_dedup", _DD20_SQL, first_round=10)
+def dd20_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix (boilerplate) detection: documents grouped by the
+    hash of their first {n} characters, with the count of distinct
+    FULL texts inside each prefix group — the crawl-cleanup signal for
+    template families (same header/nav/license block, different body:
+    n_docs high, n_variants high) vs true duplicates (n_variants = 1),
+    which neither dd1 (whole-text identity) nor dd2 (global
+    similarity) isolates as a prefix phenomenon.
+
+    Plan shape: one map-side projection (two md5s over a bounded
+    prefix + the text) and one hash agg on the 16-byte prefix key;
+    the distinct-variant count is a partial-aggregated
+    count(DISTINCT) on 16-byte hashes — document text never crosses
+    the exchange. dd1 economics with a two-level key."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, _DD20_PREFIX)).alias("prefix_hash"),
+        F.md5("text").alias("full_hash"),
+    )
+    return p.groupBy("prefix_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("full_hash").cast("bigint").alias("n_variants"),
+    )

@@ -678,56 +678,118 @@ def hh7_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_contains on the broadcast-sized (sources x probes) grid.
     The only data-sized stage is the vocabulary distinct; the sketch
     union is a set-union monoid (mergeable across shards/batches like
-    hh1-hh6)."""
-    from ..llm.dedup import _hexint
+    hh1-hh6 — llm/sketch.py's bloom_* algebra is shared verbatim with
+    the streaming twin stream_bloom_available_now)."""
+    from ..llm.sketch import bloom_positions, bloom_probe
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
-    ).distinct()
-
-    def pos(col: F.Column, j: int) -> F.Column:
-        return (
-            _hexint(F.md5(F.concat(F.lit(f"bf{j}|"), col)), 4)
-            % _HH7_M
-        ).cast("int")
-
-    occupied = (
-        toks.select(
+    occupied = bloom_positions(d, "text", "source", k=_HH7_K)
+    answered = bloom_probe(occupied, _HH7_PROBES, "source", k=_HH7_K)
+    member = (
+        d.select(
             "source",
-            F.explode(
-                F.array(*[pos(F.col("tok"), j) for j in range(_HH7_K)])
-            ).alias("pos"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("probe"),
         )
         .distinct()
-    )
-    bits = occupied.groupBy("source").agg(
-        F.collect_set("pos").alias("bits")
-    )
-    probes = F.explode(
-        F.array(*[F.lit(t) for t in _HH7_PROBES])
-    ).alias("probe")
-    grid = bits.select("source", "bits", probes)
-    member = (
-        toks.withColumnRenamed("tok", "probe")
         .withColumn("member", F.lit(1).cast("bigint"))
-        .distinct()
     )
-    hit = None
-    for j in range(_HH7_K):
-        c = F.array_contains("bits", pos(F.col("probe"), j))
-        hit = c if hit is None else (hit & c)
     return (
-        grid.join(member, ["source", "probe"], "left")
+        answered.join(member, ["source", "probe"], "left")
         .select(
             "source", "probe",
             F.coalesce(F.col("member"), F.lit(0)).cast("bigint").alias(
                 "member"
             ),
-            F.when(hit, 1).otherwise(0).cast("bigint").alias("bloom_hit"),
+            "bloom_hit",
         )
     )
 
 
 REGISTRY["hh7_bloom_membership"].sql = _hh7_sql()
+
+
+_HH8_S = 8  # AMS sign functions
+
+
+def _hh8_sql() -> str:
+    from ..llm.dedup import _hexint_sql
+
+    # sign_j(tok) = +1 if the low bit of md5('ams<j>|' || tok) is 0
+    def sgn(j: int) -> str:
+        h = _hexint_sql(f"md5('ams{j}|' || tok)", 1)
+        return f"(CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END)"
+
+    sketches = ", ".join(
+        f"sum(c * {sgn(j)}) AS sk{j}" for j in range(_HH8_S)
+    )
+    squares = " + ".join(f"(sk{j} * sk{j})" for j in range(_HH8_S))
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+sk AS (SELECT source, {sketches} FROM tf GROUP BY 1),
+exact AS (SELECT source, sum(c * c) AS f2 FROM tf GROUP BY 1)
+SELECT sk.source,
+       cast(exact.f2 AS BIGINT) AS f2_exact,
+       -- integer floor-division: cast(double AS BIGINT) ROUNDS in
+       -- DuckDB but TRUNCATES in Spark — `//` on exact ints matches
+       -- Spark's (sum / 8).cast('bigint') for the positive F2 sums
+       cast(({squares}) // {_HH8_S} AS BIGINT) AS f2_est,
+       round(abs(({squares}) / {_HH8_S}e0 - exact.f2) / exact.f2, 4)
+         AS rel_error
+FROM sk JOIN exact ON exact.source = sk.source
+"""
+
+
+@register("hh8_ams_f2", None, first_round=10)
+def hh8_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch with
+    its exact contract: F2 = sum of squared token frequencies per
+    source — the "repeat skew" statistic behind self-join size
+    estimation and heavy-hitter variance — estimated from 8 signed
+    counters (sign_j from md5 parity, sketch_j = sum c*sign_j, est =
+    mean of sketch^2) next to the exact value and the relative error,
+    completing the sketch family: CM (point counts), HLL/LC/KMV
+    (distinct), log-bins (quantiles), Bloom (membership), AMS (F2).
+
+    Plan shape: one token explode -> (source, token) count agg -> the
+    8 signed sums fold in ONE source-keyed agg (the sketch is 8 ints
+    per source — a SUM monoid, mergeable across shards like every
+    hh sketch); the exact side shares the same count agg. All
+    arithmetic is exact 64-bit (counts x +-1, squares of token-count
+    sums) — zero float divergence surface except the displayed
+    error ratio."""
+    from ..llm.dedup import _hexint
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def sgn(j: int):
+        par = _hexint(F.md5(F.concat(F.lit(f"ams{j}|"), F.col("tok"))), 1) % 2
+        return F.when(par == 0, 1).otherwise(-1)
+
+    agg = tf.groupBy("source").agg(
+        *[F.sum(F.col("c") * sgn(j)).alias(f"sk{j}") for j in range(_HH8_S)],
+        F.sum(F.col("c") * F.col("c")).alias("f2"),
+    )
+    sq = sum(F.col(f"sk{j}") * F.col(f"sk{j}") for j in range(_HH8_S))
+    return agg.select(
+        "source",
+        F.col("f2").cast("bigint").alias("f2_exact"),
+        (sq / _HH8_S).cast("bigint").alias("f2_est"),
+        F.round(
+            F.abs(sq / F.lit(float(_HH8_S)) - F.col("f2")) / F.col("f2"), 4
+        ).alias("rel_error"),
+    )
+
+
+REGISTRY["hh8_ams_f2"].sql = _hh8_sql()

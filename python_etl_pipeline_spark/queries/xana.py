@@ -3223,8 +3223,9 @@ WITH m AS (
                    TIMESTAMP '{_X80_REF}') AS r_days,
          cast(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
            AS freq,
-         cast(round(coalesce(
-           sum(value) FILTER (WHERE event_type = 'purchase'), 0) * 100)
+         cast(coalesce(
+           sum(cast(round(value * 100) AS BIGINT))
+             FILTER (WHERE event_type = 'purchase'), 0)
            AS BIGINT) AS mon_cents
   FROM events GROUP BY 1
 ),
@@ -3271,41 +3272,15 @@ def x80_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel at 100 TB), while the four percentile boundaries are one
     tiny all-agg row broadcast back over the user metrics, so scoring
     is a map-side CASE ladder. Metrics are exact integers (days,
-    counts, cents) so the percentile interpolation arithmetic is
-    bit-identical across engines (cross-engine float discipline)."""
+    counts, per-event-rounded cents summed as ints) so the percentile
+    interpolation arithmetic is bit-identical across engines AND the
+    per-user state is a true (max, sum, sum) monoid — the same
+    operators/aggregate.py algebra the streaming twin
+    (stream_rfm_available_now) folds from its batch state."""
+    from ..operators.aggregate import rfm_partials, rfm_scores
+
     e = _t(spark, sf_dir, "events")
-    pur = F.col("event_type") == "purchase"
-    m = e.groupBy("user_id").agg(
-        F.datediff(
-            F.lit(_X80_REF).cast("timestamp"), F.max("ts")
-        ).cast("bigint").alias("r_days"),
-        F.count(F.when(pur, 1)).alias("freq"),
-        F.round(
-            F.coalesce(F.sum(F.when(pur, F.col("value"))), F.lit(0.0))
-            * 100
-        ).cast("bigint").alias("mon_cents"),
-    )
-    b = m.agg(
-        *[
-            F.percentile(F.col(c), F.lit(q)).alias(f"{c[0]}q{i}")
-            for c in ("r_days", "freq", "mon_cents")
-            for i, q in enumerate(_X80_QS)
-        ]
-    )
-
-    def score(col: str, pfx: str, invert: bool) -> F.Column:
-        n = sum(
-            F.when(F.col(col) > F.col(f"{pfx}q{i}"), 1).otherwise(0)
-            for i in range(len(_X80_QS))
-        )
-        return (5 - n if invert else 1 + n).cast("bigint")
-
-    return m.crossJoin(F.broadcast(b)).select(
-        "user_id", "r_days", "freq", "mon_cents",
-        score("r_days", "r", True).alias("r_score"),
-        score("freq", "f", False).alias("f_score"),
-        score("mon_cents", "m", False).alias("m_score"),
-    )
+    return rfm_scores(rfm_partials(e), _X80_REF)
 
 
 _X81_ALPHA = 0.3  # smoothing weight on the newest observation
@@ -3393,4 +3368,130 @@ def x81_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day",
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("xw") / F.col("nw"), 4).alias("ewma"),
+    )
+
+
+_X82_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         sum(cast(round(l_extendedprice * 100) AS BIGINT)
+             * cast(round(100 - l_discount * 100) AS BIGINT)) AS rc
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT rc, row_number() OVER (ORDER BY rc, partkey) AS i FROM rev
+),
+agg AS (
+  SELECT count(*) AS n, sum(rc) AS s0, sum(i * rc) AS s1 FROM ranked
+)
+SELECT cast(n AS BIGINT) AS n_parts,
+       round((2e0 * s1) / (n * s0) - (n + 1e0) / n, 6) AS gini
+FROM agg
+"""
+
+
+@register("x82_gini_concentration", _X82_SQL, first_round=10)
+def x82_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across the part
+    catalog — the scalar summary of x76's ABC curve (0 = revenue
+    spread evenly, ->1 = a few parts carry everything), the number a
+    curation pipeline tracks per snapshot to watch source/revenue
+    concentration drift without shipping the whole Lorenz curve.
+    Computed by the rank identity G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n
+    over ascending-revenue ranks.
+
+    Plan shape: the fact scan collapses to the part-keyed exact
+    integer revenue agg (x76's), then the global ascending rank rides
+    the sequence engine's bucketed decomposition
+    (``with_global_sequence`` — O(buckets) driver offsets, per-bucket
+    windows, NO single-partition exchange even though the rank is
+    global), and the identity folds in one tiny final agg. i*x_i
+    products are exact in 64-bit well past 10^5 parts x 10^12 cents;
+    the only float is the final two-division identity, rounded."""
+    from ..operators.sequence import with_global_sequence
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round(100 - F.col("l_discount") * 100).cast("bigint")
+        ).alias("rc")
+    )
+    rev = rev.localCheckpoint(eager=False)
+    ranked = with_global_sequence(rev, ["rc", "partkey"], name="i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s0"),
+        F.sum(F.col("i") * F.col("rc")).alias("s1"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("bigint").alias("n_parts"),
+        F.round(
+            (2.0 * F.col("s1")) / (n * F.col("s0"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+_X83_REF = "1998-08-02 00:00:00"  # aging anchor (TPC-H's traditional cutoff)
+
+_X83_SQL = f"""
+WITH open_orders AS (
+  SELECT o_orderkey, o_orderpriority,
+         date_diff('day', o_orderdate, TIMESTAMP '{_X83_REF}') AS age_days
+  FROM orders WHERE o_orderstatus <> 'F'
+),
+b AS (
+  SELECT o_orderpriority,
+         CASE WHEN age_days < 365 THEN '0-1y'
+              WHEN age_days < 730 THEN '1-2y'
+              WHEN age_days < 1460 THEN '2-4y'
+              ELSE '4y+' END AS age_bucket,
+         age_days
+  FROM open_orders
+)
+SELECT o_orderpriority, age_bucket,
+       cast(count(*) AS BIGINT) AS n_orders,
+       cast(max(age_days) AS BIGINT) AS oldest_days
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("x83_backlog_aging", _X83_SQL, first_round=10)
+def x83_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: every non-finalized order bucketed by
+    how long it has been open (against a fixed reference date), per
+    priority class — the operations-review matrix ("how much P1 work
+    is older than two years?") and the curation analog of "how stale
+    is the unprocessed ingest queue per priority". Bucket edges are
+    closed-open in days, computed with date_diff on both engines.
+
+    Plan shape: one pushed status filter (PushedFilters on the scan —
+    'F' rows never leave parquet), map-side bucket CASE, one
+    (priority, bucket)-keyed agg with partials. Nothing else. The
+    output is at most |priorities| x 4 rows at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    age = F.datediff(
+        F.lit(_X83_REF).cast("timestamp"), F.col("o_orderdate")
+    )
+    bucket = (
+        F.when(age < 365, "0-1y")
+        .when(age < 730, "1-2y")
+        .when(age < 1460, "2-4y")
+        .otherwise("4y+")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .select(
+            "o_orderpriority",
+            bucket.alias("age_bucket"),
+            age.alias("age_days"),
+        )
+        .groupBy("o_orderpriority", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("age_days").cast("bigint").alias("oldest_days"),
+        )
     )

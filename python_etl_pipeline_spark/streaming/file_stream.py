@@ -1766,3 +1766,168 @@ def stream_rolling_active_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def bloom_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    key_col: str = "source",
+):
+    """foreachBatch sink for the incremental Bloom membership sketch —
+    hh7's operational twin: each arrival batch's per-key occupied bit
+    positions (<= 256 ints per key) land under
+    ``state_dir/batch_id=N``. The filter is a set-UNION monoid, so the
+    vocabulary-so-far sketch folds by DISTINCT over state rows — a
+    "might shard X contain token T" monitor over a growing corpus
+    never rescans document history. Re-delivered batches overwrite
+    their own batch_id partition (exactly-once, same contract as the
+    other state sinks)."""
+    import os
+
+    from ..llm.sketch import bloom_positions
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_positions(batch_df, text_col, key_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def bloom_occupied_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(key, pos) — the folded occupied-position set (union monoid)."""
+    return spark.read.parquet(state_dir).drop("batch_id").distinct()
+
+
+def compact_bloom_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = bloom_occupied_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def bloom_membership_from_state_dir(
+    spark: SparkSession, state_dir: str, probes: list[str],
+    key_col: str = "source",
+) -> DataFrame:
+    """(key, probe, bloom_hit) served from the persisted sketch — the
+    same ``bloom_probe`` algebra hh7's driver-verified batch query
+    runs; no-false-negative contract holds over any batching because
+    union never clears a bit."""
+    from ..llm.sketch import bloom_probe
+
+    return bloom_probe(
+        bloom_occupied_from_state_dir(spark, state_dir), probes, key_col
+    )
+
+
+def stream_bloom_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental Bloom membership sketch — hh7's
+    operational twin, same AvailableNow cadence as the other state
+    sinks. Batch CORRECTNESS twin: queries.hh7_bloom_membership is
+    driver-verified against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            bloom_state_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def rfm_state_batch_writer(spark: SparkSession, state_dir: str):
+    """foreachBatch sink for incremental RFM state — x80's operational
+    twin: each arrival batch's per-user (last_ts, purchase count,
+    purchase cents) partials land under ``state_dir/batch_id=N``. The
+    state is a (max, sum, sum) monoid — cents are rounded per EVENT
+    and summed as exact integers, so any batching folds to exactly the
+    full-history values (operators/aggregate.py:rfm_partials, shared
+    with the batch query). Re-delivered batches overwrite their own
+    batch_id partition."""
+    import os
+
+    from ..operators.aggregate import rfm_partials
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        rfm_partials(batch_df).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def rfm_state_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(user_id, last_ts, freq, mon_cents) — folded (max, sum, sum)."""
+    from ..operators.aggregate import rfm_fold
+
+    return rfm_fold(spark.read.parquet(state_dir).drop("batch_id"))
+
+
+def compact_rfm_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = rfm_state_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def rfm_scores_from_state_dir(
+    spark: SparkSession, state_dir: str, ref: str
+) -> DataFrame:
+    """The RFM quintile report served from persisted state — the same
+    ``rfm_scores`` algebra x80's driver-verified batch query runs."""
+    from ..operators.aggregate import rfm_scores
+
+    return rfm_scores(rfm_state_from_state_dir(spark, state_dir), ref)
+
+
+def stream_rfm_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental RFM scoring — x80's operational twin,
+    same AvailableNow cadence as the other state sinks. Batch
+    CORRECTNESS twin: queries.x80_rfm_scores is driver-verified
+    against its DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            rfm_state_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -471,3 +471,327 @@ def test_cdc_chunks_doc_keyed_plan(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+# ---------------------------------------------------------------- x82
+
+
+def test_gini_matches_pure_python(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev: dict[int, int] = {}
+    for r in li:
+        rc = round(r["l_extendedprice"] * 100) * round(
+            100 - r["l_discount"] * 100
+        )
+        rev[r["l_partkey"]] = rev.get(r["l_partkey"], 0) + rc
+    xs = [rc for _, rc in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n = len(xs)
+    s0 = sum(xs)
+    s1 = sum(i * x for i, x in enumerate(xs, 1))
+    gini = (2.0 * s1) / (n * s0) - (n + 1.0) / n
+    row = REGISTRY["x82_gini_concentration"].spark(spark, sf_dir).collect()
+    assert len(row) == 1
+    assert row[0]["n_parts"] == n
+    assert abs(row[0]["gini"] - gini) <= 5e-6
+    assert 0.0 <= row[0]["gini"] < 1.0  # non-degenerate fixture
+
+
+def test_gini_rank_is_bucketed_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x82_gini_concentration")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(__bkt" in plan
+    # only the 1-row final fold may pass a single partition
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+# -------------------------------------------------------------- ann26
+
+
+def test_label_centroid_quality_matches_pure_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            [float(x) for x in r["embedding"]]
+        )
+    cents = {
+        lab: [sum(col) / len(vs) for col in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb)
+
+    want = {}
+    for lab, vs in by_label.items():
+        coh = sum(cos(v, cents[lab]) for v in vs) / len(vs)
+        other = max(
+            cos(cents[lab], c) for l2, c in cents.items() if l2 != lab
+        )
+        want[lab] = (len(vs), coh, other, 1 if coh > other else 0)
+    got = {
+        r["label"]: r.asDict()
+        for r in REGISTRY["ann26_label_centroid_quality"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for lab, (n, coh, other, sep) in want.items():
+        g = got[lab]
+        assert g["n_members"] == n
+        assert abs(g["cohesion"] - coh) <= 5e-4
+        assert abs(g["max_other_centroid_cos"] - other) <= 5e-4
+        assert g["separated"] == sep
+    # fixture reality check only: the sf0.001 clusters are NOISY
+    # (cohesion ~0.14 vs inter-centroid ~0.18), which is exactly what
+    # the audit exists to surface — so pin that the numbers are alive
+    # (positive cohesion, a non-constant separated column is allowed
+    # to be almost all zeros here), not that the clusters are good
+    assert all(g["cohesion"] > 0 for g in got.values())
+
+
+def test_label_centroid_joins_broadcast_matrix(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann26_label_centroid_quality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
+
+
+# --------------------------------------------------------------- dd20
+
+
+def test_prefix_dedup_matches_pure_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    groups: dict[str, list] = {}
+    fulls: dict[str, set] = {}
+    for did, text in docs.items():
+        ph = hashlib.md5(text[:64].encode()).hexdigest()
+        groups.setdefault(ph, []).append(did)
+        fulls.setdefault(ph, set()).add(
+            hashlib.md5(text.encode()).hexdigest()
+        )
+    got = {
+        r["prefix_hash"]: (r["keep_id"], r["n_docs"], r["n_variants"])
+        for r in REGISTRY["dd20_prefix_dedup"].spark(spark, sf_dir).collect()
+    }
+    assert got == {
+        ph: (min(ids), len(ids), len(fulls[ph]))
+        for ph, ids in groups.items()
+    }
+    # the discrimination the op exists for: a shared prefix with a
+    # different body is n_docs > n_variants... construct it in python
+    a, b = "HEADER " * 12 + "unique body one", "HEADER " * 12 + "other body"
+    assert hashlib.md5(a[:64].encode()) .hexdigest() == hashlib.md5(
+        b[:64].encode()
+    ).hexdigest()
+
+
+def test_prefix_dedup_one_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dd20_prefix_dedup")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- hh8
+
+
+def test_ams_f2_matches_pure_python_and_is_unbiased_ish(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    tf: dict[tuple, int] = {}
+    for r in docs:
+        for tok in r["text"].strip().split():
+            tf[(r["source"], tok)] = tf.get((r["source"], tok), 0) + 1
+    sources = {s for s, _ in tf}
+    want = {}
+    for s in sources:
+        items = [(tok, c) for (s2, tok), c in tf.items() if s2 == s]
+        f2 = sum(c * c for _, c in items)
+        sks = []
+        for j in range(8):
+            sk = 0
+            for tok, c in items:
+                h = hashlib.md5(f"ams{j}|{tok}".encode()).hexdigest()[0]
+                sign = 1 if int(h, 16) % 2 == 0 else -1
+                sk += c * sign
+            sks.append(sk)
+        est = sum(x * x for x in sks) // 8
+        want[s] = (f2, est)
+    got = {
+        r["source"]: (r["f2_exact"], r["f2_est"], r["rel_error"])
+        for r in REGISTRY["hh8_ams_f2"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == sources
+    rel_errs = []
+    for s, (f2, est) in want.items():
+        assert got[s][0] == f2
+        assert got[s][1] == est
+        rel_errs.append(got[s][2])
+    # estimator sanity on this fixture: 8 sign rows keep the MEAN
+    # relative error bounded even if single sources wobble
+    assert sum(rel_errs) / len(rel_errs) < 1.0
+
+
+def test_ams_f2_single_source_keyed_fold(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hh8_ams_f2")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(source" in plan
+
+
+# ---------------------------------------------------------------- i14
+
+
+def test_bitemporal_asof_time_travel_semantics(spark, sf_dir):
+    """as_of_tx=1 sees the ORIGINAL segment even for later-corrected
+    keys; as_of_tx=2 sees CORRECTED exactly for %7 keys. Every fact
+    resolves exactly one dimension row."""
+    segs = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    facts = [
+        (r["o_orderkey"], r["o_custkey"])
+        for r in _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+        if r["o_orderkey"] % 10 == 0
+    ]
+    got = {
+        r["o_orderkey"]: (r["as_of_tx"], r["attr"])
+        for r in REGISTRY["i14_bitemporal_asof"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == {k for k, _ in facts}
+    corrected_seen = original_seen = 0
+    for ok, ck in facts:
+        tx = 1 + (ok // 10) % 2
+        want = (
+            "CORRECTED" if (tx == 2 and ck % 7 == 0) else segs[ck]
+        )
+        assert got[ok] == (tx, want), (ok, ck)
+        if tx == 1 and ck % 7 == 0:
+            original_seen += 1  # time travel ignored the correction
+        if tx == 2 and ck % 7 == 0:
+            corrected_seen += 1
+    assert original_seen > 0 and corrected_seen > 0
+
+
+def test_bitemporal_join_is_pk_keyed(spark, sf_dir):
+    """Both interval predicates ride as join residuals on one PK-keyed
+    join — no cartesian, no range partitioning."""
+    plan = _plan(spark, sf_dir, "i14_bitemporal_asof")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------- x83
+
+
+def test_backlog_aging_matches_pure_python(spark, sf_dir):
+    from datetime import datetime
+
+    ref = datetime(1998, 8, 2)
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority", "o_orderdate")
+        .collect()
+    )
+    want: dict[tuple, list] = {}
+    for r in rows:
+        if r["o_orderstatus"] == "F":
+            continue
+        age = (ref.date() - r["o_orderdate"].date()).days
+        b = (
+            "0-1y" if age < 365
+            else "1-2y" if age < 730
+            else "2-4y" if age < 1460
+            else "4y+"
+        )
+        want.setdefault((r["o_orderpriority"], b), []).append(age)
+    got = {
+        (r["o_orderpriority"], r["age_bucket"]): (
+            r["n_orders"], r["oldest_days"]
+        )
+        for r in REGISTRY["x83_backlog_aging"].spark(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (len(v), max(v)) for k, v in want.items()
+    }
+    assert len(got) > 1  # fixture spans buckets/priorities
+
+
+def test_backlog_aging_pushes_status_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x83_backlog_aging")
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+    assert "Exchange SinglePartition" not in plan
+
+
+# -------------------------------------------------------------- ann27
+
+
+def test_centroid_confusion_matches_pure_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {
+        r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]])
+        for r in rows
+    }
+    by_label: dict[int, list] = {}
+    for lab, v in vecs.values():
+        by_label.setdefault(lab, []).append(v)
+    cents = {
+        lab: [sum(c) / len(vs) for c in zip(*vs)]
+        for lab, vs in by_label.items()
+    }
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    want: dict[tuple, int] = {}
+    for lab, v in vecs.values():
+        pred = min(
+            cents, key=lambda cl: (-cos(v, cents[cl]), cl)
+        )
+        want[(lab, pred)] = want.get((lab, pred), 0) + 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in REGISTRY["ann27_centroid_confusion"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the audit is meaningful: the diagonal clearly beats the 1/|labels|
+    # chance rate (the fixture's clusters are noisy — ~37% accuracy at
+    # sf0.001 — so "mostly diagonal" would overfit the fixture)
+    diag = sum(n for (t, p), n in got.items() if t == p)
+    n_labels = len({t for t, _ in got})
+    assert diag * n_labels > 2 * sum(got.values())
+
+
+def test_centroid_confusion_broadcasts_matrix(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann27_centroid_confusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
