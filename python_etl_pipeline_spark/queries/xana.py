@@ -3382,7 +3382,12 @@ ranked AS (
   SELECT rc, row_number() OVER (ORDER BY rc, partkey) AS i FROM rev
 ),
 agg AS (
-  SELECT count(*) AS n, sum(rc) AS s0, sum(i * rc) AS s1 FROM ranked
+  -- HUGEINT accumulation: i*rc products reach ~2e18 per term at 10x
+  -- the fixture and the SUM passes 64-bit long before the catalog
+  -- stops growing — the rank identity needs 128-bit exactness
+  SELECT count(*) AS n, sum(rc) AS s0,
+         sum(cast(i AS HUGEINT) * rc) AS s1
+  FROM ranked
 )
 SELECT cast(n AS BIGINT) AS n_parts,
        round((2e0 * s1) / (n * s0) - (n + 1e0) / n, 6) AS gini
@@ -3405,9 +3410,13 @@ def x82_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequence engine's bucketed decomposition
     (``with_global_sequence`` — O(buckets) driver offsets, per-bucket
     windows, NO single-partition exchange even though the rank is
-    global), and the identity folds in one tiny final agg. i*x_i
-    products are exact in 64-bit well past 10^5 parts x 10^12 cents;
-    the only float is the final two-division identity, rounded."""
+    global), and the identity folds in one tiny final agg. The
+    rank-weighted sum accumulates in DECIMAL(38,0)/HUGEINT — i*x_i
+    terms reach ~2e18 already at the 10x fixture and the 64-bit SUM
+    overflows long before the catalog stops growing (found by the r10
+    10x run under ANSI mode, which turns the silent wrap into an
+    error); the only float is the final two-division identity,
+    rounded."""
     from ..operators.sequence import with_global_sequence
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3422,13 +3431,22 @@ def x82_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rc").alias("s0"),
-        F.sum(F.col("i") * F.col("rc")).alias("s1"),
+        F.sum(
+            F.col("i").cast("decimal(12,0)")
+            * F.col("rc").cast("decimal(24,0)")
+        ).alias("s1"),
     )
     n = F.col("n")
+    # the identity's DENOMINATOR n*s0 also passes 64 bits (2e5 parts x
+    # 6e17 total cents-bps at the 10x fixture) — evaluate the final
+    # two-division identity entirely in double (exact inputs, one
+    # rounding at 6 decimals; DuckDB's n*s0 is HUGEINT so only the
+    # Spark side needs the cast)
     return agg.select(
         n.cast("bigint").alias("n_parts"),
         F.round(
-            (2.0 * F.col("s1")) / (n * F.col("s0"))
+            (2.0 * F.col("s1").cast("double"))
+            / (n.cast("double") * F.col("s0").cast("double"))
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
