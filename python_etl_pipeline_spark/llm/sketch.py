@@ -323,7 +323,9 @@ def bloom_positions(
     """(key, pos) — the occupied-position set for each key's token
     vocabulary. One explode + k map-side hashes + a distinct; the only
     data-sized stage is the vocabulary distinct."""
-    toks = df.select(
+    from .dedup import _spread
+
+    toks = _spread(df.select(key_col, text_col)).select(
         key_col,
         F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"),
     ).distinct()

@@ -1188,12 +1188,15 @@ def dd19_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     economics to dd1 at any scale (reference analog:
     src/extract.py:222-270's file-level md5 identity, relaxed to
     content identity modulo order)."""
+    from ..llm.dedup import _spread
+
     d = _t(spark, sf_dir, "documents")
     bow = F.md5(
         F.concat_ws(" ", F.array_sort(F.split(F.trim("text"), r"\s+")))
     )
     return (
-        d.select("doc_id", bow.alias("bow_hash"))
+        _spread(d.select("doc_id", "text"))
+        .select("doc_id", bow.alias("bow_hash"))
         .groupBy("bow_hash")
         .agg(
             F.min("doc_id").alias("keep_id"),

@@ -761,11 +761,12 @@ def hh8_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is exact 64-bit (counts x +-1, squares of token-count
     sums) — zero float divergence surface except the displayed
     error ratio."""
-    from ..llm.dedup import _hexint
+    from ..llm.dedup import _hexint, _spread
 
     d = _t(spark, sf_dir, "documents")
     tf = (
-        d.select(
+        _spread(d.select("source", "text"))
+        .select(
             "source",
             F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
         )

@@ -398,8 +398,12 @@ def mm6_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, then a DOC-KEYED lead() window to turn the boundary list
     into (start, len) chunks and one md5 per chunk. Everything is
     partitioned by doc; no global stage, no all-pairs."""
+    from ..llm.dedup import _spread
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sized = d.select("doc_id", "text", F.length("text").alias("len"))
+    sized = _spread(
+        d.select("doc_id", "text", F.length("text").alias("len"))
+    )
     kmax = F.greatest(
         F.floor((F.col("len") - _MM6_W) / F.lit(float(_MM6_STRIDE)))
         .cast("bigint"),

@@ -1795,10 +1795,11 @@ def tx28_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window with the rank<=k filter compiled as a window
     GROUP LIMIT (each task keeps only k rows per doc before the
     exchange). Everything is doc-partitioned; no global stage."""
+    from ..llm.dedup import _spread
     from ..llm.text import EN_STOPWORDS
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = _spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     )
@@ -1864,9 +1865,12 @@ def tx29_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs are doc-keyed with map-side partials. The explode is the
     same one-pass token fan-out every tx operator pays; nothing is
     corpus-global."""
+    from ..llm.dedup import _spread
+
     d = _t(spark, sf_dir, "documents")
     tf = (
-        d.select(
+        _spread(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
         )
