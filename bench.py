@@ -246,6 +246,12 @@ HEADLINE = [
     "x83_backlog_aging",
     # centroid confusion: broadcast matrix + vec-keyed argmax window
     "ann27_centroid_confusion",
+    # SRM guard: one user-distinct agg, scalar chi-square
+    "x84_srm_check",
+    # late-data profile: one user-keyed HWM window + |types| agg
+    "i15_late_data_profile",
+    # top-eigen audit: covariance shuffle + 4096-cell power iterations
+    "ann28_top_eigen",
 ]
 
 

@@ -128,17 +128,19 @@ _GATE_PREFIX = [
     "i14_bitemporal_asof",
     "x83_backlog_aging",
     "ann27_centroid_confusion",
-    # (3) rotation (6), oldest last-driver-row first: the head of the
-    # remaining last=r5 cohort (s5/st2/st3/tx15/x2/x3). The 17 new
-    # queries above displaced the cohort tail (x4/x5/x7/x8/x9/x12/x13/
-    # x14/x15/x16/x17/x19/x20/x30/x31/x33 and a0) — displaced members
-    # carry r5/r6 rows and are due round 11, within horizon.
+    # fourth wave: the SRM experiment guard, the late-data watermark
+    # profile, and the power-iteration anisotropy audit.
+    "x84_srm_check",
+    "i15_late_data_profile",
+    "ann28_top_eigen",
+    # (3) rotation (3), oldest last-driver-row first: the head of the
+    # remaining last=r5 cohort. The 20 new queries above displaced the
+    # cohort tail (tx15/x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/
+    # x19/x20/x30/x31/x33 and a0) — displaced members carry r5/r6 rows
+    # and are due round 11, within horizon.
     "s5_jdbc_partitioned",
     "st2_session_window",
     "st3_sliding_window",
-    "tx15_gopher_rules",
-    "x2_rollup",
-    "x3_cube",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

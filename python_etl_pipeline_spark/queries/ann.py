@@ -2149,3 +2149,141 @@ def ann27_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def _ann28_sql() -> str:
+    # three unrolled power iterations over the (i, j) covariance cells
+    it = """
+w{k} AS (
+  SELECT c.i, sum(c.cv * {p}.u) AS w
+  FROM cov c JOIN {p} ON {p}.i = c.j GROUP BY 1
+),
+n{k} AS (SELECT sqrt(sum(w * w)) AS nn FROM w{k}),
+v{k} AS (SELECT i, w / nn AS u FROM w{k}, n{k}),
+"""
+    its = "".join(
+        it.format(k=k, p=f"v{k - 1}" if k > 1 else "u0") for k in (1, 2, 3)
+    ).rstrip().rstrip(",")
+    return f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+mu AS (SELECT i, avg(v) AS m FROM comp GROUP BY 1),
+cen AS (
+  SELECT c.vec_id, c.i, c.v - mu.m AS cv
+  FROM comp c JOIN mu ON mu.i = c.i
+),
+nv AS (SELECT count(DISTINCT vec_id) AS n FROM cen),
+cov AS (
+  SELECT a.i, b.i AS j, sum(a.cv * b.cv) / (any_value(nv.n) - 1) AS cv
+  FROM cen a JOIN cen b ON a.vec_id = b.vec_id, nv
+  GROUP BY 1, 2
+),
+u0 AS (SELECT DISTINCT i, 1e0 / sqrt(max(i) OVER ()) AS u FROM comp),
+{its},
+lam AS (
+  SELECT sum(v3.u * c.cv * v3b.u) AS l
+  FROM cov c JOIN v3 ON v3.i = c.i JOIN v3 v3b ON v3b.i = c.j
+),
+tr AS (SELECT sum(cv) AS t FROM cov WHERE i = j),
+conv AS (SELECT sum(v2.u * v3.u) AS c FROM v2 JOIN v3 ON v3.i = v2.i)
+SELECT cast((SELECT max(i) FROM comp) AS BIGINT) AS n_dims,
+       round(lam.l, 4) AS top_eigenvalue,
+       round(lam.l / tr.t, 4) AS explained_share,
+       round(abs(conv.c), 4) AS convergence_cos
+FROM lam, tr, conv
+"""
+
+
+@register("ann28_top_eigen", None, first_round=10)
+def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding space by THREE
+    unrolled power iterations over the covariance matrix — the
+    anisotropy audit for learned embeddings: a large explained-variance
+    share on the top eigenvalue is the "rogue dimension" pathology
+    (Timkey & van Schijndel 2021) that wrecks cosine retrieval, and
+    watching lambda_1/trace per snapshot catches an embedder
+    regression before recall metrics move. Reported: top eigenvalue,
+    its share of total variance (trace), and |cos(u2, u3)| as the
+    convergence certificate (=1.0000 when three iterations sufficed).
+
+    Plan shape: mean-centering is a dims-row broadcast; the covariance
+    build is the ONE corpus-sized stage (vec_id-keyed self-join of the
+    component stream -> dims^2-cell agg with map-side partials —
+    the standard distributed covariance shuffle, dims^2 = 4096 cells
+    here and bounded by the embedding width, never the corpus); every
+    power iteration is a matrix-vector product ON THE 4096-CELL
+    matrix, i.e. driver-negligible. Deterministic: fixed uniform start
+    vector, fixed iteration count — no randomness, so the oracle
+    replays it exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("i0", "v"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+    mu = comp.groupBy("i").agg(F.avg("v").alias("m"))
+    cen = comp.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("v") - F.col("m")).alias("cv")
+    )
+    n = cen.select("vec_id").distinct().count()
+    a = cen.select("vec_id", F.col("i").alias("ai"), F.col("cv").alias("av"))
+    b = cen.select("vec_id", F.col("i").alias("bj"), F.col("cv").alias("bv"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg((F.sum(F.col("av") * F.col("bv")) / (n - 1)).alias("cv"))
+    )
+    cov = cov.localCheckpoint(eager=False)
+    dims = comp.agg(F.max("i")).first()[0]
+    u = cov.select("i").distinct().select(
+        "i", F.lit(1.0 / dims ** 0.5).alias("u")
+    )
+    for _ in range(3):
+        prev = u
+        w = (
+            cov.join(
+                prev.select(F.col("i").alias("j"), "u"), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("cv") * F.col("u")).alias("w"))
+        )
+        nn = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+        u = w.crossJoin(F.broadcast(nn)).select(
+            "i", (F.col("w") / F.col("nn")).alias("u")
+        )
+        if _ == 1:
+            u2 = u.localCheckpoint(eager=False)
+        u = u.localCheckpoint(eager=False)
+    v3 = u
+    lam = (
+        cov.join(v3.select(F.col("i"), F.col("u").alias("ui")), "i")
+        .join(
+            v3.select(F.col("i").alias("j"), F.col("u").alias("uj")), "j"
+        )
+        .agg(F.sum(F.col("ui") * F.col("cv") * F.col("uj")).alias("l"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cv").alias("t")
+    )
+    conv = (
+        u2.select("i", F.col("u").alias("u2"))
+        .join(v3.select("i", F.col("u").alias("u3")), "i")
+        .agg(F.abs(F.sum(F.col("u2") * F.col("u3"))).alias("c"))
+    )
+    return (
+        lam.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(conv))
+        .select(
+            F.lit(dims).cast("bigint").alias("n_dims"),
+            F.round("l", 4).alias("top_eigenvalue"),
+            F.round(F.col("l") / F.col("t"), 4).alias("explained_share"),
+            F.round("c", 4).alias("convergence_cos"),
+        )
+    )
+
+
+REGISTRY["ann28_top_eigen"].sql = _ann28_sql()

@@ -2083,3 +2083,93 @@ def i14_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim.valid_to.isNull() | (f.as_of_valid < dim.valid_to)),
     )
     return j.select("o_orderkey", "o_custkey", "as_of_tx", "attr")
+
+
+_I15_SQL = """
+WITH arr AS (
+  -- the delayed channel: every 7th event reaches the pipeline ~10
+  -- sequence slots late (the fixture's event_id order is exactly
+  -- time order, so lateness must be injected to be measurable —
+  -- deterministic, like i7/i14's synthetic versions)
+  SELECT event_id, user_id, event_type, ts,
+         event_id + CASE WHEN event_id % 7 = 0 THEN 10 ELSE 0 END
+           AS arrival_seq
+  FROM events
+),
+seq AS (
+  SELECT event_type, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY arrival_seq, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS hwm
+  FROM arr
+),
+late AS (
+  -- floor-divided MICROSECONDS: date_diff('second') counts boundary
+  -- crossings in DuckDB while Spark's timestampdiff counts elapsed
+  -- whole seconds — the sub-second phase flips them by 1
+  SELECT event_type,
+         (epoch_us(hwm) - epoch_us(ts)) // 1000000 AS late_s
+  FROM seq
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(*) FILTER (WHERE late_s > 0) AS BIGINT) AS n_late,
+       cast(max(late_s) AS BIGINT) AS max_late_s,
+       round(quantile_cont(late_s, 0.95), 2) AS p95_late_s
+FROM late GROUP BY 1
+"""
+
+
+@register("i15_late_data_profile", _I15_SQL, first_round=10)
+def i15_late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data (watermark lateness) profile: how far behind each
+    user's event-time high-water-mark do events actually arrive,
+    summarized per event type — THE empirical input to setting a
+    streaming watermark (st1-st3's ``withWatermark`` delay) and the
+    audit that explains dropped-row counts after the fact. Arrival
+    order is the event_id sequence with a DETERMINISTIC delayed
+    channel injected (every 7th event arrives ~10 slots late — the
+    fixture's id order is exactly time order, so without a modeled
+    delay the profile would be vacuously zero; same synthetic-version
+    discipline as i7/i14); lateness of an event is how far the user's
+    running max event-time had already advanced past it when it
+    arrived (0 = in-order).
+
+    Plan shape: ONE user-keyed ordered window computes the running
+    high-water-mark (same exchange shape as x63's repair windows),
+    then a |types|-row agg with exact integer seconds; the p95 is
+    percentile interpolation over exact ints (bit-identical across
+    engines). No joins, no global stage."""
+    e = _t(spark, sf_dir, "events")
+    arr = e.select(
+        "event_id", "user_id", "event_type", "ts",
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 7 == 0, 10).otherwise(0)
+        ).alias("arrival_seq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_seq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = arr.select(
+        "event_type", "ts", F.max("ts").over(w).alias("hwm")
+    )
+    late = seq.select(
+        "event_type",
+        (
+            F.expr("timestampdiff(MICROSECOND, ts, hwm)")
+            / F.lit(1_000_000)
+        ).cast("bigint").alias("late_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count(F.when(F.col("late_s") > 0, 1))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+        F.round(F.percentile(F.col("late_s"), F.lit(0.95)), 2).alias(
+            "p95_late_s"
+        ),
+    )

@@ -3513,3 +3513,72 @@ def x83_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("age_days").cast("bigint").alias("oldest_days"),
         )
     )
+
+
+_X84_CHI2_95 = 3.841  # chi-square 95th percentile, 1 dof
+
+_X84_SQL = f"""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN md5(cast(user_id AS VARCHAR)) < '8' THEN 'A'
+              ELSE 'B' END AS variant
+  FROM events
+),
+arms AS (
+  SELECT
+    count(*) FILTER (WHERE variant = 'A') AS na,
+    count(*) FILTER (WHERE variant = 'B') AS nb
+  FROM assign
+)
+SELECT cast(na AS BIGINT) AS n_a, cast(nb AS BIGINT) AS n_b,
+       round(power(na - (na + nb) / 2e0, 2) / ((na + nb) / 2e0)
+           + power(nb - (na + nb) / 2e0, 2) / ((na + nb) / 2e0), 4)
+         AS chi2,
+       cast(CASE WHEN
+         power(na - (na + nb) / 2e0, 2) / ((na + nb) / 2e0)
+       + power(nb - (na + nb) / 2e0, 2) / ((na + nb) / 2e0)
+         > {_X84_CHI2_95} THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM arms
+"""
+
+
+@register("x84_srm_check", _X84_SQL, first_round=10)
+def x84_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guard for the A/B harness: a
+    chi-square goodness-of-fit of the observed arm sizes against the
+    designed 50/50 split, flagged at the 95% critical value — the
+    experiment-invalidation check that must PASS before x71's z-test
+    is even admissible (a biased assignment channel produces beautiful
+    p-values about nothing; Fabijan et al.'s diagnosis is that most
+    corrupted experiments announce themselves here first). Arm
+    assignment is x71's EXACT hash expression, so the two queries
+    audit the same experiment.
+
+    Plan shape: one user-distinct agg (the only data-sized stage) into
+    a single-row conditional count, then pure scalar arithmetic. The
+    chi-square is computed from exact integer counts — the only floats
+    are two divisions on one row."""
+    e = _t(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        F.when(
+            F.md5(F.col("user_id").cast("string")) < "8", "A"
+        ).otherwise("B").alias("variant"),
+    ).distinct()
+    arms = assign.agg(
+        F.count(F.when(F.col("variant") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("variant") == "B", 1)).alias("nb"),
+    )
+    e_half = (F.col("na") + F.col("nb")) / 2.0
+    chi2 = (
+        F.pow(F.col("na") - e_half, 2) / e_half
+        + F.pow(F.col("nb") - e_half, 2) / e_half
+    )
+    return arms.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > _X84_CHI2_95, 1).otherwise(0).cast("bigint").alias(
+            "srm_flag"
+        ),
+    )

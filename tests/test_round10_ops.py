@@ -795,3 +795,121 @@ def test_centroid_confusion_broadcasts_matrix(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- x84
+
+
+def test_srm_check_matches_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    users = {e["user_id"] for e in ev}
+    na = sum(
+        1 for u in users if hashlib.md5(str(u).encode()).hexdigest() < "8"
+    )
+    nb = len(users) - na
+    exp = (na + nb) / 2.0
+    chi2 = (na - exp) ** 2 / exp + (nb - exp) ** 2 / exp
+    row = REGISTRY["x84_srm_check"].spark(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["chi2"] - chi2) <= 5e-4
+    assert r["srm_flag"] == (1 if chi2 > 3.841 else 0)
+    # no healthy-split assertion: at the sf0.001 fixture's 15 users a
+    # fair split still flags often (the observed 3/12 rightly does) —
+    # the 5% false-positive rate is a large-N property
+
+
+# ---------------------------------------------------------------- i15
+
+
+def test_late_data_profile_matches_pure_python(spark, sf_dir):
+    # replay the deterministic delayed channel: every 7th event
+    # arrives 10 sequence slots late
+    ev = sorted(
+        _events(spark, sf_dir),
+        key=lambda e: (
+            e["event_id"] + (10 if e["event_id"] % 7 == 0 else 0),
+            e["event_id"],
+        ),
+    )
+    hwm: dict[int, object] = {}
+    lates: dict[str, list] = {}
+    for e in ev:
+        prev = hwm.get(e["user_id"])
+        hwm[e["user_id"]] = e["ts"] if prev is None else max(prev, e["ts"])
+        delta = hwm[e["user_id"]] - e["ts"]
+        late = int(
+            (delta.days * 86_400_000_000
+             + delta.seconds * 1_000_000
+             + delta.microseconds) // 1_000_000
+        )
+        lates.setdefault(e["event_type"], []).append(late)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in REGISTRY["i15_late_data_profile"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(lates)
+    for t, xs in lates.items():
+        g = got[t]
+        assert g["n_events"] == len(xs)
+        assert g["n_late"] == sum(1 for x in xs if x > 0)
+        assert g["max_late_s"] == max(xs)
+        assert abs(g["p95_late_s"] - _pctl(sorted(xs), 0.95)) <= 0.02
+    # the profile is informative: the fixture's id order is not the
+    # time order, so SOME lateness exists to profile
+    assert any(g["n_late"] > 0 for g in got.values())
+
+
+def test_late_data_profile_one_user_keyed_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "i15_late_data_profile")
+    assert "Exchange SinglePartition" not in plan.split("ObjectHashAggregate")[0]
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+# -------------------------------------------------------------- ann28
+
+
+def test_top_eigen_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array(
+        [[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64
+    )
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / (X.shape[0] - 1)
+    # replay the exact 3-iteration power method
+    u = np.ones(C.shape[0]) / np.sqrt(C.shape[0])
+    us = []
+    for _ in range(3):
+        w = C @ u
+        u = w / np.linalg.norm(w)
+        us.append(u)
+    lam = float(u @ C @ u)
+    row = REGISTRY["ann28_top_eigen"].spark(spark, sf_dir).collect()[0]
+    assert row["n_dims"] == C.shape[0]
+    assert abs(row["top_eigenvalue"] - lam) <= 5e-4
+    assert abs(row["explained_share"] - lam / np.trace(C)) <= 5e-4
+    assert abs(
+        row["convergence_cos"] - abs(float(us[1] @ us[2]))
+    ) <= 5e-4
+    # the Rayleigh quotient never exceeds the true top eigenvalue
+    true_top = float(np.linalg.eigvalsh(C)[-1])
+    assert row["top_eigenvalue"] <= true_top + 1e-6
+    assert 0 < row["explained_share"] <= 1
+
+
+def test_top_eigen_covariance_is_the_only_corpus_stage(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann28_top_eigen")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # power iterations run on the checkpointed 4096-cell matrix, so
+    # the embeddings scan appears at most... (checkpoint truncates) —
+    # pin instead that no single-partition exchange exists
+    assert "Exchange SinglePartition" not in plan
