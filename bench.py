@@ -252,6 +252,12 @@ HEADLINE = [
     "i15_late_data_profile",
     # top-eigen audit: covariance shuffle + 4096-cell power iterations
     "ann28_top_eigen",
+    # split-leakage audit: fp-keyed self-join, 3-row output
+    "x85_split_leakage_audit",
+    # winsorized stats: percentile broadcast + clamped mean
+    "x86_winsorized_stats",
+    # retention planner: snapshot distinct + map-side GFS tiers
+    "i16_retention_planner",
 ]
 
 

@@ -133,14 +133,15 @@ _GATE_PREFIX = [
     "x84_srm_check",
     "i15_late_data_profile",
     "ann28_top_eigen",
-    # (3) rotation (3), oldest last-driver-row first: the head of the
-    # remaining last=r5 cohort. The 20 new queries above displaced the
-    # cohort tail (tx15/x2/x3/x4/x5/x7/x8/x9/x12/x13/x14/x15/x16/x17/
-    # x19/x20/x30/x31/x33 and a0) — displaced members carry r5/r6 rows
-    # and are due round 11, within horizon.
-    "s5_jdbc_partitioned",
-    "st2_session_window",
-    "st3_sliding_window",
+    # fifth wave: the split-leakage audit, winsorized robust stats,
+    # and the GFS snapshot-retention planner. The 23 new-in-round
+    # queries plus the 23 never-gated r9 queries plus the 4 sentinels
+    # fill all 50 slots — the entire last=r5 rotation cohort
+    # (s5/st2/st3/tx15/x2/.../x33 and a0) is displaced to round 11,
+    # where the horizon makes them mandatory.
+    "x85_split_leakage_audit",
+    "x86_winsorized_stats",
+    "i16_retention_planner",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -2173,3 +2173,73 @@ def i15_late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_late_s"
         ),
     )
+
+
+_I16_SQL = """
+WITH snaps AS (
+  SELECT DISTINCT date_trunc('day', o_orderdate) AS snap FROM orders
+),
+ref AS (SELECT max(snap) + INTERVAL 1 DAY AS r FROM snaps),
+j AS (
+  SELECT snap,
+         date_diff('day', snap, ref.r) AS age_d,
+         snap = date_trunc('day', last_day(snap) + INTERVAL 0 DAY)
+           AS is_month_end,
+         month(snap) = 12 AND day(snap) = 31 AS is_year_end
+  FROM snaps, ref
+)
+SELECT cast(snap AS TIMESTAMP) AS snap,
+       CASE WHEN age_d <= 30 THEN 'daily'
+            WHEN is_year_end THEN 'yearly'
+            WHEN is_month_end AND age_d <= 365 THEN 'monthly'
+            ELSE 'expire' END AS reason,
+       cast(CASE WHEN age_d <= 30
+                 OR is_year_end
+                 OR (is_month_end AND age_d <= 365)
+            THEN 1 ELSE 0 END AS BIGINT) AS retained
+FROM j
+"""
+
+
+@register("i16_retention_planner", _I16_SQL, first_round=10)
+def i16_retention_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-retention (GFS) planner: given the set of daily table
+    snapshots (one per distinct order day here), classify each under
+    the grandfather-father-son policy — keep every daily snapshot for
+    30 days, month-end snapshots for a year, year-end snapshots
+    forever, expire the rest — the table-format maintenance decision
+    (Delta VACUUM / Iceberg expire_snapshots) expressed as a pure,
+    auditable query over snapshot metadata instead of a side-effecting
+    default. Each snapshot gets the FIRST tier that claims it plus the
+    retained bit, so the expiration job is a trivial anti-join against
+    this plan's retained rows.
+
+    Plan shape: one distinct over the snapshot column (the only
+    data-sized stage — snapshot METADATA is tiny in practice; here it
+    is derived from the fact table to have real dates), then pure
+    map-side date arithmetic against the newest-snapshot anchor (a
+    single-row broadcast; anchoring "now" to the data keeps the plan
+    deterministic AND meaningful whatever the fixture's date range).
+    No windows."""
+    o = _t(spark, sf_dir, "orders")
+    snaps = o.select(
+        F.date_trunc("day", "o_orderdate").alias("snap")
+    ).distinct()
+    snaps = snaps.localCheckpoint(eager=False)
+    ref = snaps.agg(
+        F.date_add(F.max("snap"), 1).cast("timestamp").alias("r")
+    )
+    snaps = snaps.crossJoin(F.broadcast(ref))
+    age = F.datediff(F.col("r"), "snap")
+    is_me = F.col("snap") == F.date_trunc("day", F.last_day("snap"))
+    is_ye = (F.month("snap") == 12) & (F.dayofmonth("snap") == 31)
+    keep = (age <= 30) | is_ye | (is_me & (age <= 365))
+    return snaps.select(
+        "snap",
+        F.when(age <= 30, "daily")
+        .when(is_ye, "yearly")
+        .when(is_me & (age <= 365), "monthly")
+        .otherwise("expire")
+        .alias("reason"),
+        F.when(keep, 1).otherwise(0).cast("bigint").alias("retained"),
+    )

@@ -3453,7 +3453,7 @@ def x82_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_X83_REF = "1998-08-02 00:00:00"  # aging anchor (TPC-H's traditional cutoff)
+_X83_REF = "2001-08-02 00:00:00"  # aging anchor (testdata max order date + 1 day)
 
 _X83_SQL = f"""
 WITH open_orders AS (
@@ -3581,4 +3581,125 @@ def x84_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(chi2 > _X84_CHI2_95, 1).otherwise(0).cast("bigint").alias(
             "srm_flag"
         ),
+    )
+
+
+_X85_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         md5(substring(text, 1, 64)) AS fp,
+         CASE WHEN {b} < 80 THEN 'train'
+              WHEN {b} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+fps AS (SELECT DISTINCT fp, split FROM s),
+pairs AS (
+  SELECT a.fp, a.split AS split_a, b.split AS split_b
+  FROM fps a JOIN fps b
+    ON a.fp = b.fp AND a.split < b.split
+)
+SELECT split_a, split_b,
+       cast(count(*) AS BIGINT) AS n_shared_fingerprints
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@register("x85_split_leakage_audit", None, first_round=10)
+def x85_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: content fingerprints (dd20's
+    64-char boilerplate prefix hash) that appear in MORE THAN ONE of
+    x11's hash splits, counted per split pair — the internal-hygiene
+    twin of dd8/dd18's external decontamination: an eval split that
+    shares templates with train inflates every metric computed on it,
+    and because x11 splits on doc_id (correctly — content-keyed splits
+    would break dedup accounting), near-identical documents DO land
+    across splits unless this audit gates the release.
+
+    Plan shape: one map-side projection (split bucket + prefix md5),
+    a (fp, split)-distinct, and a fp-keyed self-join that only ever
+    matches rows sharing a 16-byte fingerprint (inverted-index
+    economics, never all-pairs); output is at most 3 rows."""
+    from ..operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = train_val_test_split(d, "doc_id", val_pct=10, test_pct=10).select(
+        F.md5(F.substring("text", 1, 64)).alias("fp"), "split"
+    )
+    fps = s.distinct()
+    a = fps.select("fp", F.col("split").alias("split_a"))
+    b = fps.select("fp", F.col("split").alias("split_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fingerprints"))
+    )
+
+
+def _x85_sql() -> str:
+    from ..operators.sampling import hash_bucket_sql
+
+    return _X85_SQL.format(b=hash_bucket_sql("doc_id", 100))
+
+
+REGISTRY["x85_split_leakage_audit"].sql = _x85_sql()
+
+
+_X86_SQL = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT d.source,
+         d.n_chars,
+         least(greatest(d.n_chars * 1e0, b.p05), b.p95) AS wv
+  FROM documents d JOIN b ON b.source = d.source
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS raw_mean,
+       round(avg(wv), 4) AS winsorized_mean,
+       cast(count(*) FILTER (WHERE wv <> n_chars) AS BIGINT) AS n_clamped
+FROM w GROUP BY 1
+"""
+
+
+@register("x86_winsorized_stats", _X86_SQL, first_round=10)
+def x86_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) per-source length statistics — the
+    robust-aggregation form every data-quality dashboard should use
+    instead of raw means, which one crawl artifact (a single 2 GB
+    concatenation bug) can drag arbitrarily: values outside each
+    source's [p05, p95] are clamped to the fence before averaging, and
+    the clamp count itself is reported (a rising n_clamped is the
+    earliest artifact signal). Complements x4's z-score outlier FLAGS
+    (which identify rows) by producing the robust SUMMARY.
+
+    Plan shape: one source-keyed percentile agg (exact interpolation
+    over integer lengths — bit-identical across engines), broadcast
+    back over the table for the map-side clamp, one source-keyed mean
+    agg. Two source-keyed exchanges total, no window, no sort."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.groupBy("source").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("n_chars"), F.lit(0.95)).alias("p95"),
+    )
+    w = d.join(F.broadcast(b), "source").select(
+        "source", "n_chars",
+        F.least(
+            F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+            F.col("p95"),
+        ).alias("wv"),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("raw_mean"),
+        F.round(F.avg("wv"), 4).alias("winsorized_mean"),
+        F.count(F.when(F.col("wv") != F.col("n_chars"), 1))
+        .cast("bigint")
+        .alias("n_clamped"),
     )

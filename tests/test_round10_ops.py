@@ -705,7 +705,7 @@ def test_bitemporal_join_is_pk_keyed(spark, sf_dir):
 def test_backlog_aging_matches_pure_python(spark, sf_dir):
     from datetime import datetime
 
-    ref = datetime(1998, 8, 2)
+    ref = datetime(2001, 8, 2)
     rows = (
         _t(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_orderpriority", "o_orderdate")
@@ -913,3 +913,122 @@ def test_top_eigen_covariance_is_the_only_corpus_stage(spark, sf_dir):
     # the embeddings scan appears at most... (checkpoint truncates) —
     # pin instead that no single-partition exchange exists
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------- x85
+
+
+def test_split_leakage_audit_matches_pure_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+
+    def bucket(did):
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 100
+
+    fps = set()
+    for did, text in docs.items():
+        b = bucket(did)
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        fps.add((hashlib.md5(text[:64].encode()).hexdigest(), split))
+    want: dict[tuple, int] = {}
+    by_fp: dict[str, set] = {}
+    for fp, split in fps:
+        by_fp.setdefault(fp, set()).add(split)
+    for fp, splits in by_fp.items():
+        ss = sorted(splits)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r["split_a"], r["split_b"]): r["n_shared_fingerprints"]
+        for r in REGISTRY["x85_split_leakage_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    # the audit exists because leakage exists on this fixture
+    assert sum(got.values()) > 0
+
+
+def test_split_leakage_fp_keyed_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x85_split_leakage_audit")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- x86
+
+
+def test_winsorized_stats_match_pure_python(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["x86_winsorized_stats"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_src)
+    for src, xs in by_src.items():
+        p05 = _pctl(sorted(xs), 0.05)
+        p95 = _pctl(sorted(xs), 0.95)
+        wv = [min(max(float(x), p05), p95) for x in xs]
+        g = got[src]
+        assert g["n_docs"] == len(xs)
+        assert abs(g["raw_mean"] - sum(xs) / len(xs)) <= 5e-4
+        assert abs(g["winsorized_mean"] - sum(wv) / len(wv)) <= 5e-4
+        assert g["n_clamped"] == sum(1 for x, w in zip(xs, wv) if w != x)
+        # robustness property: the winsorized mean sits inside the fences
+        assert p05 - 1e-9 <= g["winsorized_mean"] <= p95 + 1e-9
+
+
+# ---------------------------------------------------------------- i16
+
+
+def test_retention_planner_matches_pure_python(spark, sf_dir):
+    import calendar
+    from datetime import datetime
+
+    days = {
+        r["o_orderdate"].date()
+        for r in _t(spark, sf_dir, "orders").select("o_orderdate").collect()
+    }
+    from datetime import timedelta
+
+    ref = datetime.combine(max(days), datetime.min.time()) + timedelta(days=1)
+    got = {
+        r["snap"].date(): (r["reason"], r["retained"])
+        for r in REGISTRY["i16_retention_planner"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == days
+    reasons = {"daily": 0, "monthly": 0, "yearly": 0, "expire": 0}
+    for d in days:
+        age = (ref.date() - d).days
+        is_me = d.day == calendar.monthrange(d.year, d.month)[1]
+        is_ye = d.month == 12 and d.day == 31
+        if age <= 30:
+            want = ("daily", 1)
+        elif is_ye:
+            want = ("yearly", 1)
+        elif is_me and age <= 365:
+            want = ("monthly", 1)
+        else:
+            want = ("expire", 0)
+        assert got[d] == want, d
+        reasons[want[0]] += 1
+    # every tier is exercised by the fixture's 6.5-year date range
+    assert all(v > 0 for v in reasons.values()), reasons
+
+
+def test_retention_planner_map_side_only(spark, sf_dir):
+    """Pure map-side date arithmetic over the snapshot distinct: the
+    only join is the single-row newest-snapshot anchor broadcast, and
+    the only single-partition exchange is that 1-row agg."""
+    plan = _plan(spark, sf_dir, "i16_retention_planner")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
