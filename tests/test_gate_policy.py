@@ -31,6 +31,22 @@ Round-7 amendments (both from the round-6 verdict/advice):
   round that crosses it must raise the horizon again or shrink the
   sentinel set, with this same arithmetic in the commit).
 
+Round-10 amendment — the round-10 build wave (23 additions: x79-x86,
+tx28/tx29, dd19/dd20, ann25-ann28, hh7/hh8, i13-i16, mm6) crossed the
+horizon-5 bound: registry 239 > 5*46 + 4 = 234. Per the standing
+discipline (decide in the crossing round, arithmetic in the commit)
+the horizon rises 5 -> 6: bound 6*46 + 4 = 280 against a 239-query
+registry. The alternatives were rejected again for the same reasons as
+r9: no sentinel is left to shed (the set is already the irreplaceable
+4), and capping registry growth would cap exactly the coverage the
+engine is graded on. Freshness cost: a query may now wait 6 rounds
+between driver rows — the judge's own full-registry parity sweeps
+(which ran green over all 239 this round) remain the between-rows
+backstop. The round-10 gate needs no rebuild: it was built under
+horizon 5 and is a strict superset of what horizon 6 requires. Next
+crossing at ~280 — at the r9/r10 burst pace (~25/round) that is round
+12; decide there.
+
 Round-9 second amendment — the round-9 build wave itself crossed the
 new bound: the registry reached 191, past 4*46 + 4 = 188, with no
 sentinel left to shed. Per the standing discipline (decide in the
@@ -90,7 +106,7 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-STALENESS_HORIZON = 5  # max rounds a query may go without a driver row
+STALENESS_HORIZON = 6  # max rounds a query may go without a driver row
 
 
 def _last_verified(before_round: int) -> tuple[dict[str, int], int]:
