@@ -189,6 +189,10 @@ _EXPENSIVE_LAST = [
     # build (support-1 pairs dominate before the HAVING)
     "x67_copurchase_triangles",
     "x68_item_similarity_topk",
+    # round-10 heavy: ann28 pays the dims^2 covariance self-join before
+    # its (cheap) power iterations — tail-ordered once it rotates out
+    # of the r10 gate
+    "ann28_top_eigen",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would
