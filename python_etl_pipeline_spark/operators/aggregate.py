@@ -225,3 +225,45 @@ def rfm_scores(state: DataFrame, ref: str,
         score("freq", "f", False).alias("f_score"),
         score("mon_cents", "m", False).alias("m_score"),
     )
+
+
+def ewma_over_daily(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Bias-corrected EWMA over a (key, day, n) daily matrix — x81's
+    algebra, shared with the streaming serve path (the daily matrix is
+    a SUM monoid, so the smoother recomputes exactly from folded
+    per-batch count states, same pattern as cusum_over_daily).
+    Weights are rebased per key as (1-alpha)^(imax - i): every weight
+    <= 1, so arbitrarily long series never overflow, and terms older
+    than the smoother's own memory underflow to 0 harmlessly."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(key_col)
+    idx = daily.select(
+        key_col, "day", "n",
+        F.datediff("day", F.min("day").over(wp)).alias("i"),
+        F.datediff(F.max("day").over(wp), F.min("day").over(wp)).alias(
+            "imax"
+        ),
+    )
+    w = idx.withColumn(
+        "wt", F.pow(F.lit(1 - alpha), F.col("imax") - F.col("i"))
+    )
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = w.select(
+        key_col, "day", "n",
+        F.sum(F.col("n") * F.col("wt")).over(wc).alias("xw"),
+        F.sum("wt").over(wc).alias("nw"),
+    )
+    return c.select(
+        key_col, "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("xw") / F.col("nw"), 4).alias("ewma"),
+    )

@@ -3336,39 +3336,18 @@ def x81_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than ~90 days underflow to 0 exactly as fast as the EWMA
     itself forgets them) and the ratio cancels the rebasing factor.
     All windows are event_type-keyed over the day-level matrix (the
-    only event-sized stage is the daily count agg); both engines
-    accumulate the same doubles in the same order, and the display
-    round(4) absorbs the last ulp."""
+    only event-sized stage is the daily count agg — a SUM monoid, so
+    the streaming twin serves this same ewma_over_daily algebra from
+    its folded per-batch count states); both engines accumulate the
+    same doubles in the same order, and the display round(4) absorbs
+    the last ulp."""
+    from ..operators.aggregate import ewma_over_daily
+
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wp = Window.partitionBy("event_type")
-    idx = daily.select(
-        "event_type", "day", "n",
-        F.datediff("day", F.min("day").over(wp)).alias("i"),
-        F.datediff(F.max("day").over(wp), F.min("day").over(wp)).alias(
-            "imax"
-        ),
-    )
-    w = idx.withColumn(
-        "wt", F.pow(F.lit(1 - _X81_ALPHA), F.col("imax") - F.col("i"))
-    )
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = w.select(
-        "event_type", "day", "n",
-        F.sum(F.col("n") * F.col("wt")).over(wc).alias("xw"),
-        F.sum("wt").over(wc).alias("nw"),
-    )
-    return c.select(
-        "event_type", "day",
-        F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("xw") / F.col("nw"), 4).alias("ewma"),
-    )
+    return ewma_over_daily(daily, "event_type", _X81_ALPHA)
 
 
 _X82_SQL = """

@@ -1931,3 +1931,19 @@ def stream_rfm_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def ewma_from_state_dir(
+    spark: SparkSession, state_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """The EWMA smoothing report served from the SAME persisted
+    daily-count state the CUSUM twin maintains (one state log, two
+    monitors — the sum-monoid matrix is the shared substrate): x81's
+    ``ewma_over_daily`` algebra applied to the folded counts instead
+    of a full event scan. Batch CORRECTNESS twin: x81_ewma_smoothing
+    is driver-verified against its DuckDB oracle."""
+    from ..operators.aggregate import ewma_over_daily
+
+    return ewma_over_daily(
+        daily_counts_from_state_dir(spark, state_dir), "k", alpha
+    )

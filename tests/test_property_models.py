@@ -320,3 +320,34 @@ def test_funnel_and_attribution_match_python_model(spark):
             chans = sorted(ch for t, ch in cands if t == latest)
             want_att[e] = chans[0]
     assert got_att == want_att
+
+
+def test_global_prefix_sum_matches_sorted_model_under_ties(spark):
+    """cum must equal the serial running total over the total order
+    (k, id) — both directions, with heavy ties (so bucket boundaries
+    land mid-tie-run) and negative values (so the running total is
+    non-monotone and an offset-fold bug cannot hide behind ordering).
+    This is x76/x82's substrate: the Gini rank identity and the ABC
+    cumulative share both ride this exact decomposition."""
+    rng = random.Random(13)
+    rows = [
+        (i, rng.randint(0, 30), rng.randint(-50, 100)) for i in range(2000)
+    ]
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(8)
+    for asc in (True, False):
+        got = {
+            r["id"]: r["cum"]
+            for r in with_global_prefix_sum(
+                df, "v", ["k", "id"], ascending=[asc, True], num_buckets=13
+            ).collect()
+        }
+        acc = 0
+        for rid, _k, v in sorted(
+            rows, key=lambda r: ((r[1] if asc else -r[1]), r[0])
+        ):
+            acc += v
+            assert got[rid] == acc, (asc, rid)

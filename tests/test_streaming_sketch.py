@@ -723,3 +723,55 @@ def test_stream_kmv_folds_to_full_recompute(spark, tmp_path):
         for r in kmv_estimate(kmv_from_state_dir(spark, state_dir), ["k"]).collect()
     }.items():
         assert est_v == float(len(truth[k])) and nh == len(truth[k])
+
+
+def test_ewma_served_from_cusum_state(spark, tmp_path):
+    """One state log, two monitors: the EWMA smoother serves from the
+    SAME persisted daily-count matrix the CUSUM twin maintains, and
+    must equal the full-recompute EWMA over everything ingested."""
+    from python_etl_pipeline_spark.operators.aggregate import (
+        daily_counts,
+        ewma_over_daily,
+    )
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        ewma_from_state_dir,
+        stream_daily_cusum_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _rows(df):
+        return {
+            (r["k"], r["day"]): (r["n"], r["ewma"]) for r in df.collect()
+        }
+
+    def _full(rows):
+        import datetime
+
+        d = spark.createDataFrame(
+            [
+                (r[0], datetime.datetime(2024, 1, r[1], r[2]), r[3], r[4])
+                for r in rows
+            ],
+            EV_SCHEMA,
+        )
+        return _rows(ewma_over_daily(daily_counts(d), "k"))
+
+    _write_events(str(src / "b1.parquet"), EV1)
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _rows(ewma_from_state_dir(spark, state_dir)) == _full(EV1)
+
+    _write_events(str(src / "b2.parquet"), EV2)
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _rows(ewma_from_state_dir(spark, state_dir)) == _full(EV1 + EV2)
+    # smoother sanity on the folded state: ewma tracks between the
+    # series min and max per key
+    got = _rows(ewma_from_state_dir(spark, state_dir))
+    by_k: dict[str, list] = {}
+    for (k, _), (n, _e) in got.items():
+        by_k.setdefault(k, []).append(n)
+    for (k, _), (_n, e) in got.items():
+        assert min(by_k[k]) - 1e-9 <= e <= max(by_k[k]) + 1e-9
