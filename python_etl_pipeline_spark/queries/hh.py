@@ -634,8 +634,11 @@ def _hh7_sql() -> str:
     hit = " AND ".join(f"list_contains(bits, q{j})" for j in range(_HH7_K))
     return f"""
 WITH toks AS (
-  SELECT DISTINCT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-  FROM documents
+  SELECT source, tok FROM (
+    SELECT DISTINCT source,
+           unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok != ''
 ),
 pos AS (SELECT source, tok, {pos_cols} FROM toks),
 occupied AS (

@@ -3285,6 +3285,13 @@ def x80_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X81_ALPHA = 0.3  # smoothing weight on the newest observation
 
+
+def _x81_horizon() -> int:
+    from ..operators.aggregate import ewma_horizon
+
+    return ewma_horizon(_X81_ALPHA)
+
+
 _X81_SQL = f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
@@ -3294,30 +3301,38 @@ WITH daily AS (
 idx AS (
   SELECT event_type, day, n,
          date_diff('day', min(day) OVER (PARTITION BY event_type), day)
-           AS i,
-         date_diff('day', min(day) OVER (PARTITION BY event_type),
-                   max(day) OVER (PARTITION BY event_type)) AS imax
+           AS i
   FROM daily
 ),
 w AS (
-  SELECT event_type, day, n, i,
-         pow({1 - _X81_ALPHA}e0, imax - i) AS wt
+  SELECT event_type, day, n,
+         i // {_x81_horizon()} AS b, i % {_x81_horizon()} AS l,
+         pow({1 - _X81_ALPHA}e0,
+             {_x81_horizon() - 1} - (i % {_x81_horizon()})) AS wt
   FROM idx
 ),
 c AS (
-  SELECT event_type, day, n,
-         sum(n * wt) OVER (PARTITION BY event_type ORDER BY day
+  SELECT event_type, day, n, b, l, wt,
+         sum(n * wt) OVER (PARTITION BY event_type, b ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS xw,
-         sum(wt) OVER (PARTITION BY event_type ORDER BY day
+                                    AND CURRENT ROW) AS qx,
+         sum(wt) OVER (PARTITION BY event_type, b ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS nw
+                                AND CURRENT ROW) AS qn
   FROM w
+),
+bt AS (
+  SELECT event_type, b + 1 AS b,
+         sum(n * wt) AS sx, sum(wt) AS sn
+  FROM w GROUP BY 1, 2
 )
 SELECT event_type, cast(day AS TIMESTAMP) AS day,
        cast(n AS BIGINT) AS n,
-       round(xw / nw, 4) AS ewma
-FROM c
+       round((qx / wt + coalesce(sx, 0e0)
+                * pow({1 - _X81_ALPHA}e0, l + 1))
+             / (qn / wt + coalesce(sn, 0e0)
+                * pow({1 - _X81_ALPHA}e0, l + 1)), 4) AS ewma
+FROM c LEFT JOIN bt USING (event_type, b)
 """
 
 
@@ -3330,17 +3345,19 @@ def x81_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_i (1-a)^(t-i) x_i / sum_i (1-a)^(t-i).
 
     Plan shape and numeric design: the recursive definition unrolls
-    into TWO cumulative sums over the same (type, day) ordering —
-    weights are rebased per partition as (1-a)^(imax - i), so every
-    weight is <= 1 (no overflow for arbitrarily long series; terms
-    older than ~90 days underflow to 0 exactly as fast as the EWMA
-    itself forgets them) and the ratio cancels the rebasing factor.
+    into TWO cumulative sums per day-index BLOCK plus an exact
+    one-block-back carry (blocks of L = ewma_horizon(alpha) days, the
+    smoother's own <1-ulp memory — see ewma_over_daily's docstring:
+    block rebasing keeps every weight in [2^-54, 1], so series of ANY
+    length are NaN- and overflow-free, unlike a per-key (1-a)^(imax-i)
+    rebase which underflows for >5.7-year series at alpha=0.3).
     All windows are event_type-keyed over the day-level matrix (the
     only event-sized stage is the daily count agg — a SUM monoid, so
     the streaming twin serves this same ewma_over_daily algebra from
-    its folded per-batch count states); both engines accumulate the
-    same doubles in the same order, and the display round(4) absorbs
-    the last ulp."""
+    its folded per-batch count states); the carry join is
+    block-granularity and broadcast. Both engines accumulate the same
+    doubles in the same order, and the display round(4) absorbs the
+    last ulp."""
     from ..operators.aggregate import ewma_over_daily
 
     e = _t(spark, sf_dir, "events")

@@ -36,5 +36,9 @@ def test_bench_headline_names_are_registered():
     import bench
     from python_etl_pipeline_spark.queries import REGISTRY
 
-    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    missing = [
+        n for n in bench.HEADLINE + bench.CONTRACT if n not in REGISTRY
+    ]
     assert not missing, missing
+    dupes = set(bench.HEADLINE) & set(bench.CONTRACT)
+    assert not dupes, f"queries in both HEADLINE and CONTRACT: {dupes}"

@@ -196,6 +196,47 @@ def test_global_prefix_sum_matches_serial_scan(spark):
             assert got == want, f"ascending={asc}"
 
 
+def test_global_prefix_sum_null_values_and_empty_schema(spark):
+    """NULL value_col rows follow SQL SUM semantics: an all-NULL bucket
+    folds as 0 into downstream offsets (no driver TypeError), a row
+    whose cumulative frame holds only NULLs gets NULL, and the empty-
+    input short-circuit emits the same column type (the SUM result
+    type) as the non-empty path — for bigint AND double value columns
+    (r10 ADVICE)."""
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_sum,
+    )
+
+    # force tiny buckets so the leading all-NULL keys own a bucket
+    rows = [(1, None), (2, None), (3, 10), (4, None), (5, 5)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in with_global_prefix_sum(
+            df, "v", ["k"], num_buckets=4
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: 10, 4: 10, 5: 15}
+
+    for typ, want in [("long", "bigint"), ("double", "double")]:
+        empty = spark.createDataFrame([], f"k long, v {typ}")
+        out = with_global_prefix_sum(empty, "v", ["k"])
+        assert out.collect() == []
+        assert out.schema["cum"].dataType.simpleString() == want
+        # non-empty path for the same input type must agree
+        one = with_global_prefix_sum(
+            spark.createDataFrame(
+                [(1, 2 if typ == "long" else 2.0)], f"k long, v {typ}"
+            ),
+            "v",
+            ["k"],
+        )
+        assert (
+            one.schema["cum"].dataType.simpleString()
+            == out.schema["cum"].dataType.simpleString()
+        )
+
+
 def test_global_prefix_sum_rejects_null_leading_key(spark):
     import pytest
 

@@ -188,6 +188,52 @@ def test_ewma_matches_pure_python(spark, sf_dir):
         assert sm_jump <= raw_jump
 
 
+def test_ewma_long_series_no_nan(spark):
+    """r10 ADVICE regression: the old per-key (1-a)^(imax-i) rebase
+    underflowed to exactly 0 past ~2085 days at alpha=0.3, giving the
+    EARLY rows of a >5.7-year series 0/0 = NaN. The block-rebased form
+    must match the exact serial recurrence at every row of an
+    8000-day sparse series (gaps included), with no NaN anywhere."""
+    import datetime
+    import math
+    import random
+
+    from python_etl_pipeline_spark.operators.aggregate import (
+        ewma_over_daily,
+    )
+
+    rng = random.Random(81)
+    a = 0.3
+    d0 = datetime.datetime(2000, 1, 1)
+    rows = []
+    series: dict[str, list] = {"k1": [], "k2": []}
+    for key, step in (("k1", 1), ("k2", 7)):  # dense and weekly-sparse
+        day = 0
+        while day < 8000:
+            n = rng.randrange(1, 1000)
+            rows.append((key, d0 + datetime.timedelta(days=day), n))
+            series[key].append((day, n))
+            day += step if rng.random() < 0.9 else step * 40  # gaps
+    daily = spark.createDataFrame(rows, "event_type string, day timestamp, n long")
+    got = {
+        (r["event_type"], (r["day"] - d0).days): r["ewma"]
+        for r in ewma_over_daily(daily, "event_type", a).collect()
+    }
+    assert all(e is not None and not math.isnan(e) for e in got.values())
+    for key, ser in series.items():
+        xw = nw = 0.0
+        prev = None
+        for day, n in ser:
+            decay = (1 - a) ** (day - prev) if prev is not None else 0.0
+            xw = xw * decay + n
+            nw = nw * decay + 1.0
+            prev = day
+            want = xw / nw
+            assert abs(got[(key, day)] - want) <= max(
+                5e-4, 1e-9 * abs(want)
+            ), (key, day, got[(key, day)], want)
+
+
 def test_ewma_windows_type_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x81_ewma_smoothing")
     assert "Exchange SinglePartition" not in plan
