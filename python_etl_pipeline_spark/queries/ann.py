@@ -1583,10 +1583,20 @@ def ann24_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag is part of the output (the property that lets every cosine
     index in this engine — IVF/PQ/SQ8/LSH — serve MIPS unchanged).
 
-    Plan shape: ann1's one-fold-per-vector scan economics; the max-
-    norm and query-norm are single-row broadcasts; both top cuts ride
-    one TakeOrderedAndProject each. Nothing here is more than one
-    corpus scan."""
+    Plan shape (r10 verdict fix): ann1's one-fold-per-vector scan
+    economics; the max-norm and query-norm are single-row broadcasts.
+    The dot top-10 cut is a TakeOrderedAndProject (distributed heap,
+    no global sort). The augmented-cosine rank is needed ONLY for
+    those 10 candidates, so it is NOT a corpus-wide window (a
+    single-partition funnel at 100 TB): aug_rnk = 1 + the count of
+    corpus vectors strictly ahead in (aug_cos DESC, vec_id) order,
+    computed as a broadcast-nested-loop join of the 10-row cut
+    against the corpus scores followed by a candidate-keyed count —
+    fully parallel over the corpus, identical integer result to
+    row_number (the oracle keeps the row_number formulation). rnk is
+    the same count-of-greater over the cut itself (top-10 membership
+    makes the within-cut count exact). Two corpus scans total, zero
+    single-partition exchanges."""
     from ..llm.similarity import cosine_expr
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1633,18 +1643,64 @@ def ann24_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dot"),
         cosine_expr(F.col("aug_emb"), F.col("q_aug")).alias("aug_cos"),
     )
-    wd_ = Window.orderBy(F.col("dot").desc(), "vec_id")
-    wa = Window.orderBy(F.col("aug_cos").desc(), "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(wd_))
-        .withColumn("aug_rnk", F.row_number().over(wa))
-        .filter(F.col("rnk") <= 10)
+    cut = (
+        scored.orderBy(F.col("dot").desc(), "vec_id")
+        .limit(10)
         .select(
-            "vec_id",
-            F.round("dot", 4).alias("dot"),
+            F.col("vec_id").alias("c_id"),
+            F.col("dot").alias("c_dot"),
+            F.col("aug_cos").alias("c_aug"),
+        )
+    )
+    # rnk: strictly-ahead count within the cut (exact for top-10
+    # members — anything ahead of them by dot is itself in the cut)
+    peers = cut.select(
+        F.col("c_id").alias("p_id"), F.col("c_dot").alias("p_dot")
+    )
+    ranked = (
+        cut.join(
+            F.broadcast(peers),
+            (F.col("p_dot") > F.col("c_dot"))
+            | (
+                (F.col("p_dot") == F.col("c_dot"))
+                & (F.col("p_id") < F.col("c_id"))
+            ),
+            "left",
+        )
+        .groupBy("c_id", "c_dot", "c_aug")
+        .agg((F.count("p_id") + 1).alias("rnk"))
+    )
+    # aug_rnk: strictly-ahead count against the WHOLE corpus's
+    # augmented-cosine ordering — candidate frame broadcast, corpus
+    # side streamed, one candidate-keyed count
+    corpus = scored.select(
+        F.col("vec_id").alias("g_id"), F.col("aug_cos").alias("g_aug")
+    )
+    ahead = (
+        corpus.join(
+            F.broadcast(ranked.select("c_id", "c_aug")),
+            (F.col("g_aug") > F.col("c_aug"))
+            | (
+                (F.col("g_aug") == F.col("c_aug"))
+                & (F.col("g_id") < F.col("c_id"))
+            ),
+            "inner",
+        )
+        .groupBy("c_id")
+        .agg(F.count("g_id").alias("n_ahead"))
+    )
+    return (
+        ranked.join(F.broadcast(ahead), "c_id", "left")
+        .select(
+            F.col("c_id").alias("vec_id"),
+            F.round("c_dot", 4).alias("dot"),
             F.col("rnk").cast("bigint").alias("rnk"),
-            F.col("aug_rnk").cast("bigint").alias("aug_rnk"),
-            F.when(F.col("rnk") == F.col("aug_rnk"), 1)
+            (F.coalesce(F.col("n_ahead"), F.lit(0)) + 1)
+            .cast("bigint")
+            .alias("aug_rnk"),
+            F.when(
+                F.col("rnk") == F.coalesce(F.col("n_ahead"), F.lit(0)) + 1, 1
+            )
             .otherwise(0)
             .cast("bigint")
             .alias("ranks_agree"),

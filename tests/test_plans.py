@@ -976,11 +976,15 @@ def test_fifo_match_ordinal_hash_join(spark, sf_dir):
 
 def test_mips_single_scan_economics(spark, sf_dir):
     """ann24: one corpus scan per ranking leg, max-norm/query frames
-    broadcast, both cuts via TakeOrderedAndProject or group-limited
-    windows — no range sort."""
+    broadcast, the dot cut via TakeOrderedAndProject and aug_rnk as a
+    count-of-greater broadcast join against that bounded cut (r10
+    verdict: NOT a corpus-wide window) — no range sort, no cartesian,
+    no single-partition exchange anywhere."""
     plan = _plan(spark, sf_dir, "ann24_mips_topk")
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_cohort_ltv_matrix_sized_window(spark, sf_dir):
