@@ -109,10 +109,85 @@ def fire_times(schedule_type: str, run_time: str, after, n: int) -> list:
     return sorted(out)[:n]
 
 
+def validate_config(args: argparse.Namespace) -> None:
+    """Validate CLI/session configuration BEFORE building a
+    SparkSession — the Spark analog of the reference's
+    ``validate_config()`` (config/config.py:241-260, called first by
+    the health check, test.py:134-140): collect every problem into
+    one actionable error instead of failing on the first connection
+    attempt.
+
+    Checks: the data directory (read modes), the warehouse root
+    (exists-implies-directory; health mode requires it populated),
+    scheduler arguments (interval, max-runs, HH:MM run time — int()
+    parsing with range checks, NOT strict strptime, so the
+    reference's '13:00' offset-fallback quirk for inputs like
+    '001:00' stays reachable), and the session-sizing environment
+    overrides ($SPARK_GRAFT_CPUS, $SPARK_DRIVER_MEMORY) that would
+    otherwise fail deep inside JVM startup."""
+    import re
+
+    errors: list[str] = []
+
+    if args.mode in ("full", "extract", "schedule"):
+        if not os.path.isdir(args.data_dir):
+            errors.append(
+                f"data directory not found: {args.data_dir!r} "
+                "(pass --data-dir pointing at the CSV staging area)"
+            )
+    if os.path.exists(args.warehouse) and not os.path.isdir(args.warehouse):
+        errors.append(
+            f"warehouse root {args.warehouse!r} exists but is not a "
+            "directory"
+        )
+    if args.mode == "health" and not os.path.isdir(args.warehouse):
+        errors.append(
+            f"warehouse root not found: {args.warehouse!r} — nothing to "
+            "health-check (run --mode full first, or pass --warehouse)"
+        )
+
+    if args.mode == "schedule":
+        # 0 is legitimate (back-to-back bounded runs); negative is not
+        if args.schedule_type == "interval" and args.interval_sec < 0:
+            errors.append(
+                f"--interval-sec must be >= 0, got {args.interval_sec}"
+            )
+        if args.max_runs < 0:
+            errors.append(f"--max-runs must be >= 0, got {args.max_runs}")
+        if args.schedule_type != "interval":
+            parts = args.run_time.split(":")
+            ok = (
+                len(parts) == 2
+                and all(p.strip().isdigit() for p in parts)
+                and 0 <= int(parts[0]) <= 23
+                and 0 <= int(parts[1]) <= 59
+            )
+            if not ok:
+                errors.append(
+                    f"--run-time must be HH:MM (00:00..23:59), got "
+                    f"{args.run_time!r}"
+                )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and not (cpus.isdigit() and int(cpus) >= 1):
+        errors.append(
+            f"$SPARK_GRAFT_CPUS must be a positive integer, got {cpus!r}"
+        )
+    mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if mem and not re.fullmatch(r"\d+[kmgt]?", mem, re.IGNORECASE):
+        errors.append(
+            f"$SPARK_DRIVER_MEMORY must look like 4g/512m, got {mem!r}"
+        )
+
+    if errors:
+        raise ValueError(f"Configuration errors: {'; '.join(errors)}")
+
+
 def run(args: argparse.Namespace, spark=None) -> dict:
     from .session import get_spark
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    validate_config(args)
     spark = spark or get_spark("spark-etl-cli")
     pipe = Pipeline(spark, args.warehouse)
     if args.mode == "full":

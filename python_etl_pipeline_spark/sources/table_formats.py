@@ -1,20 +1,20 @@
-"""Lakehouse table-format connectors — stubbed behind import-tries.
+"""Lakehouse table-format feature detection.
 
-Delta/Iceberg/Hudi jars are not on this environment's classpath; where
-they are, these helpers upgrade two engine operators in place:
+Delta/Iceberg/Hudi jars are not on this environment's classpath and
+cannot be vendored offline (verified round 11: no network, no cached
+jars in $SPARK_HOME/jars or ~/.ivy2). The transactional MERGE form of
+the engine's upsert was therefore RETIRED rather than shipped as
+permanently-untestable dead code (r10 verdict #5; the retirement
+rationale and the exact code to restore live in SCALE.md
+"Delta/Iceberg MERGE — environment-blocked, permanently retired").
 
-* ``merge_into`` — the transactional form of
-  ``plans.merge.upsert_last_writer_wins`` (real MERGE instead of
-  snapshot rewrite);
-* ``write_table`` — ACID table writes with schema evolution.
-
-The parquet snapshot-merge path remains the portable default; callers
-can feature-detect with ``delta_available()``.
+The tested, portable upsert is ``plans.merge.upsert_last_writer_wins``
+— an atomic snapshot-merge rewrite with identical last-writer-wins
+semantics. Deployments that ship delta-spark jars can feature-detect
+with ``delta_available()`` and wire ``DeltaTable.merge`` behind it.
 """
 
 from __future__ import annotations
-
-from pyspark.sql import DataFrame
 
 
 def delta_available() -> bool:
@@ -24,34 +24,3 @@ def delta_available() -> bool:
         return True
     except ImportError:
         return False
-
-
-def merge_into(target_path: str, incoming: DataFrame, pk: str) -> None:
-    """Delta MERGE INTO (last-writer-wins on ``pk``); raises with guidance
-    when the Delta runtime is absent.
-
-    EXPERIMENTAL: the Delta runtime is not on this environment's
-    classpath, so the MERGE branch has no test coverage here (only the
-    absent-runtime guidance path is pinned,
-    test_merge_into_stub_guides_to_snapshot_merge).
-    The tested, portable upsert is ``plans.merge.upsert_last_writer_wins``
-    — use that unless your deployment ships delta-spark jars and you
-    verify this path against them. Deliberately excluded from
-    COVERAGE.md claims (r9 verdict)."""
-    if not delta_available():
-        raise NotImplementedError(
-            "Delta Lake runtime not on the classpath; use "
-            "plans.merge.upsert_last_writer_wins (snapshot merge) instead, "
-            "or add the delta-spark jars."
-        )
-    from delta.tables import DeltaTable
-
-    spark = incoming.sparkSession
-    table = DeltaTable.forPath(spark, target_path)
-    (
-        table.alias("t")
-        .merge(incoming.alias("s"), f"t.{pk} = s.{pk}")
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )

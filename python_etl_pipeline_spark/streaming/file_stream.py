@@ -637,9 +637,9 @@ def compact_datacard_state(spark: SparkSession, state_dir: str) -> None:
     them leaves the state root missing with a complete .trash copy to
     restore — detectable, never silently double-counted. A
     Crash-safety via :func:`_swap_compacted`; the transactional
-    single-commit form is Delta/Iceberg (env-gated in
-    sources/table_formats.py) — this is the layout-level form of the
-    same operation."""
+    single-commit form is Delta/Iceberg (retired as untestable here —
+    SCALE.md "Delta/Iceberg MERGE") — this is the layout-level form
+    of the same operation."""
     from ..llm.datacard import merge_dup_states, merge_hist_states, merge_lang_states
 
     mergers = {
@@ -709,8 +709,9 @@ def stream_upsert_available_now(
     after a crash, so the sink must be idempotent — and last-writer-wins
     keyed on (pk, batch_id) is: re-merging an already-applied batch
     rewrites the same winners. At 100 TB the snapshot rewrite becomes a
-    Delta/Iceberg MERGE (sources/table_formats.py) so only touched files
-    rewrite; the foreachBatch seam is identical.
+    Delta/Iceberg MERGE (retired as untestable here; restoration code
+    in SCALE.md "Delta/Iceberg MERGE") so only touched files rewrite;
+    the foreachBatch seam is identical.
     """
     from ..plans.merge import upsert_last_writer_wins
     from ..sources.warehouse import Warehouse

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from python_etl_pipeline_spark.queries import x6_approx_stats
-from python_etl_pipeline_spark.sources.table_formats import delta_available, merge_into
+from python_etl_pipeline_spark.sources.table_formats import delta_available
 
 import pytest
 
@@ -31,9 +31,16 @@ def test_approx_stats_accuracy(spark, sf_dir):
         assert a["p99_within_2pct"]
 
 
-def test_merge_into_stub_guides_to_snapshot_merge(spark):
-    if delta_available():
-        pytest.skip("delta runtime present; stub path not applicable")
-    df = spark.range(1)
-    with pytest.raises(NotImplementedError, match="snapshot merge"):
-        merge_into("/tmp/nowhere", df, "id")
+def test_merge_into_retired_no_dead_code():
+    """r10 verdict #5: the untestable Delta MERGE branch was retired
+    (jars cannot be vendored offline). The module must expose only the
+    feature-detection hook — no silently-dead MERGE code path — and
+    the portable upsert must remain the documented replacement."""
+    import python_etl_pipeline_spark.sources.table_formats as tf
+
+    assert not delta_available()  # this environment has no jars
+    assert not hasattr(tf, "merge_into")
+    from python_etl_pipeline_spark.plans.merge import (  # noqa: F401
+        upsert_last_writer_wins,
+    )
+    assert "upsert_last_writer_wins" in (tf.__doc__ or "")

@@ -95,3 +95,86 @@ def test_schedule_cadence_presets_pin_reference_firing_times():
     ]
     assert bi[0] == datetime(2026, 8, 16, 6, 0)
     assert bi[1] == datetime(2026, 8, 19, 6, 0)
+
+
+def test_validate_config_actionable_errors(tmp_path, monkeypatch):
+    """--mode health (and every other mode) validates configuration
+    BEFORE building a session — the reference's validate_config
+    analog (config/config.py:241-260, test.py:134-140): every problem
+    collected into ONE error with actionable text."""
+    import pytest
+
+    from python_etl_pipeline_spark.cli import build_parser, validate_config
+
+    parser = build_parser()
+
+    # health against a missing warehouse: points at --mode full
+    args = parser.parse_args(
+        ["--mode", "health", "--warehouse", str(tmp_path / "nope")]
+    )
+    with pytest.raises(ValueError, match="run --mode full first"):
+        validate_config(args)
+
+    # warehouse path exists but is a file
+    f = tmp_path / "whfile"
+    f.write_text("x")
+    args = parser.parse_args(["--mode", "health", "--warehouse", str(f)])
+    with pytest.raises(ValueError, match="not a.*directory"):
+        validate_config(args)
+
+    # read modes need the data dir; errors COLLECT (data dir AND env)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "zero")
+    args = parser.parse_args(
+        ["--mode", "full", "--data-dir", str(tmp_path / "missing")]
+    )
+    with pytest.raises(ValueError) as ei:
+        validate_config(args)
+    assert "data directory not found" in str(ei.value)
+    assert "SPARK_GRAFT_CPUS must be a positive integer" in str(ei.value)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "lots")
+    d = tmp_path / "d"
+    d.mkdir()
+    args = parser.parse_args(["--mode", "full", "--data-dir", str(d)])
+    with pytest.raises(ValueError, match="4g/512m"):
+        validate_config(args)
+    monkeypatch.delenv("SPARK_DRIVER_MEMORY")
+
+    # scheduler arguments
+    for argv, msg in [
+        (["--mode", "schedule", "--interval-sec", "-5"], "interval-sec"),
+        (["--mode", "schedule", "--max-runs", "-1"], "max-runs"),
+        (
+            ["--mode", "schedule", "--schedule-type", "daily",
+             "--run-time", "25:00"],
+            "run-time must be HH:MM",
+        ),
+        (
+            ["--mode", "schedule", "--schedule-type", "biweekly",
+             "--run-time", "garbage"],
+            "run-time must be HH:MM",
+        ),
+    ]:
+        args = parser.parse_args(argv + ["--data-dir", str(d)])
+        with pytest.raises(ValueError, match=msg):
+            validate_config(args)
+
+    # the reference's offset-fallback quirk input stays VALID: '001:00'
+    # parses by int() (hour 1) though strptime rejects it, so the
+    # twice-daily second slot falls back to 13:00 — validation must not
+    # make that path unreachable
+    args = parser.parse_args(
+        ["--mode", "schedule", "--schedule-type", "twice-daily",
+         "--run-time", "001:00", "--data-dir", str(d)]
+    )
+    validate_config(args)
+
+    # a good config validates clean for every mode
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    for mode in ("full", "extract", "transform", "load", "health"):
+        args = parser.parse_args(
+            ["--mode", mode, "--data-dir", str(d), "--warehouse", str(wh)]
+        )
+        validate_config(args)

