@@ -257,6 +257,27 @@ HEADLINE = [
     "x86_winsorized_stats",
     # retention planner: snapshot distinct + map-side GFS tiers
     "i16_retention_planner",
+    # round 11 additions
+    # survivorship: one customer-keyed agg + mode window, AQE join
+    "i17_survivorship_golden_record",
+    # join-skew audit: 3 key-keyed counts -> 3 one-row stat folds
+    "i18_join_skew_audit",
+    # PII density: map-side regex counts, one source agg
+    "tx30_pii_density_audit",
+    # basket lift: buyer-keyed pairs + HAVING, broadcast freqs, top-10
+    "x87_basket_lift",
+    # CUPED: one user-keyed agg, pooled moments broadcast
+    "x88_cuped_adjustment",
+    # peak concurrency: sweep-line on the bucketed prefix-sum engine
+    "x89_peak_concurrency",
+    # soft dedup: dd2 candidates + CC labels -> weight join
+    "dd21_soft_dedup_weights",
+    # scene cuts: Arrow frame fan-out, media-keyed windows only
+    "mm7_scene_cuts",
+    # MMR rerank: corpus scan + pool cut; greedy on pool-sized state
+    "ann29_mmr_rerank",
+    # rolling HLL: register max-monoid span-spread + exact contract
+    "hh9_rolling_hll",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

@@ -137,29 +137,43 @@ def hll_registers(
     monoid: per-batch/per-shard registers merge by groupBy-max into
     exactly the registers one pass over the union would build, in at
     most m rows per key no matter the corpus size."""
-    from .dedup import _hexint
     from .text import tokens
 
     toks = df.select(key_col, F.explode(tokens(text_col)).alias("tok"))
-    h = _hexint(F.md5(F.col("tok")), 8)
-    hashed = toks.select(
-        key_col,
+    return hll_value_registers(toks, [key_col], "tok")
+
+
+def hll_value_registers(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """(keys..., j, m_j): HLL max-rank registers over an arbitrary
+    value column (cast to string before hashing) with a composite key
+    — the tokenization-free core ``hll_registers`` wraps. Same max
+    monoid: shard/batch registers merge by groupBy-max."""
+    from .dedup import _hexint
+
+    h = _hexint(F.md5(F.col(value_col).cast("string")), 8)
+    hashed = df.select(
+        *key_cols,
         (h % HLL_M).alias("j"),
         (h / F.lit(HLL_M)).cast("bigint").alias("v"),
     ).distinct()
     rho = F.when(F.col("v") == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W + 1) - F.length(F.bin(F.col("v")))
     )
-    return hashed.groupBy(key_col, "j").agg(F.max(rho).alias("m_j"))
+    return hashed.groupBy(*key_cols, "j").agg(F.max(rho).alias("m_j"))
 
 
-def hll_estimate(regs: DataFrame, key_col: str = "source") -> DataFrame:
-    """(key, n_registers, zeros, n_est): cardinality estimate per key
-    from a register table, with the small-range linear-counting
+def hll_estimate(
+    regs: DataFrame, key_col: str | list[str] = "source"
+) -> DataFrame:
+    """(keys..., n_registers, zeros, n_est): cardinality estimate per
+    key from a register table, with the small-range linear-counting
     correction of the HLL paper (E <= 2.5m and zero registers exist).
     The harmonic sum is an exact bigint (sum of 2^(W+1-m_j)), so the
     estimate is engine- and order-deterministic."""
-    sums = regs.groupBy(key_col).agg(
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    sums = regs.groupBy(*key_cols).agg(
         (
             F.sum(
                 F.pow(F.lit(2.0), F.lit(HLL_W + 1) - F.col("m_j")).cast(
@@ -177,7 +191,7 @@ def hll_estimate(regs: DataFrame, key_col: str = "source") -> DataFrame:
         F.lit(HLL_M) * F.log(F.lit(HLL_M * 1.0) / F.col("zeros")),
     ).otherwise(est_raw)
     return sums.select(
-        key_col,
+        *key_cols,
         (F.lit(HLL_M) - F.col("zeros")).cast("bigint").alias("n_registers"),
         F.col("zeros").cast("bigint").alias("zeros"),
         F.round(e, 2).alias("n_est"),

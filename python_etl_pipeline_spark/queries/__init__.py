@@ -25,12 +25,12 @@ from ._shared import (  # noqa: F401
     register,
 )
 from . import _helpers  # noqa: E402
-from . import core, dd, ann, tx, hh, mm, xcur, xana  # noqa: E402
+from . import core, dd, ann, tx, hh, mm, xcur, xana, xbiz  # noqa: E402
 
 # Re-export every submodule name — tests pin per-query constants
 # (sketch widths, LSH planes, chunker geometry, ...) by importing them
 # from this package exactly as they did from the flat module.
-for _m in (_helpers, core, dd, ann, tx, hh, mm, xcur, xana):
+for _m in (_helpers, core, dd, ann, tx, hh, mm, xcur, xana, xbiz):
     for _k, _v in vars(_m).items():
         if not _k.startswith("__") and _k not in globals():
             globals()[_k] = _v

@@ -2343,3 +2343,174 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ann28_top_eigen"].sql = _ann28_sql()
+
+
+_ANN29_POOL = 50  # candidate pool reranked for diversity
+_ANN29_K = 10
+_ANN29_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+
+
+def _ann29_sql() -> str:
+    """Greedy MMR unrolled: sel{i} CTEs accumulate the selected set,
+    pick{i} CTEs take the argmax of lambda*rel - (1-lambda)*max-sim-to-
+    selected over the remaining pool; both engines compare the SAME
+    round(6) relevance/similarity values so the argmax is stable."""
+    lam, mu = _ANN29_LAMBDA, round(1 - _ANN29_LAMBDA, 10)
+    head = f"""
+WITH comp AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         cast(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+q AS MATERIALIZED (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
+cos AS (
+  SELECT c.vec_id,
+         round(sum(c.v * q.qv)
+               / (sqrt(sum(c.v * c.v))
+                  * sqrt((SELECT sum(qv * qv) FROM q))), 6) AS rel
+  FROM comp c JOIN q ON q.i = c.i
+  WHERE c.vec_id <> 0 GROUP BY 1
+),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel FROM cos
+  ORDER BY rel DESC, vec_id LIMIT {_ANN29_POOL}
+),
+norms AS (
+  SELECT c.vec_id, sqrt(sum(c.v * c.v)) AS nrm
+  FROM comp c JOIN pool p ON p.vec_id = c.vec_id GROUP BY 1
+),
+sims AS (
+  SELECT ca.vec_id AS a, cb.vec_id AS b,
+         round(sum(ca.v * cb.v) / (na.nrm * nb.nrm), 6) AS sim
+  FROM comp ca
+  JOIN pool pa ON pa.vec_id = ca.vec_id
+  JOIN comp cb ON cb.i = ca.i
+  JOIN pool pb ON pb.vec_id = cb.vec_id AND ca.vec_id < cb.vec_id
+  JOIN norms na ON na.vec_id = ca.vec_id
+  JOIN norms nb ON nb.vec_id = cb.vec_id
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+bisims AS MATERIALIZED (
+  SELECT a, b, sim FROM sims
+  UNION ALL SELECT b AS a, a AS b, sim FROM sims
+)"""
+    parts = [head]
+    for i in range(1, _ANN29_K + 1):
+        prev = (
+            "(SELECT vec_id FROM ("
+            + " UNION ALL ".join(
+                f"SELECT vec_id FROM pick{j}" for j in range(1, i)
+            )
+            + "))"
+            if i > 1
+            else None
+        )
+        pen = (
+            f"coalesce((SELECT max(s.sim) FROM bisims s "
+            f"WHERE s.a = p.vec_id AND s.b IN {prev}), 0e0)"
+            if prev
+            else "0e0"
+        )
+        notin = f"AND p.vec_id NOT IN {prev}" if prev else ""
+        parts.append(
+            f""",
+pick{i} AS MATERIALIZED (
+  SELECT {i} AS rnk, p.vec_id, p.rel,
+         {lam} * p.rel - {mu} * {pen} AS score
+  FROM pool p WHERE 1=1 {notin}
+  ORDER BY score DESC, p.vec_id LIMIT 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM pick{i}" for i in range(1, _ANN29_K + 1)
+    )
+    return (
+        "".join(parts)
+        + f"""
+SELECT cast(rnk AS BIGINT) AS rnk, vec_id, rel,
+       round(score, 4) AS mmr_score
+FROM ({union})"""
+    )
+
+
+@register("ann29_mmr_rerank", None, first_round=11)
+def ann29_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    — diversity-aware top-k: from the 50-strong cosine candidate pool,
+    greedily pick 10 results maximizing lambda*relevance -
+    (1-lambda)*max-similarity-to-already-picked. The retrieval stack's
+    answer to near-duplicate hits: ann1 returns 10 copies of the same
+    cluster, MMR returns the cluster once plus nine genuinely
+    different neighbors.
+
+    Plan shape: the corpus-sized work is ann1's one-fold-per-vector
+    scan + a TakeOrderedAndProject pool cut; pool pairwise cosines are
+    a 50x50 broadcast self-join (pool-bounded, corpus-independent).
+    The greedy selection itself is inherently sequential k-step state
+    — it runs on the collected POOL-SIZED matrix (50 rel + 1225 sim
+    rows, the same documented bounded-driver-state contract as the
+    sequence engine's O(buckets) offsets), never on corpus data. Both
+    engines compare identical round(6) scores, so the argmax chain is
+    reproducible; the oracle unrolls the same greedy into 10 CTE
+    steps."""
+    from ..llm.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id", "embedding",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qe")), 6
+            ).alias("rel"),
+        )
+    )
+    pool = scored.orderBy(F.col("rel").desc(), "vec_id").limit(_ANN29_POOL)
+    a = pool.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sims_df = (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    rel = {
+        r["vec_id"]: r["rel"] for r in pool.select("vec_id", "rel").collect()
+    }
+    sim: dict[tuple, float] = {}
+    for r in sims_df.collect():
+        sim[(r["a"], r["b"])] = r["sim"]
+        sim[(r["b"], r["a"])] = r["sim"]
+    lam, mu = _ANN29_LAMBDA, round(1 - _ANN29_LAMBDA, 10)
+    selected: list[tuple] = []
+    remaining = dict(rel)
+    while len(selected) < _ANN29_K and remaining:
+        best_id, best_score = None, None
+        for vid in sorted(remaining):
+            pen = max(
+                (sim[(vid, s)] for s, *_ in selected), default=0.0
+            )
+            score = lam * remaining[vid] - mu * pen
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        selected.append((best_id, rel[best_id], best_score))
+        del remaining[best_id]
+    rows = [
+        (i + 1, vid, rv, round(sc, 4))
+        for i, (vid, rv, sc) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        rows, "rnk bigint, vec_id bigint, rel double, mmr_score double"
+    )
+
+
+REGISTRY["ann29_mmr_rerank"].sql = _ann29_sql()

@@ -2243,3 +2243,172 @@ def i16_retention_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reason"),
         F.when(keep, 1).otherwise(0).cast("bigint").alias("retained"),
     )
+
+
+_I17_SQL = """
+WITH sk AS (
+  SELECT o_custkey,
+         o_orderpriority, o_orderstatus, o_orderdate, o_totalprice,
+         epoch(o_orderdate) * 100000000 + o_orderkey AS recency_key
+  FROM orders
+),
+mode AS (
+  SELECT o_custkey, o_orderstatus AS modal_status FROM (
+    SELECT o_custkey, o_orderstatus,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY count(*) DESC, o_orderstatus DESC)
+             AS rn
+    FROM sk GROUP BY 1, 2
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT o_custkey,
+         arg_max(o_orderpriority, recency_key) AS latest_priority,
+         min(o_orderdate) AS first_order_ts,
+         max(cast(round(o_totalprice * 100) AS BIGINT)) AS max_price_cents,
+         count(*) AS n_orders
+  FROM sk GROUP BY 1
+)
+SELECT a.o_custkey AS custkey, a.latest_priority, m.modal_status,
+       a.first_order_ts, a.max_price_cents, a.n_orders
+FROM agg a JOIN mode m ON m.o_custkey = a.o_custkey
+"""
+
+
+@register("i17_survivorship_golden_record", _I17_SQL, first_round=11)
+def i17_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) merge — the MDM operation that
+    collapses an entity's conflicting records into one canonical row
+    with a DIFFERENT rule per field (reference analog: the staged
+    upsert keeps whole-row last-writer-wins, src/load.py; survivorship
+    is its field-level generalization). Per customer, over their order
+    history: most-RECENT priority (recency rule, ties broken by order
+    key), most-FREQUENT status (frequency rule, modal ties broken by
+    value), FIRST order date (min rule), LARGEST price in exact cents
+    (max rule), plus the record count.
+
+    Plan shape: recency/min/max/count ride ONE customer-keyed agg with
+    map-side partials (max_by's partial state is one (value, key)
+    pair); the mode needs its own (customer, status)-keyed count first
+    — grouping-key change, so a second exchange — then a
+    customer-keyed group-limit window (WindowGroupLimit prunes
+    map-side) and a customer-keyed join that AQE plans shuffle-free on
+    the shared partitioning. The recency key is exact integer
+    (epoch-seconds * 1e8 + orderkey); prices compare in integer
+    cents."""
+    o = _t(spark, sf_dir, "orders")
+    sk = (
+        F.unix_timestamp("o_orderdate") * F.lit(100000000)
+        + F.col("o_orderkey")
+    ).alias("recency_key")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max_by("o_orderpriority", sk).alias("latest_priority"),
+        F.min("o_orderdate").alias("first_order_ts"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "max_price_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wm = Window.partitionBy("o_custkey").orderBy(
+        F.col("cnt").desc(), F.col("o_orderstatus").desc()
+    )
+    mode = (
+        o.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("modal_status"),
+        )
+    )
+    return agg.join(mode, "custkey").select(
+        "custkey", "latest_priority", "modal_status",
+        "first_order_ts", "max_price_cents", "n_orders",
+    )
+
+
+_I18_TARGET_PER_KEY = 4  # salt so no salted key exceeds 4x the mean
+
+
+def _i18_leg_sql(table: str, key: str, rel: str) -> str:
+    return f"""
+  SELECT '{rel}' AS relationship,
+         count(*) AS n_keys,
+         cast(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_key_rows,
+         round(quantile_cont(cnt, 0.99), 2) AS p99_key_rows,
+         round(max(cnt) * count(*) * 1.0 / sum(cnt), 2) AS skew_ratio,
+         cast((max(cnt) * count(*) + {_I18_TARGET_PER_KEY} * sum(cnt) - 1)
+              // ({_I18_TARGET_PER_KEY} * sum(cnt)) AS BIGINT)
+           AS salt_factor
+  FROM (SELECT {key} AS k, count(*) AS cnt FROM {table} GROUP BY 1)
+"""
+
+
+_I18_SQL = " UNION ALL ".join(
+    _i18_leg_sql(t, k, r)
+    for t, k, r in [
+        ("lineitem", "l_orderkey", "lineitem->orders"),
+        ("lineitem", "l_partkey", "lineitem->part"),
+        ("orders", "o_custkey", "orders->customer"),
+    ]
+)
+
+
+@register("i18_join_skew_audit", _I18_SQL, first_round=11)
+def i18_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew audit over the FK graph — the shuffle-planning
+    companion to i10's integrity audit: per relationship, the key
+    count, max and p99 rows-per-key, the skew ratio (max/mean), and a
+    recommended SALT factor (ceil(max / (4 * mean)), exact integer
+    arithmetic) — 1 means no salting needed. This is the measurement
+    a 100 TB join plans against: AQE's skew-join handles moderate
+    cases at runtime, but a persistent hot key (celebrity user, null
+    surrogate, default SKU) wants deliberate salting, and this audit
+    is how the pipeline decides BEFORE burning a 1000-executor
+    shuffle.
+
+    Plan shape: per relationship one (key)-keyed count with map-side
+    partials, folded to a single row by an exact-percentile agg over
+    the per-key count distribution (key-cardinality-sized, not
+    row-sized); three legs union to 3 rows. No windows, no joins."""
+    legs = []
+    for tbl, key, rel in [
+        ("lineitem", "l_orderkey", "lineitem->orders"),
+        ("lineitem", "l_partkey", "lineitem->part"),
+        ("orders", "o_custkey", "orders->customer"),
+    ]:
+        cnts = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        legs.append(
+            cnts.agg(
+                F.lit(rel).alias("relationship"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("cnt").alias("n_rows"),
+                F.max("cnt").alias("max_key_rows"),
+                F.round(F.percentile("cnt", F.lit(0.99)), 2).alias(
+                    "p99_key_rows"
+                ),
+                F.round(
+                    F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 2
+                ).alias("skew_ratio"),
+                (
+                    (
+                        F.max("cnt") * F.count(F.lit(1))
+                        + F.lit(_I18_TARGET_PER_KEY) * F.sum("cnt")
+                        - 1
+                    )
+                    / (F.lit(_I18_TARGET_PER_KEY) * F.sum("cnt"))
+                )
+                .cast("bigint")
+                .alias("salt_factor"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -1248,3 +1248,67 @@ def dd20_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("full_hash").cast("bigint").alias("n_variants"),
     )
+
+
+_DD21_SQL = f"""
+WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(labels.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels ON labels.node = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT lab.doc_id, lab.cluster_id,
+       cast(sizes.cluster_size AS BIGINT) AS cluster_size,
+       round(1.0 / sizes.cluster_size, 6) AS sample_weight
+FROM lab JOIN sizes ON sizes.cluster_id = lab.cluster_id
+"""
+
+
+@register("dd21_soft_dedup_weights", _DD21_SQL, first_round=11)
+def dd21_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates (dd6's
+    keep-one-survivor), every document stays in the corpus with a
+    sampling weight 1/cluster_size — the duplication-aware reweighting
+    training-data pipelines use when duplicates carry signal (a doc
+    repeated across 8 mirrors contributes one doc's worth of expected
+    gradient, not eight). Singletons keep weight 1, so the weighted
+    corpus size equals the deduped corpus size by construction.
+
+    Plan shape: dd2's MinHash-LSH candidate pairs + dd6's iterative
+    min-label propagation build the clusters (the only corpus-heavy
+    stages, shared machinery); the weight assignment is a cluster-keyed
+    count joined back to the label table (AQE broadcasts the
+    cluster-sized side). The oracle reaches the same fixed point via
+    recursive-CTE transitive closure — an independent route to the
+    same clusters."""
+    from ..llm.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias(
+            "sample_weight"
+        ),
+    )

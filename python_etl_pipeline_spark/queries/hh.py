@@ -797,3 +797,161 @@ def hh8_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["hh8_ams_f2"].sql = _hh8_sql()
+
+
+_HH9_WINDOW = 7  # rolling window, days
+
+
+def _hh9_sql() -> str:
+    from ..llm.dedup import _hexint_sql
+    from ..llm.sketch import HLL_M, HLL_NUM, HLL_W
+
+    h = _hexint_sql("md5(cast(user_id AS VARCHAR))", 8)
+    rho = (
+        f"CASE WHEN v = 0 THEN {HLL_W + 1} "
+        f"ELSE {HLL_W} + 1 - length(bin(v)) END"
+    )
+    est_raw = f"{HLL_NUM!r} / s_int"
+    lc = f"{HLL_M} * ln({HLL_M} * 1.0 / zeros)"
+    return f"""
+WITH uh AS (
+  SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+  FROM events
+),
+mx AS (SELECT max(day) AS maxday FROM uh),
+hashed AS (
+  SELECT DISTINCT event_type, day,
+         ({h}) % {HLL_M} AS j, ({h}) // {HLL_M} AS v
+  FROM uh
+),
+daily_regs AS (
+  SELECT event_type, day, j, max({rho}) AS m_j
+  FROM hashed GROUP BY 1, 2, 3
+),
+spread AS (
+  SELECT event_type,
+         day + unnest(generate_series(0, {_HH9_WINDOW - 1}))
+               * INTERVAL 1 DAY AS out_day,
+         j, m_j
+  FROM daily_regs
+),
+regs7 AS (
+  SELECT event_type, out_day, j, max(m_j) AS m_j
+  FROM spread, mx WHERE out_day <= mx.maxday
+  GROUP BY 1, 2, 3
+),
+sums AS (
+  SELECT event_type, out_day,
+         sum(cast(power(2, {HLL_W + 1} - m_j) AS BIGINT))
+           + ({HLL_M} - count(*)) * cast(power(2, {HLL_W + 1}) AS BIGINT)
+           AS s_int,
+         {HLL_M} - count(*) AS zeros
+  FROM regs7 GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, out_day,
+         CASE WHEN ({est_raw}) <= {2.5 * HLL_M!r} AND zeros > 0
+              THEN {lc} ELSE ({est_raw}) END AS e
+  FROM sums
+),
+exact AS (
+  SELECT event_type,
+         day + unnest(generate_series(0, {_HH9_WINDOW - 1}))
+               * INTERVAL 1 DAY AS out_day,
+         user_id
+  FROM uh
+),
+exact7 AS (
+  SELECT event_type, out_day, count(DISTINCT user_id) AS n_exact
+  FROM exact, mx WHERE out_day <= mx.maxday
+  GROUP BY 1, 2
+)
+SELECT est.event_type, cast(est.out_day AS TIMESTAMP) AS day,
+       cast(n_exact AS BIGINT) AS n_exact,
+       round(e, 2) AS n_est,
+       round(abs(round(e, 2) - n_exact) / n_exact, 4) AS rel_err
+FROM est JOIN exact7
+  ON exact7.event_type = est.event_type AND exact7.out_day = est.out_day
+"""
+
+
+@register("hh9_rolling_hll", None, first_round=11)
+def hh9_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimate per event type — hh4's HLL
+    register algebra composed with x75's span-explode: each day's
+    (type, day) register table spreads to the 7 output days it
+    contributes to and merges by groupBy-MAX (registers are a max
+    monoid, so the rolling merge is EXACTLY the registers a direct
+    pass over each window would build — no approximation added by the
+    composition). The exact rolling distinct runs in the same plan, so
+    the estimator's per-window relative error is a verified contract
+    column, like every sketch in the hh family.
+
+    Why this matters at 100 TB: the exact side re-counts each user up
+    to 7x per window; the sketch side's state is <= 256 rows per
+    (type, day) FOREVER — the monitor keeps registers, folds new days
+    in, retires old ones by rebuilding from the daily state (kept
+    small and mergeable, the same economics as hh2's CM fold).
+
+    Plan shape: one (type, day, user) distinct feeds both legs; the
+    register leg is bounded at 256 x days x types rows before and
+    after the span explode; the only data-sized stage is the distinct
+    and the exact leg's countDistinct (the contract's truth side).
+    All aggs keyed, max-day anchor broadcast."""
+    from ..llm.sketch import hll_estimate, hll_value_registers
+
+    e = _t(spark, sf_dir, "events")
+    uh = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    ).distinct()
+    mx = uh.agg(F.max("day").alias("maxday"))
+    daily_regs = hll_value_registers(
+        uh, ["event_type", "day"], "user_id"
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(_HH9_WINDOW - 1))).alias("k")
+    spread = (
+        daily_regs.select("event_type", "day", "j", "m_j", k)
+        .select(
+            "event_type",
+            (
+                F.col("day")
+                + F.make_interval(days=F.col("k"))
+            ).alias("out_day"),
+            "j", "m_j",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("out_day") <= F.col("maxday"))
+    )
+    regs7 = spread.groupBy("event_type", "out_day", "j").agg(
+        F.max("m_j").alias("m_j")
+    )
+    est = hll_estimate(regs7, ["event_type", "out_day"])
+    exact = (
+        uh.select("event_type", "day", "user_id", k)
+        .select(
+            "event_type",
+            (
+                F.col("day")
+                + F.make_interval(days=F.col("k"))
+            ).alias("out_day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("out_day") <= F.col("maxday"))
+        .groupBy("event_type", "out_day")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, ["event_type", "out_day"]).select(
+        "event_type",
+        F.col("out_day").alias("day"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "n_est",
+        F.round(
+            F.abs(F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+REGISTRY["hh9_rolling_hll"].sql = _hh9_sql()

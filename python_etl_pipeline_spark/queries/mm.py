@@ -445,3 +445,111 @@ def mm6_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(chunk_len AS INT)))"
         ).alias("chunk_digest"),
     )
+
+
+_MM7_CUT_BITS = 16  # consecutive-frame signature hamming > 16/32 -> cut
+
+
+def _mm7_sql() -> str:
+    from ..llm.dedup import _hexint_sql
+
+    sig = _hexint_sql(
+        "md5(substr(text, cast(frame_idx * 64 + 1 AS BIGINT), 16))", 8
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id AS media_id,
+         cast(octet_length(encode(text)) AS BIGINT) AS blen, text
+  FROM documents WHERE text IS NOT NULL
+),
+idx AS (
+  SELECT media_id, blen, text,
+         unnest(generate_series(0,
+                cast(floor((blen - 1) / 64) AS BIGINT))) AS frame_idx
+  FROM f
+),
+sigs AS (SELECT media_id, frame_idx, {sig} AS sig FROM idx),
+marked AS (
+  SELECT media_id, frame_idx,
+         CASE WHEN lag(sig) OVER w IS NULL THEN 0
+              WHEN bit_count(xor(sig, lag(sig) OVER w)) > {_MM7_CUT_BITS}
+              THEN 1 ELSE 0 END AS is_cut
+  FROM sigs
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+),
+scenes AS (
+  SELECT media_id, frame_idx,
+         sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM marked
+),
+per_scene AS (
+  SELECT media_id, scene_id, count(*) AS scene_len
+  FROM scenes GROUP BY 1, 2
+)
+SELECT media_id,
+       cast(sum(scene_len) AS BIGINT) AS n_frames,
+       cast(count(*) AS BIGINT) AS n_scenes,
+       cast(count(*) - 1 AS BIGINT) AS n_cuts,
+       cast(max(scene_len) AS BIGINT) AS longest_scene
+FROM per_scene GROUP BY 1
+"""
+
+
+@register("mm7_scene_cuts", None, first_round=11)
+def mm7_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over sampled frames — the video-segmentation
+    primitive: mm2's per-payload frame sampler feeds a 32-bit frame
+    signature (hash-derived stand-in for a perceptual frame hash, same
+    codec-free contract as mm1/mm5), a cut fires where consecutive
+    frames' signatures differ in more than 16 of 32 bits, and scenes
+    are the cut-delimited runs. Output per media: frame/scene/cut
+    counts and the longest scene — the shape a sampling stage uses to
+    pick one representative frame per scene instead of per stride.
+
+    Plan shape: the frame fan-out is mm2's Arrow stage (payload bytes
+    never shuffle); everything downstream is (media_id, frame)-keyed —
+    one media-keyed lag window for the cut flags, one cumulative
+    window for scene ids (same exchange), a (media, scene) agg, a
+    media agg. No global windows, no joins. The signature arithmetic
+    (first 8 md5 hex chars, bit_count(xor)) replays identically in the
+    oracle."""
+    from ..llm.dedup import _hexint
+    from ..llm.multimodal import attach_binary_payload, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    frames = sample_frames(attach_binary_payload(d, "text", "doc_id"))
+    sigs = frames.select(
+        "media_id", "frame_idx",
+        _hexint(F.col("frame_digest"), 8).alias("sig"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    marked = sigs.select(
+        "media_id", "frame_idx",
+        F.when(F.lag("sig").over(w).isNull(), 0)
+        .when(
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.lag("sig").over(w))
+            )
+            > _MM7_CUT_BITS,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    scenes = marked.withColumn(
+        "scene_id",
+        F.sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_scene = scenes.groupBy("media_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("scene_len")
+    )
+    return per_scene.groupBy("media_id").agg(
+        F.sum("scene_len").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scenes"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cuts"),
+        F.max("scene_len").cast("bigint").alias("longest_scene"),
+    )
+
+
+REGISTRY["mm7_scene_cuts"].sql = _mm7_sql()

@@ -1895,3 +1895,82 @@ def tx29_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_bits"),
     )
+
+
+_TX30_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_TX30_PHONE = r"\b\d{10}\b"
+_TX30_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_TX30_SQL = f"""
+WITH withpii AS (
+  SELECT source,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id ||
+                           '@example.com or 9876543210 ssn 123-45-6789'
+                      ELSE '' END AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(string_split_regex(trim(t), '\\s+')) AS toks,
+         len(regexp_extract_all(t, '{_TX30_EMAIL}')) AS emails,
+         len(regexp_extract_all(t, '{_TX30_PHONE}')) AS phones,
+         len(regexp_extract_all(t, '{_TX30_SSN}')) AS ssns
+  FROM withpii
+)
+SELECT source,
+       cast(sum(toks) AS BIGINT) AS n_tokens,
+       cast(sum(emails) AS BIGINT) AS n_emails,
+       cast(sum(phones) AS BIGINT) AS n_phones,
+       cast(sum(ssns) AS BIGINT) AS n_ssns,
+       round(1e4 * (sum(emails) + sum(phones) + sum(ssns))
+             / sum(toks), 4) AS pii_per_10k_tokens
+FROM per_doc GROUP BY source
+"""
+
+
+@register("tx30_pii_density_audit", _TX30_SQL, first_round=11)
+def tx30_pii_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density audit — the measurement side of tx6's
+    redaction: occurrences of email/phone/SSN shapes per 10k tokens,
+    by source. A training-data pipeline uses this to RANK sources for
+    scrubbing priority and to verify a redaction pass actually drove
+    the density to zero; tx6 transforms documents one by one, this
+    aggregates the corpus-level exposure. PII is planted
+    deterministically on every third document so the audit has known
+    ground truth at any scale.
+
+    Plan shape: all three regex counts are map-side JVM codegen
+    (regexp_count — no UDF, no explode; the token count is a split
+    length, not a token explode), folded by ONE source-keyed agg with
+    map-side partials. Exact integer counts; only the final density
+    divides."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 9876543210 ssn 123-45-6789"),
+        ),
+    ).otherwise(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.size(F.split(F.trim(t), r"\s+")).alias("toks"),
+        F.regexp_count(t, F.lit(_TX30_EMAIL)).alias("emails"),
+        F.regexp_count(t, F.lit(_TX30_PHONE)).alias("phones"),
+        F.regexp_count(t, F.lit(_TX30_SSN)).alias("ssns"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("emails").cast("bigint").alias("n_emails"),
+        F.sum("phones").cast("bigint").alias("n_phones"),
+        F.sum("ssns").cast("bigint").alias("n_ssns"),
+        F.round(
+            F.lit(10000.0)
+            * (F.sum("emails") + F.sum("phones") + F.sum("ssns"))
+            / F.sum("toks"),
+            4,
+        ).alias("pii_per_10k_tokens"),
+    )

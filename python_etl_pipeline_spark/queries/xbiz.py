@@ -1,0 +1,328 @@
+"""Business/experimentation x-series, round 11: association rules,
+CUPED variance reduction, sweep-line concurrency.
+
+New module (xana.py sits at its 3,700-line cap); same registration
+contract as every family module.
+"""
+
+from ._shared import *  # noqa: F401,F403 — F, Window, helpers, register
+from ._shared import _t, REGISTRY, register  # noqa: F401
+
+
+_X87_MIN_SUPPORT = 5  # baskets a pair must co-occur in
+_X87_TOPK = 10
+
+_X87_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT o_custkey AS buyer, l_partkey AS item
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+nb AS (SELECT count(DISTINCT buyer) AS n_baskets FROM items),
+freq AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.buyer = b.buyer AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {_X87_MIN_SUPPORT}
+),
+scored AS (
+  SELECT p.item_a, p.item_b, p.n_ab,
+         fa.n_item AS n_a, fb.n_item AS n_b,
+         p.n_ab * nb.n_baskets * 1e0 / (fa.n_item * fb.n_item) AS lift,
+         p.n_ab * 1e0 / fa.n_item AS confidence
+  FROM pairs p
+  JOIN freq fa ON fa.item = p.item_a
+  JOIN freq fb ON fb.item = p.item_b, nb
+)
+SELECT item_a, item_b,
+       cast(n_ab AS BIGINT) AS n_ab,
+       cast(n_a AS BIGINT) AS n_a,
+       cast(n_b AS BIGINT) AS n_b,
+       round(lift, 4) AS lift,
+       round(confidence, 4) AS confidence
+FROM scored
+ORDER BY lift DESC, item_a, item_b
+LIMIT {_X87_TOPK}
+"""
+
+
+@register("x87_basket_lift", _X87_SQL, first_round=11)
+def x87_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over buyer baskets: the top-10 part
+    pairs by LIFT (P(AB)/(P(A)P(B))) with support >= 5 baskets, plus
+    confidence — the classic market-basket readout behind "customers
+    who bought X also bought Y". x68 ranks per-item neighbors by
+    Jaccard; this is the corpus-level rule list with the support floor
+    that separates signal from the support-1 noise pairs (112k of the
+    ~116k raw pairs here).
+
+    Plan shape: the pair build is buyer-keyed (fan-out bounded by
+    basket size, corpus-independent per key — x68's economics), the
+    HAVING prunes support-1 pairs inside the same aggregation, item
+    frequencies and the basket count broadcast onto the surviving
+    pairs, and the final top-10 is one TakeOrderedAndProject (lift
+    is a single exact-integer ratio evaluated identically in both
+    engines; ties broken by the pair key). No windows, no global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    items = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("buyer"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    nb = items.agg(F.countDistinct("buyer").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("buyer", F.col("item").alias("item_a"))
+    b = items.select("buyer", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "buyer")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _X87_MIN_SUPPORT)
+    )
+    fa = freq.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a", "item_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("n_ab") / F.col("n_a"), 4).alias("confidence"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(_X87_TOPK)
+
+
+_X88_SPLIT_TS = "2024-01-16"  # pre-period: Jan 1-15; post: Jan 16+
+
+_X88_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         md5(cast(user_id AS VARCHAR)) < '8' AS is_a,
+         cast(sum(CASE WHEN ts < TIMESTAMP '{_X88_SPLIT_TS}'
+                  THEN cast(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x_pre,
+         cast(sum(CASE WHEN ts >= TIMESTAMP '{_X88_SPLIT_TS}'
+                  THEN cast(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y_post
+  FROM events GROUP BY 1
+),
+pooled AS (
+  SELECT covar_samp(x_pre, y_post) / var_samp(x_pre) AS theta,
+         avg(x_pre) AS mx
+  FROM per_user
+)
+SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS variant,
+       cast(count(*) AS BIGINT) AS n_users,
+       round(avg(y_post), 2) AS mean_y_cents,
+       round(avg(y_post - theta * (x_pre - mx)), 2) AS adj_mean_cents,
+       round(any_value(theta), 6) + 0e0 AS theta,
+       round(1e0 - var_samp(y_post - theta * x_pre) / var_samp(y_post), 4)
+         + 0e0 AS var_reduction
+FROM per_user, pooled
+GROUP BY 1
+"""
+
+
+@register("x88_cuped_adjustment", _X88_SQL, first_round=11)
+def x88_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013,
+    the standard experimentation trick): per user, the PRE-period
+    spend (Jan 1-15, exact cents) is the covariate X and the
+    post-period spend is the metric Y; theta = cov(X,Y)/var(X) pooled,
+    and each arm reports both the raw mean and the CUPED-adjusted mean
+    avg(Y - theta*(X - mean(X))) plus the achieved variance reduction
+    1 - var(Y-thetaX)/var(Y). Same md5 hash-split arms as x71 — this
+    is the readout that makes small effects detectable without more
+    traffic.
+
+    Plan shape: ONE user-keyed agg builds exact-integer (X, Y) pairs
+    map-side (period membership is a map-side CASE); the pooled
+    moments are a single-row broadcast; the arm readout is a 2-row
+    agg. Only the final moments are floating point, computed over the
+    user-level matrix in both engines and display-rounded."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    split = F.lit(_X88_SPLIT_TS).cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x_pre"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y_post"),
+    ).withColumn(
+        "variant",
+        F.when(F.md5(F.col("user_id").cast("string")) < "8", "A").otherwise(
+            "B"
+        ),
+    )
+    pooled = per_user.agg(
+        (F.covar_samp("x_pre", "y_post") / F.var_samp("x_pre")).alias(
+            "theta"
+        ),
+        F.avg("x_pre").alias("mx"),
+    )
+    j = per_user.crossJoin(F.broadcast(pooled))
+    return (
+        j.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y_post"), 2).alias("mean_y_cents"),
+            F.round(
+                F.avg(
+                    F.col("y_post")
+                    - F.col("theta") * (F.col("x_pre") - F.col("mx"))
+                ),
+                2,
+            ).alias("adj_mean_cents"),
+            # + 0.0 canonicalizes IEEE -0.0 (a near-zero reduction can
+            # round to -0 in one engine and +0 in the other)
+            (F.round(F.any_value("theta"), 6) + F.lit(0.0)).alias("theta"),
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.var_samp(
+                        F.col("y_post") - F.col("theta") * F.col("x_pre")
+                    )
+                    / F.var_samp("y_post"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("var_reduction"),
+        )
+    )
+
+
+_X89_GAP_MIN = 30  # session break after 30 idle minutes (x15's gap)
+
+_X89_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts))
+                   > {_X89_GAP_MIN} * 60 * 1000000
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+  ) GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT epoch_us(s_start) AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT epoch_us(s_end) + 1000000 AS t, -1 AS delta FROM sess
+),
+swept AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas
+)
+SELECT cast(make_timestamp(t // 86400000000 * 86400000000) AS TIMESTAMP)
+         AS day,
+       cast(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY 1
+"""
+
+
+@register("x89_peak_concurrency", _X89_SQL, first_round=11)
+def x89_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning sweep
+    line: sessionize (x15's 30-minute gap), emit +1 at each session
+    start and -1 one second after its end, and the daily MAX of the
+    running total is the peak concurrency. The running total is a
+    GLOBAL cumulative sum — exactly the operator the bucketed
+    prefix-sum engine (operators/sequence.py, x76/x82's engine) exists
+    for: equi-depth buckets on the timestamp, O(buckets) driver-folded
+    offsets, per-bucket windows — so the sweep is fully parallel where
+    a naive ORDER BY window would funnel every session edge through
+    one partition.
+
+    Plan shape: user-keyed lag + cumulative windows for
+    sessionization, a session-level union of +/-1 edges (2 rows per
+    session), the bucketed global prefix sum over (t, delta), then a
+    day-keyed max. Integer deltas make the prefix sum exact; the
+    (t, delta) ordering processes session ends before starts at the
+    same microsecond in both engines."""
+    from ..operators.sequence import with_global_prefix_sum
+
+    e = _t(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts")
+    # TZ-independent epoch micros: unix_micros rejects TIMESTAMP_NTZ
+    em = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {c})"
+    )
+    marked = e.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                em("ts") - F.lag(em("ts")).over(wl)
+                > _X89_GAP_MIN * 60 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = (
+        marked.withColumn(
+            "sid",
+            F.sum("is_start").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sess.select(
+        em("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            (em("s_end") + 1000000).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    swept = with_global_prefix_sum(
+        deltas, "delta", ["t", "delta"], name="concurrent"
+    )
+    day_us = 86400 * 1000000
+    return (
+        swept.groupBy(
+            F.timestamp_micros(
+                (F.col("t") / day_us).cast("bigint") * day_us
+            ).alias("day")
+        )
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    )

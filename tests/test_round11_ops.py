@@ -1,0 +1,586 @@
+"""Round-11 operators: survivorship golden record, join-skew audit,
+PII density, basket lift, CUPED, sweep-line concurrency — pure-Python
+recomputes plus the plan shapes that matter at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from python_etl_pipeline_spark.queries import REGISTRY, _t
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _events(spark, sf_dir):
+    return [
+        r.asDict()
+        for r in _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect()
+    ]
+
+
+def _orders(spark, sf_dir):
+    return [
+        r.asDict()
+        for r in _t(spark, sf_dir, "orders").collect()
+    ]
+
+
+# ---------------------------------------------------------------- i17
+
+
+def test_survivorship_matches_pure_python(spark, sf_dir):
+    """Field-level survivorship: recency / mode / min / max rules each
+    recomputed serially, modal ties broken by value desc."""
+    rows = _orders(spark, sf_dir)
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    want = {}
+    for ck, rs in by_cust.items():
+        latest = max(
+            rs,
+            key=lambda r: int(r["o_orderdate"].timestamp()) * 100000000
+            + r["o_orderkey"],
+        )
+        counts: dict[str, int] = {}
+        for r in rs:
+            counts[r["o_orderstatus"]] = counts.get(r["o_orderstatus"], 0) + 1
+        modal = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        want[ck] = (
+            latest["o_orderpriority"],
+            modal,
+            min(r["o_orderdate"] for r in rs),
+            max(round(r["o_totalprice"] * 100) for r in rs),
+            len(rs),
+        )
+    got = {
+        r["custkey"]: (
+            r["latest_priority"],
+            r["modal_status"],
+            r["first_order_ts"],
+            r["max_price_cents"],
+            r["n_orders"],
+        )
+        for r in REGISTRY["i17_survivorship_golden_record"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_survivorship_plan_keyed(spark, sf_dir):
+    """i17: everything customer-keyed — no single-partition exchange,
+    no range sort; the mode's group-limit window prunes map-side."""
+    plan = _plan(spark, sf_dir, "i17_survivorship_golden_record")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------- i18
+
+
+def test_join_skew_audit_matches_pure_python(spark, sf_dir):
+    li = [
+        r.asDict()
+        for r in _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    orders = _orders(spark, sf_dir)
+
+    def leg(keys):
+        cnt: dict[int, int] = {}
+        for k in keys:
+            cnt[k] = cnt.get(k, 0) + 1
+        dist = sorted(cnt.values())
+        n_keys, n_rows, mx = len(dist), sum(dist), max(dist)
+        # linear-interpolated p99 (both engines' continuous percentile)
+        idx = (n_keys - 1) * 0.99
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        p99 = dist[lo] + (idx - lo) * (dist[hi] - dist[lo])
+        salt = (mx * n_keys + 4 * n_rows - 1) // (4 * n_rows)
+        return (
+            n_keys,
+            n_rows,
+            mx,
+            round(p99, 2),
+            round(mx * n_keys / n_rows, 2),
+            salt,
+        )
+
+    want = {
+        "lineitem->orders": leg([r["l_orderkey"] for r in li]),
+        "lineitem->part": leg([r["l_partkey"] for r in li]),
+        "orders->customer": leg([r["o_custkey"] for r in orders]),
+    }
+    got = {
+        r["relationship"]: (
+            r["n_keys"],
+            r["n_rows"],
+            r["max_key_rows"],
+            r["p99_key_rows"],
+            r["skew_ratio"],
+            r["salt_factor"],
+        )
+        for r in REGISTRY["i18_join_skew_audit"].spark(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for rel in want:
+        g, w = got[rel], want[rel]
+        assert g[:3] == w[:3], rel
+        assert abs(g[3] - w[3]) < 0.011, rel  # p99 interpolation ulp
+        assert g[4] == w[4] and g[5] == w[5], rel
+    # every salt factor >= 1; unskewed FKs recommend 1 (no salting)
+    assert all(v[5] >= 1 for v in got.values())
+
+
+def test_join_skew_audit_plan(spark, sf_dir):
+    """i18: three key-keyed counts folded to single-row stats — the
+    single-partition exchanges are the 1-row stat folds (3, bounded by
+    the relationship count, never data-sized); no windows, no joins."""
+    plan = _plan(spark, sf_dir, "i18_join_skew_audit")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- tx30
+
+
+def test_pii_density_matches_pure_python(spark, sf_dir):
+    docs = [
+        r.asDict()
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .collect()
+    ]
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\b\d{10}\b")
+    ssn = re.compile(r"\b\d{3}-\d{2}-\d{4}\b")
+    agg: dict[str, list[int]] = {}
+    for d in docs:
+        t = d["text"]
+        if d["doc_id"] % 3 == 0:
+            t += (
+                f" contact user{d['doc_id']}@example.com or 9876543210 "
+                "ssn 123-45-6789"
+            )
+        a = agg.setdefault(d["source"], [0, 0, 0, 0])
+        a[0] += len(t.strip().split())
+        a[1] += len(email.findall(t))
+        a[2] += len(phone.findall(t))
+        a[3] += len(ssn.findall(t))
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["tx30_pii_density_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got.keys() == agg.keys()
+    for src, (toks, em, ph, sn) in agg.items():
+        g = got[src]
+        assert (g["n_tokens"], g["n_emails"], g["n_phones"], g["n_ssns"]) == (
+            toks, em, ph, sn
+        ), src
+        assert abs(
+            g["pii_per_10k_tokens"] - round(1e4 * (em + ph + sn) / toks, 4)
+        ) < 1e-9
+        # planted PII is on every third doc: counts must be non-zero
+        assert g["n_emails"] > 0 and g["n_ssns"] > 0
+
+
+def test_pii_density_plan_mapside(spark, sf_dir):
+    """tx30: regex counts are map-side expressions — exactly ONE
+    exchange (the source agg), no explode, no window, no join."""
+    plan = _plan(spark, sf_dir, "tx30_pii_density_audit")
+    assert plan.count("Exchange") <= 2  # partial/final of one agg
+    assert "Generate" not in plan  # no explode
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------- x87
+
+
+def test_basket_lift_matches_pure_python(spark, sf_dir):
+    li = [
+        (r["o_custkey"], r["l_partkey"])
+        for r in _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .collect()
+    ]
+    baskets: dict[int, set] = {}
+    for buyer, item in li:
+        baskets.setdefault(buyer, set()).add(item)
+    n_baskets = len(baskets)
+    freq: dict[int, int] = {}
+    pair: dict[tuple, int] = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for it in s:
+            freq[it] = freq.get(it, 0) + 1
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    scored = [
+        (
+            round(n * n_baskets / (freq[a] * freq[b]), 4),
+            a,
+            b,
+            n,
+            round(n / freq[a], 4),
+        )
+        for (a, b), n in pair.items()
+        if n >= 5
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, n, lift, conf) for lift, a, b, n, conf in scored[:10]]
+    got = [
+        (r["item_a"], r["item_b"], r["n_ab"], r["lift"], r["confidence"])
+        for r in REGISTRY["x87_basket_lift"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # association-rule sanity: every surviving pair has lift > 1 here
+    # (support floor kills the independent-pair noise)
+    assert all(g[3] > 1 for g in got)
+
+
+def test_basket_lift_plan(spark, sf_dir):
+    """x87: buyer-keyed pair build, broadcast frequencies, top-10 via
+    TakeOrderedAndProject — no global sort, no cartesian."""
+    plan = _plan(spark, sf_dir, "x87_basket_lift")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- x88
+
+
+def test_cuped_matches_pure_python(spark, sf_dir):
+    import datetime
+    import hashlib
+
+    ev = _events(spark, sf_dir)
+    split = datetime.datetime(2024, 1, 16)
+    per_user: dict[int, list[int]] = {}
+    for e in ev:
+        u = per_user.setdefault(e["user_id"], [0, 0])
+        cents = round(e["value"] * 100)
+        if e["ts"] < split:
+            u[0] += cents
+        else:
+            u[1] += cents
+    xs = [v[0] for v in per_user.values()]
+    ys = [v[1] for v in per_user.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    varx = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    theta = cov / varx
+    arms: dict[str, list] = {"A": [], "B": []}
+    for uid, (x, y) in per_user.items():
+        v = "A" if hashlib.md5(str(uid).encode()).hexdigest() < "8" else "B"
+        arms[v].append((x, y))
+    got = {
+        r["variant"]: r.asDict()
+        for r in REGISTRY["x88_cuped_adjustment"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == {"A", "B"}
+    for v, pairs in arms.items():
+        g = got[v]
+        assert g["n_users"] == len(pairs)
+        mean_y = sum(y for _, y in pairs) / len(pairs)
+        adj = sum(y - theta * (x - mx) for x, y in pairs) / len(pairs)
+        assert abs(g["mean_y_cents"] - mean_y) < 0.02
+        assert abs(g["adj_mean_cents"] - adj) < 0.02
+        assert abs(g["theta"] - theta) < 1e-4
+    # identity: CUPED shifts means but preserves the pooled average
+    pooled_raw = sum(
+        got[v]["mean_y_cents"] * got[v]["n_users"] for v in got
+    )
+    pooled_adj = sum(
+        got[v]["adj_mean_cents"] * got[v]["n_users"] for v in got
+    )
+    assert abs(pooled_raw - pooled_adj) / max(abs(pooled_raw), 1) < 1e-4
+
+
+def test_cuped_plan_one_userkeyed_agg(spark, sf_dir):
+    """x88: one user-keyed agg, pooled moments broadcast, 2-row arm
+    fold — no windows, no range sort."""
+    plan = _plan(spark, sf_dir, "x88_cuped_adjustment")
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- x89
+
+
+def test_peak_concurrency_matches_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e["ts"])
+    sessions = []
+    for ts_list in by_user.values():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if (t - prev).total_seconds() * 1e6 > 30 * 60 * 1e6:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    deltas = []
+    for s, e_ in sessions:
+        us = int(s.timestamp() * 1e6)
+        ue = int(e_.timestamp() * 1e6) + 1000000
+        deltas.append((us, 1))
+        deltas.append((ue, -1))
+    deltas.sort()
+    cur = 0
+    peak: dict[int, int] = {}
+    for t, d in deltas:
+        cur += d
+        day = t // (86400 * 1000000)
+        peak[day] = max(peak.get(day, cur), cur)
+    got = {
+        int(r["day"].timestamp()) // 86400: r["peak_concurrent"]
+        for r in REGISTRY["x89_peak_concurrency"].spark(spark, sf_dir).collect()
+    }
+    assert got == peak
+    # capacity sanity: concurrency never exceeds the user count
+    assert max(got.values()) <= len(by_user)
+
+
+def test_peak_concurrency_fully_parallel(spark, sf_dir):
+    """x89: the global sweep rides the bucketed prefix-sum engine —
+    no single-partition exchange, no range sort anywhere."""
+    plan = _plan(spark, sf_dir, "x89_peak_concurrency")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- dd21
+
+
+def test_soft_dedup_weights_invariants(spark, sf_dir):
+    """dd21 vs dd6: same clusters, weight = 1/size, every doc present,
+    and sum(weight) == number of clusters (soft dedup preserves the
+    deduped corpus size by construction)."""
+    out = [
+        r.asDict()
+        for r in REGISTRY["dd21_soft_dedup_weights"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    n_docs = _t(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    sizes: dict[int, int] = {}
+    for r in out:
+        assert abs(r["sample_weight"] - round(1 / r["cluster_size"], 6)) < 1e-9
+        sizes[r["cluster_id"]] = r["cluster_size"]
+        assert r["cluster_size"] >= 1
+    # actual membership counts must equal the claimed sizes
+    member_counts: dict[int, int] = {}
+    for r in out:
+        member_counts[r["cluster_id"]] = member_counts.get(r["cluster_id"], 0) + 1
+    assert member_counts == sizes
+    total_w = sum(r["sample_weight"] for r in out)
+    assert abs(total_w - len(sizes)) < 1e-3
+    # dd6's multi-doc clusters must appear with identical sizes
+    dd6 = {
+        r["cluster_id"]: r["cluster_size"]
+        for r in REGISTRY["dd6_lsh_dup_clusters"].spark(spark, sf_dir).collect()
+    }
+    for cid, sz in dd6.items():
+        assert sizes.get(cid) == sz, cid
+
+
+def test_soft_dedup_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dd21_soft_dedup_weights")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- mm7
+
+
+def test_scene_cuts_match_pure_python(spark, sf_dir):
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for mid, text in docs.items():
+        b = text.encode()
+        sigs = []
+        for fi in range((len(b) - 1) // 64 + 1):
+            window = text[fi * 64: fi * 64 + 16]
+            sigs.append(
+                int(hashlib.md5(window.encode()).hexdigest()[:8], 16)
+            )
+        cuts = [
+            1 if bin(a ^ b_).count("1") > 16 else 0
+            for a, b_ in zip(sigs, sigs[1:])
+        ]
+        # scene lengths from cut positions
+        lens, cur = [], 1
+        for c in cuts:
+            if c:
+                lens.append(cur)
+                cur = 1
+            else:
+                cur += 1
+        lens.append(cur)
+        want[mid] = (len(sigs), len(lens), len(lens) - 1, max(lens))
+    got = {
+        r["media_id"]: (
+            r["n_frames"], r["n_scenes"], r["n_cuts"], r["longest_scene"]
+        )
+        for r in REGISTRY["mm7_scene_cuts"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scene_cuts_plan_media_keyed(spark, sf_dir):
+    """mm7: everything media-keyed after the Arrow frame fan-out — no
+    single-partition exchange, no joins, no range sort."""
+    plan = _plan(spark, sf_dir, "mm7_scene_cuts")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------- ann29
+
+
+def test_mmr_matches_pure_python(spark, sf_dir):
+    """Full greedy MMR recomputed serially from the raw embeddings —
+    same array-order float folds, same round(6) grid, same tie rules."""
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in _t(spark, sf_dir, "embeddings").collect()
+    }
+    q = rows[0]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na ** 0.5 * nb ** 0.5)
+
+    rel = {
+        vid: round(cos(v, q), 6) for vid, v in rows.items() if vid != 0
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:50]
+    sim = {
+        (a, b): round(cos(rows[a], rows[b]), 6)
+        for i, a in enumerate(pool)
+        for b in pool[i + 1:]
+    }
+    sim.update({(b, a): s for (a, b), s in list(sim.items())})
+    sel, remaining, want = [], set(pool), []
+    while len(want) < 10:
+        best, bs = None, None
+        for vid in sorted(remaining):
+            pen = max((sim[(vid, s)] for s in sel), default=0.0)
+            sc = 0.7 * rel[vid] - 0.3 * pen
+            if bs is None or sc > bs:
+                best, bs = vid, sc
+        sel.append(best)
+        remaining.discard(best)
+        want.append((len(want) + 1, best, rel[best], round(bs, 4)))
+    got = [
+        (r["rnk"], r["vec_id"], r["rel"], r["mmr_score"])
+        for r in REGISTRY["ann29_mmr_rerank"]
+        .spark(spark, sf_dir)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == want
+    # diversity property: MMR's picks are no more self-similar than
+    # the plain top-10 (usually strictly less)
+    top10 = pool[:10]
+    mmr10 = [v for _, v, _, _ in got]
+
+    def avg_pairwise(ids):
+        ps = [
+            sim[(a, b)] for i, a in enumerate(ids) for b in ids[i + 1:]
+        ]
+        return sum(ps) / len(ps)
+
+    assert avg_pairwise(mmr10) <= avg_pairwise(top10) + 1e-9
+
+
+# ---------------------------------------------------------------- hh9
+
+
+def test_rolling_hll_exact_side_and_merge(spark, sf_dir):
+    """hh9: the exact side equals a serial rolling distinct, and the
+    register max-monoid makes the rolling estimate EQUAL to an HLL
+    built directly on each window's users."""
+    ev = _events(spark, sf_dir)
+    day0: dict[tuple, set] = {}
+    for e in ev:
+        d = e["ts"].date()
+        day0.setdefault((e["event_type"], d), set()).add(e["user_id"])
+    days = sorted({d for _, d in day0})
+    maxd = max(days)
+    want_exact = {}
+    for (t, d), _ in day0.items():
+        pass
+    types = sorted({t for t, _ in day0})
+    import datetime
+
+    for t in types:
+        for d in days:
+            users = set()
+            for k in range(7):
+                users |= day0.get((t, d - datetime.timedelta(days=k)), set())
+            if users:
+                want_exact[(t, d)] = len(users)
+    # out_days beyond data (d..maxd only) — the query spreads forward,
+    # so any (t, d) with contributors within the window is present
+    got = {
+        (r["event_type"], r["day"].date()): r
+        for r in REGISTRY["hh9_rolling_hll"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want_exact)
+    for k, r in got.items():
+        assert r["n_exact"] == want_exact[k], k
+        assert r["rel_err"] <= 0.30, (k, r["rel_err"])
+
+
+def test_rolling_hll_plan_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hh9_rolling_hll")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
