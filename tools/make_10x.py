@@ -22,8 +22,7 @@ from pathlib import Path
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DIMS = {"region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem"}
+DIMS = {"region", "nation", "supplier", "part"}
 
 
 def build(out_dir: str, tables: list[str]) -> None:
@@ -79,6 +78,52 @@ def build(out_dir: str, tables: list[str]) -> None:
               SELECT event_id + k * {eoff} AS event_id, ts,
                      user_id + k * {uoff} AS user_id,
                      event_type, value, props
+              FROM '{src}', range(0, 10) r(k)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        elif t == "orders":
+            # key-shifted facts: 10 disjoint copies of the order/customer
+            # key spaces (the r9 recipe behind the x67/x68/i7 rows —
+            # previously built ad-hoc, now reproducible from this tool)
+            okoff, ckoff = con.sql(
+                f"SELECT max(o_orderkey) + 1, max(o_custkey) + 1 "
+                f"FROM '{src}'"
+            ).fetchone()
+            q = f"""
+            COPY (
+              SELECT o_orderkey + k * {okoff} AS o_orderkey,
+                     o_custkey + k * {ckoff} AS o_custkey,
+                     o_orderstatus, o_totalprice, o_orderdate,
+                     o_orderpriority
+              FROM '{src}', range(0, 10) r(k)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        elif t == "lineitem":
+            # shifts consistent with orders (orderkey) and with 10
+            # disjoint part spaces; suppkey deliberately UNSHIFTED
+            # (suppliers shared across copies, matching the fixture)
+            okoff, pkoff = con.sql(
+                f"SELECT max(l_orderkey) + 1, max(l_partkey) + 1 "
+                f"FROM '{src}'"
+            ).fetchone()
+            q = f"""
+            COPY (
+              SELECT l_orderkey + k * {okoff} AS l_orderkey,
+                     l_partkey + k * {pkoff} AS l_partkey,
+                     l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax, l_returnflag,
+                     l_linestatus, l_shipdate
+              FROM '{src}', range(0, 10) r(k)
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        elif t == "customer":
+            ckoff = con.sql(
+                f"SELECT max(c_custkey) + 1 FROM '{src}'"
+            ).fetchone()[0]
+            q = f"""
+            COPY (
+              SELECT c_custkey + k * {ckoff} AS c_custkey,
+                     c_name, c_nationkey, c_acctbal, c_mktsegment
               FROM '{src}', range(0, 10) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
