@@ -57,91 +57,78 @@ del _m, _k, _v
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 10  # the round this prefix was built for
+_GATE_ROUND = 11  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-10 state: registry 216 at the time this
-# prefix froze (horizon-5 bound 5*46+4 = 234 still holds; the next
-# crossing at ~234 decides horizon 6 vs capping growth — decide in
-# the crossing round, arithmetic in the commit). No escalation needed
-# this round.
+# GATE ARITHMETIC, round-11 state: registry 249 after this round's 10
+# additions; horizon-6 bound 6*46 + 4 = 280 holds with 31 of slack.
+# At the recent ~10-25/round growth the crossing lands around round
+# 12-13 — decide there (horizon 7 bound 326, or cap growth),
+# arithmetic in the crossing commit as always.
 _GATE_PREFIX = [
-    # (1) the 23 round-9 additions that have never carried a driver
-    # row (judge-parity-verified in r9; the r9 verdict's top action is
-    # to give each a hard driver CORRECTNESS row). Four of them also
-    # CHANGED this round — x63 (interpolation anchors gated on
-    # value-bearing events), mm5 (8x2 banding makes hamming<=4 exact),
-    # ann24 (oracle dimension derived from data), x76 (cumulative
-    # window re-planned onto the bucketed prefix-sum) — so their slots
-    # are doubly required.
-    "x63_gap_fill_interpolate",
-    "x64_cusum_changepoint",
-    "x66_conversion_lag",
-    "x67_copurchase_triangles",
-    "x68_item_similarity_topk",
-    "x69_bm25_topk",
-    "x70_quantile_normalize",
-    "x71_ab_test_ztest",
-    "x72_behavior_entropy",
-    "x73_fifo_match",
-    "x74_cohort_ltv",
-    "x75_rolling_active_users",
-    "x76_abc_analysis",
-    "x77_seasonal_profile",
-    "x78_trend_forecast",
-    "ann23_hybrid_rrf",
+    # (1a) CHANGED this round — a prior green row stops vouching the
+    # moment the code moves: x81 (EWMA re-based per block, oracle
+    # rewritten), hh7 (empty-token Bloom guard, both engines), ann24
+    # (aug_rnk re-planned as count-of-greater), x76/x82 (ride the
+    # prefix-sum engine, whose NULL/empty semantics changed).
+    "x81_ewma_smoothing",
+    "hh7_bloom_membership",
     "ann24_mips_topk",
-    "dd18_exact_span_decontaminate",
-    "hh6_kmv_overlap",
-    "i11_snapshot_cdc_extract",
-    "i12_cdc_compaction",
-    "mm5_perceptual_neardup",
-    "tx27_pmi_collocations",
+    "x76_abc_analysis",
+    "x82_gini_concentration",
+    # (1b) ADDED this round (10) — every new query gets a driver row
+    # the round it lands.
+    "i17_survivorship_golden_record",
+    "i18_join_skew_audit",
+    "tx30_pii_density_audit",
+    "x87_basket_lift",
+    "x88_cuped_adjustment",
+    "x89_peak_concurrency",
+    "dd21_soft_dedup_weights",
+    "mm7_scene_cuts",
+    "ann29_mmr_rerank",
+    "hh9_rolling_hll",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (4) ADDED this round (10): the user feature pivot, RFM quintile
-    # scoring, EWMA smoothing, RAKE keywords, lexical diversity,
-    # bag-of-words dedup, cosine range search, Bloom membership, the
-    # late-arriving-dimension join, and content-defined chunking —
-    # every new query gets a driver row the round it lands.
-    "x79_user_feature_pivot",
-    "x80_rfm_scores",
-    "x81_ewma_smoothing",
-    "tx28_rake_keywords",
-    "tx29_lexical_diversity",
-    "dd19_bow_dedup",
-    "ann25_range_search",
-    "hh7_bloom_membership",
-    "i13_late_arriving_dim",
-    "mm6_cdc_chunks",
-    # second wave: Gini concentration (prefix-rank engine reuse), the
-    # labeled-centroid cluster-quality audit, shared-prefix boilerplate
-    # detection, and the AMS F2 sketch contract.
-    "x82_gini_concentration",
-    "ann26_label_centroid_quality",
-    "dd20_prefix_dedup",
-    "hh8_ams_f2",
-    # third wave: the bitemporal (two-clock) AS-OF join, backlog aging
-    # buckets, and the nearest-centroid confusion matrix.
-    "i14_bitemporal_asof",
-    "x83_backlog_aging",
-    "ann27_centroid_confusion",
-    # fourth wave: the SRM experiment guard, the late-data watermark
-    # profile, and the power-iteration anisotropy audit.
-    "x84_srm_check",
-    "i15_late_data_profile",
-    "ann28_top_eigen",
-    # fifth wave: the split-leakage audit, winsorized robust stats,
-    # and the GFS snapshot-retention planner. The 23 new-in-round
-    # queries plus the 23 never-gated r9 queries plus the 4 sentinels
-    # fill all 50 slots — the entire last=r5 rotation cohort
-    # (s5/st2/st3/tx15/x2/.../x33 and a0) is displaced to round 11,
-    # where the horizon makes them mandatory.
-    "x85_split_leakage_audit",
-    "x86_winsorized_stats",
-    "i16_retention_planner",
+    # (3) the entire last=r5 cohort (22) — displaced from the r10 gate
+    # by the rotation crunch; at horizon 6 they would turn overdue in
+    # round 12, so they rotate in NOW rather than pile onto r12.
+    "s5_jdbc_partitioned",
+    "st2_session_window",
+    "st3_sliding_window",
+    "tx15_gopher_rules",
+    "x2_rollup",
+    "x3_cube",
+    "x4_outlier_flag",
+    "x5_asof_join",
+    "x7_group_zscore",
+    "x8_unpivot",
+    "x9_resample_ffill",
+    "x12_stratified_sample",
+    "x13_json_extract",
+    "x14_exact_percentile",
+    "x15_sessionize",
+    "x16_table_diff",
+    "x17_salted_agg",
+    "x19_weighted_sample",
+    "x20_trailing_range_frame",
+    "x30_histogram",
+    "x31_column_profile",
+    "x33_zorder_key",
+    # (4) rotating fill from the next-stalest (last=r6) cohort,
+    # oldest-first by family order; the 24 remaining last=r6 queries
+    # rotate in round 12, where the horizon makes them due.
+    "a0_pricing_summary",
+    "a1_table_counts",
+    "a2_max_watermark",
+    "a3_multiagg_summary",
+    "a4_distinct_keys",
+    "a5_metrics_fold",
+    "dd15_line_dedup",
+    "f1_safe_val",
+    "f3_safe_num",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
