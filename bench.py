@@ -278,6 +278,12 @@ HEADLINE = [
     "ann29_mmr_rerank",
     # rolling HLL: register max-monoid span-spread + exact contract
     "hh9_rolling_hll",
+    # DQ expectations: one pruned-scan agg pass per table
+    "i19_dq_expectations",
+    # seasonal anomaly: daily agg + two matrix-sized keyed windows
+    "x90_seasonal_anomaly",
+    # chunk dedup savings: mm6 chunks + digest-keyed first-occurrence
+    "mm8_chunk_dedup_savings",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

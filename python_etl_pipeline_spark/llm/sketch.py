@@ -198,6 +198,43 @@ def hll_estimate(
     )
 
 
+def rolling_register_estimate(
+    daily_regs: DataFrame,
+    key_col: str | list[str] = "event_type",
+    day_col: str = "day",
+    window: int = 7,
+) -> DataFrame:
+    """(keys..., out_day, n_registers, zeros, n_est): rolling-window
+    cardinality estimates from per-day register tables — each day's
+    registers span-spread to the ``window`` output days they
+    contribute to and fold by groupBy-MAX (the register max monoid, so
+    the rolled registers are EXACTLY what a direct pass over each
+    window would build), then the standard estimate. Shared verbatim
+    between hh9's batch form and the streaming serve
+    (rolling_hll_from_state_dir)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    mx = daily_regs.agg(F.max(day_col).alias("maxday"))
+    # reserved alias: a caller's key column may itself be named "k"
+    k = F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("__rk")
+    spread = (
+        daily_regs.select(*keys, day_col, "j", "m_j", k)
+        .select(
+            *keys,
+            (
+                F.col(day_col) + F.make_interval(days=F.col("__rk"))
+            ).alias("out_day"),
+            "j",
+            "m_j",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("out_day") <= F.col("maxday"))
+    )
+    regs = spread.groupBy(*keys, "out_day", "j").agg(
+        F.max("m_j").alias("m_j")
+    )
+    return hll_estimate(regs, keys + ["out_day"])
+
+
 # --- Log-bin quantile histogram (hh5/x56's geometry) ----------------------
 # (octave = bin()-string length, 3-bit mantissa prefix) bins over a
 # non-negative bigint value column. Bin counts are a SUM monoid like

@@ -117,8 +117,13 @@ _GATE_PREFIX = [
     "x30_histogram",
     "x31_column_profile",
     "x33_zorder_key",
+    # (1b continued) the wave-3 additions — new queries displace
+    # rotating fill, never the overdue cohort.
+    "i19_dq_expectations",
+    "x90_seasonal_anomaly",
+    "mm8_chunk_dedup_savings",
     # (4) rotating fill from the next-stalest (last=r6) cohort,
-    # oldest-first by family order; the 24 remaining last=r6 queries
+    # oldest-first by family order; the 27 remaining last=r6 queries
     # rotate in round 12, where the horizon makes them due.
     "a0_pricing_summary",
     "a1_table_counts",
@@ -126,9 +131,6 @@ _GATE_PREFIX = [
     "a3_multiagg_summary",
     "a4_distinct_keys",
     "a5_metrics_fold",
-    "dd15_line_dedup",
-    "f1_safe_val",
-    "f3_safe_num",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

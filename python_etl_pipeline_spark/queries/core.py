@@ -2412,3 +2412,79 @@ def i18_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def _i19_suites():
+    from ..operators.expectations import Expectation as E
+
+    return {
+        "customer": [
+            E("c_custkey", "not_null"),
+            E("c_custkey", "unique"),
+            E("c_acctbal", "in_range", lo=-1000.0, hi=10000.0),
+            E(
+                "c_mktsegment", "in_set",
+                allowed=(
+                    "AUTOMOBILE", "BUILDING", "FURNITURE",
+                    "HOUSEHOLD", "MACHINERY",
+                ),
+            ),
+        ],
+        "orders": [
+            E("o_orderkey", "unique"),
+            E("o_totalprice", "in_range", lo=0.0, hi=1000000.0),
+            E("o_orderpriority", "matches", pattern="^[1-5]-"),
+            E("o_orderstatus", "in_set", allowed=("F", "O", "P")),
+        ],
+        "lineitem": [
+            E("l_quantity", "in_range", lo=1.0, hi=50.0),
+            E("l_discount", "in_range", lo=0.0, hi=0.1),
+            E("l_shipdate", "not_null"),
+        ],
+        "documents": [
+            E("text", "non_empty"),
+            E("lang", "in_set", allowed=("de", "en", "es", "fr", "zh")),
+            E("doc_id", "unique"),
+        ],
+    }
+
+
+def _i19_sql() -> str:
+    from ..operators.expectations import evaluate_sql
+
+    suites = _i19_suites()
+    ctes = ", ".join(
+        evaluate_sql(t, suite) for t, suite in suites.items()
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM rep_{t}" for t in suites)
+    return f"WITH {ctes} {union}"
+
+
+@register("i19_dq_expectations", None, first_round=11)
+def i19_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ /
+    Great-Expectations shape): per-column contracts — completeness,
+    uniqueness, value ranges, domain membership, regex shape,
+    non-emptiness — declared as data and compiled into ONE aggregation
+    pass per table, reported as (table, check, metric, threshold,
+    passed) rows. The reference's health check probes connections and
+    row counts (test.py:134-160); this is that idea extended to the
+    column contracts a warehouse actually breaks silently.
+
+    Plan shape: N expectations on a table cost one scan with map-side
+    partial aggregation (count_distinct is the one partial-heavy
+    member), folded to a single row and unpivoted to report rows via
+    explode(map) — report size is suite-sized, never data-sized. Four
+    tables = four independent scans union'd; Catalyst prunes each scan
+    to exactly the checked columns."""
+    from ..operators.expectations import evaluate
+
+    suites = _i19_suites()
+    out = None
+    for t, suite in suites.items():
+        rep = evaluate(_t(spark, sf_dir, t), t, suite)
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+REGISTRY["i19_dq_expectations"].sql = _i19_sql()

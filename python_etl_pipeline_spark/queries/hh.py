@@ -898,7 +898,10 @@ def hh9_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the span explode; the only data-sized stage is the distinct
     and the exact leg's countDistinct (the contract's truth side).
     All aggs keyed, max-day anchor broadcast."""
-    from ..llm.sketch import hll_estimate, hll_value_registers
+    from ..llm.sketch import (
+        hll_value_registers,
+        rolling_register_estimate,
+    )
 
     e = _t(spark, sf_dir, "events")
     uh = e.select(
@@ -910,24 +913,10 @@ def hh9_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_regs = hll_value_registers(
         uh, ["event_type", "day"], "user_id"
     )
+    est = rolling_register_estimate(
+        daily_regs, "event_type", "day", _HH9_WINDOW
+    )
     k = F.explode(F.sequence(F.lit(0), F.lit(_HH9_WINDOW - 1))).alias("k")
-    spread = (
-        daily_regs.select("event_type", "day", "j", "m_j", k)
-        .select(
-            "event_type",
-            (
-                F.col("day")
-                + F.make_interval(days=F.col("k"))
-            ).alias("out_day"),
-            "j", "m_j",
-        )
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("out_day") <= F.col("maxday"))
-    )
-    regs7 = spread.groupBy("event_type", "out_day", "j").agg(
-        F.max("m_j").alias("m_j")
-    )
-    est = hll_estimate(regs7, ["event_type", "out_day"])
     exact = (
         uh.select("event_type", "day", "user_id", k)
         .select(

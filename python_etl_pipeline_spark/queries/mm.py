@@ -553,3 +553,66 @@ def mm7_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["mm7_scene_cuts"].sql = _mm7_sql()
+
+_MM8_SQL = f"""
+WITH mm6 AS ({_MM6_SQL}),
+ranked AS (
+  SELECT doc_id, chunk_len, chunk_digest,
+         row_number() OVER (PARTITION BY chunk_digest
+                            ORDER BY doc_id, chunk_start) AS rn
+  FROM mm6
+),
+j AS (
+  SELECT r.*, d.source FROM ranked r JOIN documents d USING (doc_id)
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_chunks,
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_chunks,
+       cast(sum(chunk_len) AS BIGINT) AS total_bytes,
+       cast(sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+         AS unique_bytes,
+       round(1e0 - sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END) * 1e0
+             / sum(chunk_len), 4) AS savings_pct
+FROM j GROUP BY source
+"""
+
+
+@register("mm8_chunk_dedup_savings", _MM8_SQL, first_round=11)
+def mm8_chunk_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup savings estimator — the storage readout on
+    top of mm6's content-defined chunks: each chunk digest's FIRST
+    occurrence (ordered by doc, then offset — deterministic) is the
+    stored copy, every later occurrence is a pointer, and the
+    per-source report (chunks, unique chunks, bytes, unique bytes,
+    savings fraction) is what a backup/dedup store quotes before
+    committing to a layout. CDC boundaries make the savings robust to
+    insertions (mm6's whole point); this query turns that property
+    into a measured number per source.
+
+    Plan shape: mm6's doc-keyed chunk build (reused verbatim), one
+    digest-keyed first-occurrence window (WindowGroupLimit-prunable
+    rank), a broadcast doc->source join, one source agg. Byte counts
+    are exact integers; only the savings fraction divides."""
+    chunks = REGISTRY["mm6_cdc_chunks"].spark(spark, sf_dir)
+    w = Window.partitionBy("chunk_digest").orderBy("doc_id", "chunk_start")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = ranked.join(F.broadcast(src), "doc_id")
+    first = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(first).cast("bigint").alias("n_unique_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("rn") == 1, F.col("chunk_len")).otherwise(0))
+        .cast("bigint")
+        .alias("unique_bytes"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(
+                F.when(F.col("rn") == 1, F.col("chunk_len")).otherwise(0)
+            )
+            / F.sum("chunk_len"),
+            4,
+        ).alias("savings_pct"),
+    )

@@ -326,3 +326,72 @@ def x89_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
     )
+
+
+_X90_SIGMA = 2.0  # anomaly fence in residual standard deviations
+
+_X90_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+resid AS (
+  SELECT event_type, day, n,
+         avg(n) OVER (PARTITION BY event_type, dayofweek(day)) AS expected,
+         n - avg(n) OVER (PARTITION BY event_type, dayofweek(day))
+           AS resid
+  FROM daily
+),
+fenced AS (
+  SELECT event_type, day, n, expected, resid,
+         stddev_samp(resid) OVER (PARTITION BY event_type) AS sigma
+  FROM resid
+)
+SELECT event_type, cast(day AS TIMESTAMP) AS day,
+       cast(n AS BIGINT) AS n,
+       round(expected, 2) AS expected,
+       round(resid, 2) AS resid,
+       cast(CASE WHEN abs(resid) > {_X90_SIGMA} * sigma
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM fenced
+"""
+
+
+@register("x90_seasonal_anomaly", _X90_SQL, first_round=11)
+def x90_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly flags on the daily event matrix —
+    the monitor that composes x77's day-of-week profile with a
+    residual z-fence: expected = the type's mean count for that
+    weekday, residual = actual - expected, anomaly = |residual| >
+    2 * sigma(residuals) per type. Deseasonalizing first is what keeps
+    a quiet Sunday from alarming and a quiet Tuesday from hiding (raw
+    z-scores against the overall mean do both).
+
+    Plan shape: the corpus-sized stage is the daily count agg; the
+    profile and fence are two keyed windows over the (types x days)
+    matrix — (type, dow)-keyed then type-keyed, matrix-sized forever.
+    Counts are exact integers; only the display columns round."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("event_type", F.dayofweek("day"))
+    resid = daily.select(
+        "event_type", "day", "n",
+        F.avg("n").over(wp).alias("expected"),
+        (F.col("n") - F.avg("n").over(wp)).alias("resid"),
+    )
+    wt = Window.partitionBy("event_type")
+    return resid.select(
+        "event_type", "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("expected", 2).alias("expected"),
+        F.round("resid", 2).alias("resid"),
+        F.when(
+            F.abs("resid") > _X90_SIGMA * F.stddev_samp("resid").over(wt),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )

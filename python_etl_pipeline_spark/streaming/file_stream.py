@@ -1948,3 +1948,107 @@ def ewma_from_state_dir(
     return ewma_over_daily(
         daily_counts_from_state_dir(spark, state_dir), "k", alpha
     )
+
+
+def daily_hll_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+):
+    """foreachBatch sink for per-(key, day) HyperLogLog registers —
+    hh9's operational twin state: each arrival batch's daily register
+    table lands under ``state_dir/batch_id=N``. Registers are a MAX
+    monoid, so the corpus-so-far daily registers fold by groupBy-max
+    over the state log — the rolling-distinct monitor re-derives from
+    <= 256 rows per (key, day) without rescanning id history.
+    Re-delivered batches overwrite their own batch_id partition
+    (exactly-once, same contract as the CM/LM/KMV sinks)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.sketch import hll_value_registers
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        uh = batch_df.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(id_col).alias("id"),
+        ).distinct()
+        hll_value_registers(uh, ["k", "day"], "id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"batch_id={batch_id}"))
+
+    return step
+
+
+def daily_hll_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(k, day, j, m_j) — the folded daily registers (max-monoid merge
+    over the per-batch register tables)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("k", "day", "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
+def rolling_hll_from_state_dir(
+    spark: SparkSession, state_dir: str, window: int = 7
+) -> DataFrame:
+    """The rolling-window distinct estimate served from the persisted
+    daily register state — the same ``rolling_register_estimate``
+    algebra hh9's batch form is driver-verified with, applied to the
+    folded registers instead of a full event scan. (The serve is
+    estimate-only: the exact contract side needs raw ids, which the
+    state deliberately does not keep — that economy is the point.)"""
+    from ..llm.sketch import rolling_register_estimate
+
+    return rolling_register_estimate(
+        daily_hll_from_state_dir(spark, state_dir), "k", "day", window
+    )
+
+
+def compact_daily_hll_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)
+    — same stop-the-world contract and crash-safe swap as the other
+    state compactors."""
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = daily_hll_from_state_dir(spark, state_dir).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_daily_hll_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> None:
+    """Streaming incremental rolling-HLL distinct monitor — hh9's
+    operational twin, same AvailableNow cadence as the other state
+    sinks. Batch CORRECTNESS twin: queries.hh9_rolling_hll is
+    driver-verified against its exact-contract DuckDB oracle."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            daily_hll_batch_writer(spark, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -584,3 +584,198 @@ def test_rolling_hll_plan_keyed(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- i19
+
+
+def test_dq_expectations_match_pure_python(spark, sf_dir):
+    from python_etl_pipeline_spark.queries.core import _i19_suites
+
+    got = {
+        (r["table_name"], r["check_name"]): (
+            r["metric"], r["threshold"], r["passed"]
+        )
+        for r in REGISTRY["i19_dq_expectations"].spark(spark, sf_dir).collect()
+    }
+    suites = _i19_suites()
+    assert len(got) == sum(len(s) for s in suites.values())
+    for t, suite in suites.items():
+        rows = [r.asDict() for r in _t(spark, sf_dir, t).collect()]
+        for e in suite:
+            vals = [r[e.column] for r in rows]
+            nn = [v for v in vals if v is not None]
+            if e.kind == "not_null":
+                m = len(nn) / len(vals)
+            elif e.kind == "unique":
+                m = len(set(vals)) / len(vals)
+            elif e.kind == "in_range":
+                m = (
+                    sum(1 for v in nn if e.lo <= v <= e.hi) / len(nn)
+                    if nn else 1.0
+                )
+            elif e.kind == "in_set":
+                m = (
+                    sum(1 for v in nn if v in e.allowed) / len(nn)
+                    if nn else 1.0
+                )
+            elif e.kind == "matches":
+                m = (
+                    sum(1 for v in nn if re.match(e.pattern, v)) / len(nn)
+                    if nn else 1.0
+                )
+            else:  # non_empty
+                m = sum(
+                    1 for v in vals if v is not None and v.strip()
+                ) / len(vals)
+            g = got[(t, e.name)]
+            assert abs(g[0] - round(m, 6)) < 1e-9, (t, e.name, g, m)
+            assert g[1] == e.threshold
+            assert g[2] == (1 if g[0] >= g[1] else 0)
+    # the fixture satisfies its own contracts: everything passes
+    assert all(v[2] == 1 for v in got.values())
+
+
+def test_dq_expectations_plan_one_pass_per_table(spark, sf_dir):
+    """i19: each table contributes one pruned scan; report rows come
+    from explode(map) over the single agg row — no windows, no joins,
+    and the customer scan reads only the checked columns."""
+    plan = _plan(spark, sf_dir, "i19_dq_expectations")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # formatted plans name each node twice (tree + details): count the
+    # numbered detail entries, one per physical scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 4
+    assert "c_acctbal" in plan and "c_name" not in plan
+
+
+def test_dq_expectations_fails_on_violation(spark):
+    """A synthetic violation must flip passed to 0 with the metric
+    reporting the actual fraction."""
+    from python_etl_pipeline_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    rep = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in evaluate(
+            df,
+            "t",
+            [
+                Expectation("id", "unique"),
+                Expectation("s", "not_null"),
+                Expectation("id", "in_range", lo=1, hi=2),
+            ],
+        ).collect()
+    }
+    assert rep["id.unique"] == (round(2 / 3, 6), 0)
+    assert rep["s.not_null"] == (round(2 / 3, 6), 0)
+    assert rep["id.in_range"] == (1.0, 1)
+
+
+# ---------------------------------------------------------------- x90
+
+
+def test_seasonal_anomaly_matches_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily: dict[tuple, int] = {}
+    for e in ev:
+        daily[(e["event_type"], e["ts"].date())] = (
+            daily.get((e["event_type"], e["ts"].date()), 0) + 1
+        )
+    # expected per (type, dow); then residual sigma per type
+    groups: dict[tuple, list] = {}
+    for (t, d), n in daily.items():
+        groups.setdefault((t, d.isoweekday() % 7), []).append(n)
+    resid = {}
+    for (t, d), n in daily.items():
+        g = groups[(t, d.isoweekday() % 7)]
+        resid[(t, d)] = n - sum(g) / len(g)
+    sig: dict[str, float] = {}
+    for t in {t for t, _ in daily}:
+        rs = [v for (tt, _), v in resid.items() if tt == t]
+        mu = sum(rs) / len(rs)
+        sig[t] = (sum((r - mu) ** 2 for r in rs) / (len(rs) - 1)) ** 0.5
+    got = {
+        (r["event_type"], r["day"].date()): r.asDict()
+        for r in REGISTRY["x90_seasonal_anomaly"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    n_anom = 0
+    for k, r in got.items():
+        assert r["n"] == daily[k]
+        assert abs(r["resid"] - round(resid[k], 2)) < 0.011
+        flag = 1 if abs(resid[k]) > 2 * sig[k[0]] else 0
+        assert r["is_anomaly"] == flag, (k, r, resid[k], sig[k[0]])
+        n_anom += flag
+    # the 2-sigma fence flags a small minority, never everything
+    assert n_anom < len(got) * 0.2
+
+
+def test_seasonal_anomaly_plan_matrix_windows(spark, sf_dir):
+    """x90: one corpus-sized daily agg, then (type, dow)- and
+    type-keyed windows over the matrix — no single-partition
+    exchange, no joins."""
+    plan = _plan(spark, sf_dir, "x90_seasonal_anomaly")
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- mm8
+
+
+def test_chunk_dedup_savings_match_mm6(spark, sf_dir):
+    """mm8 recomputed from mm6's collected chunk table: first
+    occurrence by (doc, start) per digest, per-source byte sums."""
+    chunks = [
+        r.asDict()
+        for r in REGISTRY["mm6_cdc_chunks"].spark(spark, sf_dir).collect()
+    ]
+    src = {
+        r["doc_id"]: r["source"]
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    first: dict[str, tuple] = {}
+    for c in chunks:
+        k = (c["doc_id"], c["chunk_start"])
+        if c["chunk_digest"] not in first or k < first[c["chunk_digest"]]:
+            first[c["chunk_digest"]] = k
+    agg: dict[str, list[int]] = {}
+    for c in chunks:
+        a = agg.setdefault(src[c["doc_id"]], [0, 0, 0, 0])
+        a[0] += 1
+        a[2] += c["chunk_len"]
+        if first[c["chunk_digest"]] == (c["doc_id"], c["chunk_start"]):
+            a[1] += 1
+            a[3] += c["chunk_len"]
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["mm8_chunk_dedup_savings"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got.keys() == agg.keys()
+    for s, (nc, nu, tb, ub) in agg.items():
+        g = got[s]
+        assert (
+            g["n_chunks"], g["n_unique_chunks"],
+            g["total_bytes"], g["unique_bytes"],
+        ) == (nc, nu, tb, ub), s
+        assert abs(g["savings_pct"] - round(1 - ub / tb, 4)) < 1e-9
+        assert 0 <= g["savings_pct"] < 1
+    # duplicates exist in the fixture: somewhere savings are real
+    assert sum(a[0] - a[1] for a in agg.values()) > 0
+
+
+def test_chunk_dedup_savings_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mm8_chunk_dedup_savings")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
