@@ -284,6 +284,12 @@ HEADLINE = [
     "x90_seasonal_anomaly",
     # chunk dedup savings: mm6 chunks + digest-keyed first-occurrence
     "mm8_chunk_dedup_savings",
+    # skyline: bucketed prefix-MIN engine + broadcast frontier join
+    "x91_pareto_frontier",
+    # top journeys: session-bounded path agg, TakeOrdered cut
+    "x92_top_paths",
+    # partition-gap audit: one (type, hour) distinct + keyed lag
+    "i20_missing_partition_audit",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

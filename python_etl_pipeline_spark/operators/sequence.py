@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_sequence", "with_global_prefix_sum"]
+__all__ = [
+    "with_global_sequence",
+    "with_global_prefix_sum",
+    "with_global_prefix_min",
+]
 
 
 def _bucket_expr(key: str, boundaries: list[float]) -> Column:
@@ -248,4 +252,101 @@ def with_global_prefix_sum(
             ),
         )
         .drop("__bkt", "__local", "__lcnt")
+    )
+
+
+def with_global_prefix_min(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    ascending: list[bool] | None = None,
+    name: str = "runmin",
+    num_buckets: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append a global running MIN of ``value_col`` following
+    ``ORDER BY order_cols`` — the min-monoid sibling of
+    ``with_global_prefix_sum``, same scale contract (no row ever
+    crosses a single-partition window) and same decomposition:
+    equi-depth buckets on the leading key, O(buckets) per-bucket MINs
+    folded into prefix offsets on the driver, per-bucket running-min
+    windows combined with the offset via null-skipping ``least``.
+
+    ``inclusive=False`` computes the min over STRICTLY preceding rows
+    (frame ending at -1) — the form a skyline/Pareto-frontier test
+    needs; the first global row gets NULL (empty prefix). MIN is an
+    idempotent monoid, so bucket overlap concerns don't exist and
+    NULL values are simply skipped (SQL MIN semantics) on both the
+    offset and window sides."""
+    if ascending is None:
+        ascending = [True] * len(order_cols)
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    key = order_cols[0]
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = sorted(set(df.approxQuantile(key, qs, 0.001))) if qs else []
+
+    bucket = F.when(
+        F.assert_true(
+            F.col(key).isNotNull(),
+            F.lit(
+                f"with_global_prefix_min: null in leading order column "
+                f"'{key}'"
+            ),
+        ).isNull(),
+        _bucket_expr(key, boundaries),
+    )
+    tagged = df.withColumn("__bkt", bucket)
+
+    subtotals = (
+        tagged.groupBy("__bkt").agg(F.min(value_col).alias("__m")).collect()
+    )
+    if not subtotals:
+        mtype = df.select(F.min(value_col).alias("__t")).schema[
+            "__t"
+        ].dataType
+        return df.withColumn(name, F.lit(None).cast(mtype))
+    offsets: dict[int, object] = {}
+    acc = None
+    for row in sorted(
+        subtotals, key=lambda r: r["__bkt"], reverse=not ascending[0]
+    ):
+        offsets[row["__bkt"]] = acc
+        v = row["__m"]
+        if v is not None and (acc is None or v < acc):
+            acc = v
+    # buckets with an empty prefix (None offset) are simply absent:
+    # element_at returns NULL for a missing key, and least() skips it —
+    # identical semantics without relying on NULL map values
+    vt = df.schema[value_col].dataType
+    present = [(b, v) for b, v in offsets.items() if v is not None]
+    mapping: Column = (
+        F.create_map(
+            *[c for b, v in present for c in (F.lit(b), F.lit(v).cast(vt))]
+        )
+        if present
+        else F.create_map().cast(f"map<int,{vt.simpleString()}>")
+    )
+    order_exprs = [
+        F.col(c) if asc else F.col(c).desc()
+        for c, asc in zip(order_cols, ascending)
+    ]
+    end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        tagged.withColumn("__local", F.min(value_col).over(w))
+        .withColumn(
+            name,
+            F.least(
+                F.element_at(mapping, F.col("__bkt")), F.col("__local")
+            ),
+        )
+        .drop("__bkt", "__local")
     )

@@ -117,20 +117,20 @@ _GATE_PREFIX = [
     "x30_histogram",
     "x31_column_profile",
     "x33_zorder_key",
-    # (1b continued) the wave-3 additions — new queries displace
+    # (1b continued) the wave-3/4 additions — new queries displace
     # rotating fill, never the overdue cohort.
     "i19_dq_expectations",
     "x90_seasonal_anomaly",
     "mm8_chunk_dedup_savings",
+    "x91_pareto_frontier",
+    "x92_top_paths",
+    "i20_missing_partition_audit",
     # (4) rotating fill from the next-stalest (last=r6) cohort,
-    # oldest-first by family order; the 27 remaining last=r6 queries
+    # oldest-first by family order; the 30 remaining last=r6 queries
     # rotate in round 12, where the horizon makes them due.
     "a0_pricing_summary",
     "a1_table_counts",
     "a2_max_watermark",
-    "a3_multiagg_summary",
-    "a4_distinct_keys",
-    "a5_metrics_fold",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

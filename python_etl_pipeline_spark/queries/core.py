@@ -2488,3 +2488,88 @@ def i19_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["i19_dq_expectations"].sql = _i19_sql()
+
+
+_I20_SQL = """
+WITH hours AS (
+  SELECT DISTINCT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+  FROM events
+),
+span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hours),
+per AS (
+  SELECT event_type,
+         count(*) AS present,
+         max(gap) AS max_inner_gap,
+         min(h) AS first_h,
+         max(h) AS last_h
+  FROM (
+    SELECT event_type, h,
+           coalesce(h - lag(h) OVER (PARTITION BY event_type ORDER BY h)
+                    - 1, 0) AS gap
+    FROM hours
+  ) GROUP BY 1
+)
+SELECT p.event_type,
+       cast(s.h1 - s.h0 + 1 AS BIGINT) AS expected_hours,
+       cast(p.present AS BIGINT) AS present_hours,
+       cast(s.h1 - s.h0 + 1 - p.present AS BIGINT) AS missing_hours,
+       cast(greatest(p.max_inner_gap,
+                     p.first_h - s.h0,
+                     s.h1 - p.last_h) AS BIGINT) AS max_gap_hours
+FROM per p, span s
+"""
+
+
+@register("i20_missing_partition_audit", _I20_SQL, first_round=11)
+def i20_missing_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-partition (data-gap) audit: per event type, how many
+    hourly slots of the corpus's global [first, last] hour carry data,
+    how many are missing, and the LONGEST contiguous gap — including
+    leading/trailing gaps against the global span. This is the
+    freshness/completeness check a partition-aware scheduler runs
+    before declaring a backfill range: i15 profiles lateness of what
+    ARRIVED, this audits what NEVER arrived.
+
+    Plan shape: one distinct over (type, hour) — the only event-sized
+    stage — then a type-keyed lag window over the hour-level rows
+    (slot-count-sized: 24*days per type) and a broadcast global-span
+    join. Gap arithmetic is exact integers on epoch-hour indices."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        )
+        / 3600000000
+    ).cast("bigint")
+    hours = e.select("event_type", h.alias("h")).distinct()
+    span = hours.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    wl = Window.partitionBy("event_type").orderBy("h")
+    gaps = hours.withColumn(
+        "gap",
+        F.coalesce(F.col("h") - F.lag("h").over(wl) - 1, F.lit(0)),
+    )
+    per = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.max("gap").alias("max_inner_gap"),
+        F.min("h").alias("first_h"),
+        F.max("h").alias("last_h"),
+    )
+    return per.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        (F.col("h1") - F.col("h0") + 1).cast("bigint").alias(
+            "expected_hours"
+        ),
+        F.col("present").cast("bigint").alias("present_hours"),
+        (F.col("h1") - F.col("h0") + 1 - F.col("present"))
+        .cast("bigint")
+        .alias("missing_hours"),
+        F.greatest(
+            F.col("max_inner_gap"),
+            F.col("first_h") - F.col("h0"),
+            F.col("h1") - F.col("last_h"),
+        )
+        .cast("bigint")
+        .alias("max_gap_hours"),
+    )

@@ -395,3 +395,173 @@ def x90_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+_X91_SQL = """
+WITH pts AS (
+  SELECT DISTINCT cast(round(p_retailprice * 100) AS BIGINT)
+           AS price_cents,
+         cast(p_size AS BIGINT) AS size
+  FROM part
+),
+ranked AS (
+  SELECT price_cents, size,
+         min(-size) OVER (ORDER BY price_cents, -size
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prefix_min
+  FROM pts
+),
+frontier AS (
+  SELECT price_cents, size FROM ranked
+  WHERE prefix_min IS NULL OR prefix_min > -size
+)
+SELECT p.p_partkey, f.size AS p_size, f.price_cents
+FROM frontier f
+JOIN (SELECT p_partkey,
+             cast(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             cast(p_size AS BIGINT) AS size
+      FROM part) p
+  ON p.price_cents = f.price_cents AND p.size = f.size
+"""
+
+
+@register("x91_pareto_frontier", _X91_SQL, first_round=11)
+def x91_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline query (Börzsönyi et al. 2001): the
+    parts not dominated on (minimize price, maximize size) — "no
+    cheaper part is at least as large". The classic multi-objective
+    shortlist operator, done WITHOUT the O(n²) dominance self-join:
+    for two objectives the skyline is a running-min test — order
+    distinct (price, -size) pairs by (price asc, -size asc); a point
+    is dominated iff the exclusive prefix min of -size is <= its own
+    (some predecessor is no worse on both axes and, being a distinct
+    pair, strictly better on one).
+
+    Plan shape: the exclusive prefix min rides the bucketed
+    prefix-MIN engine (operators/sequence.py::with_global_prefix_min
+    — min is an idempotent monoid, so the same equi-depth-bucket
+    decomposition as the sequence/prefix-sum engines, no
+    single-partition window); the frontier pairs then join back to
+    the catalog broadcast. Prices compare in exact integer cents."""
+    from ..operators.sequence import with_global_prefix_min
+
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    pts = p.select(
+        cents.alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).distinct().withColumn("negsize", -F.col("size"))
+    ranked = with_global_prefix_min(
+        pts,
+        "negsize",
+        ["price_cents", "negsize"],
+        name="prefix_min",
+        inclusive=False,
+    )
+    frontier = ranked.filter(
+        F.col("prefix_min").isNull()
+        | (F.col("prefix_min") > F.col("negsize"))
+    ).select("price_cents", "size")
+    parts = p.select(
+        "p_partkey",
+        cents.alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return parts.join(
+        F.broadcast(frontier), ["price_cents", "size"]
+    ).select("p_partkey", F.col("size").alias("p_size"), "price_cents")
+
+
+_X92_TOPK = 10
+
+_X92_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 30 * 60 * 1000000
+                OR lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, cast(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_X92_TOPK}
+"""
+
+
+@register("x92_top_paths", _X92_SQL, first_round=11)
+def x92_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the 10 most frequent complete within-session
+    event-type paths (x15's 30-minute sessionization, events ordered
+    by (ts, event_id)) — the product-analytics view x62's Markov
+    matrix marginalizes away: pairs tell you the step probabilities,
+    paths tell you which WHOLE journeys actually recur.
+
+    Plan shape: user-keyed lag + cumulative windows sessionize, one
+    (user, session)-keyed agg collects each session's ordered type
+    array (array_sort on a (ts, event_id, type) struct — session-
+    bounded, never corpus-sized), a path-keyed count, and a
+    TakeOrderedAndProject top-10. No global sorts; path strings are
+    exact, so ordering ties break identically in both engines."""
+    e = _t(spark, sf_dir, "events")
+    em = lambda c: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {c})"
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (
+                em("ts") - F.lag(em("ts")).over(wl)
+                > 30 * 60 * 1000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_start").over(
+            wl.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_X92_TOPK)
+    )

@@ -779,3 +779,165 @@ def test_chunk_dedup_savings_plan(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- x91
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """Skyline recomputed by brute-force domination over the distinct
+    (price, size) pairs — the O(n^2) definition the running-min form
+    must equal exactly."""
+    parts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    pairs = {(p, s) for _, p, s in parts}
+
+    def dominated(a):
+        return any(
+            b[0] <= a[0] and b[1] >= a[1] and b != a for b in pairs
+        )
+
+    frontier = {a for a in pairs if not dominated(a)}
+    want = {
+        (k, s, p) for k, p, s in parts if (p, s) in frontier
+    }
+    got = {
+        (r["p_partkey"], r["p_size"], r["price_cents"])
+        for r in REGISTRY["x91_pareto_frontier"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got  # the frontier is never empty
+    # frontier property: strictly increasing size along increasing price
+    fr = sorted(frontier)
+    for (p1, s1), (p2, s2) in zip(fr, fr[1:]):
+        assert p1 < p2 and s1 < s2
+
+
+def test_pareto_frontier_plan_fully_parallel(spark, sf_dir):
+    """x91: the dominance test is the bucketed prefix-MIN engine — no
+    single-partition exchange, no O(n^2) join, no range sort."""
+    plan = _plan(spark, sf_dir, "x91_pareto_frontier")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_global_prefix_min_matches_serial(spark):
+    """The engine op itself: inclusive AND exclusive running mins equal
+    the serial scan, under duplicates and per-bucket decomposition."""
+    import random
+
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_min,
+    )
+
+    rng = random.Random(91)
+    rows = [(rng.randrange(1000), i, rng.randrange(100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    for inclusive in (True, False):
+        got = {
+            (r["k"], r["t"]): r["runmin"]
+            for r in with_global_prefix_min(
+                df, "v", ["k", "t"], inclusive=inclusive, num_buckets=8
+            ).collect()
+        }
+        cur = None
+        want = {}
+        for k, t, v in sorted(rows):
+            want[(k, t)] = cur if not inclusive else (
+                v if cur is None else min(cur, v)
+            )
+            cur = v if cur is None else min(cur, v)
+        assert got == want, f"inclusive={inclusive}"
+
+
+# ---------------------------------------------------------------- x92
+
+
+def _sessions_30min(ev):
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(
+            (e["ts"], e["event_id"], e["event_type"])
+        )
+    sessions = []
+    for seq in by_user.values():
+        seq.sort()
+        cur = [seq[0]]
+        for item in seq[1:]:
+            if (item[0] - cur[-1][0]).total_seconds() * 1e6 > 30 * 60 * 1e6:
+                sessions.append(cur)
+                cur = []
+            cur.append(item)
+        sessions.append(cur)
+    return sessions
+
+
+def test_top_paths_match_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts: dict[str, int] = {}
+    for s in _sessions_30min(ev):
+        path = ">".join(t for _, _, t in s)
+        counts[path] = counts.get(path, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in REGISTRY["x92_top_paths"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_top_paths_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x92_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------- i20
+
+
+def test_missing_partition_audit_matches_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hours: dict[str, set] = {}
+    for e in ev:
+        h = int(
+            e["ts"].replace(minute=0, second=0, microsecond=0).timestamp()
+            // 3600
+        )
+        hours.setdefault(e["event_type"], set()).add(h)
+    h0 = min(min(v) for v in hours.values())
+    h1 = max(max(v) for v in hours.values())
+    got = {
+        r["event_type"]: r.asDict()
+        for r in REGISTRY["i20_missing_partition_audit"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got.keys() == hours.keys()
+    for t, hs in hours.items():
+        g = got[t]
+        assert g["expected_hours"] == h1 - h0 + 1
+        assert g["present_hours"] == len(hs)
+        assert g["missing_hours"] == h1 - h0 + 1 - len(hs)
+        sh = sorted(hs)
+        inner = max(
+            (b - a - 1 for a, b in zip(sh, sh[1:])), default=0
+        )
+        want_gap = max(inner, sh[0] - h0, h1 - sh[-1])
+        assert g["max_gap_hours"] == want_gap, t
+        # the audit's core invariant
+        assert g["present_hours"] + g["missing_hours"] == g["expected_hours"]
+
+
+def test_missing_partition_audit_plan(spark, sf_dir):
+    """i20: one event-sized distinct, type-keyed lag over slot rows,
+    broadcast span — single-partition exchange only for the 1-row
+    global span fold."""
+    plan = _plan(spark, sf_dir, "i20_missing_partition_audit")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
