@@ -290,6 +290,10 @@ HEADLINE = [
     "x92_top_paths",
     # partition-gap audit: one (type, hour) distinct + keyed lag
     "i20_missing_partition_audit",
+    # Wilson error-rate monitor: day agg + broadcast global rate
+    "x93_error_rate_monitor",
+    # effective tokens: dd21 clusters x tx1 token counts, source agg
+    "tx31_effective_tokens",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

@@ -125,12 +125,12 @@ _GATE_PREFIX = [
     "x91_pareto_frontier",
     "x92_top_paths",
     "i20_missing_partition_audit",
+    "x93_error_rate_monitor",
+    "tx31_effective_tokens",
     # (4) rotating fill from the next-stalest (last=r6) cohort,
-    # oldest-first by family order; the 30 remaining last=r6 queries
+    # oldest-first by family order; the 32 remaining last=r6 queries
     # rotate in round 12, where the horizon makes them due.
     "a0_pricing_summary",
-    "a1_table_counts",
-    "a2_max_watermark",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -1974,3 +1974,92 @@ def tx30_pii_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pii_per_10k_tokens"),
     )
+
+
+def _tx31_sql() -> str:
+    from ._helpers import _minhash_ctes
+
+    return f"""
+WITH RECURSIVE {_minhash_ctes(max_bucket_size=100)},
+edges AS (SELECT a, b FROM mh_pairs UNION SELECT b, a FROM mh_pairs),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+labels AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(labels.label, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels ON labels.node = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+toks AS (
+  SELECT doc_id, source, len({{TOKS}}) AS n_toks FROM documents
+)
+SELECT t.source,
+       cast(sum(t.n_toks) AS BIGINT) AS raw_tokens,
+       round(sum(t.n_toks * 1e0 / s.cluster_size), 2) AS effective_tokens,
+       round(sum(t.n_toks)
+             / sum(t.n_toks * 1e0 / s.cluster_size), 4)
+         AS dup_inflation
+FROM toks t
+JOIN lab ON lab.doc_id = t.doc_id
+JOIN sizes s ON s.cluster_id = lab.cluster_id
+GROUP BY t.source
+""".replace("{TOKS}", _DUCK_TOKS)
+
+
+@register("tx31_effective_tokens", None, first_round=11)
+def tx31_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective (dedup-weighted) token counts per source — THE number
+    a pretraining data plan quotes: raw token counts overstate a
+    source whose documents repeat across mirrors, so each document's
+    tokens are weighted by dd21's 1/cluster-size soft-dedup weight and
+    the ratio raw/effective is the source's duplication inflation
+    (1.0 = clean). Composes the dedup machinery with tx1's token
+    counting — the cross-family join that decides mixture weights
+    (x27/x55 allocate by corpus size; this is the size they SHOULD
+    allocate by).
+
+    Plan shape: dd2's LSH candidates + CC labels build cluster sizes
+    (the corpus-heavy stages, shared verbatim with dd21); token counts
+    are a map-side split length (no explode); the weight join is
+    cluster-sized broadcast onto doc-level rows, folded by one source
+    agg. Token counts are exact integers; only the weighted sum is
+    floating point, display-rounded."""
+    from ..llm.dedup import connected_components, minhash_lsh_pairs
+    from ..llm.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs)
+    lab = (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+        )
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    toks = docs.select(
+        "doc_id", "source", token_count("text").alias("n_toks")
+    )
+    j = (
+        toks.join(lab, "doc_id")
+        .join(F.broadcast(sizes), "cluster_id")
+    )
+    eff = F.sum(
+        F.col("n_toks") * F.lit(1.0) / F.col("cluster_size")
+    )
+    return j.groupBy("source").agg(
+        F.sum("n_toks").cast("bigint").alias("raw_tokens"),
+        F.round(eff, 2).alias("effective_tokens"),
+        F.round(F.sum("n_toks") / eff, 4).alias("dup_inflation"),
+    )
+
+
+REGISTRY["tx31_effective_tokens"].sql = _tx31_sql()

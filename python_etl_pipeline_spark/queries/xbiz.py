@@ -565,3 +565,89 @@ def x92_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_X92_TOPK)
     )
+
+
+_X93_Z = 1.96  # 95% Wilson interval
+
+_X93_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT sum(errs) * 1e0 / sum(n) AS p0 FROM daily
+),
+wilson AS (
+  SELECT day, n, errs,
+         errs * 1e0 / n AS p,
+         (errs * 1e0 / n + {_X93_Z} * {_X93_Z} / (2e0 * n))
+           / (1e0 + {_X93_Z} * {_X93_Z} / n) AS center,
+         ({_X93_Z} / (1e0 + {_X93_Z} * {_X93_Z} / n))
+           * sqrt((errs * 1e0 / n) * (1e0 - errs * 1e0 / n) / n
+                  + {_X93_Z} * {_X93_Z} / (4e0 * n * n)) AS hw
+  FROM daily
+)
+SELECT cast(day AS TIMESTAMP) AS day,
+       cast(n AS BIGINT) AS n,
+       cast(errs AS BIGINT) AS n_errors,
+       round(p, 6) AS rate,
+       round(center - hw, 6) AS wilson_lo,
+       round(center + hw, 6) AS wilson_hi,
+       cast(CASE WHEN g.p0 < center - hw OR g.p0 > center + hw
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomalous
+FROM wilson, g
+"""
+
+
+@register("x93_error_rate_monitor", _X93_SQL, first_round=11)
+def x93_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate monitor with Wilson 95% intervals — the
+    ratio-metric alarm done right: a day is anomalous when the
+    CORPUS-WIDE error rate falls outside that day's Wilson score
+    interval, so low-traffic days get wide intervals (no false alarms
+    on 3-of-40 blips) and high-traffic days get tight ones (a 0.3%
+    drift on a million events still fires). Plain threshold-on-rate
+    monitors get exactly this wrong; x90 fences COUNTS, this fences a
+    RATIO with its binomial uncertainty.
+
+    Plan shape: one corpus-sized day agg (exact integer numerators),
+    a single-row global-rate broadcast, map-side Wilson arithmetic —
+    identical expression trees in both engines, so even the unrounded
+    interval comparison agrees."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+    )
+    g = daily.agg(
+        (F.sum("errs") * F.lit(1.0) / F.sum("n")).alias("p0")
+    )
+    z = _X93_Z
+    p = F.col("errs") * F.lit(1.0) / F.col("n")
+    center = (p + F.lit(z * z) / (F.lit(2.0) * F.col("n"))) / (
+        F.lit(1.0) + F.lit(z * z) / F.col("n")
+    )
+    hw = (
+        F.lit(z) / (F.lit(1.0) + F.lit(z * z) / F.col("n"))
+    ) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + F.lit(z * z) / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    return daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("errs").cast("bigint").alias("n_errors"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - hw, 6).alias("wilson_lo"),
+        F.round(center + hw, 6).alias("wilson_hi"),
+        F.when(
+            (F.col("p0") < center - hw) | (F.col("p0") > center + hw), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_anomalous"),
+    )

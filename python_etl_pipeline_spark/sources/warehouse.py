@@ -156,6 +156,55 @@ class Warehouse:
         }
         return manifest
 
+    def read_jsonl_shards(
+        self,
+        in_dir: str,
+        schema=None,
+        shards: list | None = None,
+        verify_manifest: dict | None = None,
+    ) -> DataFrame:
+        """The read side of ``export_jsonl_shards`` — a dataloader's
+        view of the shard store. ``schema`` (DDL string or StructType)
+        skips JSON inference (never infer over 100 TB — the same rule
+        as the CSV staging scans); ``shards`` prunes to specific shard
+        values via PARTITION PRUNING (the directory layout means
+        unrequested shards are never opened — verify with
+        .explain: PartitionFilters); ``verify_manifest`` re-counts the
+        requested shards against the export's manifest sidecar and
+        raises on drift (a torn copy or partial sync shows up as a
+        count mismatch BEFORE training consumes the data)."""
+        from pyspark.sql import functions as F
+
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(in_dir)
+        if shards is not None:
+            df = df.filter(F.col("shard").isin(*[F.lit(s) for s in shards]))
+        if verify_manifest is not None:
+            got = {
+                r["sv"]: r["n"]
+                for r in df.groupBy(F.col("shard").alias("sv"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            want = {
+                k: v
+                for k, v in verify_manifest.items()
+                if shards is None or k in set(shards)
+            }
+            if got != want:
+                drift = {
+                    k: (want.get(k), got.get(k))
+                    for k in set(want) | set(got)
+                    if want.get(k) != got.get(k)
+                }
+                raise ValueError(
+                    f"jsonl shard store does not match its manifest "
+                    f"(shard: expected, found): {drift}"
+                )
+        return df
+
     def publish_staged(
         self,
         df: DataFrame,

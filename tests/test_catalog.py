@@ -443,3 +443,51 @@ def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="contains NULLs"):
         wh.export_jsonl_shards(nulled, str(tmp_path / "jsonl4"),
                                shard_col="shard")
+
+
+def test_read_jsonl_shards_pruning_and_manifest_guard(spark, sf_dir, tmp_path):
+    """The dataloader read side (r11): schema-declared read-back is
+    lossless, shard selection PRUNES partitions at the scan (no
+    unrequested directory is read), and manifest verification catches
+    a torn shard store before a consumer does."""
+    import contextlib
+    import io
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source",
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    out = str(tmp_path / "jsonl")
+    manifest = wh.export_jsonl_shards(d, out, shard_col="shard")
+
+    ddl = "doc_id long, text string, source string"
+    back = wh.read_jsonl_shards(out, schema=ddl, verify_manifest=manifest)
+    assert back.count() == d.count()
+
+    # shard pruning reaches the scan as a PartitionFilter
+    two = wh.read_jsonl_shards(out, schema=ddl, shards=[1, 3])
+    assert two.count() == manifest[1] + manifest[3]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        two.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+    # a torn store (manifest drift) fails loudly, naming the shard
+    bad = dict(manifest)
+    bad[2] = bad[2] + 7
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        wh.read_jsonl_shards(out, schema=ddl, verify_manifest=bad)
+    # pruned verification only checks the requested shards
+    got = wh.read_jsonl_shards(
+        out, schema=ddl, shards=[0], verify_manifest=bad
+    )
+    assert got.count() == manifest[0]

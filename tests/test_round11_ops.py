@@ -941,3 +941,94 @@ def test_missing_partition_audit_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "i20_missing_partition_audit")
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- x93
+
+
+def test_error_rate_monitor_matches_pure_python(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    daily: dict[object, list[int]] = {}
+    for e in ev:
+        a = daily.setdefault(e["ts"].date(), [0, 0])
+        a[0] += 1
+        a[1] += 1 if e["event_type"] == "error" else 0
+    p0 = sum(v[1] for v in daily.values()) / sum(v[0] for v in daily.values())
+    z = 1.96
+    got = {
+        r["day"].date(): r.asDict()
+        for r in REGISTRY["x93_error_rate_monitor"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for d, (n, errs) in daily.items():
+        g = got[d]
+        assert (g["n"], g["n_errors"]) == (n, errs)
+        p = errs / n
+        center = (p + z * z / (2 * n)) / (1 + z * z / n)
+        hw = (z / (1 + z * z / n)) * (
+            p * (1 - p) / n + z * z / (4 * n * n)
+        ) ** 0.5
+        assert abs(g["rate"] - round(p, 6)) < 1e-9
+        assert abs(g["wilson_lo"] - round(center - hw, 6)) < 1e-9
+        assert abs(g["wilson_hi"] - round(center + hw, 6)) < 1e-9
+        assert g["is_anomalous"] == (
+            1 if (p0 < center - hw or p0 > center + hw) else 0
+        )
+    # interval sanity: lo <= rate <= hi everywhere (Wilson property)
+    for g in got.values():
+        assert g["wilson_lo"] - 1e-9 <= g["rate"] <= g["wilson_hi"] + 1e-9
+
+
+def test_error_rate_monitor_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x93_error_rate_monitor")
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- tx31
+
+
+def test_effective_tokens_consistent_with_dd21(spark, sf_dir):
+    """tx31 recomputed from dd21's weights and per-doc token counts:
+    raw sums, weighted sums, inflation >= 1 with equality iff no
+    duplicates in the source."""
+    weights = {
+        r["doc_id"]: (r["cluster_size"], r["sample_weight"])
+        for r in REGISTRY["dd21_soft_dedup_weights"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    docs = [
+        r.asDict()
+        for r in _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .collect()
+    ]
+    agg: dict[str, list[float]] = {}
+    for d in docs:
+        ntoks = len(d["text"].strip().split())
+        a = agg.setdefault(d["source"], [0, 0.0, 0])
+        a[0] += ntoks
+        a[1] += ntoks / weights[d["doc_id"]][0]
+        a[2] += 1 if weights[d["doc_id"]][0] > 1 else 0
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["tx31_effective_tokens"].spark(spark, sf_dir).collect()
+    }
+    assert got.keys() == agg.keys()
+    for s, (raw, eff, ndup) in agg.items():
+        g = got[s]
+        assert g["raw_tokens"] == raw
+        assert abs(g["effective_tokens"] - eff) < 0.02
+        assert abs(g["dup_inflation"] - round(raw / eff, 4)) < 1e-3
+        assert g["dup_inflation"] >= 1.0
+        if ndup == 0:
+            assert g["dup_inflation"] == 1.0
+        assert g["effective_tokens"] <= g["raw_tokens"] + 1e-9
+
+
+def test_effective_tokens_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tx31_effective_tokens")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
