@@ -491,3 +491,37 @@ def test_read_jsonl_shards_pruning_and_manifest_guard(spark, sf_dir, tmp_path):
         out, schema=ddl, shards=[0], verify_manifest=bad
     )
     assert got.count() == manifest[0]
+
+
+def test_publish_staged_gated_by_dq_expectations(spark, tmp_path):
+    """Compose: i19's declarative expectation suites plug straight
+    into the write-audit-publish gate as audits — a violated contract
+    blocks the publish and leaves the serving table untouched."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+    from python_etl_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    suite = [
+        Expectation("id", "unique"),
+        Expectation("v", "in_range", lo=0, hi=100),
+    ]
+
+    def dq_audit(df):
+        rep = evaluate(df, "t", suite)
+        return rep.agg(F.min("passed")).first()[0] == 1
+
+    good = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    rep = wh.publish_staged(good, "production", "t", {"dq": dq_audit})
+    assert rep["__published__"] and rep["dq"]
+    assert wh.read("production", "t").count() == 2
+
+    bad = spark.createDataFrame([(1, 10), (1, 999)], "id long, v long")
+    rep2 = wh.publish_staged(bad, "production", "t", {"dq": dq_audit})
+    assert not rep2["__published__"] and not rep2["dq"]
+    # serving table untouched by the failed publish
+    assert wh.read("production", "t").count() == 2

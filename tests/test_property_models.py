@@ -351,3 +351,45 @@ def test_global_prefix_sum_matches_sorted_model_under_ties(spark):
         ):
             acc += v
             assert got[rid] == acc, (asc, rid)
+
+
+def test_prefix_min_model_property(spark):
+    """Model property for the prefix-MIN engine (x91's substrate):
+    random data with duplicates and negatives, both directions, both
+    frame forms, against the serial scan — the min-monoid twin of the
+    prefix-sum property above."""
+    import random
+
+    from python_etl_pipeline_spark.operators.sequence import (
+        with_global_prefix_min,
+    )
+
+    rng = random.Random(14)
+    rows = [
+        (i, rng.randint(0, 30), rng.randint(-50, 100)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(8)
+    for asc in (True, False):
+        for inclusive in (True, False):
+            got = {
+                r["id"]: r["runmin"]
+                for r in with_global_prefix_min(
+                    df,
+                    "v",
+                    ["k", "id"],
+                    ascending=[asc, True],
+                    num_buckets=13,
+                    inclusive=inclusive,
+                ).collect()
+            }
+            cur = None
+            for rid, _k, v in sorted(
+                rows, key=lambda r: ((r[1] if asc else -r[1]), r[0])
+            ):
+                want = (
+                    cur
+                    if not inclusive
+                    else (v if cur is None else min(cur, v))
+                )
+                assert got[rid] == want, (asc, inclusive, rid)
+                cur = v if cur is None else min(cur, v)
