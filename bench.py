@@ -294,6 +294,11 @@ HEADLINE = [
     "x93_error_rate_monitor",
     # effective tokens: dd21 clusters x tx1 token counts, source agg
     "tx31_effective_tokens",
+    # TPC-H Q14/Q10/Q6 shapes: pushed filters, broadcast dims,
+    # TakeOrdered cut / zero-join scan fold
+    "a9_promotion_effect",
+    "a10_returned_items",
+    "a11_forecast_revenue_change",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

@@ -68,13 +68,16 @@ _GATE_PREFIX = [
     # (1a) CHANGED this round — a prior green row stops vouching the
     # moment the code moves: x81 (EWMA re-based per block, oracle
     # rewritten), hh7 (empty-token Bloom guard, both engines), ann24
-    # (aug_rnk re-planned as count-of-greater), x76/x82 (ride the
-    # prefix-sum engine, whose NULL/empty semantics changed).
+    # (aug_rnk re-planned as count-of-greater). x76/x82 were initially
+    # slotted too (they ride the prefix-sum engine, whose NULL/empty
+    # handling changed) but were traded for the wave-6 additions when
+    # the 50 slots ran out: their own inputs are never NULL, their
+    # sf0.01 hashes were re-verified unchanged this session, and the
+    # full-registry --parity sweep covers them — the weakest claim on
+    # a slot that a brand-new query needs more.
     "x81_ewma_smoothing",
     "hh7_bloom_membership",
     "ann24_mips_topk",
-    "x76_abc_analysis",
-    "x82_gini_concentration",
     # (1b) ADDED this round (10) — every new query gets a driver row
     # the round it lands.
     "i17_survivorship_golden_record",
@@ -127,10 +130,13 @@ _GATE_PREFIX = [
     "i20_missing_partition_audit",
     "x93_error_rate_monitor",
     "tx31_effective_tokens",
-    # (4) rotating fill from the next-stalest (last=r6) cohort,
-    # oldest-first by family order; the 32 remaining last=r6 queries
-    # rotate in round 12, where the horizon makes them due.
-    "a0_pricing_summary",
+    "a9_promotion_effect",
+    "a10_returned_items",
+    "a11_forecast_revenue_change",
+    # No rotating fill this round: 21 new + 3 changed + 4 sentinels +
+    # the full 22-query last=r5 cohort consume all 50 slots. The
+    # entire last=r6 cohort (33) rotates in round 12, where the
+    # horizon makes it due — 46 non-sentinel slots cover it.
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -2573,3 +2573,126 @@ def i20_missing_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_gap_hours"),
     )
+
+
+@register(
+    "a9_promotion_effect",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    GROUP BY 1 = 1
+    """,
+)
+def a9_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue from PROMO-class parts — a selective date filter PUSHED to
+    the fact scan, the part dimension BROADCAST, and a single
+    conditional-aggregation row. At 100 TB the month filter is the
+    whole story: with date-partitioned layout it prunes ~99% of files
+    before any join runs."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "a10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
+           cast(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def a10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the top-20 customers
+    by revenue lost to returns in one quarter — the churn-risk list a
+    support org works through. Quarter filter pushed to the orders
+    scan, return-flag filter pushed to lineitem, customer dim
+    broadcast, top-20 via TakeOrderedAndProject (per-partition heap,
+    no global sort). Revenue accumulates in exact per-item CENTS —
+    raw double sums differ across engines in the last ulp and flipped
+    a round(2) boundary here (.595) at sf0.01."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(rev_cents) / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "a11_forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    GROUP BY 1 = 1
+    """,
+)
+def a11_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue that
+    would have been kept had small-quantity mid-discount orders not
+    been discounted — a pure filter-and-fold with ZERO joins and zero
+    windows: every predicate reaches the scan (PushedFilters carries
+    all four), the agg is one map-side-combined row. The sanity
+    benchmark of scan efficiency: if this query is slow, the problem
+    is layout, never the plan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("potential_revenue")
+    )

@@ -1032,3 +1032,98 @@ def test_effective_tokens_plan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tx31_effective_tokens")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+# ----------------------------------------------------------- a9/a10/a11
+
+
+def test_tpch_trio_matches_pure_python(spark, sf_dir):
+    """Q14/Q10/Q6 shapes recomputed serially (a10 in exact cents)."""
+    import datetime
+
+    li = [
+        r.asDict() for r in _t(spark, sf_dir, "lineitem").collect()
+    ]
+    orders = {r["o_orderkey"]: r.asDict() for r in _orders_df(spark, sf_dir)}
+    parts = {
+        r["p_partkey"]: r["p_type"]
+        for r in _t(spark, sf_dir, "part").collect()
+    }
+    custs = {
+        r["c_custkey"]: r["c_name"]
+        for r in _t(spark, sf_dir, "customer").collect()
+    }
+    # a9
+    num = den = 0.0
+    for l in li:
+        if (
+            datetime.datetime(1996, 9, 1)
+            <= l["l_shipdate"]
+            < datetime.datetime(1996, 10, 1)
+        ):
+            rev = l["l_extendedprice"] * (1 - l["l_discount"])
+            den += rev
+            if parts[l["l_partkey"]] == "PROMO":
+                num += rev
+    got9 = REGISTRY["a9_promotion_effect"].spark(spark, sf_dir).first()
+    assert abs(got9["promo_revenue_pct"] - round(100 * num / den, 4)) < 1e-3
+    assert 0 < got9["promo_revenue_pct"] < 100
+    # a10
+    agg: dict[int, list] = {}
+    for l in li:
+        o = orders[l["l_orderkey"]]
+        if l["l_returnflag"] == "R" and (
+            datetime.datetime(1996, 1, 1)
+            <= o["o_orderdate"]
+            < datetime.datetime(1996, 4, 1)
+        ):
+            a = agg.setdefault(o["o_custkey"], [0, 0])
+            # HALF_UP on the double value (Spark/DuckDB round), not
+            # Python's banker's rounding
+            a[0] += math.floor(
+                l["l_extendedprice"] * (1 - l["l_discount"]) * 100 + 0.5
+            )
+            a[1] += 1
+    top = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    want10 = [
+        (ck, custs[ck], round(cents / 100, 2), n)
+        for ck, (cents, n) in top
+    ]
+    got10 = [
+        (r["c_custkey"], r["c_name"], r["revenue"], r["n_items"])
+        for r in REGISTRY["a10_returned_items"].spark(spark, sf_dir).collect()
+    ]
+    assert got10 == want10
+    # a11
+    pot = sum(
+        l["l_extendedprice"] * l["l_discount"]
+        for l in li
+        if datetime.datetime(1996, 1, 1)
+        <= l["l_shipdate"]
+        < datetime.datetime(1997, 1, 1)
+        and 0.05 <= l["l_discount"] <= 0.07
+        and l["l_quantity"] < 24
+    )
+    got11 = REGISTRY["a11_forecast_revenue_change"].spark(spark, sf_dir).first()
+    assert abs(got11["potential_revenue"] - pot) < 0.02
+
+
+def _orders_df(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").collect()
+
+
+def test_tpch_trio_plans(spark, sf_dir):
+    """a9: broadcast part dim + pushed month filter; a10:
+    TakeOrderedAndProject, no global sort; a11: all four predicates in
+    PushedFilters, zero joins/windows."""
+    p9 = _plan(spark, sf_dir, "a9_promotion_effect")
+    assert "BroadcastHashJoin" in p9
+    assert "PushedFilters: [" in p9 and "l_shipdate" in p9
+    p10 = _plan(spark, sf_dir, "a10_returned_items")
+    assert "TakeOrderedAndProject" in p10
+    assert "rangepartitioning" not in p10
+    p11 = _plan(spark, sf_dir, "a11_forecast_revenue_change")
+    assert "Join" not in p11 and "Window" not in p11
+    pushed = p11.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
