@@ -143,12 +143,14 @@ def main() -> int:
         print(f"--- shard {i} ({len(shard)} files): {status}\n{tail}\n")
         if p.returncode != 0:
             failed = True
+        shard_junit_failures = 0
         try:
             root = ET.parse(xml_out).getroot()
             suite = root if root.tag == "testsuite" else root[0]
-            total["failed"] += int(suite.get("failures", 0)) + int(
+            shard_junit_failures = int(suite.get("failures", 0)) + int(
                 suite.get("errors", 0)
             )
+            total["failed"] += shard_junit_failures
             total["skipped"] += int(suite.get("skipped", 0))
             total["passed"] += (
                 int(suite.get("tests", 0))
@@ -169,6 +171,16 @@ def main() -> int:
             print(f"  (shard {i}: no junit record: {e})")
         finally:
             Path(xml_out).unlink(missing_ok=True)
+        # Defensive consistency: a junit-recorded failure with shard
+        # rc=0 must not pass silently (observed once under a 5-way
+        # concurrent run) — surface the full shard log and fail.
+        if shard_junit_failures and p.returncode == 0:
+            failed = True
+            print(
+                f"  !! shard {i}: junit recorded "
+                f"{shard_junit_failures} failure(s) but pytest exited "
+                f"0 — full shard output follows:\n{out}"
+            )
 
     if not args.files:  # only self-tune on full-suite runs
         json.dump(durations, open(DURATIONS, "w"), indent=1, sort_keys=True)
