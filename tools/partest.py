@@ -88,7 +88,9 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    files = args.files or sorted(glob.glob(str(REPO / "tests" / "test_*.py")))
+    files = [str(Path(f).resolve()) for f in args.files] or sorted(
+        glob.glob(str(REPO / "tests" / "test_*.py"))
+    )
     n = min(args.shards, len(files))
     w = _weights(files)
     shards = _lpt(files, w, n)
