@@ -312,3 +312,52 @@ def ewma_over_daily(
         F.col("n").cast("bigint").alias("n"),
         F.round(xw / nw, 4).alias("ewma"),
     )
+
+
+WILSON_Z = 1.96  # 95% interval
+
+
+def wilson_error_rate_over_daily(
+    daily: DataFrame,
+    error_key: str = "error",
+    z: float = WILSON_Z,
+) -> DataFrame:
+    """x93's algebra over a (k, day, n) daily matrix — shared with the
+    streaming serve path: the matrix is the SAME sum-monoid state the
+    CUSUM/EWMA twins persist (one state log, three monitors), so the
+    Wilson-fenced error-rate report recomputes exactly from folded
+    per-batch counts. A day's rate is anomalous when the corpus-wide
+    rate falls outside that day's Wilson score interval."""
+    by_day = daily.groupBy("day").agg(
+        F.sum("n").alias("n"),
+        F.sum(
+            F.when(F.col("k") == error_key, F.col("n")).otherwise(0)
+        ).alias("errs"),
+    )
+    g = by_day.agg(
+        (F.sum("errs") * F.lit(1.0) / F.sum("n")).alias("p0")
+    )
+    p = F.col("errs") * F.lit(1.0) / F.col("n")
+    center = (p + F.lit(z * z) / (F.lit(2.0) * F.col("n"))) / (
+        F.lit(1.0) + F.lit(z * z) / F.col("n")
+    )
+    hw = (
+        F.lit(z) / (F.lit(1.0) + F.lit(z * z) / F.col("n"))
+    ) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + F.lit(z * z) / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    return by_day.crossJoin(F.broadcast(g)).select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("errs").cast("bigint").alias("n_errors"),
+        F.round(p, 6).alias("rate"),
+        F.round(center - hw, 6).alias("wilson_lo"),
+        F.round(center + hw, 6).alias("wilson_hi"),
+        F.when(
+            (F.col("p0") < center - hw) | (F.col("p0") > center + hw), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_anomalous"),
+    )

@@ -612,42 +612,19 @@ def x93_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitors get exactly this wrong; x90 fences COUNTS, this fences a
     RATIO with its binomial uncertainty.
 
-    Plan shape: one corpus-sized day agg (exact integer numerators),
-    a single-row global-rate broadcast, map-side Wilson arithmetic —
-    identical expression trees in both engines, so even the unrounded
-    interval comparison agrees."""
+    Plan shape: one corpus-sized (type, day) agg folded to per-day
+    totals (exact integer numerators), a single-row global-rate
+    broadcast, map-side Wilson arithmetic — identical expression trees
+    in both engines, so even the unrounded interval comparison agrees.
+    The algebra (operators/aggregate.py::wilson_error_rate_over_daily)
+    is shared verbatim with the streaming serve
+    (error_rate_from_state_dir), which re-derives this exact report
+    from the SAME persisted daily-count matrix the CUSUM and EWMA
+    twins maintain — one state log, three monitors."""
+    from ..operators.aggregate import (
+        daily_counts,
+        wilson_error_rate_over_daily,
+    )
+
     e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.when(F.col("event_type") == "error", 1).otherwise(0)
-        ).alias("errs"),
-    )
-    g = daily.agg(
-        (F.sum("errs") * F.lit(1.0) / F.sum("n")).alias("p0")
-    )
-    z = _X93_Z
-    p = F.col("errs") * F.lit(1.0) / F.col("n")
-    center = (p + F.lit(z * z) / (F.lit(2.0) * F.col("n"))) / (
-        F.lit(1.0) + F.lit(z * z) / F.col("n")
-    )
-    hw = (
-        F.lit(z) / (F.lit(1.0) + F.lit(z * z) / F.col("n"))
-    ) * F.sqrt(
-        p * (F.lit(1.0) - p) / F.col("n")
-        + F.lit(z * z) / (F.lit(4.0) * F.col("n") * F.col("n"))
-    )
-    return daily.crossJoin(F.broadcast(g)).select(
-        "day",
-        F.col("n").cast("bigint").alias("n"),
-        F.col("errs").cast("bigint").alias("n_errors"),
-        F.round(p, 6).alias("rate"),
-        F.round(center - hw, 6).alias("wilson_lo"),
-        F.round(center + hw, 6).alias("wilson_hi"),
-        F.when(
-            (F.col("p0") < center - hw) | (F.col("p0") > center + hw), 1
-        )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("is_anomalous"),
-    )
+    return wilson_error_rate_over_daily(daily_counts(e), "error", _X93_Z)

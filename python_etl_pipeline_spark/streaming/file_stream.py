@@ -2052,3 +2052,19 @@ def stream_daily_hll_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def error_rate_from_state_dir(
+    spark: SparkSession, state_dir: str, error_key: str = "error"
+) -> DataFrame:
+    """The Wilson-fenced daily error-rate report served from the SAME
+    persisted daily-count state the CUSUM and EWMA twins maintain —
+    one state log, three monitors (the (k, day, n) matrix is a sum
+    monoid, so every per-day total and error count folds exactly).
+    Batch CORRECTNESS twin: queries.x93_error_rate_monitor is
+    driver-verified against its DuckDB oracle."""
+    from ..operators.aggregate import wilson_error_rate_over_daily
+
+    return wilson_error_rate_over_daily(
+        daily_counts_from_state_dir(spark, state_dir), error_key
+    )

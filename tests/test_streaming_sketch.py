@@ -881,3 +881,63 @@ def test_rolling_hll_served_from_register_state(spark, tmp_path):
         assert abs(est - exact) / max(exact, 1) < 0.05, (
             k, day, est, exact,
         )
+
+
+def test_error_rate_served_from_cusum_state(spark, tmp_path):
+    """One state log, THREE monitors: the Wilson error-rate report
+    serves from the same persisted daily-count matrix as the CUSUM and
+    EWMA twins, and equals the full recompute over everything
+    ingested."""
+    from python_etl_pipeline_spark.operators.aggregate import (
+        daily_counts,
+        wilson_error_rate_over_daily,
+    )
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        error_rate_from_state_dir,
+        stream_daily_cusum_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _rows(df):
+        return {
+            r["day"]: (
+                r["n"], r["n_errors"], r["rate"],
+                r["wilson_lo"], r["wilson_hi"], r["is_anomalous"],
+            )
+            for r in df.collect()
+        }
+
+    def _full(rows):
+        import datetime
+
+        d = spark.createDataFrame(
+            [
+                (r[0], datetime.datetime(2024, 1, r[1], r[2]), r[3], r[4])
+                for r in rows
+            ],
+            EV_SCHEMA,
+        )
+        return _rows(wilson_error_rate_over_daily(daily_counts(d)))
+
+    # include some 'error' events so the numerator is non-trivial
+    EVE = [
+        (21, 1, 12, 10, "error"), (22, 2, 12, 11, "error"),
+        (23, 3, 13, 12, "error"), (24, 3, 14, 12, "error"),
+    ]
+    _write_events(str(src / "b1.parquet"), EV1 + EVE[:2])
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    assert _rows(error_rate_from_state_dir(spark, state_dir)) == _full(
+        EV1 + EVE[:2]
+    )
+
+    _write_events(str(src / "b2.parquet"), EV2 + EVE[2:])
+    stream_daily_cusum_available_now(spark, str(src), EV_SCHEMA, state_dir, ckpt)
+    got = _rows(error_rate_from_state_dir(spark, state_dir))
+    assert got == _full(EV1 + EV2 + EVE)
+    # interval property holds on the served report too
+    for _n, _e, rate, lo, hi, _a in got.values():
+        assert lo - 1e-9 <= rate <= hi + 1e-9
