@@ -299,6 +299,9 @@ HEADLINE = [
     "a9_promotion_effect",
     "a10_returned_items",
     "a11_forecast_revenue_change",
+    # TPC-H Q4/Q13 shapes: EXISTS as LeftSemi; left-join histogram
+    "a12_late_order_priorities",
+    "a13_customer_order_distribution",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

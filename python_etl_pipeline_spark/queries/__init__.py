@@ -118,8 +118,10 @@ _GATE_PREFIX = [
     "x19_weighted_sample",
     "x20_trailing_range_frame",
     "x30_histogram",
-    "x31_column_profile",
-    "x33_zorder_key",
+    # x31_column_profile and x33_zorder_key were displaced by the
+    # wave-7 additions (a12/a13): at 11-5 = horizon they are legal to
+    # defer ONE round, and tests/test_gate_policy.py mechanically
+    # forces them into the r12 gate where they turn overdue.
     # (1b continued) the wave-3/4 additions — new queries displace
     # rotating fill, never the overdue cohort.
     "i19_dq_expectations",
@@ -133,10 +135,12 @@ _GATE_PREFIX = [
     "a9_promotion_effect",
     "a10_returned_items",
     "a11_forecast_revenue_change",
-    # No rotating fill this round: 21 new + 3 changed + 4 sentinels +
-    # the full 22-query last=r5 cohort consume all 50 slots. The
-    # entire last=r6 cohort (33) rotates in round 12, where the
-    # horizon makes it due — 46 non-sentinel slots cover it.
+    "a12_late_order_priorities",
+    "a13_customer_order_distribution",
+    # No rotating fill this round: 23 new + 3 changed + 4 sentinels +
+    # 20 of the 22-query last=r5 cohort consume all 50 slots. Round
+    # 12 owes: x31/x33 (overdue at 12) + the last=r6 cohort (33, due
+    # at 12) = 35 mandatory slots, leaving ~11 for r12's own work.
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

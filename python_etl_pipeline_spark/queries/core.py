@@ -2696,3 +2696,76 @@ def a11_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
         ).alias("potential_revenue")
     )
+
+
+@register(
+    "a12_late_order_priorities",
+    """
+    SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def a12_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    with AT LEAST ONE line item shipped after the order date, counted
+    by priority — the canonical EXISTS subquery, which must compile to
+    a LEFT SEMI join (each order tested once, no fan-out from
+    multi-line matches — an inner join + distinct would shuffle every
+    matching line item). Quarter filter pushed to the orders scan; the
+    semi-join's probe side carries only (orderkey, shipdate)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "a13_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT cast(n_orders AS BIGINT) AS n_orders,
+           cast(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+)
+def a13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): the histogram of
+    order counts per customer INCLUDING zero-order customers — the
+    LEFT OUTER join + double aggregation that separates "how many
+    customers never ordered" from every inner-join formulation (which
+    silently drops them). count(o_orderkey) over the left join counts
+    matches only (NULL-skipping COUNT), so no-order customers land in
+    the 0 bucket; the second agg is bucket-sized."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy(F.col("n_orders").cast("bigint").alias("n_orders")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

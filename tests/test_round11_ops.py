@@ -1127,3 +1127,71 @@ def test_tpch_trio_plans(spark, sf_dir):
     pushed = p11.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed, (col, pushed)
+
+
+# ----------------------------------------------------------- a12/a13
+
+
+def test_q4_q13_shapes_match_pure_python(spark, sf_dir):
+    import datetime
+
+    orders = [r.asDict() for r in _orders_df(spark, sf_dir)]
+    li = [
+        (r["l_orderkey"], r["l_shipdate"])
+        for r in _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ]
+    by_order: dict[int, list] = {}
+    for k, sd in li:
+        by_order.setdefault(k, []).append(sd)
+    # a12
+    want12: dict[str, int] = {}
+    for o in orders:
+        if (
+            datetime.datetime(1996, 7, 1)
+            <= o["o_orderdate"]
+            < datetime.datetime(1996, 10, 1)
+        ) and any(
+            sd > o["o_orderdate"] for sd in by_order.get(o["o_orderkey"], [])
+        ):
+            want12[o["o_orderpriority"]] = (
+                want12.get(o["o_orderpriority"], 0) + 1
+            )
+    got12 = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in REGISTRY["a12_late_order_priorities"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got12 == want12
+    # a13: zero-order customers must appear in bucket 0
+    per_cust: dict[int, int] = {
+        r["c_custkey"]: 0
+        for r in _t(spark, sf_dir, "customer").select("c_custkey").collect()
+    }
+    for o in orders:
+        per_cust[o["o_custkey"]] += 1
+    want13: dict[int, int] = {}
+    for n in per_cust.values():
+        want13[n] = want13.get(n, 0) + 1
+    got13 = {
+        r["n_orders"]: r["n_customers"]
+        for r in REGISTRY["a13_customer_order_distribution"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got13 == want13
+    assert sum(got13.values()) == len(per_cust)
+
+
+def test_q4_semi_join_plan(spark, sf_dir):
+    """a12 must plan a LEFT SEMI (EXISTS — one probe per order, no
+    multi-line fan-out), with the quarter filter pushed to the orders
+    scan; a13 keeps the zero-bucket via a left outer join."""
+    p12 = _plan(spark, sf_dir, "a12_late_order_priorities")
+    assert "LeftSemi" in p12
+    assert "o_orderdate" in p12.split("PushedFilters", 1)[1].split("]", 1)[0]
+    p13 = _plan(spark, sf_dir, "a13_customer_order_distribution")
+    assert "LeftOuter" in p13
+    assert "rangepartitioning" not in p13
