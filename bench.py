@@ -302,6 +302,9 @@ HEADLINE = [
     # TPC-H Q4/Q13 shapes: EXISTS as LeftSemi; left-join histogram
     "a12_late_order_priorities",
     "a13_customer_order_distribution",
+    # TPC-H Q18/Q15 shapes: HAVING-set broadcast; tie-safe scalar max
+    "a14_large_volume_orders",
+    "a15_top_supplier",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

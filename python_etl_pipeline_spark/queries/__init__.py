@@ -116,12 +116,11 @@ _GATE_PREFIX = [
     "x16_table_diff",
     "x17_salted_agg",
     "x19_weighted_sample",
-    "x20_trailing_range_frame",
-    "x30_histogram",
-    # x31_column_profile and x33_zorder_key were displaced by the
-    # wave-7 additions (a12/a13): at 11-5 = horizon they are legal to
-    # defer ONE round, and tests/test_gate_policy.py mechanically
-    # forces them into the r12 gate where they turn overdue.
+    # x20_trailing_range_frame, x30_histogram, x31_column_profile and
+    # x33_zorder_key were displaced by the wave-7/8 additions
+    # (a12-a15): at 11-5 = horizon they are legal to defer ONE round,
+    # and tests/test_gate_policy.py mechanically forces them into the
+    # r12 gate where they turn overdue.
     # (1b continued) the wave-3/4 additions — new queries displace
     # rotating fill, never the overdue cohort.
     "i19_dq_expectations",
@@ -137,10 +136,12 @@ _GATE_PREFIX = [
     "a11_forecast_revenue_change",
     "a12_late_order_priorities",
     "a13_customer_order_distribution",
-    # No rotating fill this round: 23 new + 3 changed + 4 sentinels +
-    # 20 of the 22-query last=r5 cohort consume all 50 slots. Round
-    # 12 owes: x31/x33 (overdue at 12) + the last=r6 cohort (33, due
-    # at 12) = 35 mandatory slots, leaving ~11 for r12's own work.
+    "a14_large_volume_orders",
+    "a15_top_supplier",
+    # No rotating fill this round: 25 new + 3 changed + 4 sentinels +
+    # 18 of the 22-query last=r5 cohort consume all 50 slots. Round
+    # 12 owes: x20/x30/x31/x33 (overdue at 12) + the last=r6 cohort
+    # (33, due at 12) = 37 mandatory slots, ~9 free for r12's work.
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -2769,3 +2769,103 @@ def a13_customer_order_distribution(
     return per.groupBy(F.col("n_orders").cast("bigint").alias("n_orders")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+@register(
+    "a14_large_volume_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, cast(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, o_orderkey, o_orderdate,
+           cast(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def a14_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    items sum to more than 300 units, with their customers — the
+    group-HAVING-then-join pattern: the quantity aggregation runs
+    FIRST and its tiny surviving set (sub-0.1% of orders here) drives
+    broadcast joins back to orders and customers, so the fact tables
+    are never joined row-to-row before the filter. Quantities are
+    integral, so the HAVING threshold is exact; top-20 rides
+    TakeOrderedAndProject."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qd"))
+        .filter(F.col("qd") > 300)
+        .select(
+            "l_orderkey", F.col("qd").cast("bigint").alias("total_qty")
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "a15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_cents
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+)
+def a15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with the
+    maximum quarterly revenue — the scalar-MAX-subquery pattern that a
+    LIMIT 1 gets WRONG under ties: the max folds to a single-row
+    broadcast and an equality filter keeps every tied supplier.
+    Revenue accumulates in exact per-item cents (float sums order
+    differently across engines, and an equality test on a float max
+    is exactly where that bites). One quarter-pruned fact scan, one
+    supplier-keyed agg, two broadcasts."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(cents).cast("bigint").alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "rev_cents")
+    )

@@ -1195,3 +1195,82 @@ def test_q4_semi_join_plan(spark, sf_dir):
     p13 = _plan(spark, sf_dir, "a13_customer_order_distribution")
     assert "LeftOuter" in p13
     assert "rangepartitioning" not in p13
+
+
+# ----------------------------------------------------------- a14/a15
+
+
+def test_q18_q15_shapes_match_pure_python(spark, sf_dir):
+    import datetime
+
+    li = [r.asDict() for r in _t(spark, sf_dir, "lineitem").collect()]
+    orders = {r["o_orderkey"]: r.asDict() for r in _orders_df(spark, sf_dir)}
+    custs = {
+        r["c_custkey"]: r["c_name"]
+        for r in _t(spark, sf_dir, "customer").collect()
+    }
+    sups = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _t(spark, sf_dir, "supplier").collect()
+    }
+    # a14
+    qty: dict[int, float] = {}
+    for l in li:
+        qty[l["l_orderkey"]] = qty.get(l["l_orderkey"], 0) + l["l_quantity"]
+    big = sorted(
+        ((int(q), k) for k, q in qty.items() if q > 300),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    want14 = [
+        (
+            custs[orders[k]["o_custkey"]],
+            k,
+            orders[k]["o_orderdate"],
+            math.floor(orders[k]["o_totalprice"] * 100 + 0.5),
+            q,
+        )
+        for q, k in big
+    ]
+    got14 = [
+        (
+            r["c_name"], r["o_orderkey"], r["o_orderdate"],
+            r["totalprice_cents"], r["total_qty"],
+        )
+        for r in REGISTRY["a14_large_volume_orders"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert got14 == want14
+    assert got14  # threshold chosen so the fixture has survivors
+    # a15
+    revc: dict[int, int] = {}
+    for l in li:
+        if (
+            datetime.datetime(1996, 1, 1)
+            <= l["l_shipdate"]
+            < datetime.datetime(1996, 4, 1)
+        ):
+            revc[l["l_suppkey"]] = revc.get(l["l_suppkey"], 0) + math.floor(
+                l["l_extendedprice"] * (1 - l["l_discount"]) * 100 + 0.5
+            )
+    mx = max(revc.values())
+    want15 = {(k, sups[k], v) for k, v in revc.items() if v == mx}
+    got15 = {
+        (r["s_suppkey"], r["s_name"], r["rev_cents"])
+        for r in REGISTRY["a15_top_supplier"].spark(spark, sf_dir).collect()
+    }
+    assert got15 == want15
+
+
+def test_q18_q15_plans(spark, sf_dir):
+    """a14: the HAVING set drives BROADCAST joins back to the facts,
+    top-20 via TakeOrderedAndProject; a15: quarter filter pushed,
+    scalar max broadcast, no windows."""
+    p14 = _plan(spark, sf_dir, "a14_large_volume_orders")
+    assert "BroadcastHashJoin" in p14
+    assert "TakeOrderedAndProject" in p14
+    assert "rangepartitioning" not in p14
+    p15 = _plan(spark, sf_dir, "a15_top_supplier")
+    assert "l_shipdate" in p15.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "Window" not in p15
+    assert "rangepartitioning" not in p15
