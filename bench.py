@@ -305,6 +305,8 @@ HEADLINE = [
     # TPC-H Q18/Q15 shapes: HAVING-set broadcast; tie-safe scalar max
     "a14_large_volume_orders",
     "a15_top_supplier",
+    # TPC-H Q21 shape via the grouped rewrite: one fact pass, not 3
+    "a16_waiting_blame",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

@@ -59,11 +59,11 @@ del _m, _k, _v
 # verified) is missing from this prefix.
 _GATE_ROUND = 11  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-11 state: registry 249 after this round's 10
-# additions; horizon-6 bound 6*46 + 4 = 280 holds with 31 of slack.
-# At the recent ~10-25/round growth the crossing lands around round
-# 12-13 — decide there (horizon 7 bound 326, or cap growth),
-# arithmetic in the crossing commit as always.
+# GATE ARITHMETIC, round-11 state: registry 265 after this round's 26
+# additions; horizon-6 bound 6*46 + 4 = 280 holds with 15 of slack.
+# At the recent ~20-26/round growth the crossing lands in round 12 —
+# decide there (horizon 7 bound 326, or cap growth), arithmetic in
+# the crossing commit as always.
 _GATE_PREFIX = [
     # (1a) CHANGED this round — a prior green row stops vouching the
     # moment the code moves: x81 (EWMA re-based per block, oracle
@@ -115,12 +115,11 @@ _GATE_PREFIX = [
     "x15_sessionize",
     "x16_table_diff",
     "x17_salted_agg",
-    "x19_weighted_sample",
-    # x20_trailing_range_frame, x30_histogram, x31_column_profile and
-    # x33_zorder_key were displaced by the wave-7/8 additions
-    # (a12-a15): at 11-5 = horizon they are legal to defer ONE round,
-    # and tests/test_gate_policy.py mechanically forces them into the
-    # r12 gate where they turn overdue.
+    # x19_weighted_sample, x20_trailing_range_frame, x30_histogram,
+    # x31_column_profile and x33_zorder_key were displaced by the
+    # wave-7/8 additions (a12-a16): at 11-5 = horizon they are legal
+    # to defer ONE round, and tests/test_gate_policy.py mechanically
+    # forces them into the r12 gate where they turn overdue.
     # (1b continued) the wave-3/4 additions — new queries displace
     # rotating fill, never the overdue cohort.
     "i19_dq_expectations",
@@ -138,10 +137,11 @@ _GATE_PREFIX = [
     "a13_customer_order_distribution",
     "a14_large_volume_orders",
     "a15_top_supplier",
-    # No rotating fill this round: 25 new + 3 changed + 4 sentinels +
-    # 18 of the 22-query last=r5 cohort consume all 50 slots. Round
-    # 12 owes: x20/x30/x31/x33 (overdue at 12) + the last=r6 cohort
-    # (33, due at 12) = 37 mandatory slots, ~9 free for r12's work.
+    "a16_waiting_blame",
+    # No rotating fill this round: 26 new + 3 changed + 4 sentinels +
+    # 17 of the 22-query last=r5 cohort consume all 50 slots. Round
+    # 12 owes: x19/x20/x30/x31/x33 (overdue at 12) + the last=r6
+    # cohort (33, due at 12) = 38 mandatory slots, ~8 free for r12.
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -1274,3 +1274,60 @@ def test_q18_q15_plans(spark, sf_dir):
     assert "l_shipdate" in p15.split("PushedFilters", 1)[1].split("]", 1)[0]
     assert "Window" not in p15
     assert "rangepartitioning" not in p15
+
+
+# ----------------------------------------------------------------- a16
+
+
+def test_q21_blame_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    li = [
+        r.asDict()
+        for r in _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ]
+    odate = {
+        r["o_orderkey"]: r["o_orderdate"] for r in _orders_df(spark, sf_dir)
+    }
+    sups = {
+        r["s_suppkey"]: r["s_name"]
+        for r in _t(spark, sf_dir, "supplier").collect()
+    }
+    per: dict[int, list] = {}
+    for l in li:
+        late = l["l_shipdate"] > odate[l["l_orderkey"]] + datetime.timedelta(
+            days=60
+        )
+        a = per.setdefault(l["l_orderkey"], [set(), set()])
+        a[0].add(l["l_suppkey"])
+        if late:
+            a[1].add(l["l_suppkey"])
+    wait: dict[int, int] = {}
+    for allsup, latesup in per.values():
+        if len(allsup) >= 2 and len(latesup) == 1:
+            s = next(iter(latesup))
+            wait[s] = wait.get(s, 0) + 1
+    want = sorted(
+        ((n, s) for s, n in wait.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    want = [(s, sups[s], n) for n, s in want]
+    got = [
+        (r["s_suppkey"], r["s_name"], r["numwait"])
+        for r in REGISTRY["a16_waiting_blame"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert got  # qualifying orders exist in the fixture
+
+
+def test_q21_grouped_rewrite_plan(spark, sf_dir):
+    """a16 scans the order-lineitem join ONCE (the textbook
+    EXISTS/NOT-EXISTS form probes lineitem three times): exactly one
+    lineitem scan in the plan, supplier broadcast, top-10 heap."""
+    plan = _plan(spark, sf_dir, "a16_waiting_blame")
+    # each physical scan prints exactly one Location: [...] detail line
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
