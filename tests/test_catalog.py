@@ -19,35 +19,47 @@ from python_etl_pipeline_spark.sources.jdbc import jdbc_reader_partitioned
 
 
 def test_create_table_from_schema_and_health(spark):
-    create_table_from_schema(spark, "staging_t", "branches", staging_schema("branches"))
-    cols = spark.table("staging_t.branches").columns
-    assert cols == ["branch_id", "branch_name", "city", "state", "manager_name"]
-    hc = health_check(spark, "staging_t")
-    assert hc == {"branches": 0}
-    spark.sql("DROP TABLE staging_t.branches")
-    spark.sql("DROP DATABASE staging_t")
+    # pid-unique db: concurrent gate processes share ./spark-warehouse,
+    # and a failed run must not leave a name the next run trips over
+    import os
+
+    db = f"staging_t_{os.getpid()}"
+    try:
+        create_table_from_schema(spark, db, "branches", staging_schema("branches"))
+        cols = spark.table(f"{db}.branches").columns
+        assert cols == ["branch_id", "branch_name", "city", "state", "manager_name"]
+        hc = health_check(spark, db)
+        assert hc == {"branches": 0}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.branches")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import os
+
+    db = f"bkt_{os.getpid()}"
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    write_bucketed(orders, "bkt", "orders_a", 8, "o_custkey")
-    write_bucketed(
-        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
-        "bkt", "orders_b", 8, "o_custkey",
-    )
-    a = spark.table("bkt.orders_a")
-    b = spark.table("bkt.orders_b").withColumnRenamed("o_orderkey", "b_key")
-    joined = a.join(b.drop("o_totalprice"), "o_custkey")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        joined.explain()
-    plan = buf.getvalue()
-    # bucketed co-located join: no shuffle exchange anywhere in the plan
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert joined.count() > 0
-    spark.sql("DROP TABLE bkt.orders_a")
-    spark.sql("DROP TABLE bkt.orders_b")
-    spark.sql("DROP DATABASE bkt")
+    try:
+        write_bucketed(orders, db, "orders_a", 8, "o_custkey")
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            db, "orders_b", 8, "o_custkey",
+        )
+        a = spark.table(f"{db}.orders_a")
+        b = spark.table(f"{db}.orders_b").withColumnRenamed("o_orderkey", "b_key")
+        joined = a.join(b.drop("o_totalprice"), "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        # bucketed co-located join: no shuffle exchange anywhere in the plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.orders_a")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.orders_b")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
 
 def test_jdbc_reader_config_builds(spark):
@@ -323,19 +335,26 @@ def test_write_bucketed_over_external_table_keeps_backing_data(spark, tmp_path):
 
     from python_etl_pipeline_spark.sources.warehouse import write_bucketed
 
+    import os
+
+    db = f"extdb_{os.getpid()}"
     ext = tmp_path / "shared_dataset"
     spark.range(5).withColumn("k", F.col("id") % 2).write.parquet(str(ext))
-    spark.sql("CREATE DATABASE IF NOT EXISTS extdb")
-    spark.sql(
-        f"CREATE TABLE extdb.shared (id BIGINT, k BIGINT) USING parquet "
-        f"LOCATION '{ext}'"
-    )
-    df = spark.range(3).withColumn("k", F.col("id"))
-    write_bucketed(df, "extdb", "shared", 4, "k")
-    # the name now serves the new bucketed data...
-    assert spark.table("extdb.shared").count() == 3
-    # ...and the external directory's files survived untouched
-    assert spark.read.parquet(str(ext)).count() == 5
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.sql(
+            f"CREATE TABLE {db}.shared (id BIGINT, k BIGINT) USING parquet "
+            f"LOCATION '{ext}'"
+        )
+        df = spark.range(3).withColumn("k", F.col("id"))
+        write_bucketed(df, db, "shared", 4, "k")
+        # the name now serves the new bucketed data...
+        assert spark.table(f"{db}.shared").count() == 3
+        # ...and the external directory's files survived untouched
+        assert spark.read.parquet(str(ext)).count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.shared")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
 
 
 def test_publish_staged_write_audit_publish(spark, tmp_path):

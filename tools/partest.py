@@ -140,7 +140,10 @@ def main() -> int:
     total = {"passed": 0, "failed": 0, "skipped": 0}
     for i, (p, shard, xml_out) in enumerate(procs):
         out, _ = p.communicate()
-        tail = "\n".join(out.strip().splitlines()[-6:])
+        # a failing shard prints ENOUGH to diagnose without a re-run
+        # (the one-line tail lost the only record of a flake once)
+        keep = 6 if p.returncode == 0 else 120
+        tail = "\n".join(out.strip().splitlines()[-keep:])
         status = "OK" if p.returncode == 0 else f"FAIL rc={p.returncode}"
         print(f"--- shard {i} ({len(shard)} files): {status}\n{tail}\n")
         if p.returncode != 0:
