@@ -232,9 +232,21 @@ def ewma_horizon(alpha: float) -> int:
     smoother's own <1-ulp memory horizon, ceil(54*ln2 / -ln(1-alpha)),
     floored at 64. A term L or more days older than the current row
     carries weight (1-alpha)^L <= 2^-54 relative to the row's own unit
-    weight — below one ulp of the running ratio."""
+    weight — below one ulp of the running ratio.
+
+    alpha must lie strictly in (0, 1): at alpha=1 the horizon formula
+    divides by -log(0) and the block weights (1-alpha)^k collapse to
+    0^k, so the rebase algebra itself is undefined there (r11 advice —
+    the old per-key rebase happened to tolerate alpha=1 via pow(0, n);
+    the block form does not, so the domain is validated loudly)."""
     import math
 
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(
+            f"ewma alpha must be strictly between 0 and 1, got {alpha!r}"
+            " (alpha=1 means 'last observation wins' — use a plain"
+            " last-value window, not an EWMA)"
+        )
     return max(64, math.ceil(54 * math.log(2) / -math.log(1.0 - alpha)))
 
 

@@ -27,6 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_KINDS = frozenset(
+    {"not_null", "unique", "in_range", "in_set", "matches", "non_empty"}
+)
+
+
 @dataclass(frozen=True)
 class Expectation:
     column: str
@@ -36,6 +41,27 @@ class Expectation:
     hi: float | None = None
     allowed: tuple = ()
     pattern: str | None = None
+
+    def __post_init__(self) -> None:
+        # Kind-required params are validated at CONSTRUCTION (r11
+        # advice): an in_range with lo/hi missing used to evaluate to
+        # a NULL metric that coalesce(..., 1.0) silently PASSED —
+        # indistinguishable from a vacuous check. Misconfiguration now
+        # fails loudly before any Spark job runs.
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown expectation kind {self.kind!r}")
+        if self.kind == "in_range" and (self.lo is None or self.hi is None):
+            raise ValueError(
+                f"in_range on {self.column!r} requires both lo and hi"
+            )
+        if self.kind == "in_set" and not self.allowed:
+            raise ValueError(
+                f"in_set on {self.column!r} requires a non-empty allowed set"
+            )
+        if self.kind == "matches" and not self.pattern:
+            raise ValueError(
+                f"matches on {self.column!r} requires a non-empty pattern"
+            )
 
     @property
     def name(self) -> str:
@@ -75,6 +101,19 @@ def _metric(e: Expectation) -> Column:
     raise ValueError(f"unknown expectation kind {e.kind!r}")
 
 
+def _sql_lit(v) -> str:
+    """A DuckDB literal matching Spark's TYPED comparison (r11
+    advice): numbers stay unquoted (quoting them as strings leaned on
+    DuckDB implicit casts and diverged from Spark's typed isin), and
+    embedded single quotes are doubled so a value like ``O'Brien``
+    cannot break the oracle SQL."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _metric_sql(e: Expectation) -> str:
     c = e.column
     if e.kind == "not_null":
@@ -88,7 +127,7 @@ def _metric_sql(e: Expectation) -> str:
             f"ELSE 0e0 END)"
         )
     if e.kind == "in_set":
-        vals = ", ".join(f"'{v}'" for v in e.allowed)
+        vals = ", ".join(_sql_lit(v) for v in e.allowed)
         return (
             f"avg(CASE WHEN {c} IS NULL THEN NULL "
             f"WHEN {c} IN ({vals}) THEN 1e0 ELSE 0e0 END)"
@@ -96,7 +135,7 @@ def _metric_sql(e: Expectation) -> str:
     if e.kind == "matches":
         return (
             f"avg(CASE WHEN {c} IS NULL THEN NULL "
-            f"WHEN regexp_matches({c}, '{e.pattern}') THEN 1e0 "
+            f"WHEN regexp_matches({c}, {_sql_lit(e.pattern)}) THEN 1e0 "
             f"ELSE 0e0 END)"
         )
     if e.kind == "non_empty":
@@ -119,23 +158,24 @@ def evaluate(
         for i, e in enumerate(suite)
     ]
     row = df.agg(*aggs)
-    pairs = []
-    for i, e in enumerate(suite):
-        pairs.extend(
-            [
-                F.lit(e.name),
-                F.struct(
-                    F.col(f"m{i}").alias("metric"),
-                    F.lit(float(e.threshold)).alias("threshold"),
-                ),
-            ]
+    # Unpivot via array-of-structs, NOT create_map (r11 advice): a
+    # suite with two same-kind checks on one column (e.g. two in_range
+    # bands) has duplicate names, which create_map throws on under
+    # Spark's default mapKeyDedupPolicy=EXCEPTION while the DuckDB
+    # twin emits both rows fine. Arrays carry duplicates natively and
+    # preserve suite order, matching evaluate_sql's UNION ALL legs.
+    entries = [
+        F.struct(
+            F.lit(e.name).alias("check_name"),
+            F.col(f"m{i}").alias("metric"),
+            F.lit(float(e.threshold)).alias("threshold"),
         )
-    kv = row.select(
-        F.explode(F.create_map(*pairs)).alias("check_name", "v")
-    )
+        for i, e in enumerate(suite)
+    ]
+    kv = row.select(F.explode(F.array(*entries)).alias("v"))
     return kv.select(
         F.lit(table_name).alias("table_name"),
-        "check_name",
+        F.col("v.check_name").alias("check_name"),
         F.col("v.metric").alias("metric"),
         F.col("v.threshold").alias("threshold"),
         F.when(F.col("v.metric") >= F.col("v.threshold"), 1)
@@ -153,7 +193,8 @@ def evaluate_sql(table_name: str, suite: list[Expectation]) -> str:
         for i, e in enumerate(suite)
     )
     legs = " UNION ALL ".join(
-        f"SELECT '{table_name}' AS table_name, '{e.name}' AS check_name, "
+        f"SELECT {_sql_lit(table_name)} AS table_name, "
+        f"{_sql_lit(e.name)} AS check_name, "
         f"m{i} AS metric, {float(e.threshold)!r} AS threshold, "
         f"cast(CASE WHEN m{i} >= {float(e.threshold)!r} THEN 1 ELSE 0 END "
         f"AS BIGINT) AS passed FROM agg_{table_name}"

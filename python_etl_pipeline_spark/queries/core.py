@@ -2331,6 +2331,21 @@ def i17_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFram
 _I18_TARGET_PER_KEY = 4  # salt so no salted key exceeds 4x the mean
 
 
+def _i18_salt_expr():
+    """Exact ceil-div salt factor over the agg columns (max_key_rows,
+    n_keys, n_rows) — r11 advice fix: the old bigint '/' went through
+    DOUBLE division then cast-truncate, which is off-by-one once
+    max_key_rows*n_keys passes 2^53 (witness values pinned in
+    tests/test_round12_ops.py). `div` on decimal(38,0) operands is
+    exact integral division, matching the oracle's integer '//'."""
+    t = _I18_TARGET_PER_KEY
+    return F.expr(
+        "cast((cast(max_key_rows AS decimal(38,0)) * n_keys"
+        f" + {t} * cast(n_rows AS decimal(38,0)) - 1) div"
+        f" ({t} * cast(n_rows AS decimal(38,0))) AS bigint)"
+    )
+
+
 def _i18_leg_sql(table: str, key: str, rel: str) -> str:
     return f"""
   SELECT '{rel}' AS relationship,
@@ -2396,17 +2411,7 @@ def i18_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 2
                 ).alias("skew_ratio"),
-                (
-                    (
-                        F.max("cnt") * F.count(F.lit(1))
-                        + F.lit(_I18_TARGET_PER_KEY) * F.sum("cnt")
-                        - 1
-                    )
-                    / (F.lit(_I18_TARGET_PER_KEY) * F.sum("cnt"))
-                )
-                .cast("bigint")
-                .alias("salt_factor"),
-            )
+            ).select("*", _i18_salt_expr().alias("salt_factor"))
         )
     out = legs[0]
     for leg in legs[1:]:

@@ -638,7 +638,7 @@ def test_dq_expectations_match_pure_python(spark, sf_dir):
 
 def test_dq_expectations_plan_one_pass_per_table(spark, sf_dir):
     """i19: each table contributes one pruned scan; report rows come
-    from explode(map) over the single agg row — no windows, no joins,
+    from explode(array) over the single agg row — no windows, no joins,
     and the customer scan reads only the checked columns."""
     plan = _plan(spark, sf_dir, "i19_dq_expectations")
     assert "Window" not in plan
