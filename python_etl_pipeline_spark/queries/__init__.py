@@ -57,91 +57,95 @@ del _m, _k, _v
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 11  # the round this prefix was built for
+_GATE_ROUND = 12  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-11 state: registry 265 after this round's 26
-# additions; horizon-6 bound 6*46 + 4 = 280 holds with 15 of slack.
-# At the recent ~20-26/round growth the crossing lands in round 12 —
-# decide there (horizon 7 bound 326, or cap growth), arithmetic in
-# the crossing commit as always.
+# GATE ARITHMETIC, round-12 state (the r11 verdict's "decide with
+# arithmetic in the commit"): mandatory slots are the 4 sentinels +
+# the 5 OVERDUE last=r5 queries (x19/x20/x30/x31/x33, deferred once
+# in r11 per the documented trade) + the entire 33-query last=r6
+# cohort (due now; omitting any would dump it overdue onto r13) +
+# the 2 queries whose CODE changed this round (i18 exact salt div,
+# i19 array-of-structs unpivot — both r11 advice fixes) = 44, leaving
+# exactly 6 slots. Round-12 growth is therefore CAPPED at 6 new
+# queries instead of raising the horizon: registry 265 + 6 = 271
+# stays under the horizon-6 bound 6*46 + 4 = 280, so every query
+# keeps the tighter 6-round freshness guarantee. Forward look: the
+# last=r7 cohort is 42 queries, due at r13 latest-overdue-at-r14 —
+# r13 must take most of them (42 + 4 sentinels = 46 slots) and can
+# add at most ~9 before the registry crosses 280, at which point the
+# horizon rises to 7 (bound 326) per the standing discipline.
+#
+# x81 also saw a code change this round (ewma_horizon now validates
+# 0 < alpha < 1 — r11 advice) but takes NO slot, on the same
+# documented trade as r11's x76/x82: the change is an entry guard on
+# a domain the registered query never leaves (alpha=0.3), its sf0.01
+# parity hash was re-verified unchanged this session, and the
+# full-registry --parity sweep covers it.
 _GATE_PREFIX = [
-    # (1a) CHANGED this round — a prior green row stops vouching the
-    # moment the code moves: x81 (EWMA re-based per block, oracle
-    # rewritten), hh7 (empty-token Bloom guard, both engines), ann24
-    # (aug_rnk re-planned as count-of-greater). x76/x82 were initially
-    # slotted too (they ride the prefix-sum engine, whose NULL/empty
-    # handling changed) but were traded for the wave-6 additions when
-    # the 50 slots ran out: their own inputs are never NULL, their
-    # sf0.01 hashes were re-verified unchanged this session, and the
-    # full-registry --parity sweep covers them — the weakest claim on
-    # a slot that a brand-new query needs more.
-    "x81_ewma_smoothing",
-    "hh7_bloom_membership",
-    "ann24_mips_topk",
-    # (1b) ADDED this round (10) — every new query gets a driver row
-    # the round it lands.
-    "i17_survivorship_golden_record",
+    # (1) CHANGED this round (r11 advice fixes)
     "i18_join_skew_audit",
-    "tx30_pii_density_audit",
-    "x87_basket_lift",
-    "x88_cuped_adjustment",
-    "x89_peak_concurrency",
-    "dd21_soft_dedup_weights",
-    "mm7_scene_cuts",
-    "ann29_mmr_rerank",
-    "hh9_rolling_hll",
+    "i19_dq_expectations",
+    # (1b) rotating fill (6, oldest-first from the last=r7 cohort) —
+    # each slot is displaced by a round-12 addition as it lands (the
+    # planned wave: a17-a20 TPC-H Q2/Q11/Q20/Q22 shapes, dd22 dedup
+    # delta, dd23 incremental canonical). New queries displace fill,
+    # never the overdue/due cohorts; any fill still here at round end
+    # simply shrinks r13's 42-query burden.
+    "f13_boolean_recast",
+    "f16_case_norms",
+    "o1_digit_sort",
+    "o3_dedup_keep_first",
+    "o5_offset_slice",
+    "s1_allstring_scan",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) the entire last=r5 cohort (22) — displaced from the r10 gate
-    # by the rotation crunch; at horizon 6 they would turn overdue in
-    # round 12, so they rotate in NOW rather than pile onto r12.
-    "s5_jdbc_partitioned",
-    "st2_session_window",
-    "st3_sliding_window",
-    "tx15_gopher_rules",
-    "x2_rollup",
-    "x3_cube",
-    "x4_outlier_flag",
-    "x5_asof_join",
-    "x7_group_zscore",
-    "x8_unpivot",
-    "x9_resample_ffill",
-    "x12_stratified_sample",
-    "x13_json_extract",
-    "x14_exact_percentile",
-    "x15_sessionize",
-    "x16_table_diff",
-    "x17_salted_agg",
-    # x19_weighted_sample, x20_trailing_range_frame, x30_histogram,
-    # x31_column_profile and x33_zorder_key were displaced by the
-    # wave-7/8 additions (a12-a16): at 11-5 = horizon they are legal
-    # to defer ONE round, and tests/test_gate_policy.py mechanically
-    # forces them into the r12 gate where they turn overdue.
-    # (1b continued) the wave-3/4 additions — new queries displace
-    # rotating fill, never the overdue cohort.
-    "i19_dq_expectations",
-    "x90_seasonal_anomaly",
-    "mm8_chunk_dedup_savings",
-    "x91_pareto_frontier",
-    "x92_top_paths",
-    "i20_missing_partition_audit",
-    "x93_error_rate_monitor",
-    "tx31_effective_tokens",
-    "a9_promotion_effect",
-    "a10_returned_items",
-    "a11_forecast_revenue_change",
-    "a12_late_order_priorities",
-    "a13_customer_order_distribution",
-    "a14_large_volume_orders",
-    "a15_top_supplier",
-    "a16_waiting_blame",
-    # No rotating fill this round: 26 new + 3 changed + 4 sentinels +
-    # 17 of the 22-query last=r5 cohort consume all 50 slots. Round
-    # 12 owes: x19/x20/x30/x31/x33 (overdue at 12) + the last=r6
-    # cohort (33, due at 12) = 38 mandatory slots, ~8 free for r12.
+    # (3a) OVERDUE last=r5 cohort (5) — deferred one round in r11 by
+    # the wave-7/8 additions; tests/test_gate_policy.py turns red if
+    # any is omitted now.
+    "x19_weighted_sample",
+    "x20_trailing_range_frame",
+    "x30_histogram",
+    "x31_column_profile",
+    "x33_zorder_key",
+    # (3b) the entire last=r6 cohort (33) — due at 12; rotating them
+    # all now keeps r13's mandatory set at the 42-query r7 cohort
+    # instead of 42 + stragglers.
+    "a0_pricing_summary",
+    "a1_table_counts",
+    "a2_max_watermark",
+    "a3_multiagg_summary",
+    "a4_distinct_keys",
+    "a5_metrics_fold",
+    "dd15_line_dedup",
+    "f1_safe_val",
+    "f3_safe_num",
+    "f4_calc_age",
+    "f5_tenure_days",
+    "f6_customer_segment",
+    "f7_region_map",
+    "f8_gender_norm",
+    "f9_duration_months",
+    "f10_risk_category",
+    "f11_transaction_category",
+    "f12_fraud_flag",
+    "f15_md5_hash",
+    "j3_fact_dim_join",
+    "p1_projection_reorder",
+    "p2_pk_filter",
+    "p3_null_sentinels",
+    "p4_prune_valid_columns",
+    "p5_date_range_guard",
+    "set1_except_intersect",
+    "tx16_langid_confusion",
+    "w2_running_sum",
+    "w3_topk_per_group",
+    "x6_approx_stats",
+    "x34_length_buckets",
+    "x36_dedup_rate_by_source",
+    "x37_corpus_datacard",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
