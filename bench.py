@@ -320,6 +320,100 @@ CONTRACT = [
 ]
 
 
+def _total_busy_jiffies() -> int:
+    """All-CPU busy jiffies (user+nice+system+irq+softirq+steal) from
+    /proc/stat — the denominator for the foreign-load check."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    # cpu user nice system idle iowait irq softirq steal ...
+    u, n, s = int(parts[1]), int(parts[2]), int(parts[3])
+    irq = int(parts[6]) if len(parts) > 6 else 0
+    sirq = int(parts[7]) if len(parts) > 7 else 0
+    steal = int(parts[8]) if len(parts) > 8 else 0
+    return u + n + s + irq + sirq + steal
+
+
+def _proc_tree_jiffies(root_pid: int) -> int:
+    """utime+stime summed over root_pid's process SUBTREE (the bench
+    driver, its JVM, and every pyspark worker are all descendants), so
+    total_busy - tree = CPU burned by processes that are NOT this
+    bench."""
+    children: dict[int, list[int]] = {}
+    stat: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        pid = int(d)
+        ppid = int(rest[1])
+        # utime+stime (this process) + cutime+cstime (its REAPED
+        # children — pyspark workers die mid-block and their time
+        # rolls into the JVM's cutime; live children are counted via
+        # their own /proc entry, so there is no double count)
+        stat[pid] = (
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        )
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [root_pid]
+    while stack:
+        p = stack.pop()
+        total += stat.get(p, 0)
+        stack.extend(children.get(p, []))
+    return total
+
+
+class _LoadCheck:
+    """Per-block foreign-CPU monitor (r11 verdict #4): the driver's
+    r11 bench absorbed +7.9% on shared slots from concurrent machine
+    load that the builder's clean rerun showed was not real — the
+    headline number must self-identify when that happens. Measures,
+    per bench block, what fraction of the machine's busy CPU time was
+    burned OUTSIDE this process tree; a block is flagged contaminated
+    when foreign work exceeded 2% of machine capacity over the block
+    (foreign_cpu > 0.02 * ncpu * wall — on this 32-core box even a
+    single fully-busy foreign core, 3.1%, trips it, while measured
+    idle noise is ~0.05%)."""
+
+    def __init__(self) -> None:
+        self.pid = os.getpid()
+        self.ncpu = os.cpu_count() or 1
+        self.blocks: list[dict] = []
+
+    def start(self) -> None:
+        self._t0 = time.time()
+        self._busy0 = _total_busy_jiffies()
+        self._tree0 = _proc_tree_jiffies(self.pid)
+        self._load0 = os.getloadavg()[0]
+
+    def stop(self, label: str) -> None:
+        wall = time.time() - self._t0
+        hz = os.sysconf("SC_CLK_TCK")
+        foreign = (
+            (_total_busy_jiffies() - self._busy0)
+            - (_proc_tree_jiffies(self.pid) - self._tree0)
+        ) / hz
+        frac = foreign / max(wall, 1e-9) / self.ncpu
+        self.blocks.append({
+            "block": label,
+            "wall_sec": round(wall, 1),
+            "foreign_cpu_sec": round(foreign, 1),
+            "foreign_frac_of_machine": round(frac, 4),
+            "load1_at_start": round(self._load0, 2),
+            "contaminated": frac > 0.02,
+        })
+
+    @property
+    def contaminated(self) -> bool:
+        return any(b["contaminated"] for b in self.blocks)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from python_etl_pipeline_spark.session import get_spark
@@ -331,6 +425,7 @@ def main():
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    loadcheck = _LoadCheck()
 
     # end-to-end banking pipeline at the reference's exact volume (107k
     # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s).
@@ -362,6 +457,7 @@ def main():
     try:
         counts = generate(f"{tmp}/in", scale=1.0)
         files = {e: [f"{tmp}/in/{e}_1.csv"] for e in counts}
+        loadcheck.start()
         # One UNTIMED full-volume run first, then median-of-5. The r10
         # number (7.68 s, spread 7.56-8.40) was a warmup artifact, not
         # a code change: an isolated r11 sequence at HEAD ran 7.35,
@@ -380,6 +476,7 @@ def main():
         spread["pipeline_e2e_107k_rows"] = [
             round(e2e_runs[0], 3), round(e2e_runs[-1], 3)
         ]
+        loadcheck.stop("e2e")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -417,6 +514,7 @@ def main():
                 except Exception:
                     pass  # warmup is best-effort; the timed run decides
 
+        loadcheck.start()
         # Per-query: one warm-up execution at the TARGET sf (beyond the
         # sf0.001 compile pass — it also warms the page cache for the
         # real input files), then median-of-3 timed runs. The median
@@ -439,6 +537,7 @@ def main():
             runs.sort()
             timings[name] = round(runs[1], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        loadcheck.stop(f"headline[{start}:{start + len(block)}]")
 
     # Contract/build-time queries: same fresh-session + warmup +
     # median-of-3 protocol, but their wall stays OUT of the headline
@@ -448,6 +547,7 @@ def main():
         spark.stop()
         spark = get_spark("bench")
         spark.range(1).count()
+        loadcheck.start()
         for name in CONTRACT:
             spec = REGISTRY[name]
             if os.path.isdir(warm_dir):
@@ -470,6 +570,7 @@ def main():
             runs.sort()
             contract[name] = round(runs[1], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
+        loadcheck.stop("contract")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -499,6 +600,10 @@ def main():
         "sf": sf,
         "round": cur_round,
         "pipeline_e2e_rows_per_sec": round(sum(counts.values()) / e2e),
+        # r11 verdict #4: an inflated run must self-identify. True when
+        # any block saw foreign processes burn >5% of machine CPU while
+        # it was being timed; per-block numbers in BENCH_DETAIL.json.
+        "contaminated": loadcheck.contaminated,
     }
     # Shared-slot comparison vs the previous ROUND's recorded bench:
     # with a growing headline list the TOTAL reads as a regression
@@ -571,7 +676,12 @@ def main():
     # queries.
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
         json.dump(
-            {**result, "contract_queries": contract, "spread": spread},
+            {
+                **result,
+                "contract_queries": contract,
+                "spread": spread,
+                "load_blocks": loadcheck.blocks,
+            },
             f,
             indent=1,
         )

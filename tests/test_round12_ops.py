@@ -140,6 +140,46 @@ def test_ewma_alpha_domain_validated():
     assert ewma_horizon(1e-9) > ewma_horizon(0.5)
 
 
+def test_bench_loadcheck_attributes_own_vs_foreign_cpu():
+    """bench's contamination monitor (r11 verdict #4) must NOT flag
+    CPU burned by this process tree (reaped children roll up via
+    cutime) and MUST flag CPU burned by a foreign process (simulated
+    via double-fork, which reparents the burner to init)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    import bench
+
+    lc = bench._LoadCheck()
+    lc.start()
+    p = subprocess.Popen([
+        sys.executable, "-c",
+        "import time\ne=time.time()+1.2\nwhile time.time()<e: pass",
+    ])
+    p.wait()
+    lc.stop("own")
+    assert lc.blocks[-1]["foreign_frac_of_machine"] < 0.01
+    assert not lc.blocks[-1]["contaminated"]
+
+    pid = os.fork()
+    if pid == 0:  # pragma: no cover - child
+        os.setsid()
+        if os.fork() == 0:
+            end = time.time() + 2.0
+            while time.time() < end:
+                pass
+            os._exit(0)
+        os._exit(0)
+    os.waitpid(pid, 0)
+    lc.start()
+    time.sleep(1.5)
+    lc.stop("foreign")
+    assert lc.blocks[-1]["contaminated"]
+    assert lc.contaminated
+
+
 def test_i18_salt_factor_exact_past_2pow53(spark):
     """The salt-factor ceil-div is exact integral arithmetic (r11
     advice): at these witness values max_key_rows*n_keys ~ 2^70 and
