@@ -17,13 +17,19 @@ proportional to their size.
     python tools/partest.py tests/test_plans.py   # subset (one shard)
     python tools/partest.py --parity     # suite + full-registry
                                          # DuckDB-parity sweep (sf0.001)
+    python tools/partest.py --parity --sf 0.01    # ... at the DRIVER's
+                                         # gate scale (~15 min sweep)
 
 ``--parity`` is the repo's self-serve backstop for the gate-rotation
 staleness policy (r10 verdict #3): it runs ``tools/parity.py`` over
 the ENTIRE registry at sf0.001 as one extra concurrent shard
 (~5 min, bounded by the sweep itself), so between driver rounds the
-full 239-query oracle parity is one command away instead of judge
-goodwill. Exit status covers it like any other shard.
+full-registry oracle parity is one command away instead of judge
+goodwill. ``--sf`` (r11 verdict #3) rescales that sweep —
+``--sf 0.01`` is the driver-equivalent recipe, catching the
+scale-sensitive bug class (64-bit overflow, cap derivation, sampling
+bounds — the Gini overflows of ``ec63d30``) that sf0.001 physically
+cannot exercise. Exit status covers it like any other shard.
 
 Exit status is non-zero if ANY shard fails; each shard's tail is
 printed on failure. Zero skips expected — this is the full profile.
@@ -86,7 +92,17 @@ def main() -> int:
         help="also run the full-registry DuckDB parity sweep "
         "(tools/parity.py) at SF_DIR as an extra concurrent shard",
     )
+    ap.add_argument(
+        "--sf",
+        default=None,
+        metavar="SCALE",
+        help="scale factor for the parity sweep (e.g. 0.01 = the "
+        "driver's gate scale); implies --parity at "
+        "/root/testdata/sf<SCALE>",
+    )
     args = ap.parse_args()
+    if args.sf:
+        args.parity = f"/root/testdata/sf{args.sf}"
 
     files = [str(Path(f).resolve()) for f in args.files] or sorted(
         glob.glob(str(REPO / "tests" / "test_*.py"))
