@@ -307,6 +307,15 @@ HEADLINE = [
     "a15_top_supplier",
     # TPC-H Q21 shape via the grouped rewrite: one fact pass, not 3
     "a16_waiting_blame",
+    # round 12 additions
+    # TPC-H Q2 shape: window-min offer pick, one fact scan, dim chain
+    "a17_min_cost_supplier",
+    # TPC-H Q11 shape: one part-keyed agg + 1-row global-scalar filter
+    "a18_important_stock",
+    # TPC-H Q20 shape: conditional sums off ONE fact scan -> LeftSemi
+    "a19_excess_inventory_suppliers",
+    # TPC-H Q22 shape: pruned-orders LeftAnti + substring buckets
+    "a20_lost_customers",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

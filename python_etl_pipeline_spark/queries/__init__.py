@@ -85,18 +85,17 @@ _GATE_PREFIX = [
     # (1) CHANGED this round (r11 advice fixes)
     "i18_join_skew_audit",
     "i19_dq_expectations",
-    # (1b) rotating fill (6, oldest-first from the last=r7 cohort) —
-    # each slot is displaced by a round-12 addition as it lands (the
-    # planned wave: a17-a20 TPC-H Q2/Q11/Q20/Q22 shapes, dd22 dedup
-    # delta, dd23 incremental canonical). New queries displace fill,
-    # never the overdue/due cohorts; any fill still here at round end
-    # simply shrinks r13's 42-query burden.
+    # (1b) ADDED this round — the four remaining distinct TPC-H
+    # shapes (Q2/Q11/Q20/Q22 re-expressed on the lineitem offer
+    # relation; the fixture has no partsupp). New queries displaced
+    # the rotating fill slots, per the standing rule; the two
+    # remaining fill slots go to dd22/dd23 when they land.
+    "a17_min_cost_supplier",
+    "a18_important_stock",
+    "a19_excess_inventory_suppliers",
+    "a20_lost_customers",
     "f13_boolean_recast",
     "f16_case_norms",
-    "o1_digit_sort",
-    "o3_dedup_keep_first",
-    "o5_offset_slice",
-    "s1_allstring_scan",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",

@@ -2942,3 +2942,387 @@ def a16_waiting_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(10)
     )
+
+
+# ===========================================================================
+# Round-12: the last four distinct TPC-H shapes — Q2 (correlated min),
+# Q11 (group HAVING vs a global scalar), Q20 (nested semi-join chain),
+# Q22 (anti-join + substring bucketing). The fixture has no partsupp
+# table, so lineitem serves as the part-supplier offer relation; the
+# SHAPES (and the plans that make them scale) are the point.
+# ===========================================================================
+
+
+@register(
+    "a17_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    pp AS (SELECT p_partkey, p_name FROM part WHERE p_type = 'PROMO'),
+    offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(cast(round(l_extendedprice * 100) AS BIGINT) * 1000
+                 // cast(l_quantity AS BIGINT)) AS unit_millicents
+      FROM lineitem
+      JOIN pp ON p_partkey = l_partkey
+      JOIN eu ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey AS bp, min(unit_millicents) AS best_mc
+      FROM offers GROUP BY 1
+    )
+    SELECT cast(round(eu.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           eu.s_name, eu.n_name, pp.p_partkey, pp.p_name,
+           o.unit_millicents
+    FROM offers o
+    JOIN best ON bp = o.l_partkey AND o.unit_millicents = best_mc
+    JOIN eu ON eu.s_suppkey = o.l_suppkey
+    JOIN pp ON pp.p_partkey = o.l_partkey
+    ORDER BY acctbal_cents DESC, eu.s_name, pp.p_partkey
+    LIMIT 100
+    """,
+    first_round=12,
+)
+def a17_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every PROMO part,
+    the EUROPE supplier offering the lowest unit price, ties kept —
+    the correlated-min-subquery pattern DECORRELATED into a per-part
+    min aggregate plus an equality join back to the offer table
+    (reference analog: the price-lookup joins of src/transform.py,
+    generalized). The unit price is exact integer millicents
+    (cents * 1000 div quantity) — a float division here would make
+    the min-equality test engine-dependent, the same trap a15's
+    revenue max dodges with cents.
+
+    Plan shape: the dim chain region -> nation -> supplier broadcasts
+    into the fact scan (pushed p_type filter prunes parts first), ONE
+    (part, supplier)-keyed agg builds the offer table, and the
+    per-part min is a WINDOW over the offer table (partition = part,
+    supplier-bounded fan-in) rather than an agg-plus-self-join — the
+    join form references the offer subplan twice, which only stays
+    single-scan if AQE's exchange reuse fires; the window makes the
+    single fact scan STRUCTURAL (plan guard pins it). The textbook
+    correlated form re-evaluates the min per outer row. Top-100 rides
+    TakeOrderedAndProject on the (acctbal, name, part) total order."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_name")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = (
+        l.join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.expr(
+                    "cast(round(l_extendedprice * 100) AS BIGINT) * 1000"
+                    " div cast(l_quantity AS BIGINT)"
+                )
+            ).alias("unit_millicents")
+        )
+    )
+    wbest = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn(
+            "best_mc", F.min("unit_millicents").over(wbest)
+        )
+        .filter(F.col("unit_millicents") == F.col("best_mc"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(pp), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100)
+            .cast("bigint")
+            .alias("acctbal_cents"),
+            "s_name", "n_name", "p_partkey", "p_name", "unit_millicents",
+        )
+        .orderBy(F.desc("acctbal_cents"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "a18_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_18'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT cast(sum(value_cents) AS HUGEINT) AS total_cents,
+             count(*) AS n_parts
+      FROM val
+    )
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM val, tot
+    WHERE cast(value_cents AS HUGEINT) * n_parts * 2 > total_cents * 3
+    ORDER BY value_cents DESC, p_partkey
+    """,
+    first_round=12,
+)
+def a18_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part traded value from
+    ONE nation's suppliers, keeping parts whose value exceeds a
+    threshold derived from the GLOBAL total — the group-HAVING-vs-
+    global-scalar pattern. TPC-H's fixed fraction (0.0001/SF) empties
+    as the corpus grows, so the threshold here is scale-free: parts
+    holding more than 1.5x the MEAN share (value * n_parts * 2 >
+    total * 3, compared in exact decimal/HUGEINT — at 100 TB
+    value * n_parts overflows int64, the r11-advice class of bug).
+
+    Plan shape: the nation-filtered supplier dim broadcasts into one
+    fact scan, ONE part-keyed agg builds the value table, the global
+    scalar folds from it as a 1-row broadcast cross join (the audited
+    pattern), and the HAVING is a map-side filter — no second fact
+    scan, no window."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    val = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).cast("bigint").alias("value_cents"))
+    )
+    tot = val.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.expr(
+                "cast(value_cents AS decimal(38,0)) * n_parts * 2"
+                " > cast(total_cents AS decimal(38,0)) * 3"
+            )
+        )
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+@register(
+    "a19_excess_inventory_suppliers",
+    """
+    WITH sp AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small %'
+    ),
+    g AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(l_quantity AS BIGINT)) AS supp_qty,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                       AND l_shipdate < TIMESTAMP '1996-01-01'
+                      THEN cast(l_quantity AS BIGINT) ELSE 0 END)
+               AS supp_qty95
+      FROM lineitem JOIN sp ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    y AS (
+      SELECT l_partkey, sum(supp_qty95) AS year_qty
+      FROM g GROUP BY 1
+    ),
+    qual AS (
+      SELECT DISTINCT l_suppkey
+      FROM g JOIN y USING (l_partkey)
+      WHERE year_qty > 0 AND 2 * supp_qty > year_qty
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s_name
+    """,
+    first_round=12,
+)
+def a19_excess_inventory_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): ASIA suppliers who, for
+    some 'small *' part, hold more lifetime shipped quantity than
+    half that part's 1995 demand — the nested semi-join chain
+    (supplier IN (... part IN (...) AND correlated-sum ...)) that Q20
+    builds over partsupp, re-expressed on the lineitem offer relation.
+
+    Plan shape: the name-filtered part set broadcasts into ONE fact
+    scan that computes BOTH aggregates as conditional sums of a
+    single (part, supplier)-keyed pass (the textbook form scans the
+    fact once for availqty and AGAIN for the correlated 1995 sum);
+    the per-part demand is a WINDOW sum over that agg's output
+    (supplier-bounded fan-in per part — the agg-plus-rejoin form only
+    stays single-scan if AQE exchange reuse fires; the window pins
+    it structurally); the qualifying supplier set compiles to a
+    LeftSemi into the
+    supplier dim, with the region chain broadcast. Quantities
+    accumulate as exact bigints."""
+    sp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in95 = (F.col("l_shipdate") >= "1995-01-01") & (
+        F.col("l_shipdate") < "1996-01-01"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    g = (
+        l.join(F.broadcast(sp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("supp_qty"),
+            F.sum(F.when(in95, qty).otherwise(F.lit(0))).alias(
+                "supp_qty95"
+            ),
+        )
+    )
+    wy = Window.partitionBy("l_partkey")
+    qual = (
+        g.withColumn("year_qty", F.sum("supp_qty95").over(wy))
+        .filter(
+            (F.col("year_qty") > 0)
+            & (2 * F.col("supp_qty") > F.col("year_qty"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+        )
+        .join(
+            qual, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "a20_lost_customers",
+    """
+    WITH pos AS (
+      SELECT cast(sum(cast(round(c_acctbal * 100) AS BIGINT))
+                  AS HUGEINT) AS pos_cents,
+             count(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    ),
+    rich AS (
+      SELECT c_custkey, substr(c_name, 18, 1) AS code,
+             cast(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer, pos
+      WHERE substr(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+        AND cast(cast(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+            * n_pos > pos_cents
+    ),
+    lost AS (
+      SELECT r.code, r.bal_cents FROM rich r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = r.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-07-01'
+      )
+    )
+    SELECT code, cast(count(*) AS BIGINT) AS n_custs,
+           cast(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM lost GROUP BY 1 ORDER BY 1
+    """,
+    first_round=12,
+)
+def a20_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-
+    balance customers in selected name-code buckets with NO recent
+    order, grouped by bucket — the anti-join + substring-bucketing +
+    global-scalar-filter triple. The fixture's customers all ordered
+    at least once (and have no phone column), so 'lost' means no
+    order since 2000-07-01 and the bucket is the last digit of
+    c_name — same shape, live selectivity at every test SF.
+
+    Plan shape: the positive-balance average folds to a 1-row
+    broadcast (exact cents x count comparison in decimal — no float
+    average, no off-by-ulp boundary); the recent-orders side prunes
+    to one pushed date filter before the LeftAnti (anti-join input is
+    recent-orders-sized, not orders-sized); the report agg is
+    bucket-sized. One customer scan, one pruned orders scan."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "pos_cents"
+        ),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        c.withColumn("code", F.substring("c_name", 18, 1))
+        .filter(F.col("code").isin("1", "3", "5", "7", "9"))
+        .withColumn(
+            "bal_cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+        )
+        .crossJoin(F.broadcast(pos))
+        .filter(
+            F.expr(
+                "cast(bal_cents AS decimal(38,0)) * n_pos"
+                " > cast(pos_cents AS decimal(38,0))"
+            )
+        )
+        .select("c_custkey", "code", "bal_cents")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-07-01"
+    )
+    return (
+        rich.join(
+            recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+        .orderBy("code")
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import math
 import re
 
 import duckdb
@@ -22,6 +23,193 @@ def _plan(spark, sf_dir, name: str) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def _rows(spark, sf_dir, table, cols=None):
+    df = _t(spark, sf_dir, table)
+    if cols:
+        df = df.select(*cols)
+    return [r.asDict() for r in df.collect()]
+
+
+# ------------------------------------------------- a17..a20 (TPC-H)
+
+
+def test_a17_min_cost_supplier_matches_pure_python(spark, sf_dir):
+    sup = _rows(spark, sf_dir, "supplier")
+    nat = {r["n_nationkey"]: r for r in _rows(spark, sf_dir, "nation")}
+    reg = {r["r_regionkey"]: r["r_name"] for r in _rows(spark, sf_dir, "region")}
+    eu = {
+        s["s_suppkey"]: s for s in sup
+        if reg[nat[s["s_nationkey"]]["n_regionkey"]] == "EUROPE"
+    }
+    part = {
+        p["p_partkey"]: p for p in _rows(spark, sf_dir, "part")
+        if p["p_type"] == "PROMO"
+    }
+    offers: dict[tuple, int] = {}
+    for l in _rows(spark, sf_dir, "lineitem"):
+        if l["l_partkey"] in part and l["l_suppkey"] in eu:
+            mc = (
+                int(math.floor(l["l_extendedprice"] * 100 + 0.5)) * 1000
+                // int(l["l_quantity"])
+            )
+            k = (l["l_partkey"], l["l_suppkey"])
+            offers[k] = min(offers.get(k, mc), mc)
+    best: dict[int, int] = {}
+    for (p, _s), mc in offers.items():
+        best[p] = min(best.get(p, mc), mc)
+    rows = []
+    for (p, s), mc in offers.items():
+        if mc == best[p]:
+            e = eu[s]
+            rows.append((
+                int(math.floor(e["s_acctbal"] * 100 + 0.5)),
+                e["s_name"], nat[e["s_nationkey"]]["n_name"],
+                p, part[p]["p_name"], mc,
+            ))
+    rows.sort(key=lambda r: (-r[0], r[1], r[3]))
+    want = rows[:100]
+    got = [
+        tuple(r) for r in REGISTRY["a17_min_cost_supplier"]
+        .spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_a17_plan_single_fact_scan_window_min(spark, sf_dir):
+    """Q2 shape: ONE lineitem scan (the window form pins it without
+    relying on AQE exchange reuse), broadcast dim chain, top-100 via
+    TakeOrderedAndProject, no single-partition exchange."""
+    plan = _plan(spark, sf_dir, "a17_min_cost_supplier")
+    assert len(re.findall(r"Location.*lineitem", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_a18_important_stock_matches_pure_python(spark, sf_dir):
+    nat = {r["n_nationkey"]: r["n_name"] for r in _rows(spark, sf_dir, "nation")}
+    supp = {
+        s["s_suppkey"] for s in _rows(spark, sf_dir, "supplier")
+        if nat[s["s_nationkey"]] == "NATION_18"
+    }
+    val: dict[int, int] = {}
+    for l in _rows(spark, sf_dir, "lineitem"):
+        if l["l_suppkey"] in supp:
+            c = int(math.floor(
+                l["l_extendedprice"] * (1 - l["l_discount"]) * 100 + 0.5
+            ))
+            val[l["l_partkey"]] = val.get(l["l_partkey"], 0) + c
+    total, n = sum(val.values()), len(val)
+    want = sorted(
+        ((p, v) for p, v in val.items() if v * n * 2 > total * 3),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (r["p_partkey"], r["value_cents"])
+        for r in REGISTRY["a18_important_stock"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert len(got) > 0  # NATION_18 has suppliers at every test SF
+
+
+def test_a19_excess_inventory_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    parts = {
+        p["p_partkey"] for p in _rows(spark, sf_dir, "part")
+        if p["p_name"].startswith("small ")
+    }
+    g: dict[tuple, list] = {}
+    for l in _rows(spark, sf_dir, "lineitem"):
+        if l["l_partkey"] in parts:
+            k = (l["l_partkey"], l["l_suppkey"])
+            e = g.setdefault(k, [0, 0])
+            q = int(l["l_quantity"])
+            e[0] += q
+            if (
+                datetime.datetime(1995, 1, 1)
+                <= l["l_shipdate"]
+                < datetime.datetime(1996, 1, 1)
+            ):
+                e[1] += q
+    year: dict[int, int] = {}
+    for (p, _s), (_t_, q95) in g.items():
+        year[p] = year.get(p, 0) + q95
+    qual = {
+        s for (p, s), (qt, _q) in g.items()
+        if year[p] > 0 and 2 * qt > year[p]
+    }
+    nat = {r["n_nationkey"]: r for r in _rows(spark, sf_dir, "nation")}
+    reg = {r["r_regionkey"]: r["r_name"] for r in _rows(spark, sf_dir, "region")}
+    want = sorted(
+        (s["s_suppkey"], s["s_name"], nat[s["s_nationkey"]]["n_name"])
+        for s in _rows(spark, sf_dir, "supplier")
+        if s["s_suppkey"] in qual
+        and reg[nat[s["s_nationkey"]]["n_regionkey"]] == "ASIA"
+    )
+    want.sort(key=lambda r: r[1])
+    got = [
+        tuple(r) for r in REGISTRY["a19_excess_inventory_suppliers"]
+        .spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_a19_plan_single_fact_scan_leftsemi(spark, sf_dir):
+    """Q20 shape: both aggregates fold from ONE lineitem scan
+    (conditional sums + a part-keyed window, not a second probe) and
+    the qualifying set enters supplier as a LeftSemi."""
+    plan = _plan(spark, sf_dir, "a19_excess_inventory_suppliers")
+    assert len(re.findall(r"Location.*lineitem", plan)) == 1
+    assert "LeftSemi" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_a20_lost_customers_matches_pure_python(spark, sf_dir):
+    import datetime
+
+    cust = _rows(spark, sf_dir, "customer")
+    pos = [
+        int(math.floor(c["c_acctbal"] * 100 + 0.5))
+        for c in cust if c["c_acctbal"] > 0
+    ]
+    tot, n = sum(pos), len(pos)
+    recent = {
+        o["o_custkey"] for o in _rows(spark, sf_dir, "orders")
+        if o["o_orderdate"] >= datetime.datetime(2000, 7, 1)
+    }
+    buckets: dict[str, list] = {}
+    for c in cust:
+        code = c["c_name"][17:18]
+        bal = int(math.floor(c["c_acctbal"] * 100 + 0.5))
+        if (
+            code in {"1", "3", "5", "7", "9"}
+            and bal * n > tot
+            and c["c_custkey"] not in recent
+        ):
+            e = buckets.setdefault(code, [0, 0])
+            e[0] += 1
+            e[1] += bal
+    want = sorted((k, v[0], v[1]) for k, v in buckets.items())
+    got = [
+        tuple(r) for r in REGISTRY["a20_lost_customers"]
+        .spark(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert len(got) > 0  # live selectivity at every test SF
+
+
+def test_a20_plan_antijoin_pushed_date(spark, sf_dir):
+    """Q22 shape: LeftAnti against the RECENT orders slice with the
+    date filter pushed to the orders scan, and the average folded as
+    a 1-row broadcast (no single-partition window)."""
+    plan = _plan(spark, sf_dir, "a20_lost_customers")
+    assert "LeftAnti" in plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+    assert "Window" not in plan
 
 
 # ------------------------------------------------- r11 ADVICE fixes
