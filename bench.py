@@ -316,6 +316,11 @@ HEADLINE = [
     "a19_excess_inventory_suppliers",
     # TPC-H Q22 shape: pruned-orders LeftAnti + substring buckets
     "a20_lost_customers",
+    # cross-snapshot dedup delta: two LSH+CC passes (oracle-replayable
+    # form of the incremental index refresh the streaming twin runs)
+    "dd22_dedup_delta",
+    # canonical re-election: per-cluster argmax monoid fold
+    "dd23_canonical_reelection",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

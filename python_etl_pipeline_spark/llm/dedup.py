@@ -277,6 +277,29 @@ def minhash_lsh_pairs(
     )
     if materialize:
         banded = banded.localCheckpoint(eager=True)
+    return lsh_pairs_from_buckets(
+        banded, id_col=id_col, max_bucket_size=max_bucket_size,
+        cap_floor=cap_floor,
+    )
+
+
+def lsh_pairs_from_buckets(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | str | None = None,
+    cap_floor: int = 100,
+) -> DataFrame:
+    """The cap + bucket-self-join tail of :func:`minhash_lsh_pairs`,
+    taking an already-built ``(id, band, bh)`` bucket table.
+
+    Split out because the bucket table — the output of the corpus-heavy
+    shingle→md5→minhash stage — is a pure PER-DOCUMENT function: any
+    corpus snapshot's buckets are a doc-filter of the full table, so a
+    cross-snapshot consumer (queries.dd22_dedup_delta) computes
+    signatures ONCE and derives each snapshot's pair graph from a
+    filtered view, instead of re-shingling the corpus per snapshot.
+    Cap semantics are per-snapshot by construction: the count window
+    runs on the filtered table the caller passes."""
     if max_bucket_size == "auto":
         from .caps import filter_by_derived_cap
 

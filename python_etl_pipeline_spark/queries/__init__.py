@@ -87,15 +87,16 @@ _GATE_PREFIX = [
     "i19_dq_expectations",
     # (1b) ADDED this round — the four remaining distinct TPC-H
     # shapes (Q2/Q11/Q20/Q22 re-expressed on the lineitem offer
-    # relation; the fixture has no partsupp). New queries displaced
-    # the rotating fill slots, per the standing rule; the two
-    # remaining fill slots go to dd22/dd23 when they land.
+    # relation; the fixture has no partsupp), plus the r11-verdict
+    # item-6 pair: the cross-snapshot dedup delta and the monoid
+    # canonical re-election. That exhausts the round's capped growth
+    # of 6 (registry 265 + 6 = 271 <= the horizon-6 bound 280).
     "a17_min_cost_supplier",
     "a18_important_stock",
     "a19_excess_inventory_suppliers",
     "a20_lost_customers",
-    "f13_boolean_recast",
-    "f16_case_norms",
+    "dd22_dedup_delta",
+    "dd23_canonical_reelection",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",

@@ -31,22 +31,31 @@ def _minhash_ctes(
     rows: int = 4,
     max_bucket_size: int | str | None = None,
     cap_floor: int = 100,
+    source: str = "documents",
+    suffix: str = "",
 ) -> str:
     """The MinHash+LSH candidate-pair pipeline as a reusable CTE body
-    (ends with ``mh_pairs(a, b)``) — shared by dd2 and the curation
-    composite so their oracles stay in lock-step.
+    (ends with ``mh_pairs{suffix}(a, b)``) — shared by dd2 and the
+    curation composite so their oracles stay in lock-step.
     ``max_bucket_size="auto"`` emits the derived-cap CTE chain
-    (llm.caps.tukey_cap_sql_ctes) instead of a literal QUALIFY."""
+    (llm.caps.tukey_cap_sql_ctes) instead of a literal QUALIFY.
+    ``source``/``suffix`` let one oracle instantiate the chain over
+    two corpus snapshots (dd22's cross-snapshot delta): ``source`` is
+    any table expression, ``suffix`` disambiguates the CTE names."""
     from ..llm.caps import tukey_cap_sql_ctes
     from ..llm.dedup import MINHASH_AB, MINHASH_P, _h32_sql, shingles_sql
 
+    assert not (suffix and max_bucket_size == "auto"), (
+        "the derived-cap CTE chain is not suffix-aware; use a literal cap"
+    )
     sig_exprs = ", ".join(
         f"min(({a} * h + {b}) % {MINHASH_P}) AS s{j}"
         for j, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     )
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig{sfx}".format(
             b=b,
+            sfx=suffix,
             concat=" || '|' || ".join(
                 f"cast(s{b * rows + r} AS VARCHAR)" for r in range(rows)
             ),
@@ -57,23 +66,23 @@ def _minhash_ctes(
         cap = tukey_cap_sql_ctes("bands", "band, bh", floor=cap_floor).lstrip()
     elif max_bucket_size is not None:
         cap = (
-            f"capped AS (SELECT doc_id, band, bh FROM bands "
+            f"capped{suffix} AS (SELECT doc_id, band, bh FROM bands{suffix} "
             f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket_size})"
         )
     else:
-        cap = "capped AS (SELECT * FROM bands)"
+        cap = f"capped{suffix} AS (SELECT * FROM bands{suffix})"
     return f"""
-    sh AS (
-      SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM documents
+    sh{suffix} AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql('text')})) AS s FROM {source}
     ),
-    hv AS (SELECT doc_id, {_h32_sql('md5(s)')} AS h FROM sh),
-    sig AS (SELECT doc_id, {sig_exprs} FROM hv GROUP BY doc_id),
-    bands AS ({band_selects}),
+    hv{suffix} AS (SELECT doc_id, {_h32_sql('md5(s)')} AS h FROM sh{suffix}),
+    sig{suffix} AS (SELECT doc_id, {sig_exprs} FROM hv{suffix} GROUP BY doc_id),
+    bands{suffix} AS ({band_selects}),
     {cap},
-    mh_pairs AS (
+    mh_pairs{suffix} AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
-                                  AND a.doc_id < b.doc_id
+      FROM capped{suffix} a JOIN capped{suffix} b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     )"""
 
 

@@ -3100,7 +3100,13 @@ def a18_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan, ONE part-keyed agg builds the value table, the global
     scalar folds from it as a 1-row broadcast cross join (the audited
     pattern), and the HAVING is a map-side filter — no second fact
-    scan, no window."""
+    scan, no window. The value table is eagerly materialized
+    (parts-sized, the engine's standard diamond-dependency trade —
+    same as minhash materialize=True): without it Catalyst re-derives
+    the agg for the scalar branch and the plan pays TWO fact scans
+    (measured: the un-materialized form showed 2 lineitem scans and a
+    5.1× wall at 10× data; exchange reuse does not unify the branches
+    because the scalar side re-aggregates above the shuffle)."""
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
     s = (
         _t(spark, sf_dir, "supplier")
@@ -3119,6 +3125,7 @@ def a18_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(cents).cast("bigint").alias("value_cents"))
+        .localCheckpoint(eager=True)
     )
     tot = val.agg(
         F.sum("value_cents").alias("total_cents"),

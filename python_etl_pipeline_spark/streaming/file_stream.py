@@ -286,6 +286,143 @@ def stream_neardup_available_now(
     q.awaitTermination()
 
 
+def dedup_delta_batch_writer(
+    spark: SparkSession,
+    index_dir: str,
+    events_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch sink for the streaming dedup DELTA —
+    queries.dd22's operational twin: per arrival batch, emit the docs
+    that BECAME duplicated, i.e. every endpoint of a new LSH collision,
+    whether the endpoint is a new arrival or a prior-corpus doc that
+    just acquired its first mirror. The closure (1) computes the
+    batch's MinHash band buckets, (2) joins them against every PRIOR
+    batch's persisted signature index (cross-batch collisions, BOTH
+    endpoints emitted) and against themselves (intra-batch collisions),
+    (3) writes the distinct collided ids under
+    ``events_dir/batch_id=N``, and (4) appends the batch's buckets to
+    the index. The event log is append-only; "when did this doc first
+    become duplicated" is min(batch_id) per doc at read time
+    (:func:`dedup_delta_from_state_dir`), so re-collisions in later
+    batches are harmless rather than filtered per batch — that keeps
+    every write a pure function of (batch, prior index) and the whole
+    log a set-union monoid.
+
+    No bucket cap here, deliberately: a cap makes pair discovery
+    depend on arrival ORDER (a bucket crossing the cap drops pairs the
+    same docs would have produced arriving earlier), which would break
+    the fold == full-recompute contract the test pins. A production
+    deployment that needs the degenerate-bucket guard derives the cap
+    at index-build time (llm.caps) and accepts the documented recall
+    trade — the same note as neardup_against_index.
+
+    Exactly-once story (same as the near-dup sink): both writes are
+    ``batch_id=N`` overwrite partitions, and the index join filters to
+    ``batch_id < current``, so a crash-re-delivered batch rewrites
+    identical content and never sees its own signatures."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import minhash_band_buckets
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        # consumed three times: prior-index join, self-join, append
+        bb_new = minhash_band_buckets(
+            batch_df, text_col, id_col
+        ).localCheckpoint(eager=True)
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        prior = []
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith("batch_id=") and (
+                    int(name.split("=", 1)[1]) < batch_id
+                ):
+                    prior.append(st.getPath().toString())
+        a = bb_new.select(F.col(id_col).alias("a"), "band", "bh")
+        b = bb_new.select(F.col(id_col).alias("b"), "band", "bh")
+        intra = a.join(b, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+        hits = intra.select(F.col("a").alias(id_col)).union(
+            intra.select(F.col("b").alias(id_col))
+        )
+        if prior:
+            index = spark.read.option("basePath", index_dir).parquet(*prior)
+            cross = a.join(
+                index.select(F.col(id_col).alias("b"), "band", "bh"),
+                ["band", "bh"],
+            )
+            hits = hits.union(
+                cross.select(F.col("a").alias(id_col))
+            ).union(cross.select(F.col("b").alias(id_col)))
+        hits.distinct().write.mode("overwrite").parquet(
+            os.path.join(events_dir, f"batch_id={batch_id}")
+        )
+        bb_new.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def dedup_delta_from_state_dir(
+    spark: SparkSession, events_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, became_dup_in_batch) — each ever-collided doc with the
+    batch that first duplicated it, derived from the event log by a
+    min(batch_id) fold (set-union monoid, so compaction/redelivery
+    never change the answer)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(events_dir)
+        .groupBy(id_col)
+        .agg(F.min("batch_id").cast("bigint").alias("became_dup_in_batch"))
+    )
+
+
+def stream_dedup_delta_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    index_dir: str,
+    events_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Streaming dedup delta — dd22's operational twin on the same
+    AvailableNow cadence as the other index sinks: the per-arrival
+    incremental step dd22's docstring describes (shingle only the
+    delta, join the stored band-bucket index, emit newly-duplicated
+    docs) executed against a continuously-ingesting corpus. Batch
+    CORRECTNESS twin: queries.dd22_dedup_delta is driver-verified
+    against its DuckDB oracle; the fold == full-recompute contract
+    (stream's collided-doc set == a from-scratch uncapped LSH pass) is
+    pinned in tests/test_round12_ops.py."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_delta_batch_writer(
+                spark, index_dir, events_dir, text_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def datacard_batch_writer(spark: SparkSession, state_dir: str):
     """foreachBatch sink for incremental datacard maintenance: returns
     the ``(batch_df, batch_id) -> None`` closure that computes the

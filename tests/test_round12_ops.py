@@ -332,7 +332,13 @@ def test_bench_loadcheck_attributes_own_vs_foreign_cpu():
     """bench's contamination monitor (r11 verdict #4) must NOT flag
     CPU burned by this process tree (reaped children roll up via
     cutime) and MUST flag CPU burned by a foreign process (simulated
-    via double-fork, which reparents the burner to init)."""
+    via double-fork, which reparents the burner to init).
+
+    Own attribution is pinned on the jiffy counters directly rather
+    than on foreign_frac being ~0: under `partest` this test runs
+    CONCURRENTLY with Spark-heavy shards, so real foreign load is
+    present and an idle-machine assertion is a false failure (the
+    flake this wording replaced)."""
     import os
     import subprocess
     import sys
@@ -340,16 +346,25 @@ def test_bench_loadcheck_attributes_own_vs_foreign_cpu():
 
     import bench
 
-    lc = bench._LoadCheck()
-    lc.start()
+    hz = os.sysconf("SC_CLK_TCK")
+    # (1) a reaped child's CPU rolls up into THIS tree's counters via
+    # cutime — the mechanism that keeps own bench work unflagged
+    t0 = bench._proc_tree_jiffies(os.getpid())
     p = subprocess.Popen([
         sys.executable, "-c",
         "import time\ne=time.time()+1.2\nwhile time.time()<e: pass",
     ])
     p.wait()
+    own = (bench._proc_tree_jiffies(os.getpid()) - t0) / hz
+    assert own >= 0.9, f"child burn not attributed to own tree: {own}"
+
+    # (2) the flag is a pure function of the recorded fraction
+    lc = bench._LoadCheck()
+    lc.start()
+    time.sleep(0.2)
     lc.stop("own")
-    assert lc.blocks[-1]["foreign_frac_of_machine"] < 0.01
-    assert not lc.blocks[-1]["contaminated"]
+    blk = lc.blocks[-1]
+    assert blk["contaminated"] == (blk["foreign_frac_of_machine"] > 0.02)
 
     pid = os.fork()
     if pid == 0:  # pragma: no cover - child
@@ -384,3 +399,130 @@ def test_i18_salt_factor_exact_past_2pow53(spark):
     )
     got = df.select(_i18_salt_expr().alias("s")).collect()[0]["s"]
     assert got == exact
+
+
+# ------------------------------------- dd22 cross-snapshot dedup delta
+
+
+def test_dd22_consistent_with_dd21_and_v1_restriction(spark, sf_dir):
+    """Every reported doc belongs to the v1 snapshot; new_cluster_size
+    agrees row-for-row with dd21 (the weight table the delta refreshes);
+    weights are exactly round(1/size, 6); statuses partition the rows
+    by the documented rule."""
+    out = {r["doc_id"]: r for r in
+           REGISTRY["dd22_dedup_delta"].spark(spark, sf_dir).collect()}
+    assert out, "fixture corpus must produce a non-empty delta"
+    dd21 = {r["doc_id"]: r["cluster_size"] for r in
+            REGISTRY["dd21_soft_dedup_weights"].spark(spark, sf_dir).collect()}
+    for doc_id, r in out.items():
+        assert doc_id % 5 != 4  # v1 docs only
+        assert r["new_cluster_size"] == dd21[doc_id]
+        assert r["old_cluster_size"] != r["new_cluster_size"]
+        assert r["old_weight"] == round(1.0 / r["old_cluster_size"], 6)
+        assert r["new_weight"] == round(1.0 / r["new_cluster_size"], 6)
+        want = (
+            "became_duplicated" if r["old_cluster_size"] == 1
+            else "duplication_grew"
+            if r["new_cluster_size"] > r["old_cluster_size"]
+            else "duplication_reduced"
+        )
+        assert r["status"] == want
+
+
+def test_dd22_plan_no_global_exchange(spark, sf_dir):
+    """Both snapshot passes stay key-partitioned end-to-end: the
+    cluster-size aggregates and the doc-keyed report join must never
+    collapse to a single partition."""
+    assert "Exchange SinglePartition" not in _plan(
+        spark, sf_dir, "dd22_dedup_delta"
+    )
+
+
+# --------------------------------- dd23 canonical re-election (monoid)
+
+
+def test_dd23_fold_equals_full_recompute(spark, sf_dir):
+    """The shipped query folds the stored v1 canonical state with the
+    arrival batch; a from-scratch argmax over ALL members (window over
+    the full membership — the oracle's route, restated in Spark) must
+    elect identical canonicals."""
+    from pyspark.sql import Window
+
+    from python_etl_pipeline_spark.llm import quality_score
+    from python_etl_pipeline_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    folded = {r["cluster_id"]: (r["canonical_doc_id"], r["canonical_quality"])
+              for r in REGISTRY["dd23_canonical_reelection"]
+              .spark(spark, sf_dir).collect()}
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    m = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    full = {r["cluster_id"]: (r["doc_id"], r["quality"])
+            for r in m.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect()}
+    assert folded == full
+
+
+def test_dd23_was_reelected_semantics(spark, sf_dir):
+    """was_reelected is true exactly when the v1 members of the cluster
+    (doc_id % 5 != 4) did not already elect the same canonical —
+    including clusters the arrivals created (no v1 members at all)."""
+    rows = REGISTRY["dd23_canonical_reelection"].spark(
+        spark, sf_dir
+    ).collect()
+    # recompute v1 bests per final cluster from dd23's own membership
+    # inputs is the previous test's job; here pin the two boundary
+    # facts: an all-arrival cluster is always re-elected, and at least
+    # one cluster keeps its canonical (stable corpus majority).
+    reelected = {r["cluster_id"] for r in rows if r["was_reelected"]}
+    kept = {r["cluster_id"] for r in rows if not r["was_reelected"]}
+    assert kept, "majority of clusters keep their canonical"
+    all_arrival = {
+        r["cluster_id"] for r in rows
+        if r["cluster_id"] % 5 == 4 and r["canonical_doc_id"] % 5 == 4
+    }
+    # a cluster labeled by an arrival doc whose canonical is an arrival
+    # doc has no v1 member only if ALL members are arrivals; every such
+    # singleton (cluster_id == canonical) must be re-elected
+    singleton_arrivals = {
+        c for c in all_arrival
+        if c in {r["cluster_id"] for r in rows
+                 if r["canonical_doc_id"] == r["cluster_id"]}
+    }
+    assert singleton_arrivals <= reelected
+
+
+def test_dd23_plan_no_global_exchange(spark, sf_dir):
+    assert "Exchange SinglePartition" not in _plan(
+        spark, sf_dir, "dd23_canonical_reelection"
+    )
+
+
+def test_a18_val_table_materialized_single_fact_pass(spark, sf_dir):
+    """a18's value table is eagerly materialized so the scalar branch
+    folds from the parts-sized checkpoint instead of re-deriving the
+    agg: the final plan must contain NO lineitem scan (the one fact
+    pass happened at checkpoint time) and read the value table as an
+    ExistingRDD on both branches."""
+    plan = _plan(spark, sf_dir, "a18_important_stock")
+    assert not re.search(r"Location.*lineitem", plan)
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange SinglePartition" not in plan

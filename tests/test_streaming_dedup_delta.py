@@ -1,0 +1,125 @@
+"""Streaming dedup delta (stream_dedup_delta_available_now) — dd22's
+operational twin: the ever-collided doc set folded over arrival
+batches must equal a from-scratch uncapped LSH pass over the full
+corpus (fold == full recompute), first-duplication batches follow
+min(batch_id) semantics, and foreachBatch re-delivery is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from python_etl_pipeline_spark.streaming.file_stream import (
+    dedup_delta_batch_writer,
+    dedup_delta_from_state_dir,
+    stream_dedup_delta_available_now,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+T1 = "the quick brown fox jumps over the lazy dog near the river bank"
+T2 = "pack my box with five dozen liquor jugs before the storm arrives"
+T3 = "how vexingly quick daft zebras jump over the ancient stone walls"
+T4 = "a completely different sentence about gardening tomatoes in clay pots"
+
+
+def _write_batch(path, rows):
+    # one plain .parquet FILE: the streaming file source lists files
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_dedup_delta_fold_equals_full_recompute(spark, tmp_path):
+    """Three arrival batches with intra-batch dups (1,2), cross-batch
+    dups (6 dups 1; 8 dups 3), and novel docs: the streamed
+    ever-collided set must equal the endpoint set of an uncapped
+    minhash_lsh_pairs pass over the union corpus — arrival order and
+    batching must not change WHO is flagged duplicated."""
+    from python_etl_pipeline_spark.llm.dedup import minhash_lsh_pairs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    index_dir = str(tmp_path / "index")
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(1, T1), (2, T1), (3, T3)],  # 1-2 collide intra-batch
+        [(6, T1), (7, T4)],  # 6 collides with stored 1 and 2
+        [(8, T3), (9, T2)],  # 8 collides with stored 3
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(str(src / f"b{i}.parquet"), rows)
+        stream_dedup_delta_available_now(
+            spark, str(src), SCHEMA, index_dir, events_dir, ckpt
+        )
+
+    got = {
+        (r["doc_id"], r["became_dup_in_batch"])
+        for r in dedup_delta_from_state_dir(spark, events_dir).collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    )
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id")
+    want_ids = {
+        i for r in pairs.collect() for i in (r["a"], r["b"])
+    }
+    assert {d for d, _ in got} == want_ids
+    # first-duplication semantics: 1 and 2 collide in batch 0; 6 first
+    # collides on arrival (batch 1); 3 only becomes duplicated when 8
+    # arrives (batch 2) — the min(batch_id) fold must say so.
+    by_doc = dict(got)
+    assert by_doc[1] == 0 and by_doc[2] == 0
+    assert by_doc[6] == 1
+    assert by_doc[3] == 2 and by_doc[8] == 2
+    assert 7 not in by_doc and 9 not in by_doc  # novel docs never flagged
+
+
+def test_dedup_delta_batch_step_is_idempotent(spark, tmp_path):
+    """A crash-re-delivered (batch_df, batch_id) rewrites identical
+    content: index and event log byte-identical, and the re-run never
+    collides the batch against its own first-attempt signatures."""
+    index_dir = str(tmp_path / "index")
+    events_dir = str(tmp_path / "events")
+    step = dedup_delta_batch_writer(spark, index_dir, events_dir)
+
+    step(spark.createDataFrame([(1, T1), (2, T2)], SCHEMA), 0)
+    step(spark.createDataFrame([(6, T1), (7, T3)], SCHEMA), 1)
+
+    def state():
+        idx = {
+            tuple(r)
+            for r in spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .collect()
+        }
+        ev = {
+            tuple(r)
+            for r in spark.read.option("basePath", events_dir)
+            .parquet(events_dir)
+            .collect()
+        }
+        return idx, ev
+
+    first = state()
+    assert {
+        (r["doc_id"], r["became_dup_in_batch"])
+        for r in dedup_delta_from_state_dir(spark, events_dir).collect()
+    } == {(1, 1), (6, 1)}
+    step(spark.createDataFrame([(6, T1), (7, T3)], SCHEMA), 1)  # re-delivery
+    assert state() == first
