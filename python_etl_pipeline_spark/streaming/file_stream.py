@@ -385,6 +385,143 @@ def dedup_delta_from_state_dir(
     )
 
 
+def canonical_state_batch_writer(
+    spark: SparkSession,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 64,
+):
+    """foreachBatch sink for incremental canonical election —
+    queries.dd23's operational twin: maintain, per duplicate cluster,
+    the argmax-quality member as arrivals land, WITHOUT revisiting
+    prior members. Clusters here are dd20's template families (md5 of
+    the first ``prefix_len`` chars — locally computable per batch, no
+    global LSH pass in the hot path; the LSH-clustered batch form is
+    dd23 itself, driver-verified against its oracle).
+
+    The state log stores each batch's per-cluster best as a row
+    (cluster_key, nq, doc_id, quality) — the argmax under
+    (quality DESC, id ASC) is min of struct(-quality, id), a
+    commutative idempotent monoid, so deriving the current canonicals
+    just unions all batch partitions and re-aggregates
+    (:func:`canonical_from_state_dir`), and compaction may fold the
+    log at any time without changing any answer. Exactly-once story
+    (same as every state sink here): batch_id=N overwrite partitions,
+    and each partition is a pure function of its batch alone — a
+    re-delivered batch rewrites identical content."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..llm import quality_score
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        cand = F.struct(
+            (-quality_score(F.col(text_col))).alias("nq"),
+            F.col(id_col).alias("doc_id"),
+            quality_score(F.col(text_col)).alias("quality"),
+        )
+        best = (
+            batch_df.select(
+                F.md5(
+                    F.substring(F.col(text_col), 1, prefix_len)
+                ).alias("cluster_key"),
+                cand.alias("c"),
+            )
+            .groupBy("cluster_key")
+            .agg(F.min("c").alias("c"))
+            .select(
+                "cluster_key", "c.nq", "c.doc_id", "c.quality"
+            )
+        )
+        best.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return step
+
+
+def canonical_from_state_dir(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """(cluster_key, canonical_doc_id, canonical_quality) — the
+    current canonicals: one min-of-struct re-aggregate over the state
+    log (the groupBy IS the monoid merge)."""
+    from pyspark.sql import functions as F
+
+    s = spark.read.parquet(state_dir)
+    return (
+        s.select(
+            "cluster_key",
+            F.struct("nq", "doc_id", "quality").alias("c"),
+        )
+        .groupBy("cluster_key")
+        .agg(F.min("c").alias("c"))
+        .select(
+            "cluster_key",
+            F.col("c.doc_id").alias("canonical_doc_id"),
+            F.col("c.quality").alias("canonical_quality"),
+        )
+    )
+
+
+def compact_canonical_state(spark: SparkSession, state_dir: str) -> None:
+    """Maintenance: fold every batch partition into one (batch_id=-1)
+    — the merged per-cluster best is itself a valid partial (the
+    monoid is idempotent), same stop-the-world contract and crash-safe
+    swap as the other state compactors."""
+    from pyspark.sql import functions as F
+
+    staging = state_dir.rstrip("/") + ".compact"
+    merged = (
+        spark.read.parquet(state_dir)
+        .select(
+            "cluster_key", F.struct("nq", "doc_id", "quality").alias("c")
+        )
+        .groupBy("cluster_key")
+        .agg(F.min("c").alias("c"))
+        .select("cluster_key", "c.nq", "c.doc_id", "c.quality")
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(f"{staging}/batch_id=-1")
+    _swap_compacted(spark, state_dir, staging)
+
+
+def stream_canonical_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Streaming canonical election — dd23's operational twin on the
+    AvailableNow cadence: per-cluster argmax-quality maintained as a
+    batch-partitioned monoid state log. Batch CORRECTNESS twin:
+    queries.dd23_canonical_reelection is driver-verified against its
+    DuckDB oracle; fold == full-recompute over the stream is pinned in
+    tests/test_streaming_dedup_delta.py."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        stream = reader.option("header", True).csv(src_dir)
+    else:
+        stream = reader.format(fmt).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            canonical_state_batch_writer(
+                spark, state_dir, text_col, id_col
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_dedup_delta_available_now(
     spark: SparkSession,
     src_dir: str,

@@ -526,3 +526,25 @@ def test_a18_val_table_materialized_single_fact_pass(spark, sf_dir):
     assert not re.search(r"Location.*lineitem", plan)
     assert "Scan ExistingRDD" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_band_buckets_are_per_document(spark, sf_dir):
+    """dd22's shared-signature design rests on band buckets being a
+    pure PER-DOCUMENT function: the v1 snapshot's bucket table must
+    equal the full corpus's filtered to v1 docs. This pins that
+    minhash_band_buckets never grows corpus-dependent state (a derived
+    cap, a corpus-seeded hash) — if it ever does, dd22 must go back to
+    per-snapshot passes."""
+    from python_etl_pipeline_spark.llm.dedup import minhash_band_buckets
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    full = minhash_band_buckets(docs, "text", "doc_id")
+    v1 = minhash_band_buckets(
+        docs.filter(F.col("doc_id") % 5 != 4), "text", "doc_id"
+    )
+    lhs = {tuple(r) for r in v1.collect()}
+    rhs = {
+        tuple(r)
+        for r in full.filter(F.col("doc_id") % 5 != 4).collect()
+    }
+    assert lhs == rhs

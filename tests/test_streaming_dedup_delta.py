@@ -123,3 +123,117 @@ def test_dedup_delta_batch_step_is_idempotent(spark, tmp_path):
     } == {(1, 1), (6, 1)}
     step(spark.createDataFrame([(6, T1), (7, T3)], SCHEMA), 1)  # re-delivery
     assert state() == first
+
+
+# ---------------------------- canonical election twin (dd23's sink)
+
+HDR = (
+    "template family header block shared across mirrors version two "
+    "copyright notice line"
+)
+BODY_HI = (
+    " the quick brown fox jumps over the lazy dog and it is a fine day"
+    " in the park with the birds and the trees of a green field"
+)
+
+
+def test_stream_canonical_fold_equals_full_recompute(spark, tmp_path):
+    """Arrivals land in three batches; the folded canonical per
+    template-family cluster must equal a from-scratch argmax over the
+    union corpus, and a higher-quality later arrival must RE-ELECT the
+    cluster's canonical."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm import quality_score
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        canonical_from_state_dir,
+        compact_canonical_state,
+        stream_canonical_available_now,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(1, HDR + " short body"), (2, T2)],
+        [(6, HDR + BODY_HI)],  # same 64-char prefix, higher quality
+        [(7, T4)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(str(src / f"b{i}.parquet"), rows)
+        stream_canonical_available_now(
+            spark, str(src), SCHEMA, state_dir, ckpt
+        )
+
+    got = {
+        r["cluster_key"]: (r["canonical_doc_id"], r["canonical_quality"])
+        for r in canonical_from_state_dir(spark, state_dir).collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    )
+    want = {
+        r["cluster_key"]: (r["doc_id"], r["quality"])
+        for r in corpus.select(
+            F.md5(F.substring("text", 1, 64)).alias("cluster_key"),
+            F.struct(
+                (-quality_score(F.col("text"))).alias("nq"),
+                F.col("doc_id").alias("doc_id"),
+                quality_score(F.col("text")).alias("quality"),
+            ).alias("c"),
+        )
+        .groupBy("cluster_key")
+        .agg(F.min("c").alias("c"))
+        .select("cluster_key", "c.doc_id", "c.quality")
+        .collect()
+    }
+    assert got == want
+    # the HDR cluster was re-elected: doc 6 beat doc 1
+    hdr_key = [
+        k for k, (d, _q) in got.items() if d in (1, 6)
+    ]
+    assert len(hdr_key) == 1 and got[hdr_key[0]][0] == 6
+
+    # compaction folds to one partition and changes no answer
+    compact_canonical_state(spark, state_dir)
+    import glob
+
+    assert glob.glob(f"{state_dir}/batch_id=*") == [
+        f"{state_dir}/batch_id=-1"
+    ]
+    after = {
+        r["cluster_key"]: (r["canonical_doc_id"], r["canonical_quality"])
+        for r in canonical_from_state_dir(spark, state_dir).collect()
+    }
+    assert after == got
+
+
+def test_canonical_batch_step_is_idempotent(spark, tmp_path):
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        canonical_from_state_dir,
+        canonical_state_batch_writer,
+    )
+
+    state_dir = str(tmp_path / "state")
+    step = canonical_state_batch_writer(spark, state_dir)
+    step(spark.createDataFrame([(1, HDR + " short body")], SCHEMA), 0)
+    step(spark.createDataFrame([(6, HDR + BODY_HI)], SCHEMA), 1)
+
+    def state():
+        return {
+            tuple(r)
+            for r in spark.read.option("basePath", state_dir)
+            .parquet(state_dir)
+            .collect()
+        }
+
+    first = state()
+    step(spark.createDataFrame([(6, HDR + BODY_HI)], SCHEMA), 1)
+    assert state() == first
+    got = {
+        (r["cluster_key"], r["canonical_doc_id"])
+        for r in canonical_from_state_dir(spark, state_dir).collect()
+    }
+    assert len(got) == 1 and next(iter(got))[1] == 6
