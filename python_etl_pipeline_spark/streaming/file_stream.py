@@ -497,6 +497,7 @@ def stream_canonical_available_now(
     text_col: str = "text",
     id_col: str = "doc_id",
     fmt: str = "parquet",
+    prefix_len: int = 64,
 ) -> None:
     """Streaming canonical election — dd23's operational twin on the
     AvailableNow cadence: per-cluster argmax-quality maintained as a
@@ -512,7 +513,7 @@ def stream_canonical_available_now(
     q = (
         stream.writeStream.foreachBatch(
             canonical_state_batch_writer(
-                spark, state_dir, text_col, id_col
+                spark, state_dir, text_col, id_col, prefix_len
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -9,8 +9,10 @@ events shift event_id and user_id (key-shifted, timestamps untouched).
 Dimension tables (region/nation/...) are copied 1x — the "facts 10x,
 dims 1x" shape used for join-query rows.
 
-Usage: python tools/make_10x.py [out_dir] [table ...]
-Defaults: /tmp/testdata_10x, documents embeddings events.
+Usage: python tools/make_10x.py [--copies=N] [out_dir] [table ...]
+Defaults: 10 copies, /tmp/testdata_10x, documents embeddings events.
+``--copies=100`` builds the 100x spot-check corpus (SCALE.md
+"100x spot-check" rows) with the same key-shift recipe.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ SRC = "/root/testdata/sf0.1"
 DIMS = {"region", "nation", "supplier", "part"}
 
 
-def build(out_dir: str, tables: list[str]) -> None:
+def build(out_dir: str, tables: list[str], copies: int = 10) -> None:
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -52,7 +54,7 @@ def build(out_dir: str, tables: list[str]) -> None:
               SELECT doc_id + k * {off} AS doc_id,
                      text || ' c' || k AS text,
                      lang, source, n_chars + 3 AS n_chars
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
             """
         elif t == "embeddings":
@@ -66,7 +68,7 @@ def build(out_dir: str, tables: list[str]) -> None:
             q = f"""
             COPY (
               SELECT {idc} + k * {off} AS {idc}, {rest}
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         elif t == "events":
@@ -78,7 +80,7 @@ def build(out_dir: str, tables: list[str]) -> None:
               SELECT event_id + k * {eoff} AS event_id, ts,
                      user_id + k * {uoff} AS user_id,
                      event_type, value, props
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         elif t == "orders":
@@ -95,7 +97,7 @@ def build(out_dir: str, tables: list[str]) -> None:
                      o_custkey + k * {ckoff} AS o_custkey,
                      o_orderstatus, o_totalprice, o_orderdate,
                      o_orderpriority
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         elif t == "lineitem":
@@ -113,7 +115,7 @@ def build(out_dir: str, tables: list[str]) -> None:
                      l_suppkey, l_linenumber, l_quantity,
                      l_extendedprice, l_discount, l_tax, l_returnflag,
                      l_linestatus, l_shipdate
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         elif t == "customer":
@@ -124,7 +126,7 @@ def build(out_dir: str, tables: list[str]) -> None:
             COPY (
               SELECT c_custkey + k * {ckoff} AS c_custkey,
                      c_name, c_nationkey, c_acctbal, c_mktsegment
-              FROM '{src}', range(0, 10) r(k)
+              FROM '{src}', range(0, {copies}) r(k)
             ) TO '{dst}' (FORMAT PARQUET)
             """
         else:
@@ -136,6 +138,9 @@ def build(out_dir: str, tables: list[str]) -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    copies = 10
+    if args and args[0].startswith("--copies="):
+        copies = int(args.pop(0).split("=", 1)[1])
     out_dir = args[0] if args else "/tmp/testdata_10x"
     tables = args[1:] or ["documents", "embeddings", "events"]
-    build(out_dir, tables)
+    build(out_dir, tables, copies=copies)
