@@ -1,4 +1,4 @@
-"""Deduplication family (dd1-dd18): exact, MinHash banded LSH, SimHash, n-gram Jaccard, embedding near-dup, decontamination.
+"""Deduplication family (dd1-dd23): exact, MinHash banded LSH, SimHash, n-gram Jaccard, embedding near-dup, decontamination, soft-dedup weights, cross-snapshot delta, canonical (re-)election.
 
 Mechanically split from the former flat queries.py (r10);
 docstrings and within-family registration order unchanged.

@@ -306,13 +306,23 @@ def x89_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
-    deltas = sess.select(
-        em("s_start").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        sess.select(
-            (em("s_end") + 1000000).alias("t"),
-            F.lit(-1).alias("delta"),
+    deltas = (
+        sess.select(em("s_start").alias("t"), F.lit(1).alias("delta"))
+        .unionAll(
+            sess.select(
+                (em("s_end") + 1000000).alias("t"),
+                F.lit(-1).alias("delta"),
+            )
         )
+        # The prefix-sum engine consumes its input THREE times
+        # (quantile sketch, per-bucket subtotals, the final windowed
+        # pass); every other expensive-upstream engine caller pins its
+        # input first (tx10's scored, x43's base/keyed, x76's rev) and
+        # x89 was the one that didn't: the un-pinned form re-ran the
+        # 2-window sessionization per pass and measured 286 s cold on
+        # the 100x corpus vs ~30 s pinned (SCALE.md "x89 at 100x").
+        # The frame is 2 small columns per session edge.
+        .localCheckpoint(eager=True)
     )
     swept = with_global_prefix_sum(
         deltas, "delta", ["t", "delta"], name="concurrent"
