@@ -237,3 +237,26 @@ def test_canonical_batch_step_is_idempotent(spark, tmp_path):
         for r in canonical_from_state_dir(spark, state_dir).collect()
     }
     assert len(got) == 1 and next(iter(got))[1] == 6
+
+
+def test_canonical_tie_breaks_min_id_regardless_of_arrival_order(
+    spark, tmp_path
+):
+    """Two cluster members with IDENTICAL quality (same text) arriving
+    in different batches: the fold must elect min doc_id no matter
+    which arrived first — the tie-break half of the argmax monoid."""
+    from python_etl_pipeline_spark.streaming.file_stream import (
+        canonical_from_state_dir,
+        canonical_state_batch_writer,
+    )
+
+    for order, batches in (
+        ("high-id-first", [[(5, HDR + " same body")], [(3, HDR + " same body")]]),
+        ("low-id-first", [[(3, HDR + " same body")], [(5, HDR + " same body")]]),
+    ):
+        state_dir = str(tmp_path / f"state_{order}")
+        step = canonical_state_batch_writer(spark, state_dir)
+        for i, rows in enumerate(batches):
+            step(spark.createDataFrame(rows, SCHEMA), i)
+        rows = canonical_from_state_dir(spark, state_dir).collect()
+        assert len(rows) == 1 and rows[0]["canonical_doc_id"] == 3, order
