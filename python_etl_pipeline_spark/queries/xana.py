@@ -1592,6 +1592,13 @@ def x68_item_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck")
         )
         .distinct()
+        # NOT pinned, deliberately: the static plan shows the fact
+        # join 6 times, but AQE exchange reuse shares the
+        # distinct's exchange across all consumers at runtime — a
+        # checkpoint A/B measured a wash (3.76 s plain vs 3.80 s
+        # pinned, isolated median-of-5 at sf0.1), so the ledger rule
+        # (keep what measures better) leaves it plain. Contrast x87,
+        # where the same pin measured −20%.
     )
     sizes = buy.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     a, b = buy.alias("ba"), buy.alias("bb")

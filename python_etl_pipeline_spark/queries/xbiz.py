@@ -74,6 +74,10 @@ def x87_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item"),
         )
         .distinct()
+        # reused 4x (basket count + item frequencies + both pair
+        # legs): un-pinned, the fact join ran FIVE times — the x67/x68
+        # lesson, caught by the r12 scan audit
+        .localCheckpoint(eager=True)
     )
     nb = items.agg(F.countDistinct("buyer").alias("n_baskets"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
