@@ -57,95 +57,92 @@ del _m, _k, _v
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 12  # the round this prefix was built for
+_GATE_ROUND = 13  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-12 state (the r11 verdict's "decide with
-# arithmetic in the commit"): mandatory slots are the 4 sentinels +
-# the 5 OVERDUE last=r5 queries (x19/x20/x30/x31/x33, deferred once
-# in r11 per the documented trade) + the entire 33-query last=r6
-# cohort (due now; omitting any would dump it overdue onto r13) +
-# the 2 queries whose CODE changed this round (i18 exact salt div,
-# i19 array-of-structs unpivot — both r11 advice fixes) = 44, leaving
-# exactly 6 slots. Round-12 growth is therefore CAPPED at 6 new
-# queries instead of raising the horizon: registry 265 + 6 = 271
-# stays under the horizon-6 bound 6*46 + 4 = 280, so every query
-# keeps the tighter 6-round freshness guarantee. Forward look: the
-# last=r7 cohort is 42 queries, due at r13 latest-overdue-at-r14 —
-# r13 must take most of them (42 + 4 sentinels = 46 slots) and can
-# add at most ~9 before the registry crosses 280, at which point the
-# horizon rises to 7 (bound 326) per the standing discipline.
+# GATE ARITHMETIC, round-13 state — THE HORIZON RISES 6 -> 7 (the
+# crossing the r12 commit and verdict both forecast, decided here,
+# before any round-13 operator work, per the standing discipline):
 #
-# x81 also saw a code change this round (ewma_horizon now validates
-# 0 < alpha < 1 — r11 advice) but takes NO slot, on the same
-# documented trade as r11's x76/x82: the change is an entry guard on
-# a domain the registered query never leaves (alpha=0.3), its sf0.01
-# parity hash was re-verified unchanged this session, and the
-# full-registry --parity sweep covers it.
+# The horizon-6 bound 6*46 + 4 = 280 is not yet crossed by SIZE
+# (registry 271, +4 this round = 275), but the horizon-6 SCHEDULE is
+# saturated, which is the binding constraint: last-driver-row cohorts
+# are r7:42, r8:46, r9:46, r10:43, r11:44, r12:50 against a per-round
+# capacity of 46 non-sentinel slots. Under horizon 6 the r13 gate
+# takes the r7 cohort (42) + 4 additions = 46 exactly; the r14 gate
+# would then owe the ENTIRE 46-query r8 cohort + 4 sentinels = 50
+# slots with ZERO room for round-14's own changed/added queries — and
+# any query whose code changes must re-gate immediately (rule 1), so
+# a zero-slack round is not a schedule, it is a deadlock. Horizon 6
+# admits no steady state once any cohort reaches 46. At horizon 7 the
+# bound is 7*46 + 4 = 326 vs registry 275, and the steady-state
+# retirement rate is 275/7 ~ 39.3 slots/round against capacity 46 —
+# ~6.7 slots/round of standing slack for changes and growth.
+# Freshness cost: a query may now wait 7 rounds between driver rows;
+# the judge's full-registry parity sweeps (271/271 green in r12)
+# remain the between-rows backstop. Next crossing at ~326 or when the
+# largest cohort reaches 46 again — decide there.
+#
+# Round-13 slots: 4 sentinels + the whole 42-query r7 cohort (not
+# mandatory until r14 under horizon 7, but rotating oldest-first now
+# keeps every later round under its slack) + 4 additions = 50.
 _GATE_PREFIX = [
-    # (1) CHANGED this round (r11 advice fixes)
-    "i18_join_skew_audit",
-    "i19_dq_expectations",
-    # (1b) ADDED this round — the four remaining distinct TPC-H
-    # shapes (Q2/Q11/Q20/Q22 re-expressed on the lineitem offer
-    # relation; the fixture has no partsupp), plus the r11-verdict
-    # item-6 pair: the cross-snapshot dedup delta and the monoid
-    # canonical re-election. That exhausts the round's capped growth
-    # of 6 (registry 265 + 6 = 271 <= the horizon-6 bound 280).
-    "a17_min_cost_supplier",
-    "a18_important_stock",
-    "a19_excess_inventory_suppliers",
-    "a20_lost_customers",
-    "dd22_dedup_delta",
-    "dd23_canonical_reelection",
+    # (1) r8-cohort head start (4) — placeholders for this round's
+    # planned additions; each will be swapped for a new query's slot
+    # in the commit that registers it, leaving these four to rotate
+    # with the rest of their r8 cohort in r14 (overdue only at r16
+    # under horizon 7).
+    "o2_dedup_keep_last",
+    "i3_antijoin_append",
+    "j1_anti_new_keys",
+    "w1_display_id",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3a) OVERDUE last=r5 cohort (5) — deferred one round in r11 by
-    # the wave-7/8 additions; tests/test_gate_policy.py turns red if
-    # any is omitted now.
-    "x19_weighted_sample",
-    "x20_trailing_range_frame",
-    "x30_histogram",
-    "x31_column_profile",
-    "x33_zorder_key",
-    # (3b) the entire last=r6 cohort (33) — due at 12; rotating them
-    # all now keeps r13's mandatory set at the 42-query r7 cohort
-    # instead of 42 + stragglers.
-    "a0_pricing_summary",
-    "a1_table_counts",
-    "a2_max_watermark",
-    "a3_multiagg_summary",
-    "a4_distinct_keys",
-    "a5_metrics_fold",
-    "dd15_line_dedup",
-    "f1_safe_val",
-    "f3_safe_num",
-    "f4_calc_age",
-    "f5_tenure_days",
-    "f6_customer_segment",
-    "f7_region_map",
-    "f8_gender_norm",
-    "f9_duration_months",
-    "f10_risk_category",
-    "f11_transaction_category",
-    "f12_fraud_flag",
-    "f15_md5_hash",
-    "j3_fact_dim_join",
-    "p1_projection_reorder",
-    "p2_pk_filter",
-    "p3_null_sentinels",
-    "p4_prune_valid_columns",
-    "p5_date_range_guard",
-    "set1_except_intersect",
-    "tx16_langid_confusion",
-    "w2_running_sum",
-    "w3_topk_per_group",
-    "x6_approx_stats",
-    "x34_length_buckets",
-    "x36_dedup_rate_by_source",
-    "x37_corpus_datacard",
+    # (3) the entire last=r7 cohort (42), oldest-first rotation.
+    "a6_dedup_counters",
+    "ann2_ivf_topk",
+    "ann4_kmeans_train",
+    "ann5_knn_graph",
+    "ann6_recall_at_k",
+    "ann7_multiprobe_topk",
+    "ann9_pq_topk",
+    "ann10_ivfpq_topk",
+    "dd2_minhash_lsh",
+    "dd3_ngram_jaccard",
+    "dd5_embedding_neardup",
+    "dd6_lsh_dup_clusters",
+    "dd11_semantic_dedup",
+    "dd12_ngram_containment",
+    "dd13_cluster_canonical",
+    "dd14_lsh_precision",
+    "f13_boolean_recast",
+    "f16_case_norms",
+    "i3_watermark_append",
+    "i4_reconcile_counts",
+    "j1_semi_existing_keys",
+    "k4_export_nafill",
+    "llm_curation_pipeline",
+    "o1_digit_sort",
+    "o3_dedup_keep_first",
+    "o5_offset_slice",
+    "s1_allstring_scan",
+    "s2_partitioned_scan",
+    "s3_multifile_glob",
+    "st1_tumbling_window",
+    "tx17_perplexity_buckets",
+    "tx18_lang_consistency",
+    "x1_pivot",
+    "x18_sequence_packing",
+    "x21_incremental_neardup",
+    "x32_corpus_shuffle",
+    "x35_stream_neardup",
+    "x38_token_sharding",
+    "x39_leakage_safe_split",
+    "x40_shard_assignment",
+    "x41_datacard_incremental",
+    "x42_curriculum_order",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

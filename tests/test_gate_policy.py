@@ -31,6 +31,25 @@ Round-7 amendments (both from the round-6 verdict/advice):
   round that crosses it must raise the horizon again or shrink the
   sentinel set, with this same arithmetic in the commit).
 
+Round-13 amendment — the horizon rises 6 -> 7, decided in the r13
+gate commit before any operator work (the crossing the r12 commit
+forecast). The binding constraint this time is the SCHEDULE, not the
+registry-size bound: last-driver-row cohorts stand at r7:42, r8:46,
+r9:46, r10:43, r11:44, r12:50 against a per-round capacity of 46
+non-sentinel slots. Under horizon 6, r13 takes the 42-query r7 cohort
++ 4 additions = 46 exactly, and r14 then owes the ENTIRE 46-query r8
+cohort + 4 sentinels = 50 slots with zero room for round-14's own
+changed/added queries — but rule (1) forces every changed query to
+re-gate immediately, so a zero-slack round is a deadlock, and horizon
+6 admits no steady state once any cohort reaches 46 (r12's is 50).
+At horizon 7 the bound is 7*46 + 4 = 326 against a 275-query registry
+and the steady-state retirement rate is 275/7 ~ 39.3 slots/round vs
+capacity 46 — ~6.7 slots/round of standing slack. Freshness cost: a
+query may now wait 7 rounds between driver rows; the judge's
+full-registry parity sweeps (271/271 in r12) remain the between-rows
+backstop. Next crossing when the registry passes ~326 or the largest
+cohort reaches 46 again — decide there, same discipline.
+
 Round-10 amendment — the round-10 build wave (23 additions: x79-x86,
 tx28/tx29, dd19/dd20, ann25-ann28, hh7/hh8, i13-i16, mm6) crossed the
 horizon-5 bound: registry 239 > 5*46 + 4 = 234. Per the standing
@@ -106,7 +125,7 @@ import re
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-STALENESS_HORIZON = 6  # max rounds a query may go without a driver row
+STALENESS_HORIZON = 7  # max rounds a query may go without a driver row
 
 
 def _last_verified(before_round: int) -> tuple[dict[str, int], int]:
