@@ -413,12 +413,16 @@ class _LoadCheck:
             (_total_busy_jiffies() - self._busy0)
             - (_proc_tree_jiffies(self.pid) - self._tree0)
         ) / hz
-        frac = foreign / max(wall, 1e-9) / self.ncpu
+        # round BEFORE the flag so contaminated is a pure function of
+        # the recorded fraction (r12 advice: an unrounded frac in
+        # (0.02, 0.02005) used to set the flag while the stored value
+        # said 0.02 — unreproducible from the artifact).
+        frac = round(foreign / max(wall, 1e-9) / self.ncpu, 4)
         self.blocks.append({
             "block": label,
             "wall_sec": round(wall, 1),
             "foreign_cpu_sec": round(foreign, 1),
-            "foreign_frac_of_machine": round(frac, 4),
+            "foreign_frac_of_machine": frac,
             "load1_at_start": round(self._load0, 2),
             "contaminated": frac > 0.02,
         })

@@ -484,30 +484,58 @@ def test_dd23_fold_equals_full_recompute(spark, sf_dir):
 def test_dd23_was_reelected_semantics(spark, sf_dir):
     """was_reelected is true exactly when the v1 members of the cluster
     (doc_id % 5 != 4) did not already elect the same canonical —
-    including clusters the arrivals created (no v1 members at all)."""
+    including clusters the arrivals created (no v1 members at all).
+    Recomputed row-for-row (r12 advice: the old boundary-fact form
+    was true by construction and pinned almost nothing): the v1-only
+    argmax under (quality DESC, doc_id ASC) is rebuilt here from
+    dd23's own membership inputs and compared against every output
+    row's flag."""
+    from python_etl_pipeline_spark.llm import quality_score
+    from python_etl_pipeline_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
     rows = REGISTRY["dd23_canonical_reelection"].spark(
         spark, sf_dir
     ).collect()
-    # recompute v1 bests per final cluster from dd23's own membership
-    # inputs is the previous test's job; here pin the two boundary
-    # facts: an all-arrival cluster is always re-elected, and at least
-    # one cluster keeps its canonical (stable corpus majority).
-    reelected = {r["cluster_id"] for r in rows if r["was_reelected"]}
-    kept = {r["cluster_id"] for r in rows if not r["was_reelected"]}
-    assert kept, "majority of clusters keep their canonical"
-    all_arrival = {
-        r["cluster_id"] for r in rows
-        if r["cluster_id"] % 5 == 4 and r["canonical_doc_id"] % 5 == 4
-    }
-    # a cluster labeled by an arrival doc whose canonical is an arrival
-    # doc has no v1 member only if ALL members are arrivals; every such
-    # singleton (cluster_id == canonical) must be re-elected
-    singleton_arrivals = {
-        c for c in all_arrival
-        if c in {r["cluster_id"] for r in rows
-                 if r["canonical_doc_id"] == r["cluster_id"]}
-    }
-    assert singleton_arrivals <= reelected
+    assert rows
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    m = (
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            "quality",
+        )
+    )
+    v1_best = {}  # cluster_id -> v1 argmax doc_id under (q DESC, id ASC)
+    for r in m.filter(F.col("doc_id") % 5 != 4).collect():
+        cur = v1_best.get(r["cluster_id"])
+        cand = (-r["quality"], r["doc_id"])
+        if cur is None or cand < cur:
+            v1_best[r["cluster_id"]] = cand
+
+    reelected_clusters, kept_clusters = 0, 0
+    for r in rows:
+        best = v1_best.get(r["cluster_id"])
+        want = best is None or best[1] != r["canonical_doc_id"]
+        assert r["was_reelected"] == want, (
+            f"cluster {r['cluster_id']}: canonical "
+            f"{r['canonical_doc_id']}, v1 best {best}, "
+            f"flag {r['was_reelected']}"
+        )
+        reelected_clusters += want
+        kept_clusters += not want
+    # the fixture must exercise BOTH branches or the row-for-row
+    # check above degenerates
+    assert reelected_clusters and kept_clusters
 
 
 def test_dd23_plan_no_global_exchange(spark, sf_dir):
