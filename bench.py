@@ -321,6 +321,15 @@ HEADLINE = [
     "dd22_dedup_delta",
     # canonical re-election: per-cluster argmax monoid fold
     "dd23_canonical_reelection",
+    # round 13 additions
+    # per-source unigram KL vs corpus: one explode, vocab-sized rest
+    "tx32_source_unigram_divergence",
+    # cross-language near-dup mirrors off the shared LSH build
+    "dd24_cross_lang_mirrors",
+    # leave-one-source-out ablation: complement math, one corpus pass
+    "x94_loo_source_ablation",
+    # LOO kNN label accuracy over ann5's cell-local graph
+    "ann30_knn_label_accuracy",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total
@@ -399,6 +408,11 @@ class _LoadCheck:
         self.pid = os.getpid()
         self.ncpu = os.cpu_count() or 1
         self.blocks: list[dict] = []
+        # measurements discarded by _run_block's bounded auto-rerun
+        # (r12 verdict #3) — kept for the record, excluded from the
+        # contaminated flag: a block whose clean rerun succeeded IS
+        # clean.
+        self.discarded: list[dict] = []
 
     def start(self) -> None:
         self._t0 = time.time()
@@ -430,6 +444,35 @@ class _LoadCheck:
     @property
     def contaminated(self) -> bool:
         return any(b["contaminated"] for b in self.blocks)
+
+
+def _run_block(label, fn, loadcheck, reset=None, max_retries=2):
+    """Run one timed bench block with bounded auto-rerun (r12 verdict
+    #3): the load monitor has twice correctly flagged driver runs where
+    foreign machine load inflated a block, but the committed artifact
+    stayed inflated until a human discarded and re-ran it. Here a
+    contaminated measurement is discarded (kept in
+    ``loadcheck.discarded`` for the record) and the block re-measured,
+    up to ``max_retries`` extra times; the first clean measurement
+    wins. ``reset`` (e.g. a fresh SparkSession + warmup) restores the
+    block's steady-state protocol before each retry so a rerun is
+    measured under the same conditions as a first run. If every
+    attempt is contaminated the last one is kept, flag intact — the
+    artifact still self-identifies. The kept block records
+    ``rerun`` = how many discarded attempts preceded it."""
+    attempt = 0
+    while True:
+        loadcheck.start()
+        out = fn()
+        loadcheck.stop(label)
+        blk = loadcheck.blocks[-1]
+        blk["rerun"] = attempt
+        if not blk["contaminated"] or attempt >= max_retries:
+            return out
+        loadcheck.discarded.append(loadcheck.blocks.pop())
+        attempt += 1
+        if reset is not None:
+            reset()
 
 
 def main():
@@ -475,26 +518,30 @@ def main():
     try:
         counts = generate(f"{tmp}/in", scale=1.0)
         files = {e: [f"{tmp}/in/{e}_1.csv"] for e in counts}
-        loadcheck.start()
+
         # One UNTIMED full-volume run first, then median-of-5. The r10
         # number (7.68 s, spread 7.56-8.40) was a warmup artifact, not
         # a code change: an isolated r11 sequence at HEAD ran 7.35,
         # 6.98, 6.31, 5.43, 5.51 — the first full-volume runs pay page
         # cache + JIT costs the 1/100 warmup doesn't cover, and a
         # median-of-3 sits entirely inside that biased-high window.
-        Pipeline(spark, f"{tmp}/wh_warm").run_full(files)
-        e2e_runs = []
-        for i in range(5):  # fresh warehouse per run: run_full mutates state
-            t0 = time.time()
-            Pipeline(spark, f"{tmp}/wh{i}").run_full(files)
-            e2e_runs.append(time.time() - t0)
-        e2e_runs.sort()
+        def time_e2e():
+            sub = tempfile.mkdtemp(dir=tmp)  # run_full mutates state
+            Pipeline(spark, f"{sub}/wh_warm").run_full(files)
+            runs = []
+            for i in range(5):
+                t0 = time.time()
+                Pipeline(spark, f"{sub}/wh{i}").run_full(files)
+                runs.append(time.time() - t0)
+            runs.sort()
+            return runs
+
+        e2e_runs = _run_block("e2e", time_e2e, loadcheck)
         e2e = round(e2e_runs[2], 3)
         timings["pipeline_e2e_107k_rows"] = e2e
         spread["pipeline_e2e_107k_rows"] = [
             round(e2e_runs[0], 3), round(e2e_runs[-1], 3)
         ]
-        loadcheck.stop("e2e")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -511,13 +558,16 @@ def main():
     # session restarts, so warm-serve semantics are unchanged.
     warm_dir = "/root/testdata/sf0.001"
     BLOCK = 20
-    for start in range(0, len(HEADLINE), BLOCK):
-        block = HEADLINE[start:start + BLOCK]
+
+    def fresh_session_and_warm(block):
         # EVERY block gets a fresh session — including the first, which
         # previously inherited the e2e pipeline's accumulated JVM and
         # Python-worker state (r10: dd5 measured 2.88 s at slot 15 of
         # the contaminated first block vs 2.09 s isolated median-of-5;
         # the r9 "dd5 regression" was this artifact, not a code change).
+        # Also the retry reset: a rerun block is measured from the same
+        # fresh-session + warmed steady state as a first run.
+        nonlocal spark
         spark.stop()
         spark = get_spark("bench")
         spark.range(1).count()
@@ -532,7 +582,7 @@ def main():
                 except Exception:
                     pass  # warmup is best-effort; the timed run decides
 
-        loadcheck.start()
+    def time_queries(block, out):
         # Per-query: one warm-up execution at the TARGET sf (beyond the
         # sf0.001 compile pass — it also warms the page cache for the
         # real input files), then median-of-3 timed runs. The median
@@ -553,42 +603,31 @@ def main():
                 ).save()
                 runs.append(time.time() - t0)
             runs.sort()
-            timings[name] = round(runs[1], 3)
+            out[name] = round(runs[1], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
-        loadcheck.stop(f"headline[{start}:{start + len(block)}]")
+
+    for start in range(0, len(HEADLINE), BLOCK):
+        block = HEADLINE[start:start + BLOCK]
+        fresh_session_and_warm(block)
+        _run_block(
+            f"headline[{start}:{start + len(block)}]",
+            lambda block=block: time_queries(block, timings),
+            loadcheck,
+            reset=lambda block=block: fresh_session_and_warm(block),
+        )
 
     # Contract/build-time queries: same fresh-session + warmup +
     # median-of-3 protocol, but their wall stays OUT of the headline
     # total (see CONTRACT above).
     contract: dict[str, float] = {}
     if CONTRACT:
-        spark.stop()
-        spark = get_spark("bench")
-        spark.range(1).count()
-        loadcheck.start()
-        for name in CONTRACT:
-            spec = REGISTRY[name]
-            if os.path.isdir(warm_dir):
-                try:
-                    spec.spark(spark, warm_dir).write.mode(
-                        "overwrite"
-                    ).format("noop").save()
-                except Exception:
-                    pass
-            spec.spark(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            runs = []
-            for _ in range(3):
-                t0 = time.time()
-                spec.spark(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                runs.append(time.time() - t0)
-            runs.sort()
-            contract[name] = round(runs[1], 3)
-            spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
-        loadcheck.stop("contract")
+        fresh_session_and_warm(CONTRACT)
+        _run_block(
+            "contract",
+            lambda: time_queries(CONTRACT, contract),
+            loadcheck,
+            reset=lambda: fresh_session_and_warm(CONTRACT),
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -699,6 +738,7 @@ def main():
                 "contract_queries": contract,
                 "spread": spread,
                 "load_blocks": loadcheck.blocks,
+                "discarded_blocks": loadcheck.discarded,
             },
             f,
             indent=1,

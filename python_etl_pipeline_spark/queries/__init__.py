@@ -86,15 +86,16 @@ _GATE_ROUND = 13  # the round this prefix was built for
 # mandatory until r14 under horizon 7, but rotating oldest-first now
 # keeps every later round under its slack) + 4 additions = 50.
 _GATE_PREFIX = [
-    # (1) r8-cohort head start (4) — placeholders for this round's
-    # planned additions; each will be swapped for a new query's slot
-    # in the commit that registers it, leaving these four to rotate
-    # with the rest of their r8 cohort in r14 (overdue only at r16
-    # under horizon 7).
-    "o2_dedup_keep_last",
-    "i3_antijoin_append",
-    "j1_anti_new_keys",
-    "w1_display_id",
+    # (1) ADDED this round (4): per-source unigram KL vs corpus,
+    # cross-language near-dup mirrors, leave-one-source-out corpus
+    # ablation, and LOO kNN label accuracy. These took the r8-cohort
+    # head-start slots the gate commit reserved (o2/i3_antijoin/
+    # j1_anti/w1 rotate with their cohort in r14; overdue only at r16
+    # under horizon 7). Registry 271 + 4 = 275 <= horizon-7 bound 326.
+    "tx32_source_unigram_divergence",
+    "dd24_cross_lang_mirrors",
+    "x94_loo_source_ablation",
+    "ann30_knn_label_accuracy",
     # (2) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",

@@ -2514,3 +2514,120 @@ def ann29_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ann29_mmr_rerank"].sql = _ann29_sql()
+
+
+_ANN30_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+cent0 AS (
+  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+),
+{_kmeans_iter_sql('cent0', 1)},
+{_kmeans_iter_sql('cent1', 2)},
+{_kmeans_iter_sql('cent2', 3)},
+asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+),
+dots AS (
+  SELECT c.a, c.b, sum(ca.v * cb.v) AS dot
+  FROM cand c
+  JOIN comp ca ON ca.vec_id = c.a
+  JOIN comp cb ON cb.vec_id = c.b AND cb.i = ca.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.a, dots.b, round(dot / (na.norm * nb.norm), 4) AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = dots.a
+  JOIN norms nb ON nb.vec_id = dots.b
+  WHERE na.norm > 0 AND nb.norm > 0
+),
+top3 AS (
+  SELECT a, b FROM scored
+  QUALIFY row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) <= 3
+),
+votes AS (
+  SELECT t.a AS vec_id, e.label AS nb_label, count(*) AS c
+  FROM top3 t JOIN embeddings e ON e.vec_id = t.b
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT vec_id, nb_label AS pred_label FROM votes
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nb_label) = 1
+)
+SELECT e.label,
+       cast(count(*) AS BIGINT) AS n_vecs,
+       cast(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN p.pred_label = e.label THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+GROUP BY 1
+"""
+
+
+@register("ann30_knn_label_accuracy", _ANN30_SQL, first_round=13)
+def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality PROBE: leave-one-out kNN label accuracy — for
+    every vector, predict its label by majority vote of its top-3
+    cosine neighbors (itself excluded) and score the prediction
+    against the vector's own label, reported per label. The standard
+    cheap answer to "are these embeddings good enough to curate
+    with?": high kNN accuracy means the space separates the classes
+    that downstream near-dup/clustering decisions rely on; a label
+    whose accuracy collapses is one the space cannot see (compare
+    ann26's centroid view — a class can be centroid-separated yet
+    locally entangled, which is exactly what a vote over NEAREST
+    neighbors detects and a centroid cannot). Vote ties break to the
+    smallest label; the neighbor set is ann5's (cell-local, 4-dp
+    cosine, id tie-break) so both engines rank identically.
+
+    Plan shape: shares ann5's scale contract verbatim — k-means cells
+    bound the pairwise work, one BLAS gram per cell via applyInPandas,
+    a per-vector top-3 window — then adds only label-sized joins and a
+    |labels|-row aggregate. Vectors with no in-cell neighbor (zero
+    norm or singleton cell) are not scored, identically in both
+    engines (inner joins end-to-end)."""
+    from ..llm.similarity import _gram_pair_fn, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(
+        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+    )
+    vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
+    )
+    pairs = vecs.groupBy("cell").applyInPandas(
+        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    top3 = both.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top3.join(labels.withColumnRenamed("vec_id", "b"), "b")
+        .groupBy(F.col("a").alias("vec_id"), F.col("label").alias("nb_label"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vw = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), "nb_label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(vw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nb_label").alias("pred_label"))
+    )
+    hit = F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(F.avg(hit), 4).alias("accuracy"),
+        )
+    )

@@ -1580,3 +1580,61 @@ def dd23_canonical_reelection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("was_reelected"),
         )
     )
+
+
+def _dd24_sql() -> str:
+    return f"""
+WITH {_minhash_ctes(max_bucket_size=100)}
+SELECT least(da.lang, db.lang) AS lang_lo,
+       greatest(da.lang, db.lang) AS lang_hi,
+       cast(count(*) AS BIGINT) AS n_pairs,
+       cast(min(p.a) AS BIGINT) AS example_a
+FROM mh_pairs p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+WHERE da.lang <> db.lang
+GROUP BY 1, 2
+"""
+
+
+@register("dd24_cross_lang_mirrors", _dd24_sql(), first_round=13)
+def dd24_cross_lang_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that SPAN languages — translation-mirror
+    detection: a multilingual crawl carries the same page under
+    several language codes (machine-translated mirrors, mislabeled
+    langid, boilerplate-dominated pages), and counting them per
+    language pair tells a curation plan which languages' token counts
+    are inflated by shared content rather than native text. Candidate
+    pairs come from the SAME banded-LSH engine as dd2 (shingle
+    near-dup survives word-order-preserving translation artifacts and
+    mislabeled langid, the dominant mirror classes); the lang join
+    then keeps only pairs whose endpoints disagree. Output per
+    unordered language pair: mirror-pair count and the smallest
+    participating doc_id (a deterministic example for triage).
+
+    Plan shape: dd2's candidate build (shingle -> minhash -> band
+    bucket join, never all-pairs) plus two doc-keyed joins against
+    the lang column — at 100 TB the lang frame is doc-count-sized but
+    2 columns, and the final agg is |langs|^2-sized. No new
+    corpus-sized stage beyond the shared LSH build."""
+    from ..llm.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    )
+    la = docs.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .groupBy(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("a").cast("bigint").alias("example_a"),
+        )
+    )

@@ -2063,3 +2063,76 @@ def tx31_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["tx31_effective_tokens"].sql = _tx31_sql()
+
+
+_TX32_SQL = """
+WITH tok AS (
+  SELECT source, unnest({TOKS}) AS tok FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+stot AS (
+  SELECT source, sum(c) AS n_tokens, count(*) AS vocab FROM st GROUP BY 1
+),
+ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY 1),
+n AS (SELECT sum(c) AS total FROM st)
+SELECT st.source,
+       cast(any_value(stot.n_tokens) AS BIGINT) AS n_tokens,
+       cast(any_value(stot.vocab) AS BIGINT) AS vocab,
+       round(sum((st.c * 1.0 / stot.n_tokens)
+                 * ln((st.c * 1.0 / stot.n_tokens)
+                      / (ct.cc * 1.0 / n.total))), 6) AS kl_nats
+FROM st
+JOIN stot ON stot.source = st.source
+JOIN ct ON ct.tok = st.tok
+CROSS JOIN n
+GROUP BY st.source
+""".replace("{TOKS}", _DUCK_TOKS)
+
+
+@register("tx32_source_unigram_divergence", _TX32_SQL, first_round=13)
+def tx32_source_unigram_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source unigram-distribution DIVERGENCE from the corpus —
+    the source-fingerprinting statistic a mixture plan reads before
+    deciding whether a source adds diversity or repeats the corpus:
+    KL(source || corpus) in nats over whitespace unigrams. No
+    smoothing is needed because every source token is by construction
+    in the corpus distribution (support(source) is a subset of
+    support(corpus)). Complements x54 (drift over TIME within a
+    source) and tx18 (lang consistency): this ranks sources by how
+    far their token mix sits from the corpus average. Output per
+    source: token count, vocabulary size, KL in nats.
+
+    Plan shape: one token explode feeds a (source, token) count; the
+    corpus marginal is a SECOND aggregate of that same count table
+    (token-keyed, vocabulary-sized — never a second corpus scan); the
+    total is a 1-row agg joined by AQE broadcast. At 100 TB the only
+    corpus-sized stage is the first count's shuffle; everything after
+    is vocabulary-sized."""
+    from ..llm.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = st.localCheckpoint(eager=True)  # consumed by three aggregates
+    stot = st.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    total = st.agg(F.sum("c").alias("total"))
+    p_s = F.col("c") / F.col("n_tokens")
+    p_c = F.col("cc") / F.col("total")
+    return (
+        st.join(stot, "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.first("n_tokens").cast("bigint").alias("n_tokens"),
+            F.first("vocab").cast("bigint").alias("vocab"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_nats"),
+        )
+    )

@@ -642,3 +642,80 @@ def x93_error_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return wilson_error_rate_over_daily(daily_counts(e), "error", _X93_Z)
+
+
+from ._helpers import _DUCK_QUALITY, _DUCK_TOKS  # noqa: E402
+
+
+_X94_SQL = f"""
+WITH per AS (
+  SELECT source,
+         len({_DUCK_TOKS}) AS toks,
+         {_DUCK_QUALITY} AS q
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n_docs, sum(toks) AS toks, sum(q) AS qsum
+  FROM per GROUP BY 1
+),
+g AS (SELECT sum(n_docs) AS gn, sum(toks) AS gtoks, sum(qsum) AS gq FROM s)
+SELECT s.source,
+       cast(s.n_docs AS BIGINT) AS n_docs,
+       cast(s.toks AS BIGINT) AS tokens,
+       round(s.toks * 1.0 / g.gtoks, 6) AS token_share,
+       round((g.gq - s.qsum) / (g.gn - s.n_docs), 6) AS loo_mean_quality,
+       round((g.gq - s.qsum) / (g.gn - s.n_docs) - g.gq / g.gn, 6)
+         AS quality_delta
+FROM s CROSS JOIN g
+"""
+
+
+@register("x94_loo_source_ablation", _X94_SQL, first_round=13)
+def x94_loo_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus ablation — the first question a
+    data-mixing experiment asks ("what does the corpus look like
+    WITHOUT this source?") answered for every source at once, without
+    N corpus passes: per source, its token share and the corpus mean
+    quality with that source REMOVED, plus the delta vs the global
+    mean (negative = the source was pulling quality up). The LOO
+    aggregate is complement arithmetic — (global sum - source sum) /
+    (global n - source n) — which is the scale lesson: the naive form
+    is N self-joins each excluding one source (N corpus passes); the
+    complement form is ONE corpus pass, one |sources|-row aggregate,
+    and a 1-row broadcast join.
+
+    Plan shape: one scan-fused projection (token count + tx2 quality,
+    no explode), one groupBy(source), a 1-row global agg crossJoined
+    back by broadcast. Everything after the first agg is
+    |sources|-sized."""
+    from ..llm import quality_score
+    from ..llm.text import token_count
+
+    per = _t(spark, sf_dir, "documents").select(
+        "source",
+        token_count("text").alias("toks"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    # pin the |sources|-row aggregate: the global agg and the final
+    # join both consume it, and without the pin each branch re-derives
+    # the corpus pass (4 parquet scans in the unpinned plan, 1 with —
+    # test_x94_single_corpus_scan pins the shape)
+    s = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("toks"),
+        F.sum("q").alias("qsum"),
+    ).localCheckpoint(eager=True)
+    g = s.agg(
+        F.sum("n_docs").alias("gn"),
+        F.sum("toks").alias("gtoks"),
+        F.sum("qsum").alias("gq"),
+    )
+    loo = (F.col("gq") - F.col("qsum")) / (F.col("gn") - F.col("n_docs"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("toks").cast("bigint").alias("tokens"),
+        F.round(F.col("toks") / F.col("gtoks"), 6).alias("token_share"),
+        F.round(loo, 6).alias("loo_mean_quality"),
+        F.round(loo - F.col("gq") / F.col("gn"), 6).alias("quality_delta"),
+    )
