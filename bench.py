@@ -446,6 +446,38 @@ class _LoadCheck:
         return any(b["contaminated"] for b in self.blocks)
 
 
+def _cpu_calibration() -> dict:
+    """Fixed single-core work units timed before any Spark work: a
+    pure-Python arithmetic loop and a BLAS matmul (median of 3 each).
+    Recorded per run so cross-round wall comparisons can normalize out
+    HOST execution-throughput shifts: r12->r13 isolated medians rose
+    27-65% on byte-identical data, untouched code, and zero measured
+    foreign CPU — a host-side change the guest cannot observe directly
+    (no steal, no cpufreq visibility). With this number in every
+    BENCH_DETAIL, the next such episode is attributable in one
+    division instead of a round of A/Bs."""
+    import numpy as np
+
+    def med3(fn):
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        return sorted(runs)[1]
+
+    def py_loop():
+        s = 0
+        for i in range(10_000_000):
+            s += i * i
+
+    a = np.random.default_rng(0).standard_normal((1500, 1500))
+    return {
+        "py_loop_10m_sec": round(med3(py_loop), 3),
+        "blas_1500_matmul_sec": round(med3(lambda: a @ a), 3),
+    }
+
+
 def _run_block(label, fn, loadcheck, reset=None, max_retries=2):
     """Run one timed bench block with bounded auto-rerun (r12 verdict
     #3): the load monitor has twice correctly flagged driver runs where
@@ -487,6 +519,7 @@ def main():
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     loadcheck = _LoadCheck()
+    cpu_calib = _cpu_calibration()  # host-epoch yardstick, pre-Spark
 
     # end-to-end banking pipeline at the reference's exact volume (107k
     # messy CSV rows: BASELINE.md's best full run = 50.1s / ~2,100 rows/s).
@@ -739,6 +772,7 @@ def main():
                 "spread": spread,
                 "load_blocks": loadcheck.blocks,
                 "discarded_blocks": loadcheck.discarded,
+                "cpu_calib": cpu_calib,
             },
             f,
             indent=1,
