@@ -1152,8 +1152,11 @@ def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_SQL = f"""
 WITH comp AS ({_DUCK_COMP}),
+kk AS (
+  SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+),
 cent0 AS (
-  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+  SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k
 ),
 {_kmeans_iter_sql('cent0', 1)},
 {_kmeans_iter_sql('cent1', 2)},
@@ -1195,17 +1198,32 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-cell restriction is the scale contract: cells bound the
     per-task pairwise work exactly as in dd11, so the graph build is
     k-means assignment + one per-cell gram + a per-vector top-k window
-    keyed on the vector id. Recall is cell-local (the IVF
-    approximation); raise k-means k to shrink cells, or probe multiple
-    cells for higher recall. Both directions of each in-cell pair are
-    ranked, ties broken by neighbor id on the 4-dp rounded cosine in
-    BOTH engines (ordering by the raw value would let sub-rounding
-    noise pick different top-3 sets)."""
-    from ..llm.similarity import _gram_pair_fn, kmeans_fit
+    keyed on the vector id. The cell count DERIVES from corpus size
+    (k = N / 500, x51's SemDeDup recipe: the r13 100× run caught the
+    fixed-k=4 form growing 50k-vector cells whose gram matrices are
+    quadratic in corpus size; at the gate SFs, N <= 2000, the derived
+    k is 4, so gate results are unchanged). Recall is cell-local (the
+    IVF approximation); probe multiple cells for higher recall. Both
+    directions of each in-cell pair are ranked, ties broken by
+    neighbor id on the 4-dp rounded cosine in BOTH engines (ordering
+    by the raw value would let sub-rounding noise pick different
+    top-3 sets)."""
+    from ..llm.similarity import _components, _gram_pair_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
+    comp = _components(emb, "vec_id", "embedding")
+    kk = emb.agg(
+        F.greatest(
+            F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)
+        ).alias("k")
+    )
+    init = (
+        comp.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cell"), "i", "v")
+    )
     _, assign = kmeans_fit(
-        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
@@ -2518,8 +2536,11 @@ REGISTRY["ann29_mmr_rerank"].sql = _ann29_sql()
 
 _ANN30_SQL = f"""
 WITH comp AS ({_DUCK_COMP}),
+kk AS (
+  SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+),
 cent0 AS (
-  SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4
+  SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k
 ),
 {_kmeans_iter_sql('cent0', 1)},
 {_kmeans_iter_sql('cent1', 2)},
@@ -2584,17 +2605,29 @@ def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest label; the neighbor set is ann5's (cell-local, 4-dp
     cosine, id tie-break) so both engines rank identically.
 
-    Plan shape: shares ann5's scale contract verbatim — k-means cells
+    Plan shape: shares ann5's scale contract verbatim — corpus-derived
+    k-means cells (k = N / 500, cells ~500 vectors at any corpus size)
     bound the pairwise work, one BLAS gram per cell via applyInPandas,
     a per-vector top-3 window — then adds only label-sized joins and a
     |labels|-row aggregate. Vectors with no in-cell neighbor (zero
     norm or singleton cell) are not scored, identically in both
     engines (inner joins end-to-end)."""
-    from ..llm.similarity import _gram_pair_fn, kmeans_fit
+    from ..llm.similarity import _components, _gram_pair_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
+    comp = _components(emb, "vec_id", "embedding")
+    kk = emb.agg(
+        F.greatest(
+            F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)
+        ).alias("k")
+    )
+    init = (
+        comp.crossJoin(F.broadcast(kk))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cell"), "i", "v")
+    )
     _, assign = kmeans_fit(
-        emb, "vec_id", "embedding", k=4, iters=2, materialize=True
+        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
