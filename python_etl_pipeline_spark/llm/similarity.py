@@ -362,6 +362,73 @@ def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _nearest_cell_blas(
+    df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
+) -> DataFrame:
+    """(id, cell): argmin squared-L2 assignment via ONE broadcast
+    (k x d) centroid matrix and a per-batch numpy distance kernel —
+    the map-only form of :func:`_nearest_cell`. The join form builds
+    n x d x k intermediate rows (a 1.28B-row shuffle at the 100x
+    corpus: 200k vectors x 16 dims x 400 derived cells) where the
+    same arithmetic is ~1 GFLOP of BLAS; this kernel reads the vector
+    table once per call, shuffles nothing, and was measured 10x on
+    the 100x graph build (SCALE.md r13). Semantics are identical to
+    the join + window form: squared-L2 in float64, argmin with ties
+    to the SMALLEST cell id (within a chunk np.argmin returns the
+    first minimum over ascending cell order; across chunks a strict
+    ``<`` keeps the earlier, smaller cell) — the oracle's
+    ``ORDER BY dist, cell`` replayed.
+
+    The collected centroid table is bounded state, not corpus data:
+    k x d rows with k ~ N/500 (tens of MB at 2e8 vectors), the same
+    O(buckets) driver-fold contract as the sequence engine. Vectors
+    must share one dimensionality (ragged input fails loudly; the
+    join form would silently score a truncated vector on its present
+    components)."""
+    import numpy as np
+
+    rows = cent.collect()
+    cells = sorted({r["cell"] for r in rows})
+    cidx = {c: j for j, c in enumerate(cells)}
+    d = max(r["i"] for r in rows) + 1
+    C = np.zeros((len(cells), d))
+    for r in rows:
+        C[cidx[r["cell"]], r["i"]] = r["v"]
+    cells_arr = np.array(cells, dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((C, cells_arr))
+
+    def assign_batches(it):
+        import pandas as pd
+
+        Cb, cb = bc.value
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            best_d = best_j = None
+            for j0 in range(0, len(cb), 256):  # bound the (n,k,d) cube
+                Cc = Cb[j0 : j0 + 256]
+                dist = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+                jmin = dist.argmin(axis=1)
+                dmin = dist[np.arange(len(M)), jmin]
+                if best_d is None:
+                    best_d, best_j = dmin, jmin + j0
+                else:
+                    take = dmin < best_d
+                    best_j = np.where(take, jmin + j0, best_j)
+                    best_d = np.where(take, dmin, best_d)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cell": cb[best_j]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema=f"{id_col} bigint, cell bigint"
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -372,12 +439,14 @@ def kmeans_fit(
     init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment) after ``iters`` Lloyd iterations with
-    deterministic init (centroids = vectors with id < k), all DataFrame
-    ops: no vector ever reaches the driver. Each iteration is a
-    broadcast component join + argmin window + per-(cell, dim) average —
-    two keyed shuffles of vector-sized and (k x d)-sized data
-    respectively. Centroids come back in long form (cell, i, v);
-    assignment is (id, cell) against the FINAL centroids.
+    deterministic init (centroids = vectors with id < k). No corpus
+    vector ever reaches the driver — only the k x d centroid table
+    (bounded model state) does, once per iteration, to feed the
+    broadcast BLAS assignment kernel (:func:`_nearest_cell_blas`;
+    the assignment is a map-only stage, and the per-(cell, dim)
+    centroid update is the single keyed shuffle per iteration).
+    Centroids come back in long form (cell, i, v); assignment is
+    (id, cell) against the FINAL centroids.
 
     ``init`` warm-starts the loop from an existing long-form
     (cell, i, v) centroid table instead of the id<k seed — the REFRESH
@@ -404,12 +473,18 @@ def kmeans_fit(
         cent = comp.filter(F.col(id_col) < k).select(
             F.col(id_col).alias("cell"), "i", "v"
         )
+    # Assignment runs through the map-only BLAS kernel (the join form
+    # is the 100x scale wall: n x d x k intermediate rows per Lloyd
+    # pass — see _nearest_cell_blas). Each kernel call collects the
+    # k x d centroid table, which also CUTS the iteration lineage: no
+    # plan grows with iters, and the update join below is the only
+    # shuffle per iteration.
     for _ in range(iters):
-        assign = _nearest_cell(comp, cent, id_col)
+        assign = _nearest_cell_blas(df, id_col, vec_col, cent)
         cent = (
             comp.join(assign, id_col).groupBy("cell", "i").agg(F.avg("v").alias("v"))
         )
-    return cent, _nearest_cell(comp, cent, id_col)
+    return cent, _nearest_cell_blas(df, id_col, vec_col, cent)
 
 
 def kmeans_assign(
