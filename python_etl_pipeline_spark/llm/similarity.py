@@ -217,6 +217,62 @@ def _gram_pair_fn(min_sim: float):
     return pair_fn
 
 
+def _gram_topk_fn(m: int):
+    """applyInPandas kernel: per group (an IVF cell), rank every OTHER
+    member as a neighbor of every member by (4-dp-rounded cosine DESC,
+    id ASC) and emit only each member's top ``m`` — (a, b, cosine,
+    rnk). The cell IS the candidate set for the cell-local kNN graph,
+    so ranking inside the gram kernel replaces the
+    every-pair-then-window form, whose mirrored pair table is
+    |cell|^2-sized: at the 100x corpus (400 derived cells x ~500
+    members) that was a 200M-row shuffle + sort feeding a window that
+    keeps 600k rows — this kernel emits the 600k rows directly
+    (measured on ann5's build, SCALE.md r13). Tie-break matches the
+    window form exactly: ranking on the ROUNDED cosine (the engines'
+    shared contract — ranking raw values would let sub-rounding noise
+    pick different top-m sets), ties to the smaller neighbor id via
+    stable lexsort. Zero-norm vectors are excluded as neighbors AND
+    as query rows, like :func:`_gram_pair_fn`."""
+    import numpy as np
+    import pandas as pd
+
+    empty = {"a": [], "b": [], "cosine": [], "rnk": []}
+
+    def topk_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["__id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        ok = norms > 0
+        ids, mat, norms = ids[ok], mat[ok], norms[ok]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(empty)
+        order = np.argsort(ids)  # neighbor-id ASC for the tie-break
+        ids, mat, norms = ids[order], mat[order], norms[order]
+        mn = mat / norms[:, None]
+        sims = np.round(mn @ mn.T, 4)
+        np.fill_diagonal(sims, -np.inf)  # self is not a neighbor
+        kk = min(m, n - 1)
+        # per row: indices of the top-kk columns by (cosine DESC,
+        # id ASC). argsort(-sims, stable) keeps ascending column
+        # (= ascending id) order among equal cosines.
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = top.ravel()
+        return pd.DataFrame(
+            {
+                "a": ids[rows],
+                "b": ids[cols],
+                "cosine": sims[rows, cols],
+                "rnk": np.tile(np.arange(1, kk + 1), n),
+            }
+        )
+
+    return topk_fn
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

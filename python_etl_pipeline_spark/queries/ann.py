@@ -1208,7 +1208,7 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor id on the 4-dp rounded cosine in BOTH engines (ordering
     by the raw value would let sub-rounding noise pick different
     top-3 sets)."""
-    from ..llm.similarity import _components, _gram_pair_fn, kmeans_fit
+    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     comp = _components(emb, "vec_id", "embedding")
@@ -1228,24 +1228,18 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
     )
-    # min_sim below any cosine: keep every in-cell pair (a < b), then
-    # mirror to both directions for the per-vector ranking
-    pairs = vecs.groupBy("cell").applyInPandas(
-        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
+    # the cell IS the candidate set, so each member's top-3 ranks
+    # inside the gram kernel — emitting 3 rows/vector instead of the
+    # |cell|^2 mirrored pair table the old every-pair + window form
+    # shuffled (200M rows at the 100x corpus; _gram_topk_fn docstring)
+    graph = vecs.groupBy("cell").applyInPandas(
+        _gram_topk_fn(3), schema="a bigint, b bigint, cosine double, rnk int"
     )
-    both = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
-    )
-    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
-    return (
-        both.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("a").alias("vec_id"),
-            F.col("b").alias("neighbor"),
-            "cosine",
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
+    return graph.select(
+        F.col("a").alias("vec_id"),
+        F.col("b").alias("neighbor"),
+        "cosine",
+        F.col("rnk").cast("bigint").alias("rnk"),
     )
 
 
@@ -2612,7 +2606,7 @@ def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels|-row aggregate. Vectors with no in-cell neighbor (zero
     norm or singleton cell) are not scored, identically in both
     engines (inner joins end-to-end)."""
-    from ..llm.similarity import _components, _gram_pair_fn, kmeans_fit
+    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     comp = _components(emb, "vec_id", "embedding")
@@ -2632,15 +2626,10 @@ def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
     )
-    pairs = vecs.groupBy("cell").applyInPandas(
-        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
-    )
-    both = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
-    )
-    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
-    top3 = both.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 3
+    # top-3 ranked inside the gram kernel (the cell is the candidate
+    # set) — same rewrite as ann5; see _gram_topk_fn
+    top3 = vecs.groupBy("cell").applyInPandas(
+        _gram_topk_fn(3), schema="a bigint, b bigint, cosine double, rnk int"
     )
     labels = emb.select("vec_id", "label")
     votes = (

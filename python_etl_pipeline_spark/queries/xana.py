@@ -810,7 +810,7 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration shuffles edge-sized rows keyed on dst. At 100 TB you
     persist the edges (like the IVF index) and iterate to convergence
     with the same three-operator loop."""
-    from ..llm.similarity import _components, _gram_pair_fn, kmeans_fit
+    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     # cell count DERIVES from corpus size (k = N / 500, the SemDeDup
@@ -835,16 +835,16 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
     )
-    pairs = vecs.groupBy("cell").applyInPandas(
-        _gram_pair_fn(-1.01), schema="a bigint, b bigint, cosine double"
-    )
-    both = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cosine")
-    )
-    wk = Window.partitionBy("a").orderBy(F.col("cosine").desc(), "b")
+    # top-3 ranked inside the gram kernel (the cell is the candidate
+    # set) — the every-pair + window form mirrored a |cell|^2 pair
+    # table through a 200M-row shuffle at the 100x corpus; see
+    # llm.similarity._gram_topk_fn
     edges = (
-        both.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= 3)
+        vecs.groupBy("cell")
+        .applyInPandas(
+            _gram_topk_fn(3),
+            schema="a bigint, b bigint, cosine double, rnk int",
+        )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .localCheckpoint(eager=True)
     )
