@@ -427,13 +427,18 @@ def _nearest_cell_blas(
     n x d x k intermediate rows (a 1.28B-row shuffle at the 100x
     corpus: 200k vectors x 16 dims x 400 derived cells) where the
     same arithmetic is ~1 GFLOP of BLAS; this kernel reads the vector
-    table once per call, shuffles nothing, and was measured 10x on
-    the 100x graph build (SCALE.md r13). Semantics are identical to
-    the join + window form: squared-L2 in float64, argmin with ties
-    to the SMALLEST cell id (within a chunk np.argmin returns the
-    first minimum over ascending cell order; across chunks a strict
-    ``<`` keeps the earlier, smaller cell) — the oracle's
-    ``ORDER BY dist, cell`` replayed.
+    table once per call and shuffles nothing (SCALE.md r13 carries
+    the 100x A/B). Semantics match the join + window form: squared-L2
+    argmin (computed float64 via the gemm identity ||c||^2 - 2 v.c —
+    the per-row ||v||^2 constant cannot change an argmin), ties to
+    the SMALLEST cell id (within a block np.argmin returns the first
+    minimum over ascending cell order; across blocks a strict ``<``
+    keeps the earlier, smaller cell) — the oracle's
+    ``ORDER BY dist, cell`` replayed. The identity form rounds
+    differently than an explicit (v-c)^2 sum, so a mathematically
+    EXACT cross-cell tie could in principle resolve differently than
+    the oracle's; real-valued data never produces one, and the
+    per-SF parity hashes pin it.
 
     The collected centroid table is bounded state, not corpus data:
     k x d rows with k ~ N/500 (tens of MB at 2e8 vectors), the same
@@ -465,9 +470,15 @@ def _nearest_cell_blas(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             best_d = best_j = None
-            for j0 in range(0, len(cb), 256):  # bound the (n,k,d) cube
-                Cc = Cb[j0 : j0 + 256]
-                dist = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+            # squared-L2 via the matmul identity, dropping the
+            # per-row-constant ||v||^2 (irrelevant to argmin):
+            # a TRUE BLAS gemm — the naive (M[:,None]-C[None])**2
+            # broadcast materializes an (n, k, d) cube (1.3 GB per
+            # 10k-row Arrow batch at k=400, d=64) and runs
+            # memory-bound, which is what it replaces
+            for j0 in range(0, len(cb), 8192):  # bound (n, k) blocks
+                Cc = Cb[j0 : j0 + 8192]
+                dist = (Cc * Cc).sum(axis=1)[None, :] - 2.0 * (M @ Cc.T)
                 jmin = dist.argmin(axis=1)
                 dmin = dist[np.arange(len(M)), jmin]
                 if best_d is None:
