@@ -57,93 +57,102 @@ del _m, _k, _v
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 13  # the round this prefix was built for
+_GATE_ROUND = 14  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-13 state — THE HORIZON RISES 6 -> 7 (the
-# crossing the r12 commit and verdict both forecast, decided here,
-# before any round-13 operator work, per the standing discipline):
+# GATE ARITHMETIC, round-14 state — HORIZON STAYS 7 (bound 7*46 + 4 =
+# 326 vs registry 275; the binding constraint remains the SCHEDULE).
+# Cohorts entering this round: r8:46 (mandatory at r15 — gap 7),
+# r9:46 (mandatory at r16), r10:43, r11:44, r12:46, r13:50.
 #
-# The horizon-6 bound 6*46 + 4 = 280 is not yet crossed by SIZE
-# (registry 271, +4 this round = 275), but the horizon-6 SCHEDULE is
-# saturated, which is the binding constraint: last-driver-row cohorts
-# are r7:42, r8:46, r9:46, r10:43, r11:44, r12:50 against a per-round
-# capacity of 46 non-sentinel slots. Under horizon 6 the r13 gate
-# takes the r7 cohort (42) + 4 additions = 46 exactly; the r14 gate
-# would then owe the ENTIRE 46-query r8 cohort + 4 sentinels = 50
-# slots with ZERO room for round-14's own changed/added queries — and
-# any query whose code changes must re-gate immediately (rule 1), so
-# a zero-slack round is not a schedule, it is a deadlock. Horizon 6
-# admits no steady state once any cohort reaches 46. At horizon 7 the
-# bound is 7*46 + 4 = 326 vs registry 275, and the steady-state
-# retirement rate is 275/7 ~ 39.3 slots/round against capacity 46 —
-# ~6.7 slots/round of standing slack for changes and growth.
-# Freshness cost: a query may now wait 7 rounds between driver rows;
-# the judge's full-registry parity sweeps (271/271 green in r12)
-# remain the between-rows backstop. Next crossing at ~326 or when the
-# largest cohort reaches 46 again — decide there.
+# The r13 verdict's ask: pre-rotate ~40 of the 46-query r8 cohort NOW
+# so r15 is never owed a full cohort with zero slack. This gate takes
+# 40 of the 46 (including every r8 member the round-14 index-build
+# work touches: ann11/ann12/ann13/ann14/ann15/ann16/ann17), defers 6
+# cheap untouched pure-function twins (tx11/tx12/tx13/tx14/x44/x45)
+# to r15, and reserves the two tail r8 slots (x27/x28) as HEAD-START
+# slots for this round's planned additions (they displace to r15 with
+# the deferred six when the additions land — r15 then owes 8 r8 rows
+# + its own changes against capacity 46).
 #
-# Round-13 slots: 4 sentinels + the whole 42-query r7 cohort (not
-# mandatory until r14 under horizon 7, but rotating oldest-first now
-# keeps every later round under its slack) + 4 additions = 50.
+# Forward schedule under this smoothing (the arithmetic the r13
+# verdict asked for): r15 owes 8 r8 + ~10 changes/additions, leaving
+# ~28 slots to pre-rotate the 46-query r9 cohort; r16 then owes the
+# ~18 r9 remainder + its changes with ~18 slots of slack — the
+# steady-state retirement rate 275/7 ~ 39.3/round holds with no
+# zero-slack round anywhere in the window.
+#
+# Rule-1 slots this round (code/oracle CHANGED in round 14): the
+# IVF-PQ index build derives its coarse cell count from corpus size
+# and every corpus-sized assignment site routes through the broadcast
+# BLAS kernel, so the persisted-index consumers' ORACLES change
+# (ann11/ann14/ann15/ann17 — r8 members anyway — plus ann18) and the
+# PQ trainers'/assignment plans change (ann9/ann10 + r8 members
+# ann12/ann13/ann16). Kernel-INTERNAL hardening (near-tie exact
+# recompute, NaN fail-loud, derived id schema) is result-preserving
+# for the remaining r13-green k-means consumers (ann4/ann5/ann30/
+# dd11/dd13/llm_curation — driver rows one round old); those are
+# covered by this round's full-registry parity sweep at two SFs
+# rather than gate slots, exactly the r13 precedent. x48/x51/ann20
+# (kernel consumers, last driver row r9) take gate slots now.
 _GATE_PREFIX = [
-    # (1) ADDED this round (4): per-source unigram KL vs corpus,
-    # cross-language near-dup mirrors, leave-one-source-out corpus
-    # ablation, and LOO kNN label accuracy. These took the r8-cohort
-    # head-start slots the gate commit reserved (o2/i3_antijoin/
-    # j1_anti/w1 rotate with their cohort in r14; overdue only at r16
-    # under horizon 7). Registry 271 + 4 = 275 <= horizon-7 bound 326.
-    "tx32_source_unigram_divergence",
-    "dd24_cross_lang_mirrors",
-    "x94_loo_source_ablation",
-    "ann30_knn_label_accuracy",
-    # (2) permanent sentinels (4)
+    # (1) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (3) the entire last=r7 cohort (42), oldest-first rotation.
-    "a6_dedup_counters",
-    "ann2_ivf_topk",
-    "ann4_kmeans_train",
-    "ann5_knn_graph",
-    "ann6_recall_at_k",
-    "ann7_multiprobe_topk",
+    # (2) round-14 changed queries NOT already owed as r8 cohort (6):
+    # ann18's oracle gains the derived-k seed (last row r9); ann9/
+    # ann10 run the re-routed PQ trainer (r13 rows stop vouching);
+    # ann20/x48/x51 are kernel consumers with r9-old rows.
+    "ann18_index_delete",
     "ann9_pq_topk",
     "ann10_ivfpq_topk",
-    "dd2_minhash_lsh",
-    "dd3_ngram_jaccard",
-    "dd5_embedding_neardup",
-    "dd6_lsh_dup_clusters",
-    "dd11_semantic_dedup",
-    "dd12_ngram_containment",
-    "dd13_cluster_canonical",
-    "dd14_lsh_precision",
-    "f13_boolean_recast",
-    "f16_case_norms",
-    "i3_watermark_append",
-    "i4_reconcile_counts",
-    "j1_semi_existing_keys",
-    "k4_export_nafill",
-    "llm_curation_pipeline",
-    "o1_digit_sort",
-    "o3_dedup_keep_first",
-    "o5_offset_slice",
-    "s1_allstring_scan",
-    "s2_partitioned_scan",
-    "s3_multifile_glob",
-    "st1_tumbling_window",
-    "tx17_perplexity_buckets",
-    "tx18_lang_consistency",
-    "x1_pivot",
-    "x18_sequence_packing",
-    "x21_incremental_neardup",
-    "x32_corpus_shuffle",
-    "x35_stream_neardup",
-    "x38_token_sharding",
-    "x39_leakage_safe_split",
-    "x40_shard_assignment",
-    "x41_datacard_incremental",
-    "x42_curriculum_order",
+    "ann20_ivf_sq8_topk",
+    "x48_density_downsample",
+    "x51_graph_pagerank",
+    # (3) 40 of the 46-query r8 cohort, index-path members first
+    # (their code/oracles also change this round), then the rest in
+    # registry order. x27/x28 are the addition head-start slots.
+    "ann11_ivfpq_from_index",
+    "ann12_incremental_assign",
+    "ann13_index_drift",
+    "ann14_batch_ivf_serve",
+    "ann15_filtered_topk",
+    "ann16_centroid_refresh",
+    "ann17_filtered_recall",
+    "j1_anti_new_keys",
+    "o2_dedup_keep_last",
+    "w1_display_id",
+    "i3_antijoin_append",
+    "dd4_simhash",
+    "dd8_decontaminate",
+    "dd9_repeated_spans",
+    "dd10_chunk_dedup",
+    "ann1_bruteforce_topk",
+    "ann3_batch_topk",
+    "tx1_token_stats",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx5_top_tokens",
+    "tx6_pii_redact",
+    "tx7_repetition_ratio",
+    "tx8_bpe_tokens",
+    "tx9_tfidf_keywords",
+    "tx10_bigram_lm_score",
+    "tx19_incremental_lm_score",
+    "tx20_incremental_tfidf",
+    "mm1_media_features",
+    "x10_range_join",
+    "x11_train_val_test_split",
+    "x24_salted_join",
+    "x25_cdc_apply",
+    "x26_fuzzy_match",
+    "x29_doc_chunks",
+    "x43_sharded_curriculum",
+    "dd7_simhash_hamming",
+    "x27_corpus_mix",
+    "x28_source_cap",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -31,6 +31,18 @@ Round-7 amendments (both from the round-6 verdict/advice):
   round that crosses it must raise the horizon again or shrink the
   sentinel set, with this same arithmetic in the commit).
 
+Round-14 amendment — the horizon STAYS 7; the round's gate decision
+is cohort SMOOTHING, not a crossing (bound 7*46 + 4 = 326 vs registry
+275). The r8 cohort (46 queries, mandatory at r15 under horizon 7) is
+pre-rotated: 40 take r14 slots now, 6 cheap untouched twins defer to
+r15, and 2 tail slots head-start the round's planned additions. That
+leaves r15 owing 8 r8 rows + its own changes with ~28 slots of slack
+to pre-rotate the equally-bunched 46-query r9 cohort (mandatory r16)
+— the forward schedule in the r14 gate commit shows no zero-slack
+round in the window, which is what the r13 verdict asked the gate to
+guarantee. No arithmetic crossing is near: next decision point when
+the registry passes ~326 or a cohort again reaches 46 un-smoothed.
+
 Round-13 amendment — the horizon rises 6 -> 7, decided in the r13
 gate commit before any operator work (the crossing the r12 commit
 forecast). The binding constraint this time is the SCHEDULE, not the
