@@ -455,8 +455,21 @@ def _cpu_calibration() -> dict:
     foreign CPU — a host-side change the guest cannot observe directly
     (no steal, no cpufreq visibility). With this number in every
     BENCH_DETAIL, the next such episode is attributable in one
-    division instead of a round of A/Bs."""
-    import numpy as np
+    division instead of a round of A/Bs.
+
+    The matmul half runs in a SUBPROCESS with every threadpool env
+    knob pinned to 1 (r13 verdict: an unpinned probe measured 0.073 s
+    under a warm multi-threaded OpenBLAS pool vs 1.046 s single-core
+    elsewhere — 14x of pure threadpool availability, the exact
+    ambiguity the probe exists to remove; in-process pinning is not
+    reliable because the pool is already initialized by the time the
+    probe runs). ``blas_threads_effective`` (process CPU / wall during
+    the timed matmul) is recorded beside the number so a pin failure
+    is visible in the artifact itself rather than silently folded
+    into the throughput reading."""
+    import json
+    import subprocess
+    import sys
 
     def med3(fn):
         runs = []
@@ -471,10 +484,41 @@ def _cpu_calibration() -> dict:
         for i in range(10_000_000):
             s += i * i
 
-    a = np.random.default_rng(0).standard_normal((1500, 1500))
+    probe = (
+        "import numpy as np, time, os, json\n"
+        "a = np.random.default_rng(0).standard_normal((1500, 1500))\n"
+        "runs, ratios = [], []\n"
+        "for _ in range(3):\n"
+        "    c0 = os.times(); t0 = time.time()\n"
+        "    a @ a\n"
+        "    t1 = time.time(); c1 = os.times()\n"
+        "    runs.append(t1 - t0)\n"
+        "    cpu = (c1.user + c1.system) - (c0.user + c0.system)\n"
+        "    ratios.append(cpu / max(t1 - t0, 1e-9))\n"
+        "print(json.dumps({'sec': sorted(runs)[1],"
+        " 'threads': sorted(ratios)[1]}))\n"
+    )
+    env = dict(os.environ)
+    for k in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+    ):
+        env[k] = "1"
+    res = subprocess.run(
+        [sys.executable, "-c", probe],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    blas = json.loads(res.stdout)
     return {
         "py_loop_10m_sec": round(med3(py_loop), 3),
-        "blas_1500_matmul_sec": round(med3(lambda: a @ a), 3),
+        "blas_1500_matmul_sec": round(blas["sec"], 3),
+        "blas_threads_effective": round(blas["threads"], 2),
     }
 
 
