@@ -401,7 +401,15 @@ def cosine_pairs(
 def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     """(id, cell): argmin squared-L2 assignment of every vector to a
     centroid, ties broken by cell id. Centroids are k x d rows —
-    broadcast; the distance agg is one keyed shuffle."""
+    broadcast; the distance agg is one keyed shuffle. Since round 14
+    this JOIN form has no production caller — every corpus-sized
+    assignment site (Lloyd loops, PQ encode, index coarse assign,
+    incremental assign) runs the map-only broadcast BLAS kernel
+    (:func:`_nearest_cell_blas`) instead, because the join builds
+    n x d x k intermediate rows. It stays as the kernel's executable
+    A/B twin: test_similarity pins blas == join on the engine
+    fixtures, the same explicit-(v-c)^2 arithmetic every DuckDB
+    oracle replays."""
     from pyspark.sql import Window
 
     c = cent.select("cell", "i", F.col("v").alias("cv"))
@@ -418,6 +426,9 @@ def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+_INTEGRAL_SPARK_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def _nearest_cell_blas(
     df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
 ) -> DataFrame:
@@ -427,41 +438,77 @@ def _nearest_cell_blas(
     n x d x k intermediate rows (a 1.28B-row shuffle at the 100x
     corpus: 200k vectors x 16 dims x 400 derived cells) where the
     same arithmetic is ~1 GFLOP of BLAS; this kernel reads the vector
-    table once per call and shuffles nothing (SCALE.md r13 carries
-    the 100x A/B). Semantics match the join + window form: squared-L2
-    argmin (computed float64 via the gemm identity ||c||^2 - 2 v.c —
-    the per-row ||v||^2 constant cannot change an argmin), ties to
-    the SMALLEST cell id (within a block np.argmin returns the first
-    minimum over ascending cell order; across blocks a strict ``<``
-    keeps the earlier, smaller cell) — the oracle's
-    ``ORDER BY dist, cell`` replayed. The identity form rounds
-    differently than an explicit (v-c)^2 sum, so a mathematically
-    EXACT cross-cell tie could in principle resolve differently than
-    the oracle's; real-valued data never produces one, and the
-    per-SF parity hashes pin it.
+    table once per call and shuffles nothing (SCALE.md "r13/r14 100x"
+    carries the A/B). Semantics match the join + window form:
+    squared-L2 argmin, ties to the SMALLEST cell id (within a block
+    np.argmin returns the first minimum over ascending cell order;
+    across blocks a strict ``<`` keeps the earlier, smaller cell) —
+    the oracle's ``ORDER BY dist, cell`` replayed.
+
+    Distances are computed float64 via the gemm identity
+    ||c||^2 - 2 v.c (the per-row ||v||^2 constant cannot change an
+    argmin). The identity form carries absolute error ~eps*||c||^2,
+    so NEAR-equidistant cells — not just exact ties — could resolve
+    differently than the oracle's explicit (v-c)^2 sum (r13 advice).
+    Closed here with a two-tier pass: the blocked gemm tracks the
+    best AND second-best distance per vector, and any vector whose
+    margin is inside a conservative tolerance (1e-9 x the distance
+    scale, ~4 orders above the identity's true float64 error) is
+    re-scored against ALL centroids with the explicit (v-c)^2 sum —
+    the join form's exact arithmetic, argmin-first = smallest cell.
+    On real-valued data the flagged set is empty and the gemm path
+    decides everything; the tolerance analysis lives in SCALE.md r14.
+
+    SUBSPACE centroid tables are supported: the kernel reads the
+    table's own component range [min(i), max(i)] and scores each
+    vector on that SLICE of its array — :func:`pq_train` /
+    :func:`pq_encode` pass full vectors against per-subspace
+    codebooks with no component explode in the assignment path.
+
+    Contracts, all loud: the id column must be an integral Spark type
+    (the output schema reuses it verbatim; a string-keyed caller
+    fails at plan-construction time, not via a silent Arrow cast —
+    r13 advice); vectors must be finite on the scored slice (a null
+    COMPONENT becomes NaN, whose all-NaN distance row would silently
+    argmin to cell 0 — ValueError instead; fully-null vectors are
+    dropped like the join form drops them) and long enough to cover
+    the centroid range (ragged input fails loudly; the join form
+    would silently score a truncated vector on its present
+    components).
 
     The collected centroid table is bounded state, not corpus data:
     k x d rows with k ~ N/500 (tens of MB at 2e8 vectors), the same
-    O(buckets) driver-fold contract as the sequence engine. Vectors
-    must share one dimensionality (ragged input fails loudly; the
-    join form would silently score a truncated vector on its present
-    components)."""
+    O(buckets) driver-fold contract as the sequence engine."""
     import numpy as np
 
+    id_t = df.schema[id_col].dataType.simpleString()
+    if id_t not in _INTEGRAL_SPARK_TYPES:
+        raise TypeError(
+            f"_nearest_cell_blas: id column {id_col!r} must be an "
+            f"integral type, got {id_t!r} — the assignment schema "
+            f"reuses the input id type verbatim"
+        )
     rows = cent.collect()
     cells = sorted({r["cell"] for r in rows})
     cidx = {c: j for j, c in enumerate(cells)}
-    d = max(r["i"] for r in rows) + 1
-    C = np.zeros((len(cells), d))
+    lo = min(r["i"] for r in rows)
+    hi = max(r["i"] for r in rows)
+    C = np.zeros((len(cells), hi - lo + 1))
     for r in rows:
-        C[cidx[r["cell"]], r["i"]] = r["v"]
+        C[cidx[r["cell"]], r["i"] - lo] = r["v"]
     cells_arr = np.array(cells, dtype=np.int64)
-    bc = df.sparkSession.sparkContext.broadcast((C, cells_arr))
+    bc = df.sparkSession.sparkContext.broadcast((C, cells_arr, lo, hi))
 
     def assign_batches(it):
         import pandas as pd
 
-        Cb, cb = bc.value
+        Cb, cb, lo_, hi_ = bc.value
+        cn2 = (Cb * Cb).sum(axis=1)
+        # conservative near-tie margin: the gemm identity's true
+        # float64 error is ~d*eps*scale ~ 1e-13*scale; flag at
+        # 1e-9*scale so anything the identity could misorder is
+        # re-scored exactly, while random-valued data flags nothing
+        tol = 1e-9 * max(float(cn2.max(initial=0.0)), 1.0)
         for pdf in it:
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
@@ -469,7 +516,25 @@ def _nearest_cell_blas(
             M = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            best_d = best_j = None
+            if M.ndim != 2 or M.shape[1] <= hi_:
+                raise ValueError(
+                    f"_nearest_cell_blas: vectors must share one "
+                    f"dimensionality covering the centroid component "
+                    f"range [{lo_}, {hi_}] (got batch shape {M.shape})"
+                )
+            M = M[:, lo_ : hi_ + 1]
+            if not np.isfinite(M).all():
+                raise ValueError(
+                    "_nearest_cell_blas: non-finite vector component "
+                    "(null/NaN inside an embedding array) — an "
+                    "all-NaN distance row would silently assign to "
+                    "the first cell; clean or drop the vector instead"
+                )
+            n = len(M)
+            best_d = np.full(n, np.inf)
+            sec_d = np.full(n, np.inf)
+            best_j = np.zeros(n, dtype=np.int64)
+            rows_idx = np.arange(n)
             # squared-L2 via the matmul identity, dropping the
             # per-row-constant ||v||^2 (irrelevant to argmin):
             # a TRUE BLAS gemm — the naive (M[:,None]-C[None])**2
@@ -478,21 +543,75 @@ def _nearest_cell_blas(
             # memory-bound, which is what it replaces
             for j0 in range(0, len(cb), 8192):  # bound (n, k) blocks
                 Cc = Cb[j0 : j0 + 8192]
-                dist = (Cc * Cc).sum(axis=1)[None, :] - 2.0 * (M @ Cc.T)
+                dist = cn2[j0 : j0 + 8192][None, :] - 2.0 * (M @ Cc.T)
                 jmin = dist.argmin(axis=1)
-                dmin = dist[np.arange(len(M)), jmin]
-                if best_d is None:
-                    best_d, best_j = dmin, jmin + j0
+                dmin = dist[rows_idx, jmin]
+                if dist.shape[1] >= 2:
+                    d2b = np.partition(dist, 1, axis=1)[:, 1]
                 else:
-                    take = dmin < best_d
-                    best_j = np.where(take, jmin + j0, best_j)
-                    best_d = np.where(take, dmin, best_d)
+                    d2b = np.full(n, np.inf)
+                take = dmin < best_d
+                # overall second-best: when the block wins, the old
+                # best competes with the block's own runner-up; when
+                # it loses, the block's best competes with the
+                # incumbent runner-up (d2b >= dmin >= best_d there)
+                sec_d = np.where(
+                    take,
+                    np.minimum(best_d, d2b),
+                    np.minimum(sec_d, dmin),
+                )
+                best_j = np.where(take, jmin + j0, best_j)
+                best_d = np.where(take, dmin, best_d)
+            flagged = (sec_d - best_d) <= tol
+            if flagged.any():
+                # exact explicit-sum re-score over ALL centroids for
+                # the (rare) near-tied vectors — argmin's first-index
+                # rule = smallest cell, the oracle's tie-break
+                E = ((M[flagged][:, None, :] - Cb[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                best_j[flagged] = E.argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "cell": cb[best_j]}
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        assign_batches, schema=f"{id_col} bigint, cell bigint"
+        assign_batches, schema=f"{id_col} {id_t}, cell bigint"
+    )
+
+
+def derived_k_init(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    floor_k: int = 4,
+    per_cell: int = 500,
+) -> DataFrame:
+    """Long-form (cell, i, v) k-means seed with the corpus-DERIVED
+    cell count k = greatest(floor_k, ceil(N / per_cell)) — the
+    SemDeDup sizing rule (cells of ~``per_cell`` vectors at ANY corpus
+    size) the r13 100x run forced on the cell-local graph ops: a fixed
+    k grows quadratic per-cell gram/Lloyd work as the corpus grows
+    (ann5 at 200k vectors built 50k-vector cells and effectively
+    hung). Deterministic init = vectors with id < k, the exact seed
+    the fixed-k path uses; k is computed DECLARATIVELY (one count agg
+    broadcast into the seed filter, no driver action), and a DuckDB
+    oracle replays the derivation as the kk CTE
+    (``greatest(floor_k, ceil(count(DISTINCT id)/per_cell.0))``).
+    Shared by ann5/ann30/x51's graph builds and the IVF-PQ index
+    build's coarse quantizer (round 14). Feed to
+    :func:`kmeans_fit`'s ``init=``."""
+    comp = _components(df, id_col, vec_col)
+    kk = df.agg(
+        F.greatest(
+            F.lit(floor_k).cast("bigint"),
+            F.ceil(F.count("*") / float(per_cell)),
+        ).alias("k")
+    )
+    return (
+        comp.crossJoin(F.broadcast(kk))
+        .filter(F.col(id_col) < F.col("k"))
+        .select(F.col(id_col).alias("cell"), "i", "v")
     )
 
 
@@ -752,16 +871,23 @@ def pq_train(
     half = comp.agg(
         F.floor((F.max("i") + 1) / 2).cast("int").alias("__d2")
     )
-    comp = comp.crossJoin(F.broadcast(half))
-    subs = [comp.filter(F.col("i") < F.col("__d2")).drop("__d2"),
-            comp.filter(F.col("i") >= F.col("__d2")).drop("__d2")]
+    compj = comp.crossJoin(F.broadcast(half))
+    subs = [compj.filter(F.col("i") < F.col("__d2")).drop("__d2"),
+            compj.filter(F.col("i") >= F.col("__d2")).drop("__d2")]
     cents, codes = [], []
+    # Each subspace's Lloyd assignment (and the final encode) runs
+    # through the broadcast BLAS kernel against the FULL vector table
+    # — the kernel slices each vector to the codebook's own component
+    # range, so no per-subspace n x d x k join ever materializes (the
+    # r13 verdict's remaining corpus-sized join-form sites). The
+    # component form survives only where it is the right shape: the
+    # deterministic init seed and the per-(cell, i) centroid update.
     for s, comp_s in enumerate(subs):
         cent = comp_s.filter(F.col(id_col) < n_codes).select(
             F.col(id_col).alias("cell"), "i", "v"
         )
         for _ in range(iters):
-            assign = _nearest_cell(comp_s, cent, id_col)
+            assign = _nearest_cell_blas(df, id_col, vec_col, cent)
             cent = (
                 comp_s.join(assign, id_col)
                 .groupBy("cell", "i")
@@ -769,7 +895,7 @@ def pq_train(
             )
         cents.append(cent)
         codes.append(
-            _nearest_cell(comp_s, cent, id_col).withColumnRenamed(
+            _nearest_cell_blas(df, id_col, vec_col, cent).withColumnRenamed(
                 "cell", f"code{s}"
             )
         )
@@ -1093,21 +1219,20 @@ def pq_encode(
     centroid frames, so the Lloyd trainings never re-run to encode.
     Also the incremental-encode primitive: a new vector batch folds
     into a PQ index by encoding against the frozen codebooks, the PQ
-    analog of :func:`ivf_incremental_assign`. The subspace boundary is
-    recovered from ``cent_a``'s own component range (its i values span
-    exactly the first half), so no corpus-wide max(i) pass is needed.
-    Same argmin metric and (distance, cell) tie-break as training —
+    analog of :func:`ivf_incremental_assign`. Each codebook carries
+    its own component range, which the broadcast BLAS kernel reads
+    directly (:func:`_nearest_cell_blas` slices every vector to the
+    codebook's [min(i), max(i)]), so the encode path is two map-only
+    passes over the vector table — no component explode, no subspace
+    boundary recovery, no n x d x k join (the r13 verdict's
+    corpus-sized join-form site at the old line 1110). Same argmin
+    metric and (distance, cell) tie-break as training —
     encode(corpus) == pq_train's own codes on the same centroids."""
     comp = _components(df, id_col, vec_col)
-    d2 = cent_a.agg((F.max("i") + 1).cast("int").alias("__d2"))
-    split = comp.crossJoin(F.broadcast(d2))
     codes = []
     for s, cent in enumerate((cent_a, cent_b)):
-        cond = (
-            F.col("i") < F.col("__d2") if s == 0 else F.col("i") >= F.col("__d2")
-        )
         codes.append(
-            _nearest_cell(split.filter(cond).drop("__d2"), cent, id_col)
+            _nearest_cell_blas(df, id_col, vec_col, cent)
             .withColumnRenamed("cell", f"code{s}")
         )
     norms = comp.groupBy(id_col).agg(
@@ -1119,7 +1244,7 @@ def pq_encode(
 def build_ivfpq_index(
     df: DataFrame,
     out_dir: str,
-    coarse_k: int = 4,
+    coarse_k: int | None = None,
     coarse_iters: int = 2,
     n_codes: int = 16,
     pq_iters: int = 2,
@@ -1137,6 +1262,20 @@ def build_ivfpq_index(
     own query row — see the cost split ann10 (build+query, in-plan)
     vs ann11 (query-only, from this index) in the bench.
 
+    ``coarse_k=None`` (the default since round 14) DERIVES the coarse
+    cell count from corpus size (:func:`derived_k_init` — cells of
+    ~500 vectors at any scale): a fixed coarse_k has exactly the
+    growing-cell defect the r13 100x run caught in ann5 — at 100x the
+    vectors, k=4 cells hold 50k members each, so every probe reranks
+    a quarter of the corpus and the cells never bound per-task work.
+    ``n_codes`` stays FIXED by design: the PQ codebook is the
+    compressed representation's alphabet (bytes per vector), not a
+    partitioning — growing it with the corpus would change the code
+    width, and per-subspace Lloyd work is linear in N at constant
+    n_codes. An integer ``coarse_k`` keeps the fixed-size behavior
+    for callers that train on deterministic small seeds (ann16's
+    refresh base).
+
     Each training chain executes EXACTLY ONCE: the centroid tables
     (tiny, k x d) are written first, and the corpus-sized derivations
     — coarse assignment, PQ codes — are computed from the READ-BACK
@@ -1151,14 +1290,20 @@ def build_ivfpq_index(
     read-backs stay fixed, so train-once is the scale-correct shape
     for a build path that by definition targets large corpora."""
     spark = df.sparkSession
-    cent, _ = kmeans_fit(
-        df, id_col, vec_col, coarse_k, coarse_iters, materialize=True
-    )
+    if coarse_k is None:
+        cent, _ = kmeans_fit(
+            df, id_col, vec_col, iters=coarse_iters, materialize=True,
+            init=derived_k_init(df, id_col, vec_col),
+        )
+    else:
+        cent, _ = kmeans_fit(
+            df, id_col, vec_col, coarse_k, coarse_iters, materialize=True
+        )
     cent.write.mode("overwrite").parquet(f"{out_dir}/coarse_centroids")
     cent_r = spark.read.parquet(f"{out_dir}/coarse_centroids")
-    _nearest_cell(
-        _components(df, id_col, vec_col), cent_r, id_col
-    ).write.mode("overwrite").parquet(f"{out_dir}/coarse_assign")
+    _nearest_cell_blas(df, id_col, vec_col, cent_r).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/coarse_assign")
     _codes, ca, cb = pq_train(df, n_codes, pq_iters, id_col, vec_col)
     ca.write.mode("overwrite").parquet(f"{out_dir}/pq_cent_a")
     cb.write.mode("overwrite").parquet(f"{out_dir}/pq_cent_b")
@@ -1344,8 +1489,12 @@ def ivf_incremental_assign(
     Append the result to the stored assignment table; work scales with
     the batch, never the corpus — x21/x41's incremental pattern
     applied to the ANN index. Use :func:`ivf_cell_drift` on the
-    before/after assignments to decide when re-training is warranted."""
-    return _nearest_cell(_components(new_df, id_col, vec_col), centroids, id_col)
+    before/after assignments to decide when re-training is warranted.
+    Runs through the broadcast BLAS kernel like every other
+    assignment site (r13 advice: one float path for train, encode,
+    and incremental assign — a near-tie vector must land in the same
+    cell at every stage)."""
+    return _nearest_cell_blas(new_df, id_col, vec_col, centroids)
 
 
 def ivf_cell_drift(

@@ -372,7 +372,7 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     st = os.stat(p)
     key = hashlib.md5(
         f"{os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}"
-        f"|coarse4x2_pq16x2_v1".encode()
+        f"|coarseD500x2_pq16x2_v2".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
 
@@ -412,7 +412,10 @@ def _ann11_sql() -> str:
     ),
     norms AS (SELECT vec_id, sqrt(sum(v*v)) AS norm FROM comp GROUP BY vec_id),
     qn AS (SELECT norm AS qnorm FROM norms WHERE vec_id = 0),
-    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
     {_kmeans_iter_sql('cent0', 1)},
     {_kmeans_iter_sql('cent1', 2)},
     {_kmeans_iter_sql('cent2', 3)},
@@ -458,7 +461,12 @@ def ann11_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains NOTHING in-plan. The index (coarse k-means centroids + full
     assignment + PQ codes + two subspace centroid tables,
     llm.similarity.build_ivfpq_index) is built once per dataset and
-    cached on disk keyed by the embeddings file's identity; the serve
+    cached on disk keyed by the embeddings file's identity. Since
+    round 14 the coarse cell count DERIVES from corpus size
+    (k = N/500, llm.similarity.derived_k_init — a fixed coarse_k has
+    the growing-cell defect the r13 100x run caught in ann5) and the
+    oracle replays the derivation as its kk CTE; at the gate SFs the
+    derived k is 4, so stored results are unchanged. The serve
     path (ivfpq_query_from_index) reads only index state plus the
     query's own row: L2 probe of the k-row centroid table, member
     semi-join against the stored assignment, PQ-code shortlist via two
@@ -496,8 +504,9 @@ def _cached_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     if not os.path.isdir(idx_dir):
         staging = f"{idx_dir}.build_{os.getpid()}"
         build_ivfpq_index(
-            emb, staging, coarse_k=4, coarse_iters=2, n_codes=16, pq_iters=2
-        )
+            emb, staging, coarse_k=None, coarse_iters=2, n_codes=16,
+            pq_iters=2,
+        )  # coarse_k=None = corpus-derived cell count (round 14)
         try:
             os.rename(staging, idx_dir)  # atomic promote
         except OSError:
@@ -595,7 +604,10 @@ def ann13_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann14_sql() -> str:
     return f"""
     WITH comp AS ({_DUCK_COMP}),
-    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
     {{KMEANS_CHAINS}}
     asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
     qcomp AS (SELECT vec_id AS qid, i, v AS qv FROM comp WHERE vec_id < 5),
@@ -730,7 +742,10 @@ def ann17_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann17_sql() -> str:
     return f"""
     WITH comp AS ({_DUCK_COMP}),
-    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
     {{KMEANS_CHAINS}}
     asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
     qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
@@ -776,7 +791,10 @@ def _ann17_sql() -> str:
 def _ann15_sql() -> str:
     return f"""
     WITH comp AS ({_DUCK_COMP}),
-    cent0 AS (SELECT vec_id AS cell, i, v FROM comp WHERE vec_id < 4),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
     {{KMEANS_CHAINS}}
     asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
     qcomp AS (SELECT i, v AS qv FROM comp WHERE vec_id = 0),
@@ -1208,22 +1226,12 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor id on the 4-dp rounded cosine in BOTH engines (ordering
     by the raw value would let sub-rounding noise pick different
     top-3 sets)."""
-    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
+    from ..llm.similarity import _gram_topk_fn, derived_k_init, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    comp = _components(emb, "vec_id", "embedding")
-    kk = emb.agg(
-        F.greatest(
-            F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)
-        ).alias("k")
-    )
-    init = (
-        comp.crossJoin(F.broadcast(kk))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cell"), "i", "v")
-    )
     _, assign = kmeans_fit(
-        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
+        emb, "vec_id", "embedding", iters=2, materialize=True,
+        init=derived_k_init(emb, "vec_id", "embedding"),
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
@@ -1231,9 +1239,12 @@ def ann5_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cell IS the candidate set, so each member's top-3 ranks
     # inside the gram kernel — emitting 3 rows/vector instead of the
     # |cell|^2 mirrored pair table the old every-pair + window form
-    # shuffled (200M rows at the 100x corpus; _gram_topk_fn docstring)
+    # shuffled (200M rows at the 100x corpus; _gram_topk_fn docstring).
+    # The output id type follows the input id column (r13 advice: a
+    # hard-coded bigint would silently Arrow-cast a non-bigint caller)
+    id_t = emb.schema["vec_id"].dataType.simpleString()
     graph = vecs.groupBy("cell").applyInPandas(
-        _gram_topk_fn(3), schema="a bigint, b bigint, cosine double, rnk int"
+        _gram_topk_fn(3), schema=f"a {id_t}, b {id_t}, cosine double, rnk int"
     )
     return graph.select(
         F.col("a").alias("vec_id"),
@@ -2606,30 +2617,22 @@ def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     |labels|-row aggregate. Vectors with no in-cell neighbor (zero
     norm or singleton cell) are not scored, identically in both
     engines (inner joins end-to-end)."""
-    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
+    from ..llm.similarity import _gram_topk_fn, derived_k_init, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    comp = _components(emb, "vec_id", "embedding")
-    kk = emb.agg(
-        F.greatest(
-            F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)
-        ).alias("k")
-    )
-    init = (
-        comp.crossJoin(F.broadcast(kk))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cell"), "i", "v")
-    )
     _, assign = kmeans_fit(
-        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
+        emb, "vec_id", "embedding", iters=2, materialize=True,
+        init=derived_k_init(emb, "vec_id", "embedding"),
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
     )
     # top-3 ranked inside the gram kernel (the cell is the candidate
-    # set) — same rewrite as ann5; see _gram_topk_fn
+    # set) — same rewrite as ann5; see _gram_topk_fn. Id type follows
+    # the input id column (r13 advice)
+    id_t = emb.schema["vec_id"].dataType.simpleString()
     top3 = vecs.groupBy("cell").applyInPandas(
-        _gram_topk_fn(3), schema="a bigint, b bigint, cosine double, rnk int"
+        _gram_topk_fn(3), schema=f"a {id_t}, b {id_t}, cosine double, rnk int"
     )
     labels = emb.select("vec_id", "label")
     votes = (

@@ -810,27 +810,18 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration shuffles edge-sized rows keyed on dst. At 100 TB you
     persist the edges (like the IVF index) and iterate to convergence
     with the same three-operator loop."""
-    from ..llm.similarity import _components, _gram_topk_fn, kmeans_fit
+    from ..llm.similarity import _gram_topk_fn, derived_k_init, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     # cell count DERIVES from corpus size (k = N / 500, the SemDeDup
-    # recipe): the per-cell gram stays ~500x500 at ANY corpus size, so
-    # the edge build scales linearly instead of quadratically (fixed
-    # k=4 measured 60.4 s at 10x; derived k, 6.3 s). At the gate SFs
-    # (N <= 2000) the derived k is 4 — identical to ann5's contract.
-    comp = _components(emb, "vec_id", "embedding")
-    kk = emb.agg(
-        F.greatest(F.lit(4).cast("bigint"), F.ceil(F.count("*") / 500.0)).alias(
-            "k"
-        )
-    )
-    init = (
-        comp.crossJoin(F.broadcast(kk))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cell"), "i", "v")
-    )
+    # recipe, shared helper derived_k_init): the per-cell gram stays
+    # ~500x500 at ANY corpus size, so the edge build scales linearly
+    # instead of quadratically (fixed k=4 measured 60.4 s at 10x;
+    # derived k, 6.3 s). At the gate SFs (N <= 2000) the derived k is
+    # 4 — identical to ann5's contract.
     _, assign = kmeans_fit(
-        emb, "vec_id", "embedding", iters=2, materialize=True, init=init
+        emb, "vec_id", "embedding", iters=2, materialize=True,
+        init=derived_k_init(emb, "vec_id", "embedding"),
     )
     vecs = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
         F.col("vec_id").alias("__id"), "cell", F.col("embedding").alias("__v")
@@ -838,12 +829,14 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-3 ranked inside the gram kernel (the cell is the candidate
     # set) — the every-pair + window form mirrored a |cell|^2 pair
     # table through a 200M-row shuffle at the 100x corpus; see
-    # llm.similarity._gram_topk_fn
+    # llm.similarity._gram_topk_fn. Id type follows the input id
+    # column (r13 advice)
+    id_t = emb.schema["vec_id"].dataType.simpleString()
     edges = (
         vecs.groupBy("cell")
         .applyInPandas(
             _gram_topk_fn(3),
-            schema="a bigint, b bigint, cosine double, rnk int",
+            schema=f"a {id_t}, b {id_t}, cosine double, rnk int",
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .localCheckpoint(eager=True)
