@@ -330,6 +330,12 @@ HEADLINE = [
     "x94_loo_source_ablation",
     # LOO kNN label accuracy over ann5's cell-local graph
     "ann30_knn_label_accuracy",
+    # round 14 additions
+    # persisted-index build-quality report (reads the cached index;
+    # first invocation per dataset pays the build, like ann11)
+    "ann31_index_build_stats",
+    # per-source Zipf slope: one explode, vocab-sized fit
+    "tx33_zipf_slope",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

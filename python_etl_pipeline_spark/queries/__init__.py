@@ -95,6 +95,14 @@ _GATE_ROUND = 14  # the round this prefix was built for
 # rather than gate slots, exactly the r13 precedent. x48/x51/ann20
 # (kernel consumers, last driver row r9) take gate slots now.
 _GATE_PREFIX = [
+    # (0) ADDED this round (2): the persisted-index build-quality
+    # report that gates the derived coarse cell count end-to-end, and
+    # the per-source Zipf-slope corpus-hygiene screen. They take the
+    # head-start slots the gate commit reserved (x27/x28 displace to
+    # r15 with their cohort — overdue at r15, in next round's gate).
+    # Registry 275 + 2 = 277 <= horizon-7 bound 326.
+    "ann31_index_build_stats",
+    "tx33_zipf_slope",
     # (1) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -151,8 +159,6 @@ _GATE_PREFIX = [
     "x29_doc_chunks",
     "x43_sharded_curriculum",
     "dd7_simhash_hamming",
-    "x27_corpus_mix",
-    "x28_source_cap",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

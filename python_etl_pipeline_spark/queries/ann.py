@@ -1141,10 +1141,11 @@ REGISTRY["ann17_filtered_recall"].sql = _ann17_sql().replace(
 @register("ann4_kmeans_train", _KMEANS_SQL)
 def ann4_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid TRAINING: two Lloyd's k-means iterations (k=4,
-    deterministic init = vectors 0..3) expressed entirely as DataFrame
-    ops — assignment is a component-join + argmin window, the update is
-    a per-(cell, dim) average. No vector ever reaches the driver; each
-    iteration is two keyed shuffles (vector-sized and k x d-sized).
+    deterministic init = vectors 0..3) — assignment is the map-only
+    broadcast BLAS kernel (llm.similarity._nearest_cell_blas), the
+    update is a per-(cell, dim) average. No corpus vector ever reaches
+    the driver (only the k x d centroid table, once per iteration);
+    the update join is the single keyed shuffle per iteration.
     Output: per-cell member count and centroid L2 norm. Completes the
     IVF story: ann4 trains the cells ann2_ivf_topk probes. The DuckDB
     oracle replays both iterations as CTE chains — the argmin tie-break
@@ -2655,4 +2656,84 @@ def ann30_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit).cast("bigint").alias("n_correct"),
             F.round(F.avg(hit), 4).alias("accuracy"),
         )
+    )
+
+
+_ANN31_SQL = f"""
+WITH comp AS ({_DUCK_COMP}),
+kk AS (
+  SELECT greatest(4, ceil(count(DISTINCT vec_id) / 500.0)) AS k FROM comp
+),
+cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
+{_KMEANS_CHAINS}
+asg AS (SELECT vec_id, cell FROM assign3 WHERE rn = 1),
+d2 AS (
+  SELECT comp.vec_id, asg.cell,
+         sum((comp.v - c.v) * (comp.v - c.v)) AS sqd
+  FROM comp
+  JOIN asg ON asg.vec_id = comp.vec_id
+  JOIN cent2 c ON c.cell = asg.cell AND c.i = comp.i
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+  FROM cent2 GROUP BY 1
+)
+SELECT d2.cell, count(*) AS n_members,
+       round(avg(sqd), 4) AS avg_sq_dist,
+       norms.centroid_norm
+FROM d2 JOIN norms ON norms.cell = d2.cell
+GROUP BY d2.cell, norms.centroid_norm
+"""
+
+
+@register("ann31_index_build_stats", _ANN31_SQL, first_round=14)
+def ann31_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-build QUALITY report for the persisted IVF-PQ index —
+    the number an operator reads before trusting a fresh (or drifted)
+    index: per coarse cell, its member count, its mean squared L2
+    distance to the trained centroid (the coarse quantization error —
+    the quantity Lloyd iterations minimize and the recall/cost dial
+    nprobe trades against), and the centroid norm. Balanced counts +
+    uniform error = a healthy derived-k build; a fat cell with high
+    error is exactly where filtered/probed recall collapses first
+    (ann13 says WHEN to retrain from drift; this says WHERE the index
+    is weak). Gates round 14's derived coarse cell count end-to-end:
+    the Spark side reads the CACHED persisted index (same build
+    ann11/ann14/ann15/ann17/ann18 serve from — build-once, stats are
+    an index read, not a retrain), and the oracle replays the full
+    derived-k training (kk CTE + three Lloyd chains) plus the same
+    per-cell algebra — stored == retrained, ann11's contract.
+    Reference-analog: the post-load count/health reconciliation of
+    src/load.py:210-258 applied to index state.
+
+    Plan shape: the stats pass is one (cell, i)-keyed broadcast join
+    of the k x d centroid table against the member components + two
+    keyed aggregates — linear in corpus, never pairwise; at 100 TB it
+    rides the same scan the encode pass already pays."""
+    from ..llm.similarity import _components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent, assign, _codes, _ca, _cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    comp = _components(emb, "vec_id", "embedding")
+    cdf = cent.select("cell", "i", F.col("v").alias("cv"))
+    sqd = (
+        comp.join(assign, "vec_id")
+        .join(F.broadcast(cdf), ["cell", "i"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqd"))
+    )
+    norms = cent.groupBy("cell").agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias(
+            "centroid_norm"
+        )
+    )
+    return (
+        sqd.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("sqd"), 4).alias("avg_sq_dist"),
+        )
+        .join(norms, "cell")
+        .select("cell", "n_members", "avg_sq_dist", "centroid_norm")
     )

@@ -2136,3 +2136,92 @@ def tx32_source_unigram_divergence(
             F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_nats"),
         )
     )
+
+
+_ZIPF_HEAD = 100
+
+
+@register(
+    "tx33_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    stot AS (
+      SELECT source, cast(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types
+      FROM freq GROUP BY 1
+    ),
+    head AS (
+      SELECT source, c,
+             row_number() OVER (
+               PARTITION BY source ORDER BY c DESC, tok
+             ) AS rnk
+      FROM freq
+      QUALIFY row_number() OVER (
+        PARTITION BY source ORDER BY c DESC, tok) <= {_ZIPF_HEAD}
+    ),
+    fit AS (
+      SELECT source,
+             round(covar_pop(ln(rnk), ln(c)) / var_pop(ln(rnk)), 4)
+               AS zipf_slope
+      FROM head GROUP BY 1
+    )
+    SELECT s.source, s.n_tokens, s.n_types, fit.zipf_slope
+    FROM stot s JOIN fit USING (source)
+    """,
+    first_round=14,
+)
+def tx33_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-source Zipf exponent — the OLS slope of
+    ln(frequency) on ln(rank) over each source's top-100
+    (``_ZIPF_HEAD``) token ranks. Natural corpora track slope ~ -1 (Zipf's law);
+    machine-generated, template, or boilerplate-heavy sources bend
+    flat (head too uniform) or cliff steeply (a few tokens dominate),
+    so the slope is a corpus-hygiene screen that catches what
+    per-document quality scores (tx2) cannot: a source whose
+    individual documents look fine but whose AGGREGATE vocabulary is
+    degenerate. Reference-analog: the per-source profiling loop of
+    src/transform.py applied to token statistics.
+
+    Determinism: ranks tie-break on token text ascending, both
+    engines fit the identical (ln rank, ln freq) pairs, and the slope
+    is covar_pop/var_pop rounded to 4 dp — engine-exact. Output per
+    source: total tokens, vocabulary size, fitted slope.
+
+    Plan shape: ONE token explode feeds a (source, token) count
+    (tx32's corpus-sized stage, the only one); the head cut is a
+    window over the vocabulary-sized count table partitioned by
+    source, and the fit is a 100-points-per-source aggregate — at
+    100 TB everything after the first shuffle is vocabulary-sized,
+    and the fit itself is |sources| x 100 rows."""
+    from pyspark.sql import Window
+
+    from ..llm.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = freq.localCheckpoint(eager=True)  # totals + head fit
+    stot = freq.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    head = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ZIPF_HEAD)
+        .select("source", F.log("rnk").alias("lx"), F.log("c").alias("ly"))
+    )
+    fit = head.groupBy("source").agg(
+        F.round(
+            F.covar_pop(F.col("lx"), F.col("ly")) / F.var_pop(F.col("lx")), 4
+        ).alias("zipf_slope")
+    )
+    return stot.join(fit, "source").select(
+        "source", "n_tokens", "n_types", "zipf_slope"
+    )
