@@ -580,6 +580,116 @@ def _nearest_cell_blas(
     )
 
 
+def _nearest_centroid_cos_blas(
+    df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
+) -> DataFrame:
+    """(id, centroid): argmax-COSINE assignment of every vector to one
+    of the ``cent`` rows ((c, i, cv) long form) — the map-only twin of
+    the join + window form that used to live inside
+    :func:`_ivf_cluster_members`. That join built n x d x k
+    intermediate rows for the corpus-wide coarse assignment (at 2e8
+    vectors x 64 dims x 8 cells: ~1e11 joined rows) where the same
+    arithmetic is one gemm over unit-normalized rows; this kernel
+    reads the vector table once and shuffles nothing — the cosine
+    sibling of :func:`_nearest_cell_blas` (round 14, closing the last
+    corpus-sized assignment join in the module).
+
+    Semantics match the window form exactly: score = cos(v, c),
+    winner by (cos DESC, c ASC). Normalization happens on the
+    BROADCAST side (centroid rows to unit length) and per vector row,
+    so the gemm output IS the cosine; per-row ``||v||`` cannot change
+    an argmax, but normalizing both sides keeps the near-tie scale
+    absolute (cosines live in [-1, 1], float64 dot error ~d*eps ~
+    1e-14 — the kernel's summation-order noise class is the same one
+    the engine-vs-oracle comparison already carries, unlike the L2
+    kernel's gemm IDENTITY which needed the exact re-score pass).
+    Zero-norm vectors and centroids fail LOUDLY: cosine is undefined
+    there, and the declarative form this kernel replaces raised
+    Spark's ANSI divide-by-zero for them (verified in
+    test_round14_kernel.py) — silently inventing an assignment would
+    CHANGE semantics, the same contract call as the L2 kernel's NaN
+    guard. Integral-id and finite-component contracts as in
+    :func:`_nearest_cell_blas`."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    if id_t not in _INTEGRAL_SPARK_TYPES:
+        raise TypeError(
+            f"_nearest_centroid_cos_blas: id column {id_col!r} must be "
+            f"an integral type, got {id_t!r}"
+        )
+    rows = cent.collect()
+    cs = sorted({r["c"] for r in rows})
+    cidx = {c: j for j, c in enumerate(cs)}
+    lo = min(r["i"] for r in rows)
+    hi = max(r["i"] for r in rows)
+    C = np.zeros((len(cs), hi - lo + 1))
+    for r in rows:
+        C[cidx[r["c"]], r["i"] - lo] = r["cv"]
+    cn = np.sqrt((C * C).sum(axis=1))
+    if (cn == 0).any():
+        bad = [cs[j] for j in np.nonzero(cn == 0)[0]]
+        raise ValueError(
+            f"_nearest_centroid_cos_blas: zero-norm centroid(s) {bad} — "
+            f"cosine is undefined (the declarative form raises ANSI "
+            f"divide-by-zero here)"
+        )
+    cells_arr = np.array(cs, dtype=np.int64)
+    Cn = C / cn[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((Cn, cells_arr, lo, hi))
+
+    def assign_batches(it):
+        import pandas as pd
+
+        Cb, cb, lo_, hi_ = bc.value
+        for pdf in it:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if M.ndim != 2 or M.shape[1] <= hi_:
+                raise ValueError(
+                    f"_nearest_centroid_cos_blas: vectors must share one "
+                    f"dimensionality covering the centroid component "
+                    f"range [{lo_}, {hi_}] (got batch shape {M.shape})"
+                )
+            M = M[:, lo_ : hi_ + 1]
+            if not np.isfinite(M).all():
+                raise ValueError(
+                    "_nearest_centroid_cos_blas: non-finite vector "
+                    "component (null/NaN inside an embedding array)"
+                )
+            n = len(M)
+            vn = np.sqrt((M * M).sum(axis=1))
+            if (vn == 0).any():
+                raise ValueError(
+                    "_nearest_centroid_cos_blas: zero-norm vector — "
+                    "cosine is undefined (the declarative form raises "
+                    "ANSI divide-by-zero here); filter zero-norm rows "
+                    "before assignment"
+                )
+            Mn = M / vn[:, None]
+            best_s = np.full(n, -np.inf)
+            best_j = np.zeros(n, dtype=np.int64)
+            rows_idx = np.arange(n)
+            for j0 in range(0, len(cb), 8192):
+                S = Mn @ Cb[j0 : j0 + 8192].T
+                jmax = S.argmax(axis=1)
+                smax = S[rows_idx, jmax]
+                take = smax > best_s
+                best_j = np.where(take, jmax + j0, best_j)
+                best_s = np.where(take, smax, best_s)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "centroid": cb[best_j]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema=f"{id_col} {id_t}, centroid bigint"
+    )
+
+
 def derived_k_init(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1132,37 +1242,41 @@ def _ivf_cluster_members(
     nearest coarse cells (query excluded) — coarse-assign every vector
     to its nearest of the first ``n_centroids`` stored vectors by
     cosine. Shared spine of :func:`ivf_topk` (exact rerank over
-    members) and :func:`ivfpq_topk` (PQ-shortlist over members)."""
+    members) and :func:`ivfpq_topk` (PQ-shortlist over members).
+
+    The corpus-wide assignment runs the map-only cosine kernel
+    (:func:`_nearest_centroid_cos_blas` — round 14; the join + window
+    form it replaced built n x d x k rows, ~1e11 at 2e8 vectors, the
+    last corpus-sized assignment join in the module). The QUERY's
+    nprobe cell ranking is k x d-sized work and stays declarative:
+    one broadcast join of the centroid rows against the query's
+    components — same score, same (cos DESC, c ASC) order as before."""
     comp = _components(df, id_col, vec_col)
     cent = comp.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("c"), "i", F.col("v").alias("cv")
     )
-    norms = comp.groupBy(id_col).agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    cnorms = norms.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("c"), F.col("norm").alias("cnorm")
+    assign = _nearest_centroid_cos_blas(df, id_col, vec_col, cent)
+    qcomp = comp.filter(F.col(id_col) == query_id).select(
+        "i", F.col("v").alias("qv")
     )
-    scored = (
-        comp.join(F.broadcast(cent), "i")
-        .groupBy(id_col, "c")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
-        .join(norms, id_col)
-        .join(F.broadcast(cnorms), "c")
-        .select(id_col, "c", (F.col("dot") / (F.col("norm") * F.col("cnorm"))).alias("cos"))
+    qnorm = qcomp.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnorm"))
+    cnorms = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("c"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("c").alias("centroid"))
-    )
-    # the query's nprobe nearest cells (nprobe=1 reduces to its own cell)
-    wq = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("c"))
+    # the query's nprobe nearest cells (nprobe=1 reduces to its own
+    # cell) — a k-row TakeOrdered, no window over corpus rows
     q_centroid = (
-        scored.filter(F.col(id_col) == query_id)
-        .withColumn("qrn", F.row_number().over(wq))
-        .filter(F.col("qrn") <= nprobe)
+        cent.join(F.broadcast(qcomp), "i")
+        .groupBy("c")
+        .agg(F.sum(F.col("cv") * F.col("qv")).alias("dot"))
+        .join(F.broadcast(cnorms), "c")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "c",
+            (F.col("dot") / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "c")
+        .limit(nprobe)
         .select(F.col("c").alias("centroid"))
     )
     return (

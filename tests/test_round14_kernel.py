@@ -192,3 +192,125 @@ def test_derived_k_init_cell_count(spark):
         .select("cell").distinct().count()
         == 4
     )
+
+
+def _cos_join_form(df, cent):
+    """The replaced join + window coarse-assign, kept inline as the
+    cosine kernel's executable A/B twin (cos DESC, c ASC winner)."""
+    from pyspark.sql import Window
+
+    comp = _components(df, "vec_id", "embedding")
+    norms = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm")
+    )
+    cnorms = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm")
+    )
+    scored = (
+        comp.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "c")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+        .join(norms, "vec_id")
+        .join(F.broadcast(cnorms), "c")
+        .select(
+            "vec_id",
+            "c",
+            (F.col("dot") / (F.col("norm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c").alias("centroid"))
+    )
+
+
+def test_cosine_kernel_matches_join_form_at_gate_scale(spark, sf_dir):
+    """The round-14 cosine kernel == the replaced join + window form on
+    the real fixture (every vector, first-8-stored-vectors centroids —
+    exactly _ivf_cluster_members' corpus assignment)."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        _nearest_centroid_cos_blas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = _components(emb, "vec_id", "embedding")
+    cent = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c"), "i", F.col("v").alias("cv")
+    )
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in _nearest_centroid_cos_blas(
+            emb, "vec_id", "embedding", cent
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["centroid"] for r in _cos_join_form(emb, cent).collect()
+    }
+    assert got == want and len(got) == emb.count()
+
+
+def test_cosine_kernel_tie_breaks_to_smallest_centroid(spark):
+    """Exact cosine tie -> smallest centroid id, matching the window
+    form's (cos DESC, c ASC) order."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        _nearest_centroid_cos_blas,
+    )
+
+    # centroids along +x (c=3) and +y (c=5); v0 on the diagonal is an
+    # exact cosine tie, v2/v3 are clear winners
+    vecs = [
+        (0, [1.0, 1.0]),
+        (2, [5.0, 1.0]),
+        (3, [1.0, 5.0]),
+    ]
+    df = _vec_df(spark, vecs)
+    cent = spark.createDataFrame(
+        [(3, 0, 2.0), (3, 1, 0.0), (5, 0, 0.0), (5, 1, 2.0)],
+        "c bigint, i int, cv double",
+    )
+    got = {
+        r["vec_id"]: r["centroid"]
+        for r in _nearest_centroid_cos_blas(
+            df, "vec_id", "embedding", cent
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["centroid"] for r in _cos_join_form(df, cent).collect()
+    }
+    assert got == want
+    assert got == {0: 3, 2: 3, 3: 5}
+
+
+def test_cosine_kernel_zero_norms_fail_loudly(spark):
+    """Cosine is undefined at zero norm, and the declarative form this
+    kernel replaced raises Spark's ANSI divide-by-zero there — the
+    kernel must fail the same way, not invent an assignment."""
+    import pytest as _pytest
+
+    from python_etl_pipeline_spark.llm.similarity import (
+        _nearest_centroid_cos_blas,
+    )
+
+    cent_ok = spark.createDataFrame(
+        [(3, 0, 2.0), (3, 1, 0.0)], "c bigint, i int, cv double"
+    )
+    # the REPLACED declarative form errors under ANSI for a zero-norm
+    # vector (pinned: this is the semantics the kernel must preserve)
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|divide"):
+        _cos_join_form(_vec_df(spark, [(1, [0.0, 0.0])]), cent_ok.select(
+            "c", "i", F.col("cv")
+        )).collect()
+    with _pytest.raises(Exception, match="zero-norm vector"):
+        _nearest_centroid_cos_blas(
+            _vec_df(spark, [(1, [0.0, 0.0])]), "vec_id", "embedding", cent_ok
+        ).collect()
+    cent_zero = spark.createDataFrame(
+        [(3, 0, 2.0), (3, 1, 0.0), (5, 0, 0.0), (5, 1, 0.0)],
+        "c bigint, i int, cv double",
+    )
+    with _pytest.raises(ValueError, match="zero-norm centroid"):
+        _nearest_centroid_cos_blas(
+            _vec_df(spark, [(0, [1.0, 1.0])]), "vec_id", "embedding", cent_zero
+        )
