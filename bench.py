@@ -336,6 +336,10 @@ HEADLINE = [
     "ann31_index_build_stats",
     # per-source Zipf slope: one explode, vocab-sized fit
     "tx33_zipf_slope",
+    # PQ codebook distortion report off the cached persisted index
+    "ann32_pq_distortion",
+    # per-source near-dup incidence off the shared LSH build
+    "dd25_source_dup_rate",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

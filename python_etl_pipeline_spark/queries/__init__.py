@@ -95,14 +95,19 @@ _GATE_ROUND = 14  # the round this prefix was built for
 # rather than gate slots, exactly the r13 precedent. x48/x51/ann20
 # (kernel consumers, last driver row r9) take gate slots now.
 _GATE_PREFIX = [
-    # (0) ADDED this round (2): the persisted-index build-quality
-    # report that gates the derived coarse cell count end-to-end, and
-    # the per-source Zipf-slope corpus-hygiene screen. They take the
-    # head-start slots the gate commit reserved (x27/x28 displace to
-    # r15 with their cohort — overdue at r15, in next round's gate).
-    # Registry 275 + 2 = 277 <= horizon-7 bound 326.
+    # (0) ADDED this round (4): the index-quality pair (coarse cells
+    # + PQ codebook — ann31 gates the derived coarse cell count
+    # end-to-end, ann32 the stored codebooks), the per-source
+    # Zipf-slope hygiene screen, and the per-source near-dup
+    # incidence report. They take head-start slots reserved from the
+    # r8 cohort (x27/x28/x26/x29 displace to r15 with their cohort —
+    # overdue at r15, in next round's gate; r15 then owes 10 r8 rows
+    # + its changes, still ~20 slots of r9 pre-rotation slack).
+    # Registry 275 + 4 = 279 <= horizon-7 bound 326.
     "ann31_index_build_stats",
     "tx33_zipf_slope",
+    "ann32_pq_distortion",
+    "dd25_source_dup_rate",
     # (1) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
@@ -155,8 +160,6 @@ _GATE_PREFIX = [
     "x11_train_val_test_split",
     "x24_salted_join",
     "x25_cdc_apply",
-    "x26_fuzzy_match",
-    "x29_doc_chunks",
     "x43_sharded_curriculum",
     "dd7_simhash_hamming",
 ]

@@ -2737,3 +2737,96 @@ def ann31_index_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(norms, "cell")
         .select("cell", "n_members", "avg_sq_dist", "centroid_norm")
     )
+
+
+def _ann32_sql() -> str:
+    # ann11's per-subspace PQ training chains (the EXACT trainers the
+    # persisted index stores), then the distortion algebra: for every
+    # vector, the squared L2 between its subspace slice and its
+    # assigned codeword, averaged per (subspace, code).
+    sub = []
+    for sfx, cond in (("a", "i <= d2"), ("b", "i > d2")):
+        sub.append(f"""
+    comp{sfx} AS (SELECT comp.vec_id, comp.i, comp.v FROM comp, dhalf WHERE {cond}),
+    cent0{sfx} AS (SELECT vec_id AS cell, i, v FROM comp{sfx} WHERE vec_id < 16),
+    {_pq_iter_sql(f'cent0{sfx}', 1, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent1{sfx}', 2, f'comp{sfx}', sfx)},
+    {_pq_iter_sql(f'cent2{sfx}', 3, f'comp{sfx}', sfx)},
+    code{sfx} AS (SELECT vec_id, cell FROM assign3{sfx} WHERE rn = 1),
+    err{sfx} AS (
+      SELECT code{sfx}.cell AS code, comp{sfx}.vec_id,
+             sum((comp{sfx}.v - c.v) * (comp{sfx}.v - c.v)) AS sqe
+      FROM comp{sfx}
+      JOIN code{sfx} ON code{sfx}.vec_id = comp{sfx}.vec_id
+      JOIN cent2{sfx} c ON c.cell = code{sfx}.cell AND c.i = comp{sfx}.i
+      GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    dhalf AS (SELECT cast(floor(max(i) / 2.0) AS INT) AS d2 FROM comp),
+    {','.join(sub)},
+    err AS (
+      SELECT 'a' AS subspace, code, sqe FROM erra
+      UNION ALL
+      SELECT 'b' AS subspace, code, sqe FROM errb
+    )
+    SELECT subspace, cast(code AS BIGINT) AS code,
+           cast(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sqe), 4) AS mse
+    FROM err GROUP BY 1, 2
+    """
+
+
+@register("ann32_pq_distortion", _ann32_sql(), first_round=14)
+def ann32_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ half of the index-quality pair (ann31 reports the coarse
+    quantizer; this reports the PRODUCT quantizer): per (subspace,
+    code), how many vectors encode to that codeword and the mean
+    squared L2 between their subspace slice and the codeword — the
+    quantization distortion that bounds PQ ranking error (Jégou et
+    al. 2011: asymmetric-distance error is the codeword residual), so
+    it is the number that says whether a recall regression (ann6,
+    ann17) is the COARSE cells' fault or the codebook's. A code
+    hoarding most vectors at high mse means the codebook under-fits
+    its subspace — retrain with more iterations or codes; balanced
+    low-mse codes certify the stored index. Reads the SAME cached
+    persisted index ann11/ann31 serve from (codes + both codebooks,
+    zero in-plan training); the oracle replays the deterministic
+    per-subspace trainings from scratch — stored == retrained.
+
+    Plan shape: two (cell, i)-keyed broadcast joins of the tiny
+    codebook tables against the coded components + keyed aggregates —
+    linear in corpus, the stats ride the same scan the encode pass
+    pays. Output: |2 x n_codes| rows."""
+    from ..llm.similarity import _components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _cent, _assign, codes, ca, cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    comp = _components(emb, "vec_id", "embedding")
+    outs = []
+    for label, code_col, cdf in (("a", "code0", ca), ("b", "code1", cb)):
+        c = cdf.select("cell", "i", F.col("v").alias("cv"))
+        sqe = (
+            comp.join(
+                codes.select("vec_id", F.col(code_col).alias("cell")),
+                "vec_id",
+            )
+            .join(F.broadcast(c), ["cell", "i"])  # inner join keeps the
+            # codebook's own component range — no explicit d2 split
+            .groupBy("vec_id", "cell")
+            .agg(F.sum((F.col("v") - F.col("cv")) ** 2).alias("sqe"))
+        )
+        outs.append(
+            sqe.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.round(F.avg("sqe"), 4).alias("mse"),
+            )
+            .select(
+                F.lit(label).alias("subspace"),
+                F.col("cell").cast("bigint").alias("code"),
+                "n_vectors",
+                "mse",
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -1638,3 +1638,60 @@ def dd24_cross_lang_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("a").cast("bigint").alias("example_a"),
         )
     )
+
+
+def _dd25_sql() -> str:
+    return f"""
+WITH {_minhash_ctes(max_bucket_size=100)},
+dup AS (SELECT a AS doc_id FROM mh_pairs UNION SELECT b FROM mh_pairs)
+SELECT d.source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(count(dup.doc_id) AS BIGINT) AS n_dup_docs,
+       round(count(dup.doc_id) * 1.0 / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
+@register("dd25_source_dup_rate", _dd25_sql(), first_round=14)
+def dd25_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE near-dup incidence — the duplication profile a
+    mixture plan reads next to tx32's KL fingerprint and tx33's Zipf
+    slope: a source whose documents mostly have near-dup neighbors
+    contributes far fewer EFFECTIVE tokens than its row count says
+    (x27/x44's temperature weights over-sample it), and a sudden
+    incidence jump is the crawl-quality regression signal dd22 reports
+    cross-snapshot, here sliced by origin. A doc counts as duplicated
+    if it has at least one banded-LSH candidate neighbor — dd2's
+    candidate semantics (shingle -> minhash -> band-bucket join with
+    the degenerate-bucket cap), deliberately the same engine so the
+    rate is consistent with every other dd-series report. Output per
+    source: doc count, duplicated-doc count, rate.
+
+    Plan shape: the corpus-sized work is dd2's shared LSH build
+    (never all-pairs); the dup-id set is pair-graph-sized, the join
+    back is doc-keyed, and the report is |sources| rows. At 100 TB
+    nothing beyond the signature pass scales with the corpus.
+    Reference-analog: the per-source data-quality profiling loop of
+    src/transform.py, applied to duplication."""
+    from ..llm.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size=100, materialize=True
+    )
+    dup = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("__dup").cast("bigint").alias("n_dup_docs"),
+            F.round(F.count("__dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )

@@ -81,3 +81,78 @@ def test_tx33_matches_numpy_ols_on_fixture(spark, sf_dir):
         assert got[source]["n_tokens"] == sum(f.values())
         # a token corpus has a decaying frequency head
         assert got[source]["zipf_slope"] < 0
+
+
+def test_ann32_matches_numpy_distortion_from_stored_index(spark, sf_dir):
+    """Independent reimplementation: read the SAME cached index tables
+    the query serves from, reconstruct each vector's codewords in
+    numpy, and recompute per-(subspace, code) counts and mean squared
+    residuals — the engine's join/agg form must agree to the emitted
+    4 dp."""
+    import numpy as np
+
+    from python_etl_pipeline_spark.queries.ann import _cached_ivfpq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _cent, _assign, codes, ca, cb = _cached_ivfpq_index(spark, sf_dir, emb)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    got = {
+        (r["subspace"], r["code"]): (r["n_vectors"], r["mse"])
+        for r in REGISTRY["ann32_pq_distortion"].spark(spark, sf_dir).collect()
+    }
+    code_rows = codes.collect()
+    for label, code_col, cent_df in (("a", "code0", ca), ("b", "code1", cb)):
+        cw: dict[int, dict[int, float]] = {}
+        for r in cent_df.collect():
+            cw.setdefault(r["cell"], {})[r["i"]] = r["v"]
+        agg: dict[int, list[float]] = {}
+        for r in code_rows:
+            c = r[code_col]
+            v = vecs[r["vec_id"]]
+            sqe = sum(
+                (v[i] - cv) ** 2 for i, cv in cw[c].items()
+            )
+            agg.setdefault(c, []).append(sqe)
+        for c, errs in agg.items():
+            n, mse = got[(label, c)]
+            assert n == len(errs)
+            assert mse == pytest.approx(sum(errs) / len(errs), abs=2e-4)
+    # every corpus vector is coded exactly once per subspace
+    for label in ("a", "b"):
+        assert sum(n for (s, _), (n, _) in got.items() if s == label) == len(
+            vecs
+        )
+
+
+def test_dd25_counts_and_rate_algebra(spark, sf_dir):
+    """Per-source doc counts partition the corpus; the dup set equals
+    the distinct endpoints of the shared LSH pair graph; the rate is
+    exactly n_dup/n to 6 dp."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = REGISTRY["dd25_source_dup_rate"].spark(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", max_bucket_size=100)
+    dup_ids = {
+        r["doc_id"]
+        for r in pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    from collections import Counter
+
+    want_dup = Counter(src[d] for d in dup_ids)
+    for r in rows:
+        assert r["n_dup_docs"] == want_dup.get(r["source"], 0)
+        assert r["n_dup_docs"] <= r["n_docs"]
+        assert r["dup_rate"] == pytest.approx(
+            round(r["n_dup_docs"] / r["n_docs"], 6), abs=1e-9
+        )
