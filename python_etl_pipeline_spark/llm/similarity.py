@@ -752,14 +752,17 @@ def kmeans_fit(
     centroids already describe most of the mass (``k`` is ignored when
     ``init`` is given; the cell count comes from the table).
 
-    ``materialize=True`` checkpoints the exploded component table once:
-    every Lloyd iteration consumes it twice (assignment join + centroid
-    update) plus the final assignment — ~2*iters+1 consumers that would
-    otherwise each re-run the vector explode (measured 27% of training
-    wall at sf0.1: 1.49 -> 1.09 s median). Caching the training set
-    across iterations is the standard distributed-k-means shape. OFF
-    by default — the checkpoint is an eager job at plan-construction
-    time; executing callers (ann4, dd11) opt in."""
+    ``materialize=True`` checkpoints the exploded component table once.
+    Since the BLAS kernel took over the assignment (r13), comp's only
+    per-iteration consumer is the centroid-update join — ``iters``
+    consumers (plus the init seed) that would otherwise each re-run
+    the vector explode (measured 27% of training wall at sf0.1 under
+    the old 2*iters+1 shape: 1.49 -> 1.09 s median; still a win at
+    iters>=2 because each kernel collect executes the update chain).
+    Caching the training set across iterations is the standard
+    distributed-k-means shape. OFF by default — the checkpoint is an
+    eager job at plan-construction time; executing callers (ann4,
+    dd11) opt in."""
     comp = _components(df, id_col, vec_col)
     if materialize:
         comp = comp.localCheckpoint(eager=True)
