@@ -57,111 +57,98 @@ del _m, _k, _v
 # CORRECTNESS_r*.json files of rounds BEFORE _GATE_ROUND and fails CI
 # if a query past the horizon (including brand-new queries, never
 # verified) is missing from this prefix.
-_GATE_ROUND = 14  # the round this prefix was built for
+_GATE_ROUND = 15  # the round this prefix was built for
 
-# GATE ARITHMETIC, round-14 state — HORIZON STAYS 7 (bound 7*46 + 4 =
-# 326 vs registry 275; the binding constraint remains the SCHEDULE).
-# Cohorts entering this round: r8:46 (mandatory at r15 — gap 7),
-# r9:46 (mandatory at r16), r10:43, r11:44, r12:46, r13:50.
+# GATE ARITHMETIC, round-15 state — HORIZON STAYS 7 (bound 7*46 + 4 =
+# 326 vs registry 279; the binding constraint remains the SCHEDULE).
+# Last-driver-row cohorts entering this round: r8:10 (the deferred
+# remainder — owed NOW per the r14 smoothing), r9:42 (mandatory at
+# r16), r10:43, r11:44, r12:46, r13:44, r14:50.
 #
-# The r13 verdict's ask: pre-rotate ~40 of the 46-query r8 cohort NOW
-# so r15 is never owed a full cohort with zero slack. This gate takes
-# 40 of the 46 (including every r8 member the round-14 index-build
-# work touches: ann11/ann12/ann13/ann14/ann15/ann16/ann17), defers 6
-# cheap untouched pure-function twins (tx11/tx12/tx13/tx14/x44/x45)
-# to r15, and reserves the two tail r8 slots (x27/x28) as HEAD-START
-# slots for this round's planned additions (they displace to r15 with
-# the deferred six when the additions land — r15 then owes 8 r8 rows
-# + its own changes against capacity 46).
+# CORRECTED r14 arithmetic (per the r14 ADVICE): the r14 gate rotated
+# 36 of the 46-query r8 cohort (not 40), deferred 6 cheap untouched
+# pure-function twins (tx11/tx12/tx13/tx14/x44/x45), and spent 4
+# head-start slots (x26/x27/x28/x29) on the r14 additions — so r15
+# owes exactly 10 r8 rows (the 6 deferred + 4 displaced), which this
+# gate pays in full.
 #
-# Forward schedule under this smoothing (the arithmetic the r13
-# verdict asked for): r15 owes 8 r8 + ~10 changes/additions, leaving
-# ~28 slots to pre-rotate the 46-query r9 cohort; r16 then owes the
-# ~18 r9 remainder + its changes with ~18 slots of slack — the
-# steady-state retirement rate 275/7 ~ 39.3/round holds with no
-# zero-slack round anywhere in the window.
+# This gate: 4 sentinels + 10 r8 + 36 of the 42-query r9 cohort.
+# Deferred to r16: the 6 cheap untouched business-analytics twins
+# x57/x58/x59/x60/x61/x62 (single-table event rollups, semantics
+# pinned by their module tests). The two tail r9 slots (x55/x56) are
+# HEAD-START slots for this round's planned additions (the sampled
+# estimator-error contract dd26 and the two-level coarse quantizer
+# ann33); they displace to r16 with the deferred six when the
+# additions land — r16 then owes 8 r9 rows + its own changes against
+# capacity 46, leaving ~30 slots to pre-rotate the 43-query r10
+# cohort (mandatory r17). Steady-state retirement 279/7 ~ 39.9/round
+# vs capacity 46 — no zero-slack round in the window.
 #
-# Rule-1 slots this round (code/oracle CHANGED in round 14): the
-# IVF-PQ index build derives its coarse cell count from corpus size
-# and every corpus-sized assignment site routes through the broadcast
-# BLAS kernel, so the persisted-index consumers' ORACLES change
-# (ann11/ann14/ann15/ann17 — r8 members anyway — plus ann18) and the
-# PQ trainers'/assignment plans change (ann9/ann10 + r8 members
-# ann12/ann13/ann16). Kernel-INTERNAL hardening (near-tie exact
-# recompute, NaN fail-loud, derived id schema) is result-preserving
-# for the remaining r13-green k-means consumers (ann4/ann5/ann30/
-# dd11/dd13/llm_curation — driver rows one round old); those are
-# covered by this round's full-registry parity sweep at two SFs
-# rather than gate slots, exactly the r13 precedent. x48/x51/ann20
-# (kernel consumers, last driver row r9) take gate slots now.
+# Rule-1 note for round 15: the kernel fixes from the r14 ADVICE
+# (derived-k N counted as DISTINCT non-null ids to match the oracle
+# kk CTEs; near-tie re-score tolerance folding the batch vector
+# scale) are result-preserving at gate SFs — verified by this round's
+# full-registry DuckDB parity sweep at sf0.001 and sf0.01 (the r13/
+# r14 precedent for kernel-internal hardening); their consumer family
+# (ann9-ann18, ann31/ann32) holds r14 driver rows, none older than
+# one round.
 _GATE_PREFIX = [
-    # (0) ADDED this round (4): the index-quality pair (coarse cells
-    # + PQ codebook — ann31 gates the derived coarse cell count
-    # end-to-end, ann32 the stored codebooks), the per-source
-    # Zipf-slope hygiene screen, and the per-source near-dup
-    # incidence report. They take head-start slots reserved from the
-    # r8 cohort (x27/x28/x26/x29 displace to r15 with their cohort —
-    # overdue at r15, in next round's gate; r15 then owes 10 r8 rows
-    # + its changes, still ~20 slots of r9 pre-rotation slack).
-    # Registry 275 + 4 = 279 <= horizon-7 bound 326.
-    "ann31_index_build_stats",
-    "tx33_zipf_slope",
-    "ann32_pq_distortion",
-    "dd25_source_dup_rate",
     # (1) permanent sentinels (4)
     "flagship_customer_segments",
     "f2_safe_date",
     "i2_upsert_last_writer_wins",
     "s4_file_identity",
-    # (2) round-14 changed queries NOT already owed as r8 cohort (6):
-    # ann18's oracle gains the derived-k seed (last row r9); ann9/
-    # ann10 run the re-routed PQ trainer (r13 rows stop vouching);
-    # ann20/x48/x51 are kernel consumers with r9-old rows.
-    "ann18_index_delete",
-    "ann9_pq_topk",
-    "ann10_ivfpq_topk",
-    "ann20_ivf_sq8_topk",
-    "x48_density_downsample",
-    "x51_graph_pagerank",
-    # (3) 40 of the 46-query r8 cohort, index-path members first
-    # (their code/oracles also change this round), then the rest in
-    # registry order. x27/x28 are the addition head-start slots.
-    "ann11_ivfpq_from_index",
-    "ann12_incremental_assign",
-    "ann13_index_drift",
-    "ann14_batch_ivf_serve",
-    "ann15_filtered_topk",
-    "ann16_centroid_refresh",
-    "ann17_filtered_recall",
-    "j1_anti_new_keys",
-    "o2_dedup_keep_last",
-    "w1_display_id",
-    "i3_antijoin_append",
-    "dd4_simhash",
-    "dd8_decontaminate",
-    "dd9_repeated_spans",
-    "dd10_chunk_dedup",
-    "ann1_bruteforce_topk",
-    "ann3_batch_topk",
-    "tx1_token_stats",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx5_top_tokens",
-    "tx6_pii_redact",
-    "tx7_repetition_ratio",
-    "tx8_bpe_tokens",
-    "tx9_tfidf_keywords",
-    "tx10_bigram_lm_score",
-    "tx19_incremental_lm_score",
-    "tx20_incremental_tfidf",
-    "mm1_media_features",
-    "x10_range_join",
-    "x11_train_val_test_split",
-    "x24_salted_join",
-    "x25_cdc_apply",
-    "x43_sharded_curriculum",
-    "dd7_simhash_hamming",
+    # (2) the 10 owed r8-cohort rows (6 deferred + 4 displaced by the
+    # r14 additions), in registry order
+    "tx11_normalize_text",
+    "tx12_token_budget",
+    "tx13_quality_topfrac",
+    "tx14_token_entropy",
+    "x26_fuzzy_match",
+    "x27_corpus_mix",
+    "x28_source_cap",
+    "x29_doc_chunks",
+    "x44_temperature_mix",
+    "x45_temperature_mix_threshold",
+    # (3) 36 of the 42-query r9 cohort in registry order (x57-x62
+    # defer to r16; x55/x56 at the tail are the addition head-start
+    # slots)
+    "i5_incremental_agg_merge",
+    "a7_shipping_priority",
+    "a8_local_supplier_volume",
+    "i6_scd2_history",
+    "i7_pointintime_join",
+    "i10_fk_integrity_audit",
+    "i8_schema_evolution",
+    "dd1_exact_dedup",
+    "dd17_minhash_estimator_error",
+    "ann8_embedding_moments",
+    "ann19_sq8_topk",
+    "ann21_probe_recall_curve",
+    "ann22_binary_hamming_topk",
+    "tx21_dsir_importance",
+    "tx22_winnow_fingerprint",
+    "tx23_nb_quality_score",
+    "tx24_novelty_score",
+    "tx26_readability",
+    "tx25_zipf_heaps",
+    "hh1_countmin_topk",
+    "hh2_countmin_fold",
+    "hh3_linear_counting",
+    "hh4_hll_cardinality",
+    "hh5_logbin_quantiles",
+    "mm2_frame_sample",
+    "mm3_frame_dedup",
+    "mm4_block_dedup",
+    "x46_retractable_mv",
+    "x47_epoch_mixture",
+    "x49_compaction_bins",
+    "x50_priority_sample",
+    "x52_source_overlap",
+    "x54_source_drift",
+    "x53_rag_chunks",
+    "x55_unimax_alloc",
+    "x56_sketch_fence_outliers",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job

@@ -31,17 +31,29 @@ Round-7 amendments (both from the round-6 verdict/advice):
   round that crosses it must raise the horizon again or shrink the
   sentinel set, with this same arithmetic in the commit).
 
+Round-15 amendment — the horizon STAYS 7 (bound 7*46 + 4 = 326 vs
+registry 279); the r15 gate pays the 10 owed r8 rows in full (the 6
+deferred twins + the 4 displaced head-start slots) and pre-rotates 36
+of the 42-query r9 cohort, deferring the 6 cheap untouched business-
+analytics twins (x57-x62) and reserving the two tail slots (x55/x56)
+as head-start for the round's planned additions. Forward: r16 owes 8
+r9 rows + its changes with ~30 slots of slack against the 43-query
+r10 cohort (mandatory r17). Next decision point unchanged (registry
+~326 or an un-smoothed 46-query cohort).
+
 Round-14 amendment — the horizon STAYS 7; the round's gate decision
 is cohort SMOOTHING, not a crossing (bound 7*46 + 4 = 326 vs registry
 275). The r8 cohort (46 queries, mandatory at r15 under horizon 7) is
-pre-rotated: 40 take r14 slots now, 6 cheap untouched twins defer to
-r15, and 2 tail slots head-start the round's planned additions. That
-leaves r15 owing 8 r8 rows + its own changes with ~28 slots of slack
-to pre-rotate the equally-bunched 46-query r9 cohort (mandatory r16)
-— the forward schedule in the r14 gate commit shows no zero-slack
-round in the window, which is what the r13 verdict asked the gate to
-guarantee. No arithmetic crossing is near: next decision point when
-the registry passes ~326 or a cohort again reaches 46 un-smoothed.
+pre-rotated: 36 take r14 slots now (CORRECTED per the r14 ADVICE —
+this amendment originally mis-stated the split as 40/6/2), 6 cheap
+untouched twins defer to r15, and 4 tail slots (x26/x27/x28/x29)
+head-start the round's additions. That leaves r15 owing 10 r8 rows +
+its own changes with ~26 slots of slack to pre-rotate the bunched
+r9 cohort (mandatory r16) — the forward schedule in the r14 gate
+commit shows no zero-slack round in the window, which is what the
+r13 verdict asked the gate to guarantee. No arithmetic crossing is
+near: next decision point when the registry passes ~326 or a cohort
+again reaches 46 un-smoothed.
 
 Round-13 amendment — the horizon rises 6 -> 7, decided in the r13
 gate commit before any operator work (the crossing the r12 commit
