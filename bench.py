@@ -524,6 +524,13 @@ def _cpu_calibration() -> dict:
         text=True,
         timeout=120,
     )
+    if res.returncode != 0:
+        # surface the probe's real failure (numpy import error, crash)
+        # instead of an opaque JSONDecodeError on empty stdout
+        raise RuntimeError(
+            f"BLAS calibration probe failed (exit {res.returncode}): "
+            f"{res.stderr.strip()[-500:]}"
+        )
     blas = json.loads(res.stdout)
     return {
         "py_loop_10m_sec": round(med3(py_loop), 3),

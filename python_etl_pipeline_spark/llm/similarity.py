@@ -429,6 +429,22 @@ def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
 _INTEGRAL_SPARK_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
+def _near_tie_tol(cn2_max: float, M) -> float:
+    """Near-tie re-score margin for the gemm-identity kernel, PER
+    Arrow batch. The identity ||c||^2 - 2 v.c carries absolute float64
+    error ~eps*(||c||^2 + |v.c|), and |v.c| <= ||v||*||c|| <=
+    max(||v||^2, ||c||^2) — so the margin must scale with BOTH operand
+    magnitudes: a centroid-only scale under-flags when vector norms
+    exceed centroid norms (r14 advice: a ~1e6x norm skew puts identity
+    error above a centroid-only tolerance and skips the exact
+    re-score). 1e-9x the joint scale sits ~4 orders above the true
+    ~1e-13x error, so anything the identity could misorder is
+    re-scored exactly while random-valued data flags nothing."""
+    return 1e-9 * max(
+        cn2_max, float((M * M).sum(axis=1).max(initial=0.0)), 1.0
+    )
+
+
 def _nearest_cell_blas(
     df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
 ) -> DataFrame:
@@ -504,11 +520,7 @@ def _nearest_cell_blas(
 
         Cb, cb, lo_, hi_ = bc.value
         cn2 = (Cb * Cb).sum(axis=1)
-        # conservative near-tie margin: the gemm identity's true
-        # float64 error is ~d*eps*scale ~ 1e-13*scale; flag at
-        # 1e-9*scale so anything the identity could misorder is
-        # re-scored exactly, while random-valued data flags nothing
-        tol = 1e-9 * max(float(cn2.max(initial=0.0)), 1.0)
+        cn2_max = float(cn2.max(initial=0.0))
         for pdf in it:
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
@@ -531,6 +543,7 @@ def _nearest_cell_blas(
                     "the first cell; clean or drop the vector instead"
                 )
             n = len(M)
+            tol = _near_tie_tol(cn2_max, M)
             best_d = np.full(n, np.inf)
             sec_d = np.full(n, np.inf)
             best_j = np.zeros(n, dtype=np.int64)
@@ -708,14 +721,20 @@ def derived_k_init(
     broadcast into the seed filter, no driver action), and a DuckDB
     oracle replays the derivation as the kk CTE
     (``greatest(floor_k, ceil(count(DISTINCT id)/per_cell.0))``).
+    N is the DISTINCT count of ids holding a non-null vector — the
+    exact population the oracle kk CTEs measure over the exploded
+    components (explode drops null-embedding rows; DISTINCT drops
+    duplicated ids), so engine and oracle derive the same k even when
+    the raw table carries null embeddings or duplicate ids near a
+    per_cell boundary (r14 advice).
     Shared by ann5/ann30/x51's graph builds and the IVF-PQ index
     build's coarse quantizer (round 14). Feed to
     :func:`kmeans_fit`'s ``init=``."""
     comp = _components(df, id_col, vec_col)
-    kk = df.agg(
+    kk = df.filter(F.col(vec_col).isNotNull()).agg(
         F.greatest(
             F.lit(floor_k).cast("bigint"),
-            F.ceil(F.count("*") / float(per_cell)),
+            F.ceil(F.count_distinct(F.col(id_col)) / float(per_cell)),
         ).alias("k")
     )
     return (
