@@ -340,6 +340,13 @@ HEADLINE = [
     "ann32_pq_distortion",
     # per-source near-dup incidence off the shared LSH build
     "dd25_source_dup_rate",
+    # round 15 additions
+    # two-level coarse quantizer: derived-k super training + per-super
+    # local Lloyd inside applyInPandas (bounded broadcast at any N)
+    "ann33_two_level_assign",
+    # sampled estimator-error certificate: dd2's shared pair build +
+    # an O(sample) exact-Jaccard truth side (dd17's production twin)
+    "dd26_sampled_estimator_error",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

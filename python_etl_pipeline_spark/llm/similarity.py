@@ -428,6 +428,35 @@ def _nearest_cell(comp: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
 
 _INTEGRAL_SPARK_TYPES = ("tinyint", "smallint", "int", "bigint")
 
+# Operating envelope for the broadcast-kernel centroid table (r14
+# verdict #2). The kernels below collect k x d float64 centroids to
+# the driver and broadcast them to every executor; with the derived-k
+# rule k ~ N/500 that is N*d/500*8 bytes — ~1 byte per corpus vector
+# at d=64, i.e. ~205 MB at N=2e8 and unboundedly past that. This
+# ceiling fails the build LOUDLY at the collect site (instead of an
+# executor OOM mid-broadcast) and names the bounded alternative: the
+# two-level quantizer (:func:`two_level_kmeans`), whose stage-1
+# broadcast is k1 x d with k1 ~ N/250k (~20 MB at N=1e10) and whose
+# per-super cells never leave the cluster. Arithmetic in SCALE.md
+# "Broadcast centroid envelope".
+_BROADCAST_CENTROID_MAX_BYTES = 256 * 2**20
+
+
+def _guard_centroid_rows(rows, kernel: str) -> None:
+    """Fail loudly when a collected long-form centroid table exceeds
+    the broadcast envelope. ``rows`` is the collect() result: one row
+    per (cell, component), 8 value-bytes each once packed."""
+    if len(rows) * 8 > _BROADCAST_CENTROID_MAX_BYTES:
+        raise ValueError(
+            f"{kernel}: centroid table is {len(rows)} (cell, i, v) "
+            f"rows (~{len(rows) * 8 / 2**20:.0f} MB packed), past the "
+            f"{_BROADCAST_CENTROID_MAX_BYTES / 2**20:.0f} MB broadcast "
+            f"envelope — at derived k ~ N/500 this corpus has outgrown "
+            f"a single-level coarse quantizer; build a two-level index "
+            f"(two_level_kmeans: bounded k1 x d stage-1 broadcast, "
+            f"per-super cells stay distributed) or raise per_cell"
+        )
+
 
 def _near_tie_tol(cn2_max: float, M) -> float:
     """Near-tie re-score margin for the gemm-identity kernel, PER
@@ -505,6 +534,7 @@ def _nearest_cell_blas(
             f"reuses the input id type verbatim"
         )
     rows = cent.collect()
+    _guard_centroid_rows(rows, "_nearest_cell_blas")
     cells = sorted({r["cell"] for r in rows})
     cidx = {c: j for j, c in enumerate(cells)}
     lo = min(r["i"] for r in rows)
@@ -632,6 +662,7 @@ def _nearest_centroid_cos_blas(
             f"an integral type, got {id_t!r}"
         )
     rows = cent.collect()
+    _guard_centroid_rows(rows, "_nearest_centroid_cos_blas")
     cs = sorted({r["c"] for r in rows})
     cidx = {c: j for j, c in enumerate(cs)}
     lo = min(r["i"] for r in rows)
@@ -817,6 +848,147 @@ def kmeans_assign(
     ``materialize`` is passed through to the trainer (checkpoint the
     exploded component table the Lloyd loop re-consumes)."""
     return kmeans_fit(df, id_col, vec_col, k, iters, materialize=materialize)[1]
+
+
+def two_level_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_super_vec: int = 250_000,
+    per_cell: int = 500,
+    super_floor: int = 4,
+    cell_floor: int = 2,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level (cells-of-cells) coarse quantizer — the FAISS
+    IVF-with-coarse-HNSW shape, built so CENTROID STATE STAYS BOUNDED
+    at any corpus size (r14 verdict #2). The single-level derived-k
+    rule (k ~ N/500 cells) keeps per-cell work bounded but grows the
+    k x d broadcast centroid table linearly with N — ~205 MB at 2e8
+    vectors, d=64, and past :data:`_BROADCAST_CENTROID_MAX_BYTES`
+    (which now fails loudly) soon after. Here:
+
+    * **Level 1 (supers)**: :func:`kmeans_fit` over the corpus with
+      k1 = greatest(super_floor, ceil(N / per_super_vec)) derived
+      supers (:func:`derived_k_init`) — the only table any kernel
+      ever broadcasts is k1 x d (~20 MB at N=1e10, d=64).
+    * **Level 2 (cells)**: each super's ~per_super_vec members get
+      their OWN local Lloyd run inside one ``applyInPandas`` task —
+      k2_s = least(n_s, greatest(cell_floor, ceil(n_s / per_cell)))
+      cells seeded from the super's k2_s smallest member ids (the
+      same id-seed convention as level 1, so a DuckDB oracle replays
+      it), ``iters`` (assign, update) passes with explicit squared-L2
+      argmin (ties to the smallest cell id), then a final assignment
+      against the trained cells. Cell ids are the seed members'
+      vec_ids — globally unique and stable without any coordination.
+      Per-task state is one super's members (~per_super_vec x d
+      float64, ~128 MB at the defaults) — bounded by construction at
+      ANY corpus size, and the full k x d cell-centroid table never
+      exists in one place: it stays a distributed DataFrame
+      (:func:`two_level_cells`).
+
+    Returns ``(super_centroids, assign)``: the level-1 long-form
+    (cell, i, v) table (serve path: stage-1 probe via
+    :func:`_nearest_cell_blas`) and the per-vector
+    (id, super_cell, cell) assignment. Total cells ~ N/per_cell as
+    before — the structure changes WHERE the centroids live, not how
+    many there are. Assignment is hierarchical (a vector's cell is
+    the nearest within its super, not the global argmin) — the
+    standard IVF-tree approximation, deterministic and
+    oracle-replayable end-to-end."""
+    import math
+
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    if id_t not in _INTEGRAL_SPARK_TYPES:
+        raise TypeError(
+            f"two_level_kmeans: id column {id_col!r} must be an "
+            f"integral type, got {id_t!r}"
+        )
+    sup_cent, sup_assign = kmeans_fit(
+        df,
+        id_col,
+        vec_col,
+        iters=iters,
+        materialize=True,
+        init=derived_k_init(
+            df, id_col, vec_col, floor_k=super_floor, per_cell=per_super_vec
+        ),
+    )
+    members = df.select(id_col, vec_col).join(
+        sup_assign.withColumnRenamed("cell", "super_cell"), id_col
+    )
+
+    def local_lloyd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        M = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        if M.ndim != 2 or not np.isfinite(M).all():
+            raise ValueError(
+                "two_level_kmeans: vectors must be finite and share "
+                "one dimensionality (null/NaN component or ragged "
+                "batch in a super group)"
+            )
+        n = len(M)
+        k2 = min(n, max(cell_floor, math.ceil(n / per_cell)))
+        cells = ids[:k2].astype(np.int64)
+        C = M[:k2].copy()
+
+        def argmin_cells(C_):
+            # explicit (v-c)^2 in float64 — the oracle's arithmetic;
+            # blocked over rows to bound the (block, k2) matrix. Cells
+            # stay sorted ascending, so argmin-first = smallest cell.
+            out = np.empty(n, dtype=np.int64)
+            for r0 in range(0, n, 8192):
+                Mb = M[r0 : r0 + 8192]
+                D = ((Mb[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+                out[r0 : r0 + 8192] = D.argmin(axis=1)
+            return out
+
+        for _ in range(iters):
+            j = argmin_cells(C)
+            keep = np.unique(j)  # empty cells drop, like the CTE form
+            C = np.stack([M[j == jj].mean(axis=0) for jj in keep])
+            cells = cells[keep]
+        j = argmin_cells(C)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "super_cell": pdf["super_cell"].to_numpy(),
+                "cell": cells[j],
+            }
+        )
+
+    assign = members.groupBy("super_cell").applyInPandas(
+        local_lloyd,
+        schema=f"{id_col} {id_t}, super_cell bigint, cell bigint",
+    )
+    return sup_cent, assign
+
+
+def two_level_cells(
+    assign: DataFrame,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(super_cell, cell, i, v): the DISTRIBUTED cell-centroid table
+    of a :func:`two_level_kmeans` clustering — member means per
+    (cell, i), keyed by super so a serve path can cogroup new vectors
+    against exactly their super's cells. Deliberately a DataFrame,
+    never collected: this is the table whose single-level twin hits
+    the broadcast envelope."""
+    comp = _components(df, id_col, vec_col)
+    return (
+        assign.join(comp, id_col)
+        .groupBy("super_cell", "cell", "i")
+        .agg(F.avg("v").alias("v"))
+    )
 
 
 def semantic_dedup(

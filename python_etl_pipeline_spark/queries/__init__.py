@@ -147,8 +147,14 @@ _GATE_PREFIX = [
     "x52_source_overlap",
     "x54_source_drift",
     "x53_rag_chunks",
-    "x55_unimax_alloc",
-    "x56_sketch_fence_outliers",
+    # (0) ADDED this round — take the x55/x56 head-start slots (x55/
+    # x56 displace to r16 with the deferred six; r16 then owes 8 r9
+    # rows, as scheduled): the two-level coarse quantizer (bounded
+    # broadcast at any corpus size — r14 verdict #2) and the sampled
+    # estimator-error contract (dd17's truth side at O(sample) — r14
+    # verdict #3). Registry 279 + 2 = 281 <= horizon-7 bound 326.
+    "ann33_two_level_assign",
+    "dd26_sampled_estimator_error",
 ]
 
 # Beyond the gate prefix: queries with non-trivial wall time (multi-job
@@ -200,6 +206,12 @@ _EXPENSIVE_LAST = [
     # its (cheap) power iterations — tail-ordered once it rotates out
     # of the r10 gate
     "ann28_top_eigen",
+    # round-15 heavies (tail-ordered once they rotate out of the r15
+    # gate): ann33 trains supers in-plan then runs the per-super local
+    # Lloyd; dd26 pays dd2's full pair build before its O(sample)
+    # truth side
+    "ann33_two_level_assign",
+    "dd26_sampled_estimator_error",
 ]
 
 # Fail fast on typos: a name that silently fell out of the prefix would

@@ -2830,3 +2830,112 @@ def ann32_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def _tl_local_iter_sql(prev: str, it: int) -> str:
+    """One PER-SUPER Lloyd iteration for the two-level quantizer: each
+    vector scores only against ITS super's current cells (join through
+    sassign), ties to the smallest cell id; the update averages
+    members per (cell, i), and cells that lose every member drop out
+    of lcent — the exact semantics of two_level_kmeans' in-task numpy
+    loop."""
+    return f"""
+    lassign{it} AS (
+      SELECT sa.vec_id, c.cell,
+             row_number() OVER (
+               PARTITION BY sa.vec_id
+               ORDER BY sum((comp.v - c.v) * (comp.v - c.v)), c.cell
+             ) AS rn
+      FROM sassign sa
+      JOIN comp ON comp.vec_id = sa.vec_id
+      JOIN {prev} c ON c.sc = sa.sc AND c.i = comp.i
+      GROUP BY sa.vec_id, c.cell
+    ),
+    lcent{it} AS (
+      SELECT sa.sc, a.cell, comp.i, avg(comp.v) AS v
+      FROM lassign{it} a
+      JOIN sassign sa ON sa.vec_id = a.vec_id
+      JOIN comp ON comp.vec_id = a.vec_id
+      WHERE a.rn = 1
+      GROUP BY 1, 2, 3
+    )"""
+
+
+def _ann33_sql() -> str:
+    # gate-SF parameters: per_super_vec=125 (k1 = max(4, ceil(N/125))
+    # supers), per_cell=25 (k2_s = least(n_s, max(2, ceil(n_s/25)))
+    # cells inside each super), 2 Lloyd iterations at both levels.
+    # Level 1 is the standard derived-k chain (kk/cent0/_KMEANS_CHAINS
+    # with assign3 = final assignment vs cent2); level 2 seeds each
+    # super's cells from its k2_s smallest member ids and iterates
+    # per-super (see _tl_local_iter_sql).
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 125.0)) AS k FROM comp
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM comp, kk WHERE vec_id < kk.k),
+    {_KMEANS_CHAINS}
+    sassign AS (SELECT vec_id, cell AS sc FROM assign3 WHERE rn = 1),
+    szs AS (
+      SELECT sc, least(count(*), greatest(2, ceil(count(*) / 25.0))) AS k2
+      FROM sassign GROUP BY 1
+    ),
+    seedrank AS (
+      SELECT sc, vec_id,
+             row_number() OVER (PARTITION BY sc ORDER BY vec_id) AS rnk
+      FROM sassign
+    ),
+    lcent0 AS (
+      SELECT s.sc, s.vec_id AS cell, comp.i, comp.v
+      FROM seedrank s
+      JOIN szs USING (sc)
+      JOIN comp ON comp.vec_id = s.vec_id
+      WHERE s.rnk <= szs.k2
+    ),
+    {_tl_local_iter_sql('lcent0', 1)},
+    {_tl_local_iter_sql('lcent1', 2)},
+    {_tl_local_iter_sql('lcent2', 3)}
+    SELECT sa.vec_id, sa.sc AS super_cell, a.cell
+    FROM lassign3 a JOIN sassign sa USING (vec_id)
+    WHERE a.rn = 1
+    ORDER BY sa.vec_id
+    """
+
+
+@register("ann33_two_level_assign", _ann33_sql(), first_round=15)
+def ann33_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (cells-of-cells) coarse quantization of the whole
+    corpus — the FAISS-style hierarchical IVF that keeps CENTROID
+    STATE BOUNDED at any corpus size (r14 verdict #2): the derived-k
+    single-level rule grows its k x d broadcast table linearly with N
+    (~205 MB at 2e8 vectors, d=64; the kernels now fail loudly past
+    a 256 MB envelope), while here the only broadcast is the k1 x d
+    SUPER table (k1 ~ N/250k in production — ~20 MB at 1e10 vectors)
+    and each super's cells are trained locally inside one
+    applyInPandas task over its ~bounded member set, so the full cell
+    table never exists in one place (llm.similarity.two_level_kmeans;
+    reference parity: the reference has no ANN surface — this extends
+    the engine's LLM-pipeline family; envelope arithmetic in SCALE.md
+    "Broadcast centroid envelope").
+
+    Output: (vec_id, super_cell, cell) for every vector — the
+    hierarchical assignment (nearest cell WITHIN the nearest super).
+    Gate-SF parameters make the tree non-trivial at 500 vectors:
+    4+ supers of ~125 members, ~5 cells each. The oracle replays both
+    levels: the standard derived-k Lloyd chain for supers, then the
+    per-super seeded local Lloyd (smallest-k2_s-member-ids seed, two
+    iterations, final per-super argmin with dist-then-cell
+    tie-break)."""
+    from ..llm.similarity import two_level_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = two_level_kmeans(
+        emb,
+        per_super_vec=125,
+        per_cell=25,
+        super_floor=4,
+        cell_floor=2,
+        iters=2,
+    )
+    return assign.orderBy("vec_id")

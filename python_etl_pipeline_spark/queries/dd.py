@@ -1695,3 +1695,182 @@ def dd25_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("__dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
         )
     )
+
+
+def _dd26_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    return f"""
+    WITH {_minhash_ctes(max_bucket_size="auto")},
+    mrate AS (
+      SELECT cast(count(*) AS BIGINT) AS n_total,
+             cast(greatest(1, ceil(count(*) / 200.0)) AS BIGINT) AS m
+      FROM mh_pairs
+    ),
+    sp AS (
+      SELECT p.a, p.b FROM mh_pairs p, mrate
+      WHERE ((p.a % 1000003) * 1000003 + (p.b % 1000003)) % mrate.m = 0
+    ),
+    sdocs AS (SELECT a AS doc_id FROM sp UNION SELECT b FROM sp),
+    shs AS (SELECT sh.* FROM sh JOIN sdocs USING (doc_id)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shs GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS i
+      FROM sp p
+      JOIN shs x ON x.doc_id = p.a
+      JOIN shs y ON y.doc_id = p.b AND y.s = x.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.a, p.b,
+             ({agree}) / 16.0 AS est,
+             coalesce(i, 0) * 1.0
+               / (za.n + zb.n - coalesce(i, 0)) AS truth
+      FROM sp p
+      LEFT JOIN inter ON inter.a = p.a AND inter.b = p.b
+      JOIN sizes za ON za.doc_id = p.a
+      JOIN sizes zb ON zb.doc_id = p.b
+      JOIN sig sa ON sa.doc_id = p.a
+      JOIN sig sb ON sb.doc_id = p.b
+    )
+    SELECT (SELECT n_total FROM mrate) AS n_pairs,
+           cast(count(*) AS BIGINT) AS n_sampled,
+           round(avg(abs(est - truth)), 4) AS mae,
+           round(max(abs(est - truth)), 4) AS max_abs_err,
+           round(avg(est - truth), 4) AS bias,
+           round(sqrt(ln(40.0) / (2 * count(*))), 4) AS mae_bound95
+    FROM scored
+    """
+
+
+@register("dd26_sampled_estimator_error", _dd26_sql(), first_round=15)
+def dd26_sampled_estimator_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dd17's estimator-error contract made AFFORDABLE at production
+    scale (r14 verdict #3): dd17's exact-Jaccard truth side scans
+    every candidate pair's shingles — measured LINEAR in the corpus
+    (4.5 s at sf0.1 -> 479 s at 100x), so the one check that certifies
+    MinHash error could never run exactly where certification matters
+    (after a parameter change on a real corpus). Here the truth side
+    runs on a DETERMINISTIC HASH-SAMPLE of the candidate pairs with a
+    DERIVED rate: m = ceil(n_pairs / 200), keep pairs where
+    ((a % 1000003) * 1000003 + (b % 1000003)) % m = 0 — ~200 sampled
+    pairs at ANY corpus size (the derived-k pattern applied to
+    sampling; the multiplicative pair hash is overflow-safe BIGINT
+    arithmetic both engines compute bit-identically, and seeded by the
+    ids alone so the oracle replays it). The exact-Jaccard join then
+    touches only the sampled docs' shingles (semi-join before the
+    co-occurrence join) — O(sample), near-flat wall at 100x, while
+    the estimate side still rides dd2's shared banded build.
+
+    Because |est - truth| lies in [0, 1], the sampled MAE carries a
+    distribution-free Hoeffding bound: P(|MAE_sample - MAE_pop| > t)
+    <= 2 exp(-2 n t^2), so the 95% half-width is
+    t = sqrt(ln(2/0.05) / (2 n)) — emitted as ``mae_bound95``
+    (~0.096 at n=200): the certificate says "population MAE is within
+    this of the sampled MAE with 95% confidence". dd17 keeps the
+    exhaustive form for gate SFs; this is the production twin.
+
+    Output: one row — total candidate pairs, sampled count, sampled
+    MAE / worst case / signed bias, and the Hoeffding 95% bound."""
+    from ..llm.dedup import (
+        _spread,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", max_bucket_size="auto", materialize=True
+    ).localCheckpoint(eager=True)
+    mrate = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.count(F.lit(1)) / 200.0)
+        ).alias("m"),
+    )
+    sampled = (
+        pairs.crossJoin(F.broadcast(mrate))
+        .filter(
+            (
+                (F.col("a") % 1000003) * 1000003 + (F.col("b") % 1000003)
+            ) % F.col("m")
+            == 0
+        )
+        .select("a", "b", "n_total")
+    ).localCheckpoint(eager=True)
+    sdocs = (
+        sampled.select(F.col("a").alias("doc_id"))
+        .union(sampled.select("b"))
+        .distinct()
+    )
+    # EVERYTHING past the shared pair build is O(sample): signatures
+    # are a deterministic per-doc function, so both the estimate side
+    # and the exact-Jaccard truth side semi-join the corpus down to
+    # the ~2x200 sampled docs BEFORE any per-doc work — without this,
+    # the est-side signature build and its two pair joins re-scan and
+    # re-shuffle the full corpus for a 200-row output (measured 91 s
+    # vs dd2's own 18.5 s at the 100x corpus; ~20 s after).
+    sampled_docs = docs.join(sdocs, "doc_id", "left_semi")
+    sigs = minhash_signatures(sampled_docs, "text", "doc_id")
+    sh = _spread(sampled_docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("a"), "s")
+    shb = sh.select(F.col("doc_id").alias("b"), "s")
+    inter = (
+        sampled.join(sha, "a")
+        .join(shb, ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(16)],
+    )
+    agree = sum(
+        F.when(F.col(f"sa{j}") == F.col(f"sb{j}"), 1).otherwise(0)
+        for j in range(16)
+    )
+    za = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        sampled.join(inter, ["a", "b"], "left")
+        .join(za, "a")
+        .join(zb, "b")
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "n_total",
+            (agree / F.lit(16.0)).alias("est"),
+            (
+                F.coalesce(F.col("i"), F.lit(0))
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("i"), F.lit(0))
+                )
+            ).alias("truth"),
+        )
+    )
+    return scored.agg(
+        F.first("n_total").alias("n_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("truth"))), 4).alias("mae"),
+        F.round(F.max(F.abs(F.col("est") - F.col("truth"))), 4).alias(
+            "max_abs_err"
+        ),
+        F.round(F.avg(F.col("est") - F.col("truth")), 4).alias("bias"),
+        F.round(
+            F.sqrt(F.log(F.lit(40.0)) / (2 * F.count(F.lit(1)))), 4
+        ).alias("mae_bound95"),
+    )

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from python_etl_pipeline_spark.llm.similarity import (
@@ -98,3 +99,109 @@ def test_norm_skewed_near_ties_match_join_form(spark):
     assert blas == join
     assert blas[0] == 0  # exact tie -> smallest cell
     assert blas[7] == 0 and blas[8] == 1  # resolved margins keep sign
+
+
+def test_broadcast_centroid_envelope_guard(spark, monkeypatch):
+    """Past the envelope the kernel fails LOUDLY at the collect site
+    (naming the two-level alternative) instead of OOMing an executor
+    mid-broadcast. The ceiling is monkeypatched down so a 4x2 table
+    trips it — the production constant (256 MB ~ 2e8 vectors at d=64
+    under derived k = N/500) is pinned separately below."""
+    from python_etl_pipeline_spark.llm import similarity as sim
+
+    df = _mk_vecs(spark, 6)
+    cent = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 1.0)],
+        "cell bigint, i int, v double",
+    )
+    monkeypatch.setattr(sim, "_BROADCAST_CENTROID_MAX_BYTES", 16)
+    with pytest.raises(ValueError, match="broadcast envelope"):
+        sim._nearest_cell_blas(df, "vec_id", "embedding", cent).collect()
+    monkeypatch.undo()
+    # within the envelope the same plan runs
+    out = sim._nearest_cell_blas(df, "vec_id", "embedding", cent)
+    assert out.count() == 6
+    assert sim._BROADCAST_CENTROID_MAX_BYTES == 256 * 2**20
+
+
+def _mk_vecs(spark, n, dim=4, seed_mod=37):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (j + 3) + j) % seed_mod).cast("double")
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_two_level_kmeans_structure(spark):
+    """The hierarchical contract on a 300-vector corpus with
+    per_super_vec=75 / per_cell=10: (1) every vector gets exactly one
+    (super, cell); (2) each super's cell count obeys
+    least(n_s, greatest(2, ceil(n_s/10))); (3) cell ids are member
+    ids of their own super (the seed convention), so they are
+    globally unique without coordination; (4) the run is
+    deterministic."""
+    from python_etl_pipeline_spark.llm.similarity import two_level_kmeans
+
+    df = _mk_vecs(spark, 300)
+    sup_cent, assign = two_level_kmeans(
+        df, per_super_vec=75, per_cell=10, super_floor=4, cell_floor=2
+    )
+    rows = assign.collect()
+    assert len(rows) == 300
+    assert len({r["vec_id"] for r in rows}) == 300
+    by_super = {}
+    for r in rows:
+        by_super.setdefault(r["super_cell"], []).append(r)
+    assert len(by_super) >= 4
+    import math
+
+    for sc, members in by_super.items():
+        n_s = len(members)
+        cells = {m["cell"] for m in members}
+        assert len(cells) <= min(n_s, max(2, math.ceil(n_s / 10)))
+        # seed convention: every cell id is one of the super's members
+        ids = {m["vec_id"] for m in members}
+        assert cells <= ids
+    # stage-1 broadcast table is k1 x d, not k x d
+    k1 = sup_cent.select("cell").distinct().count()
+    assert k1 < 300 // 10  # far fewer supers than cells
+    again = {
+        (r["vec_id"], r["super_cell"], r["cell"])
+        for r in two_level_kmeans(
+            df, per_super_vec=75, per_cell=10, super_floor=4, cell_floor=2
+        )[1].collect()
+    }
+    assert again == {(r["vec_id"], r["super_cell"], r["cell"]) for r in rows}
+
+
+def test_two_level_cells_distributed_table(spark):
+    """two_level_cells returns the per-(super, cell) member-mean table
+    keyed for a cogroup serve path — one row per (super_cell, cell,
+    i), components covering the full dim range, and values equal to
+    the members' componentwise mean under the final assignment."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        two_level_cells,
+        two_level_kmeans,
+    )
+
+    df = _mk_vecs(spark, 120, dim=3)
+    _, assign = two_level_kmeans(
+        df, per_super_vec=30, per_cell=10, super_floor=2, cell_floor=2
+    )
+    cells = two_level_cells(assign, df).collect()
+    keys = {(r["super_cell"], r["cell"]) for r in cells}
+    assert {r["i"] for r in cells} == {0, 1, 2}
+    # spot-check one (cell, i) mean against a manual recompute
+    a_rows = assign.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    sc, c = next(iter(keys))
+    members = [r["vec_id"] for r in a_rows if r["cell"] == c]
+    want = sum(vecs[m][0] for m in members) / len(members)
+    got = next(
+        r["v"] for r in cells if r["cell"] == c and r["i"] == 0
+    )
+    assert abs(got - want) < 1e-9
