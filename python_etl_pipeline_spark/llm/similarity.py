@@ -779,13 +779,27 @@ def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     materialize: bool = False,
     init: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids, assignment) after ``iters`` Lloyd iterations with
-    deterministic init (centroids = vectors with id < k). No corpus
+    deterministic init (centroids = vectors with id < k).
+
+    ``k=None`` (the DEFAULT since round 15 — r14 verdict #6) derives
+    the cell count from corpus size (:func:`derived_k_init`, cells of
+    ~500 vectors at any scale), so a production caller who just says
+    ``kmeans_fit(corpus)`` can never train 4 cells over 2e8 vectors:
+    a FIXED k has the growing-cell defect the r13 100x run caught in
+    ann5 (cells grow linearly with the corpus and every per-cell pass
+    stops bounding task work). Passing an integer ``k`` is the
+    explicit opt-in for deterministic small-seed semantics — the gate
+    queries whose oracles replay fixed k=4 (ann4/ann12/ann13/ann16/
+    ann20/x48) all opt in; at N <= floor_k*500 the derived default
+    IS 4, so small-corpus callers see identical results either way.
+
+    No corpus
     vector ever reaches the driver — only the k x d centroid table
     (bounded model state) does, once per iteration, to feed the
     broadcast BLAS assignment kernel (:func:`_nearest_cell_blas`;
@@ -818,6 +832,8 @@ def kmeans_fit(
         comp = comp.localCheckpoint(eager=True)
     if init is not None:
         cent = init.select("cell", "i", "v")
+    elif k is None:
+        cent = derived_k_init(df, id_col, vec_col)
     else:
         cent = comp.filter(F.col(id_col) < k).select(
             F.col(id_col).alias("cell"), "i", "v"
@@ -840,13 +856,15 @@ def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     materialize: bool = False,
 ) -> DataFrame:
     """(id, cell): the assignment half of :func:`kmeans_fit`.
-    ``materialize`` is passed through to the trainer (checkpoint the
-    exploded component table the Lloyd loop re-consumes)."""
+    ``k=None`` (default) derives the cell count from corpus size —
+    see :func:`kmeans_fit`'s round-15 contract. ``materialize`` is
+    passed through to the trainer (checkpoint the exploded component
+    table the Lloyd loop re-consumes)."""
     return kmeans_fit(df, id_col, vec_col, k, iters, materialize=materialize)[1]
 
 
@@ -995,7 +1013,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 4,
+    k: int | None = None,
     iters: int = 2,
     min_sim: float = 0.3,
     max_cell_size: int | str | None = None,
@@ -1013,8 +1031,10 @@ def semantic_dedup(
 
     Scale shape: the pairwise pass is per-cell (one BLAS gram matrix
     per cell via :func:`_gram_pair_fn`), so k is the knob that bounds
-    task memory — pick k ~ N / target_cell_size (the paper runs 11k
-    cells over LAION). Cells larger than ``max_cell_size`` (if set) are
+    task memory — ``k=None`` (default, round 15) DERIVES
+    k ~ N/500 from the corpus (:func:`derived_k_init` via the
+    trainer), the paper's own sizing (11k cells over LAION); an
+    integer k is the explicit fixed-seed opt-in (dd11's oracle). Cells larger than ``max_cell_size`` (if set) are
     passed through un-scored (every member kept) rather than OOMing a
     task; at production k the cap should never trigger.
     ``max_cell_size="auto"`` derives the cap from the cell-size

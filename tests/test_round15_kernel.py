@@ -205,3 +205,28 @@ def test_two_level_cells_distributed_table(spark):
         r["v"] for r in cells if r["cell"] == c and r["i"] == 0
     )
     assert abs(got - want) < 1e-9
+
+
+def test_kmeans_default_k_is_derived(spark):
+    """r14 verdict #6: a production caller who just says
+    kmeans_fit(corpus) must get corpus-derived cells, never a fixed 4
+    over an arbitrarily large corpus. 2600 vectors derive 6 cells
+    under the default; at <= 2000 vectors the derived default IS 4,
+    so small-corpus callers (and every fixed-seed gate oracle, which
+    passes k explicitly) are unchanged."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    big = _mk_vecs(spark, 2600, dim=3)
+    cent, assign = kmeans_fit(big)
+    assert cent.select("cell").distinct().count() == 6
+    assert assign.select("cell").distinct().count() <= 6
+    small = _mk_vecs(spark, 400, dim=3)
+    assert kmeans_assign(small).select("cell").distinct().count() <= 4
+    fixed, _ = kmeans_fit(small, k=4)
+    derived, _ = kmeans_fit(small)
+    assert sorted(
+        (r["cell"], r["i"], r["v"]) for r in fixed.collect()
+    ) == sorted((r["cell"], r["i"], r["v"]) for r in derived.collect())
