@@ -347,6 +347,9 @@ HEADLINE = [
     # sampled estimator-error certificate: dd2's shared pair build +
     # an O(sample) exact-Jaccard truth side (dd17's production twin)
     "dd26_sampled_estimator_error",
+    # two-level serve path: in-plan base training (ann12's precedent)
+    # + stage-1 super probe + per-super cogroup delta assignment
+    "ann34_two_level_serve",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

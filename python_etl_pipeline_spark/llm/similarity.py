@@ -1009,6 +1009,121 @@ def two_level_cells(
     )
 
 
+TWO_LEVEL_INDEX_TABLES = ("super_centroids", "cells", "assign")
+
+
+def build_two_level_index(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> None:
+    """Persist a :func:`two_level_kmeans` clustering as three parquet
+    tables (:data:`TWO_LEVEL_INDEX_TABLES`): the k1 x d super-centroid
+    table (the ONLY broadcast-sized state), the distributed
+    per-(super, cell) centroid table (:func:`two_level_cells` — the
+    table whose single-level twin trips the broadcast envelope), and
+    the full (id, super_cell, cell) assignment. Train-once shape like
+    :func:`build_ivfpq_index`: the assignment is checkpointed before
+    its two consumers (the cells derivation + its own write) so the
+    super training and the per-super local Lloyd execute exactly
+    once."""
+    sup_cent, assign = two_level_kmeans(df, id_col, vec_col, **kw)
+    assign = assign.localCheckpoint(eager=True)
+    sup_cent.write.mode("overwrite").parquet(f"{out_dir}/super_centroids")
+    two_level_cells(assign, df, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/cells")
+    assign.write.mode("overwrite").parquet(f"{out_dir}/assign")
+
+
+def read_two_level_index(spark, out_dir: str) -> tuple[DataFrame, ...]:
+    """(super_centroids, cells, assign) read back from
+    :func:`build_two_level_index`'s layout."""
+    return tuple(
+        spark.read.parquet(f"{out_dir}/{name}")
+        for name in TWO_LEVEL_INDEX_TABLES
+    )
+
+
+def two_level_serve_assign(
+    df: DataFrame,
+    sup_cent: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, super_cell, cell): assign NEW vectors against a stored
+    two-level index — the serve/grow path that never materializes the
+    full cell table anywhere. Stage 1 broadcasts only the k1 x d super
+    table (:func:`_nearest_cell_blas` — squared-L2 argmin, ties to the
+    smallest super). Stage 2 shuffles each new vector ONCE on its
+    super and cogroups it with that super's ~per_cell-count cell
+    centroids inside one ``applyInPandas`` task: explicit squared-L2
+    over the shared component range, ties to the smallest cell —
+    byte-for-byte the convention :func:`two_level_kmeans` trains
+    with, so a DuckDB oracle replays the whole path (ann34). Vectors
+    whose stage-1 super holds no cells (possible only when the final
+    training assignment emptied a super) are DROPPED — inner-join
+    semantics, matching the oracle's join. Per-task state: one
+    super's delta vectors + its cells — bounded at any corpus size."""
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    if id_t not in _INTEGRAL_SPARK_TYPES:
+        raise TypeError(
+            f"two_level_serve_assign: id column {id_col!r} must be an "
+            f"integral type, got {id_t!r}"
+        )
+    s1 = _nearest_cell_blas(df, id_col, vec_col, sup_cent).withColumnRenamed(
+        "cell", "super_cell"
+    )
+    vec_sup = df.select(id_col, vec_col).join(s1, id_col)
+
+    def within_super(key, vdf, cdf):
+        import pandas as pd
+
+        if not len(vdf) or not len(cdf):
+            return pd.DataFrame(
+                {id_col: [], "super_cell": [], "cell": []}
+            ).astype({id_col: "int64", "super_cell": "int64", "cell": "int64"})
+        piv = cdf.pivot(index="cell", columns="i", values="v").sort_index()
+        C = piv.to_numpy(dtype=np.float64)
+        cells_arr = piv.index.to_numpy(dtype=np.int64)
+        lo, hi = int(piv.columns.min()), int(piv.columns.max())
+        M = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vdf[vec_col]]
+        )
+        if M.ndim != 2 or M.shape[1] <= hi or not np.isfinite(M).all():
+            raise ValueError(
+                "two_level_serve_assign: vectors must be finite and "
+                "cover the cell component range"
+            )
+        M = M[:, lo : hi + 1]
+        out = np.empty(len(M), dtype=np.int64)
+        for r0 in range(0, len(M), 8192):
+            Mb = M[r0 : r0 + 8192]
+            D = ((Mb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[r0 : r0 + 8192] = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: vdf[id_col].to_numpy(),
+                "super_cell": vdf["super_cell"].to_numpy(),
+                "cell": cells_arr[out],
+            }
+        )
+
+    return (
+        vec_sup.groupBy("super_cell")
+        .cogroup(cells.groupBy("super_cell"))
+        .applyInPandas(
+            within_super,
+            schema=f"{id_col} {id_t}, super_cell bigint, cell bigint",
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

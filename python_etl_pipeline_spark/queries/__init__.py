@@ -146,14 +146,18 @@ _GATE_PREFIX = [
     "x50_priority_sample",
     "x52_source_overlap",
     "x54_source_drift",
-    "x53_rag_chunks",
-    # (0) ADDED this round — take the x55/x56 head-start slots (x55/
-    # x56 displace to r16 with the deferred six; r16 then owes 8 r9
-    # rows, as scheduled): the two-level coarse quantizer (bounded
-    # broadcast at any corpus size — r14 verdict #2) and the sampled
-    # estimator-error contract (dd17's truth side at O(sample) — r14
-    # verdict #3). Registry 279 + 2 = 281 <= horizon-7 bound 326.
+    # (0) ADDED this round — the first two take the x55/x56
+    # head-start slots; the third displaces x53 (the cheapest
+    # remaining r9 tail member), so x53/x55/x56 defer to r16 with the
+    # deferred six and r16 owes 9 r9 rows + its changes (capacity 46
+    # — still ~35 slots of r10 pre-rotation slack): the two-level
+    # coarse quantizer build (bounded broadcast at any corpus size —
+    # r14 verdict #2), its serve/grow path (stored-index assignment,
+    # ann12's split), and the sampled estimator-error contract
+    # (dd17's truth side at O(sample) — r14 verdict #3).
+    # Registry 279 + 3 = 282 <= horizon-7 bound 326.
     "ann33_two_level_assign",
+    "ann34_two_level_serve",
     "dd26_sampled_estimator_error",
 ]
 

@@ -2832,30 +2832,31 @@ def ann32_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
-def _tl_local_iter_sql(prev: str, it: int) -> str:
+def _tl_local_iter_sql(prev: str, it: int, comp: str = "comp") -> str:
     """One PER-SUPER Lloyd iteration for the two-level quantizer: each
     vector scores only against ITS super's current cells (join through
     sassign), ties to the smallest cell id; the update averages
     members per (cell, i), and cells that lose every member drop out
     of lcent — the exact semantics of two_level_kmeans' in-task numpy
-    loop."""
+    loop. ``comp`` parameterizes the component CTE so ann34 can train
+    over the base split only."""
     return f"""
     lassign{it} AS (
       SELECT sa.vec_id, c.cell,
              row_number() OVER (
                PARTITION BY sa.vec_id
-               ORDER BY sum((comp.v - c.v) * (comp.v - c.v)), c.cell
+               ORDER BY sum(({comp}.v - c.v) * ({comp}.v - c.v)), c.cell
              ) AS rn
       FROM sassign sa
-      JOIN comp ON comp.vec_id = sa.vec_id
-      JOIN {prev} c ON c.sc = sa.sc AND c.i = comp.i
+      JOIN {comp} ON {comp}.vec_id = sa.vec_id
+      JOIN {prev} c ON c.sc = sa.sc AND c.i = {comp}.i
       GROUP BY sa.vec_id, c.cell
     ),
     lcent{it} AS (
-      SELECT sa.sc, a.cell, comp.i, avg(comp.v) AS v
+      SELECT sa.sc, a.cell, {comp}.i, avg({comp}.v) AS v
       FROM lassign{it} a
       JOIN sassign sa ON sa.vec_id = a.vec_id
-      JOIN comp ON comp.vec_id = a.vec_id
+      JOIN {comp} ON {comp}.vec_id = a.vec_id
       WHERE a.rn = 1
       GROUP BY 1, 2, 3
     )"""
@@ -2939,3 +2940,110 @@ def ann33_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
     )
     return assign.orderBy("vec_id")
+
+
+def _ann34_sql() -> str:
+    # ann12's base/delta split (vec_id % 5) applied to the two-level
+    # index: train both levels on BASE only (the same chains as ann33
+    # but over the base CTE), derive the STORED serve-time cell table
+    # lcent3 (member means under the FINAL training assignment — the
+    # table build_two_level_index persists via two_level_cells), then
+    # serve the delta: stage 1 argmin over the stored super table
+    # cent2, stage 2 argmin over the chosen super's lcent3 cells.
+    return f"""
+    WITH comp AS ({_DUCK_COMP}),
+    base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
+    kk AS (
+      SELECT greatest(4, ceil(count(DISTINCT vec_id) / 125.0)) AS k FROM base
+    ),
+    cent0 AS (SELECT vec_id AS cell, i, v FROM base, kk WHERE vec_id < kk.k),
+    {_pq_iter_sql('cent0', 1, 'base', '')},
+    {_pq_iter_sql('cent1', 2, 'base', '')},
+    {_pq_iter_sql('cent2', 3, 'base', '')},
+    sassign AS (SELECT vec_id, cell AS sc FROM assign3 WHERE rn = 1),
+    szs AS (
+      SELECT sc, least(count(*), greatest(2, ceil(count(*) / 25.0))) AS k2
+      FROM sassign GROUP BY 1
+    ),
+    seedrank AS (
+      SELECT sc, vec_id,
+             row_number() OVER (PARTITION BY sc ORDER BY vec_id) AS rnk
+      FROM sassign
+    ),
+    lcent0 AS (
+      SELECT s.sc, s.vec_id AS cell, base.i, base.v
+      FROM seedrank s
+      JOIN szs USING (sc)
+      JOIN base ON base.vec_id = s.vec_id
+      WHERE s.rnk <= szs.k2
+    ),
+    {_tl_local_iter_sql('lcent0', 1, 'base')},
+    {_tl_local_iter_sql('lcent1', 2, 'base')},
+    {_tl_local_iter_sql('lcent2', 3, 'base')},
+    delta AS (SELECT * FROM comp WHERE vec_id % 5 = 4),
+    ds1 AS (
+      SELECT d.vec_id, c.cell AS sc,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY sum((d.v - c.v) * (d.v - c.v)), c.cell
+             ) AS rn
+      FROM delta d JOIN cent2 c ON d.i = c.i
+      GROUP BY d.vec_id, c.cell
+    ),
+    dsup AS (SELECT vec_id, sc FROM ds1 WHERE rn = 1),
+    ds2 AS (
+      SELECT d.vec_id, c.cell,
+             row_number() OVER (
+               PARTITION BY d.vec_id
+               ORDER BY sum((d.v - c.v) * (d.v - c.v)), c.cell
+             ) AS rn
+      FROM dsup ds
+      JOIN delta d ON d.vec_id = ds.vec_id
+      JOIN lcent3 c ON c.sc = ds.sc AND c.i = d.i
+      GROUP BY d.vec_id, c.cell
+    )
+    SELECT ds.vec_id, ds.sc AS super_cell, a.cell
+    FROM ds2 a JOIN dsup ds USING (vec_id)
+    WHERE a.rn = 1
+    ORDER BY ds.vec_id
+    """
+
+
+@register("ann34_two_level_serve", _ann34_sql(), first_round=15)
+def ann34_two_level_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE/GROW path of the two-level index (completing ann33's
+    build half the way ann12 completes ann11's): new vectors (the
+    vec_id % 5 == 4 delta, ann12's split) are assigned against a
+    STORED two-level clustering without re-training and without any
+    corpus-sized broadcast — stage 1 probes the k1 x d super table
+    (the only broadcast, ~20 MB at 1e10 vectors in production),
+    stage 2 cogroups each delta vector with ONLY its super's cell
+    centroids inside one applyInPandas task
+    (llm.similarity.two_level_serve_assign). In production the base
+    clustering is a parquet read of build_two_level_index's three
+    tables; here it is trained in-plan so the DuckDB oracle can
+    replay the whole path (ann12's precedent) — stored == in-plan is
+    pinned by test_two_level_index_roundtrip. The served cell table
+    is two_level_cells' member means under the final training
+    assignment (the oracle's lcent3), the exact table the build
+    persists. Output: (vec_id, super_cell, cell) per delta vector."""
+    from ..llm.similarity import (
+        two_level_cells,
+        two_level_kmeans,
+        two_level_serve_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    sup_cent, assign = two_level_kmeans(
+        base,
+        per_super_vec=125,
+        per_cell=25,
+        super_floor=4,
+        cell_floor=2,
+        iters=2,
+    )
+    assign = assign.localCheckpoint(eager=True)
+    cells = two_level_cells(assign, base)
+    return two_level_serve_assign(delta, sup_cent, cells).orderBy("vec_id")

@@ -230,3 +230,47 @@ def test_kmeans_default_k_is_derived(spark):
     assert sorted(
         (r["cell"], r["i"], r["v"]) for r in fixed.collect()
     ) == sorted((r["cell"], r["i"], r["v"]) for r in derived.collect())
+
+
+def test_two_level_index_roundtrip(spark, tmp_path):
+    """build_two_level_index persists exactly the state the serve path
+    needs: reading the three tables back and serving a delta equals
+    the in-plan serve ann34 runs (train on base, two_level_cells under
+    the final assignment, stage-1 super probe + stage-2 per-super
+    cogroup). Also pins the drop semantics: every delta vector whose
+    super holds cells is assigned; ids/supers/cells are int64."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        build_two_level_index,
+        read_two_level_index,
+        two_level_cells,
+        two_level_kmeans,
+        two_level_serve_assign,
+    )
+
+    df = _mk_vecs(spark, 250, dim=3)
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    delta = df.filter(F.col("vec_id") % 5 == 4)
+    kw = dict(per_super_vec=50, per_cell=10, super_floor=2, cell_floor=2)
+    out = str(tmp_path / "tl_index")
+    build_two_level_index(base, out, **kw)
+    sup_r, cells_r, assign_r = read_two_level_index(spark, out)
+    served_stored = {
+        (r["vec_id"], r["super_cell"], r["cell"])
+        for r in two_level_serve_assign(delta, sup_r, cells_r).collect()
+    }
+    sup_c, assign_c = two_level_kmeans(base, **kw)
+    cells_c = two_level_cells(assign_c, base)
+    served_inplan = {
+        (r["vec_id"], r["super_cell"], r["cell"])
+        for r in two_level_serve_assign(delta, sup_c, cells_c).collect()
+    }
+    assert served_stored == served_inplan
+    assert len(served_stored) == delta.count()  # no super lost its cells
+    # the stored assignment covers the base corpus exactly
+    assert assign_r.count() == base.count()
+    # cells served must exist in the stored cell table
+    stored_cells = {
+        (r["super_cell"], r["cell"])
+        for r in cells_r.select("super_cell", "cell").distinct().collect()
+    }
+    assert {(s, c) for _, s, c in served_stored} <= stored_cells
