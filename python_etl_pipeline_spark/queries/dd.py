@@ -1814,7 +1814,10 @@ def dd26_sampled_estimator_error(
     # the est-side signature build and its two pair joins re-scan and
     # re-shuffle the full corpus for a 200-row output (measured 91 s
     # vs dd2's own 18.5 s at the 100x corpus; ~20 s after).
-    sampled_docs = docs.join(sdocs, "doc_id", "left_semi")
+    # the sampled-doc set is <= 2*target rows at ANY corpus size —
+    # broadcast-hint the semi-join so the static plan is a BHJ rather
+    # than leaving the sort-merge -> broadcast conversion to AQE
+    sampled_docs = docs.join(F.broadcast(sdocs), "doc_id", "left_semi")
     sigs = minhash_signatures(sampled_docs, "text", "doc_id")
     sh = _spread(sampled_docs.select("doc_id", "text")).select(
         "doc_id",
