@@ -72,17 +72,17 @@ _GATE_ROUND = 15  # the round this prefix was built for
 # owes exactly 10 r8 rows (the 6 deferred + 4 displaced), which this
 # gate pays in full.
 #
-# This gate: 4 sentinels + 10 r8 + 36 of the 42-query r9 cohort.
+# This gate, FINAL round-15 form: 4 sentinels + 10 r8 + 33 of the
+# 42-query r9 cohort + the round's 3 additions (ann33/ann34/dd26).
 # Deferred to r16: the 6 cheap untouched business-analytics twins
 # x57/x58/x59/x60/x61/x62 (single-table event rollups, semantics
-# pinned by their module tests). The two tail r9 slots (x55/x56) are
-# HEAD-START slots for this round's planned additions (the sampled
-# estimator-error contract dd26 and the two-level coarse quantizer
-# ann33); they displace to r16 with the deferred six when the
-# additions land — r16 then owes 8 r9 rows + its own changes against
-# capacity 46, leaving ~30 slots to pre-rotate the 43-query r10
-# cohort (mandatory r17). Steady-state retirement 279/7 ~ 39.9/round
-# vs capacity 46 — no zero-slack round in the window.
+# pinned by their module tests) PLUS the 3 r9 tail members the
+# additions displaced (x55/x56 were the planned head-start slots;
+# x53 was displaced when a third addition — the ann34 serve path —
+# landed). r16 therefore owes exactly 9 r9 rows + its own changes
+# against capacity 46, leaving ~35 slots to pre-rotate the 43-query
+# r10 cohort (mandatory r17). Steady-state retirement 282/7 ~
+# 40.3/round vs capacity 46 — no zero-slack round in the window.
 #
 # Rule-1 note for round 15: the kernel fixes from the r14 ADVICE
 # (derived-k N counted as DISTINCT non-null ids to match the oracle
@@ -110,9 +110,9 @@ _GATE_PREFIX = [
     "x29_doc_chunks",
     "x44_temperature_mix",
     "x45_temperature_mix_threshold",
-    # (3) 36 of the 42-query r9 cohort in registry order (x57-x62
-    # defer to r16; x55/x56 at the tail are the addition head-start
-    # slots)
+    # (3) 33 of the 42-query r9 cohort in registry order (x57-x62
+    # defer to r16; x53/x55/x56 were displaced by this round's three
+    # additions — see (0) at the tail)
     "i5_incremental_agg_merge",
     "a7_shipping_priority",
     "a8_local_supplier_volume",
