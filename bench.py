@@ -350,6 +350,9 @@ HEADLINE = [
     # two-level serve path: in-plan base training (ann12's precedent)
     # + stage-1 super probe + per-super cogroup delta assignment
     "ann34_two_level_serve",
+    # two-level top-k tree search off the cached persisted index
+    # (warmup builds it once; timed runs are the serve latency)
+    "ann35_two_level_topk",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

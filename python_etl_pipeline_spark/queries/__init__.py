@@ -72,17 +72,18 @@ _GATE_ROUND = 15  # the round this prefix was built for
 # owes exactly 10 r8 rows (the 6 deferred + 4 displaced), which this
 # gate pays in full.
 #
-# This gate, FINAL round-15 form: 4 sentinels + 10 r8 + 33 of the
-# 42-query r9 cohort + the round's 3 additions (ann33/ann34/dd26).
-# Deferred to r16: the 6 cheap untouched business-analytics twins
-# x57/x58/x59/x60/x61/x62 (single-table event rollups, semantics
-# pinned by their module tests) PLUS the 3 r9 tail members the
-# additions displaced (x55/x56 were the planned head-start slots;
-# x53 was displaced when a third addition — the ann34 serve path —
-# landed). r16 therefore owes exactly 9 r9 rows + its own changes
-# against capacity 46, leaving ~35 slots to pre-rotate the 43-query
-# r10 cohort (mandatory r17). Steady-state retirement 282/7 ~
-# 40.3/round vs capacity 46 — no zero-slack round in the window.
+# This gate, FINAL round-15 form: 4 sentinels + 10 r8 + 32 of the
+# 42-query r9 cohort + the round's 4 additions (ann33/ann34/ann35/
+# dd26). Deferred to r16: the 6 cheap untouched business-analytics
+# twins x57/x58/x59/x60/x61/x62 (single-table event rollups,
+# semantics pinned by their module tests) PLUS the 4 r9 tail members
+# the additions displaced (x55/x56 were the planned head-start
+# slots; x53/x54 were displaced when the third and fourth additions
+# — the ann34 serve path and the ann35 tree search — landed). r16
+# therefore owes exactly 10 r9 rows + its own changes against
+# capacity 46, leaving ~34 slots to pre-rotate the 43-query r10
+# cohort (mandatory r17). Steady-state retirement 283/7 ~ 40.4/round
+# vs capacity 46 — no zero-slack round in the window.
 #
 # Rule-1 note for round 15: the kernel fixes from the r14 ADVICE
 # (derived-k N counted as DISTINCT non-null ids to match the oracle
@@ -110,9 +111,9 @@ _GATE_PREFIX = [
     "x29_doc_chunks",
     "x44_temperature_mix",
     "x45_temperature_mix_threshold",
-    # (3) 33 of the 42-query r9 cohort in registry order (x57-x62
-    # defer to r16; x53/x55/x56 were displaced by this round's three
-    # additions — see (0) at the tail)
+    # (3) 32 of the 42-query r9 cohort in registry order (x57-x62
+    # defer to r16; x53/x54/x55/x56 were displaced by this round's
+    # four additions — see (0) at the tail)
     "i5_incremental_agg_merge",
     "a7_shipping_priority",
     "a8_local_supplier_volume",
@@ -145,19 +146,20 @@ _GATE_PREFIX = [
     "x49_compaction_bins",
     "x50_priority_sample",
     "x52_source_overlap",
-    "x54_source_drift",
     # (0) ADDED this round — the first two take the x55/x56
-    # head-start slots; the third displaces x53 (the cheapest
-    # remaining r9 tail member), so x53/x55/x56 defer to r16 with the
-    # deferred six and r16 owes 9 r9 rows + its changes (capacity 46
-    # — still ~35 slots of r10 pre-rotation slack): the two-level
-    # coarse quantizer build (bounded broadcast at any corpus size —
-    # r14 verdict #2), its serve/grow path (stored-index assignment,
-    # ann12's split), and the sampled estimator-error contract
-    # (dd17's truth side at O(sample) — r14 verdict #3).
-    # Registry 279 + 3 = 282 <= horizon-7 bound 326.
+    # head-start slots; the third and fourth displace x53/x54 (the
+    # cheapest remaining r9 tail members), so x53/x54/x55/x56 defer
+    # to r16 with the deferred six and r16 owes 10 r9 rows + its
+    # changes (capacity 46 — still ~34 slots of r10 pre-rotation
+    # slack): the two-level coarse quantizer build (bounded broadcast
+    # at any corpus size — r14 verdict #2), its serve/grow path
+    # (stored-index assignment, ann12's split), its top-k tree search
+    # (cached persisted index, ann11's pattern), and the sampled
+    # estimator-error contract (dd17's truth side at O(sample) — r14
+    # verdict #3). Registry 279 + 4 = 283 <= horizon-7 bound 326.
     "ann33_two_level_assign",
     "ann34_two_level_serve",
+    "ann35_two_level_topk",
     "dd26_sampled_estimator_error",
 ]
 
@@ -212,9 +214,13 @@ _EXPENSIVE_LAST = [
     "ann28_top_eigen",
     # round-15 heavies (tail-ordered once they rotate out of the r15
     # gate): ann33 trains supers in-plan then runs the per-super local
-    # Lloyd; dd26 pays dd2's full pair build before its O(sample)
-    # truth side
+    # Lloyd; ann34 trains the base clustering in-plan for its oracle;
+    # ann35's FIRST invocation per dataset builds the cached two-level
+    # index (later ones serve from it, like ann11); dd26 pays dd2's
+    # full pair build before its O(sample) truth side
     "ann33_two_level_assign",
+    "ann34_two_level_serve",
+    "ann35_two_level_topk",
     "dd26_sampled_estimator_error",
 ]
 

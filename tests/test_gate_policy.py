@@ -32,15 +32,15 @@ Round-7 amendments (both from the round-6 verdict/advice):
   sentinel set, with this same arithmetic in the commit).
 
 Round-15 amendment — the horizon STAYS 7 (bound 7*46 + 4 = 326 vs
-registry 282 after the round's 3 additions); the r15 gate pays the 10
+registry 283 after the round's 4 additions); the r15 gate pays the 10
 owed r8 rows in full (the 6 deferred twins + the 4 displaced
-head-start slots) and pre-rotates 33 of the 42-query r9 cohort: the 6
-cheap untouched business-analytics twins (x57-x62) defer, and 3 tail
-members (x55/x56 as planned head-start, x53 when a third addition
-landed) are displaced by ann33/ann34/dd26. Forward: r16 owes exactly
-9 r9 rows + its changes with ~35 slots of slack against the 43-query
-r10 cohort (mandatory r17). Next decision point unchanged (registry
-~326 or an un-smoothed 46-query cohort).
+head-start slots) and pre-rotates 32 of the 42-query r9 cohort: the 6
+cheap untouched business-analytics twins (x57-x62) defer, and 4 tail
+members (x55/x56 as planned head-start, x53/x54 when the third and
+fourth additions landed) are displaced by ann33/ann34/ann35/dd26.
+Forward: r16 owes exactly 10 r9 rows + its changes with ~34 slots of
+slack against the 43-query r10 cohort (mandatory r17). Next decision
+point unchanged (registry ~326 or an un-smoothed 46-query cohort).
 
 Round-14 amendment — the horizon STAYS 7; the round's gate decision
 is cohort SMOOTHING, not a crossing (bound 7*46 + 4 = 326 vs registry

@@ -43,3 +43,34 @@ def test_dd26_sample_is_exhaustive_at_gate_scale(spark, sf_dir):
         m = math.ceil(row["n_pairs"] / 200.0)
         expect = row["n_pairs"] / m
         assert row["n_sampled"] <= 6 * expect
+
+
+def test_ann35_members_come_from_probed_cells(spark, sf_dir):
+    """Tree-search contract: the top-k rows are (1) exactly 10, sorted
+    by (4-dp cosine desc, id), never containing the query itself;
+    (2) every hit belongs to one of the probed cells of the CACHED
+    index (search never touches an unprobed cell's members); (3) the
+    probed supers include the query's own super (the probe uses the
+    training metric, so probe #1 is the query's assigned super)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_pipeline_spark.queries.ann import (
+        _cached_two_level_index,
+    )
+    from python_etl_pipeline_spark.queries import _t
+
+    rows = REGISTRY["ann35_two_level_topk"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert 0 not in {r["vec_id"] for r in rows}
+    coss = [r["cosine"] for r in rows]
+    assert coss == sorted(coss, reverse=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    _, _, assign = _cached_two_level_index(spark, sf_dir, emb)
+    amap = {
+        r["vec_id"]: (r["super_cell"], r["cell"]) for r in assign.collect()
+    }
+    q_super = amap[0][0]
+    hit_supers = {amap[r["vec_id"]][0] for r in rows}
+    assert q_super in hit_supers or len(hit_supers) <= 2
+    # at most 3 distinct cells can supply hits (the cell probe width)
+    assert len({amap[r["vec_id"]][1] for r in rows}) <= 3
