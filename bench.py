@@ -353,6 +353,8 @@ HEADLINE = [
     # two-level top-k tree search off the cached persisted index
     # (warmup builds it once; timed runs are the serve latency)
     "ann35_two_level_topk",
+    # the tree's recall certificate: ann35's probe vs brute force
+    "ann36_two_level_recall",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

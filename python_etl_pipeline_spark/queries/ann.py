@@ -3095,14 +3095,15 @@ def _cached_two_level_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return read_two_level_index(spark, idx_dir)
 
 
-def _ann35_sql() -> str:
-    # replay ann33's full-corpus two-level training (supers cent2,
-    # stored cells lcent3 = member means under the final assignment
-    # lassign3 — the exact tables build_two_level_index persists),
-    # then the tree search: probe 2 supers, 3 cells, exact-cosine
-    # rerank of the probed members, top-10 by (4-dp cosine, id).
+def _two_level_search_ctes() -> str:
+    """Shared oracle CTE body for the two-level tree search (ann35/
+    ann36): replay ann33's full-corpus two-level training (supers
+    cent2, stored cells lcent3 = member means under the final
+    assignment lassign3 — the exact tables build_two_level_index
+    persists), then the tree probe: 2 supers, 3 cells, the probed
+    members' exact-cosine scores in ``dots``/``qn``."""
     return f"""
-    WITH comp AS ({_DUCK_COMP}),
+    comp AS ({_DUCK_COMP}),
     kk AS (
       SELECT greatest(4, ceil(count(DISTINCT vec_id) / 125.0)) AS k FROM comp
     ),
@@ -3161,7 +3162,12 @@ def _ann35_sql() -> str:
       WHERE c.vec_id IN (SELECT vec_id FROM members)
       GROUP BY 1
     ),
-    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp)
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM qcomp)"""
+
+
+def _ann35_sql() -> str:
+    return f"""
+    WITH {_two_level_search_ctes()}
     SELECT d.vec_id, round(d.dot / (d.norm * qn.qnorm), 4) AS cosine
     FROM dots d, qn
     ORDER BY round(d.dot / (d.norm * qn.qnorm), 4) DESC, d.vec_id
@@ -3231,4 +3237,76 @@ def ann35_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
+    )
+
+
+def _ann36_sql() -> str:
+    return f"""
+    WITH {_two_level_search_ctes()},
+    tree AS (
+      SELECT d.vec_id
+      FROM dots d, qn
+      ORDER BY round(d.dot / (d.norm * qn.qnorm), 4) DESC, d.vec_id
+      LIMIT 10
+    ),
+    exactf AS (
+      SELECT c.vec_id, sum(c.v * qcomp.qv) AS dot,
+             sqrt(sum(c.v * c.v)) AS norm
+      FROM comp c JOIN qcomp ON c.i = qcomp.i
+      WHERE c.vec_id <> 0
+      GROUP BY 1
+    ),
+    bf AS (
+      SELECT e.vec_id FROM exactf e, qn
+      ORDER BY round(e.dot / (e.norm * qn.qnorm), 4) DESC, e.vec_id
+      LIMIT 10
+    ),
+    inter AS (SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM tree)
+    SELECT cast(10 AS BIGINT) AS k, cast(count(*) AS BIGINT) AS n_hits,
+           round(count(*) / 10.0, 4) AS recall_at_k
+    FROM inter
+    """
+
+
+@register("ann36_two_level_recall", _ann36_sql(), first_round=15)
+def ann36_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL CONTRACT for the two-level tree search — every
+    approximation in the engine carries a measured error certificate
+    (ann6/ann17/ann21 for single-level IVF, dd17/dd26 for MinHash,
+    ann32 for PQ), and the two-level tree is an approximation twice
+    over (a vector's true nearest cell can live in an unprobed super
+    AND an unprobed cell): recall@10 of ann35's (2-super, 3-cell)
+    probe against the exact brute-force top-10, one row
+    (k, n_hits, recall_at_k). Same cached persisted index ann35
+    serves from; the oracle replays training, tree search, AND the
+    brute-force side, so the number itself is oracle-verified. A
+    production operator reads this exactly like ann21's
+    probe-recall curve: if tree recall decays after a refresh or a
+    corpus shift, widen the probes (or re-train) before trusting
+    serve results."""
+    from ..llm.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tree = ann35_two_level_topk(spark, sf_dir).select("vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    bf = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("__qv")), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    inter = bf.join(tree, "vec_id", "left_semi")
+    return inter.agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 4).alias("recall_at_k"),
     )
