@@ -348,11 +348,15 @@ def test_bench_loadcheck_attributes_own_vs_foreign_cpu():
 
     hz = os.sysconf("SC_CLK_TCK")
     # (1) a reaped child's CPU rolls up into THIS tree's counters via
-    # cutime — the mechanism that keeps own bench work unflagged
+    # cutime — the mechanism that keeps own bench work unflagged.
+    # The child burns 1.2s of CPU TIME (process_time), not wall: under
+    # partest this test shares 32 cores with Spark-heavy shards, and a
+    # wall-clocked busy loop gets descheduled to well under 0.9s of
+    # actual CPU — the r15 flake this wording replaces.
     t0 = bench._proc_tree_jiffies(os.getpid())
     p = subprocess.Popen([
         sys.executable, "-c",
-        "import time\ne=time.time()+1.2\nwhile time.time()<e: pass",
+        "import time\nwhile time.process_time() < 1.2: pass",
     ])
     p.wait()
     own = (bench._proc_tree_jiffies(os.getpid()) - t0) / hz
