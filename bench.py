@@ -355,6 +355,11 @@ HEADLINE = [
     "ann35_two_level_topk",
     # the tree's recall certificate: ann35's probe vs brute force
     "ann36_two_level_recall",
+    # super-level drift report over the grown two-level index
+    "ann37_two_level_drift",
+    # partial refresh: only flagged supers re-train (in-plan base
+    # training for the oracle — a build-time number like ann16)
+    "ann38_two_level_partial_refresh",
 ]
 
 # Build/contract-time queries measured OUTSIDE the headline total

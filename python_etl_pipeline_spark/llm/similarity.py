@@ -914,10 +914,6 @@ def two_level_kmeans(
     the nearest within its super, not the global argmin) — the
     standard IVF-tree approximation, deterministic and
     oracle-replayable end-to-end."""
-    import math
-
-    import numpy as np
-
     id_t = df.schema[id_col].dataType.simpleString()
     if id_t not in _INTEGRAL_SPARK_TYPES:
         raise TypeError(
@@ -937,6 +933,34 @@ def two_level_kmeans(
     members = df.select(id_col, vec_col).join(
         sup_assign.withColumnRenamed("cell", "super_cell"), id_col
     )
+    assign = _local_lloyd_assign(
+        members, id_col, vec_col, per_cell, cell_floor, iters
+    )
+    return sup_cent, assign
+
+
+def _local_lloyd_assign(
+    members: DataFrame,
+    id_col: str,
+    vec_col: str,
+    per_cell: int,
+    cell_floor: int,
+    iters: int,
+) -> DataFrame:
+    """Per-super local Lloyd over a (id, vec, super_cell) member frame
+    — the level-2 trainer of :func:`two_level_kmeans`, factored out so
+    the partial-refresh path (ann38) can re-run it over just the
+    drifted supers' grown member sets. One ``applyInPandas`` task per
+    super: k2_s = least(n_s, greatest(cell_floor, ceil(n_s/per_cell)))
+    cells seeded from the group's smallest ids, ``iters``
+    (assign, update) passes with explicit squared-L2 argmin (ties to
+    the smallest cell), then a final assignment — the convention the
+    DuckDB _tl_local_iter_sql chains replay."""
+    import math
+
+    import numpy as np
+
+    id_t = members.schema[id_col].dataType.simpleString()
 
     def local_lloyd(pdf):
         import pandas as pd
@@ -982,11 +1006,10 @@ def two_level_kmeans(
             }
         )
 
-    assign = members.groupBy("super_cell").applyInPandas(
+    return members.groupBy("super_cell").applyInPandas(
         local_lloyd,
         schema=f"{id_col} {id_t}, super_cell bigint, cell bigint",
     )
-    return sup_cent, assign
 
 
 def two_level_cells(

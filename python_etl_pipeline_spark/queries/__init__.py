@@ -72,18 +72,18 @@ _GATE_ROUND = 15  # the round this prefix was built for
 # owes exactly 10 r8 rows (the 6 deferred + 4 displaced), which this
 # gate pays in full.
 #
-# This gate, FINAL round-15 form: 4 sentinels + 10 r8 + 31 of the
-# 42-query r9 cohort + the round's 5 additions (ann33/ann34/ann35/
-# ann36/dd26). Deferred to r16: the 6 cheap untouched
-# business-analytics twins x57/x58/x59/x60/x61/x62 (single-table
-# event rollups, semantics pinned by their module tests) PLUS the 5
-# r9 tail members the additions displaced (x55/x56 were the planned
-# head-start slots; x52/x53/x54 were displaced as the ann34 serve
-# path, the ann35 tree search, and the ann36 recall contract
-# landed). r16 therefore owes exactly 11 r9 rows + its own changes
-# against capacity 46, leaving ~33 slots to pre-rotate the 43-query
-# r10 cohort (mandatory r17). Steady-state retirement 284/7 ~
-# 40.6/round vs capacity 46 — no zero-slack round in the window.
+# This gate, FINAL round-15 form: 4 sentinels + 10 r8 + 29 of the
+# 42-query r9 cohort + the round's 7 additions (ann33-ann38 + dd26).
+# Deferred to r16: the 6 cheap untouched business-analytics twins
+# x57/x58/x59/x60/x61/x62 (single-table event rollups, semantics
+# pinned by their module tests) PLUS the 7 r9 tail members the
+# additions displaced (x55/x56 were the planned head-start slots;
+# x49/x50/x52/x53/x54 were displaced as the serve path, tree search,
+# recall contract, drift report, and partial refresh landed). r16
+# therefore owes exactly 13 r9 rows + its own changes against
+# capacity 46, leaving ~33 slots to pre-rotate the 43-query r10
+# cohort (mandatory r17). Steady-state retirement 286/7 ~ 40.9/round
+# vs capacity 46 — no zero-slack round in the window.
 #
 # Rule-1 note for round 15: the kernel fixes from the r14 ADVICE
 # (derived-k N counted as DISTINCT non-null ids to match the oracle
@@ -111,9 +111,9 @@ _GATE_PREFIX = [
     "x29_doc_chunks",
     "x44_temperature_mix",
     "x45_temperature_mix_threshold",
-    # (3) 31 of the 42-query r9 cohort in registry order (x57-x62
-    # defer to r16; x52/x53/x54/x55/x56 were displaced by this
-    # round's five additions — see (0) at the tail)
+    # (3) 29 of the 42-query r9 cohort in registry order (x57-x62
+    # defer to r16; x49/x50/x52-x56 were displaced by this round's
+    # seven additions — see (0) at the tail)
     "i5_incremental_agg_merge",
     "a7_shipping_priority",
     "a8_local_supplier_volume",
@@ -143,25 +143,27 @@ _GATE_PREFIX = [
     "mm4_block_dedup",
     "x46_retractable_mv",
     "x47_epoch_mixture",
-    "x49_compaction_bins",
-    "x50_priority_sample",
     # (0) ADDED this round — the first two take the x55/x56
-    # head-start slots; the next three displace x52/x53/x54 (the
-    # cheapest remaining r9 tail members), so x52-x56 defer to r16
-    # with the deferred six and r16 owes 11 r9 rows + its changes
-    # (capacity 46 — still ~33 slots of r10 pre-rotation slack): the
-    # two-level coarse quantizer build (bounded broadcast at any
-    # corpus size — r14 verdict #2), its serve/grow path
-    # (stored-index assignment, ann12's split), its top-k tree search
-    # (cached persisted index, ann11's pattern), the tree's recall
-    # contract (every approximation ships with a measured error
-    # certificate), and the sampled estimator-error contract (dd17's
-    # truth side at O(sample) — r14 verdict #3).
-    # Registry 279 + 5 = 284 <= horizon-7 bound 326.
+    # head-start slots; the next five displace x49/x50/x52/x53/x54
+    # (the cheapest remaining r9 tail members), so x49/x50/x52-x56
+    # defer to r16 with the deferred six and r16 owes 13 r9 rows +
+    # its changes (capacity 46 — still ~33 slots of r10 pre-rotation
+    # slack): the complete two-level index lifecycle — build (bounded
+    # broadcast at any corpus size, r14 verdict #2), serve/grow
+    # (stored-index assignment, ann12's split), top-k tree search
+    # (cached persisted index, ann11's pattern), recall contract
+    # (every approximation ships with a measured error certificate),
+    # super-level drift report (ann13's signal at the tree's
+    # actionable granularity), and PARTIAL refresh (only drifted
+    # supers re-train, locally) — plus the sampled estimator-error
+    # contract (dd17's truth side at O(sample) — r14 verdict #3).
+    # Registry 279 + 7 = 286 <= horizon-7 bound 326.
     "ann33_two_level_assign",
     "ann34_two_level_serve",
     "ann35_two_level_topk",
     "ann36_two_level_recall",
+    "ann37_two_level_drift",
+    "ann38_two_level_partial_refresh",
     "dd26_sampled_estimator_error",
 ]
 
@@ -216,13 +218,15 @@ _EXPENSIVE_LAST = [
     "ann28_top_eigen",
     # round-15 heavies (tail-ordered once they rotate out of the r15
     # gate): ann33 trains supers in-plan then runs the per-super local
-    # Lloyd; ann34 trains the base clustering in-plan for its oracle;
-    # ann35's FIRST invocation per dataset builds the cached two-level
-    # index (later ones serve from it, like ann11); dd26 pays dd2's
-    # full pair build before its O(sample) truth side
+    # Lloyd; ann34/ann37/ann38 train the base clustering in-plan for
+    # their oracles; ann35's FIRST invocation per dataset builds the
+    # cached two-level index (later ones serve from it, like ann11);
+    # dd26 pays dd2's full pair build before its O(sample) truth side
     "ann33_two_level_assign",
     "ann34_two_level_serve",
     "ann35_two_level_topk",
+    "ann37_two_level_drift",
+    "ann38_two_level_partial_refresh",
     "dd26_sampled_estimator_error",
 ]
 

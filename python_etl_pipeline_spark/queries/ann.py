@@ -2832,30 +2832,35 @@ def ann32_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1])
 
 
-def _tl_local_iter_sql(prev: str, it: int, comp: str = "comp") -> str:
+def _tl_local_iter_sql(
+    prev: str, it: int, comp: str = "comp", sup: str = "sassign",
+    pfx: str = "l",
+) -> str:
     """One PER-SUPER Lloyd iteration for the two-level quantizer: each
     vector scores only against ITS super's current cells (join through
-    sassign), ties to the smallest cell id; the update averages
-    members per (cell, i), and cells that lose every member drop out
-    of lcent — the exact semantics of two_level_kmeans' in-task numpy
-    loop. ``comp`` parameterizes the component CTE so ann34 can train
-    over the base split only."""
+    the ``sup`` (vec_id, sc) CTE), ties to the smallest cell id; the
+    update averages members per (cell, i), and cells that lose every
+    member drop out — the exact semantics of two_level_kmeans' in-task
+    numpy loop. ``comp`` parameterizes the component CTE (ann34 trains
+    over the base split only); ``sup``/``pfx`` let a second chain run
+    in the same WITH body (ann38's partial refresh re-trains the
+    flagged supers' GROWN member sets as a g-prefixed chain)."""
     return f"""
-    lassign{it} AS (
+    {pfx}assign{it} AS (
       SELECT sa.vec_id, c.cell,
              row_number() OVER (
                PARTITION BY sa.vec_id
                ORDER BY sum(({comp}.v - c.v) * ({comp}.v - c.v)), c.cell
              ) AS rn
-      FROM sassign sa
+      FROM {sup} sa
       JOIN {comp} ON {comp}.vec_id = sa.vec_id
       JOIN {prev} c ON c.sc = sa.sc AND c.i = {comp}.i
       GROUP BY sa.vec_id, c.cell
     ),
-    lcent{it} AS (
+    {pfx}cent{it} AS (
       SELECT sa.sc, a.cell, {comp}.i, avg({comp}.v) AS v
-      FROM lassign{it} a
-      JOIN sassign sa ON sa.vec_id = a.vec_id
+      FROM {pfx}assign{it} a
+      JOIN {sup} sa ON sa.vec_id = a.vec_id
       JOIN {comp} ON {comp}.vec_id = a.vec_id
       WHERE a.rn = 1
       GROUP BY 1, 2, 3
@@ -2942,16 +2947,19 @@ def ann33_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.orderBy("vec_id")
 
 
-def _ann34_sql() -> str:
-    # ann12's base/delta split (vec_id % 5) applied to the two-level
-    # index: train both levels on BASE only (the same chains as ann33
-    # but over the base CTE), derive the STORED serve-time cell table
-    # lcent3 (member means under the FINAL training assignment — the
-    # table build_two_level_index persists via two_level_cells), then
-    # serve the delta: stage 1 argmin over the stored super table
-    # cent2, stage 2 argmin over the chosen super's lcent3 cells.
+def _two_level_grow_ctes() -> str:
+    """Shared oracle CTE body for the grown two-level index (ann34/
+    ann37/ann38) — ann12's base/delta split (vec_id % 5) applied to
+    the two-level layout: train both levels on BASE only (the same
+    chains as ann33 but over the base CTE), derive the STORED
+    serve-time cell table lcent3 (member means under the FINAL
+    training assignment — the table build_two_level_index persists via
+    two_level_cells), then serve the delta: dsup = stage-1 argmin over
+    the stored super table cent2, ds2 = stage-2 argmin over the chosen
+    super's lcent3 cells. Ends with basemap/deltamap — the grown
+    index's per-vector (vec_id, sc, cell) rows."""
     return f"""
-    WITH comp AS ({_DUCK_COMP}),
+    comp AS ({_DUCK_COMP}),
     base AS (SELECT * FROM comp WHERE vec_id % 5 <> 4),
     kk AS (
       SELECT greatest(4, ceil(count(DISTINCT vec_id) / 125.0)) AS k FROM base
@@ -2960,7 +2968,7 @@ def _ann34_sql() -> str:
     {_pq_iter_sql('cent0', 1, 'base', '')},
     {_pq_iter_sql('cent1', 2, 'base', '')},
     {_pq_iter_sql('cent2', 3, 'base', '')},
-    sassign AS (SELECT vec_id, cell AS sc FROM assign3 WHERE rn = 1),
+    sassign AS MATERIALIZED (SELECT vec_id, cell AS sc FROM assign3 WHERE rn = 1),
     szs AS (
       SELECT sc, least(count(*), greatest(2, ceil(count(*) / 25.0))) AS k2
       FROM sassign GROUP BY 1
@@ -2990,7 +2998,7 @@ def _ann34_sql() -> str:
       FROM delta d JOIN cent2 c ON d.i = c.i
       GROUP BY d.vec_id, c.cell
     ),
-    dsup AS (SELECT vec_id, sc FROM ds1 WHERE rn = 1),
+    dsup AS MATERIALIZED (SELECT vec_id, sc FROM ds1 WHERE rn = 1),
     ds2 AS (
       SELECT d.vec_id, c.cell,
              row_number() OVER (
@@ -3001,11 +3009,25 @@ def _ann34_sql() -> str:
       JOIN delta d ON d.vec_id = ds.vec_id
       JOIN lcent3 c ON c.sc = ds.sc AND c.i = d.i
       GROUP BY d.vec_id, c.cell
-    )
-    SELECT ds.vec_id, ds.sc AS super_cell, a.cell
-    FROM ds2 a JOIN dsup ds USING (vec_id)
-    WHERE a.rn = 1
-    ORDER BY ds.vec_id
+    ),
+    basemap AS MATERIALIZED (
+      SELECT a.vec_id, sa.sc, a.cell
+      FROM lassign3 a JOIN sassign sa USING (vec_id)
+      WHERE a.rn = 1
+    ),
+    deltamap AS MATERIALIZED (
+      SELECT ds.vec_id, ds.sc, a.cell
+      FROM ds2 a JOIN dsup ds USING (vec_id)
+      WHERE a.rn = 1
+    )"""
+
+
+def _ann34_sql() -> str:
+    return f"""
+    WITH {_two_level_grow_ctes()}
+    SELECT vec_id, sc AS super_cell, cell
+    FROM deltamap
+    ORDER BY vec_id
     """
 
 
@@ -3309,4 +3331,249 @@ def ann36_two_level_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("bigint").alias("k"),
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         F.round(F.count(F.lit(1)) / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+_TL_WARN_RATIO = 1.02  # gate-scale drift threshold (see ann37)
+
+
+def _tl_drift_ctes() -> str:
+    """Super-level drift algebra over the grown two-level index
+    (engine twin: llm.similarity.ivf_cell_drift at super granularity,
+    warn_ratio={_TL_WARN_RATIO}): per super, base vs grown member
+    counts and corpus shares; ``flags`` holds the supers whose share
+    grew past the ratio (or that were empty at build time)."""
+    return f"""
+    db AS (SELECT sc, count(*) AS n_before FROM sassign GROUP BY 1),
+    da AS (
+      SELECT sc, count(*) AS n_after FROM (
+        SELECT sc FROM sassign UNION ALL SELECT sc FROM dsup
+      ) GROUP BY 1
+    ),
+    dtb AS (SELECT sum(n_before) AS tb FROM db),
+    dta AS (SELECT sum(n_after) AS ta FROM da),
+    drift AS (
+      SELECT coalesce(db.sc, da.sc) AS sc,
+             coalesce(db.n_before, 0) AS n_before,
+             coalesce(da.n_after, 0) AS n_after,
+             coalesce(db.n_before, 0) * 1.0 / dtb.tb AS share_b,
+             coalesce(da.n_after, 0) * 1.0 / dta.ta AS share_a
+      FROM db FULL JOIN da ON db.sc = da.sc, dtb, dta
+    ),
+    flags AS MATERIALIZED (
+      SELECT sc FROM drift
+      WHERE n_before = 0 OR share_a > {_TL_WARN_RATIO} * share_b
+    )"""
+
+
+def _ann37_sql() -> str:
+    return f"""
+    WITH {_two_level_grow_ctes()},
+    {_tl_drift_ctes()}
+    SELECT sc AS super_cell, cast(n_before AS BIGINT) AS n_before,
+           cast(n_after AS BIGINT) AS n_after,
+           round(share_b, 6) AS share_before,
+           round(share_a, 6) AS share_after,
+           (n_before = 0 OR share_a > {_TL_WARN_RATIO} * share_b)
+             AS retrain
+    FROM drift
+    ORDER BY sc
+    """
+
+
+@register("ann37_two_level_drift", _ann37_sql(), first_round=15)
+def ann37_two_level_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift report for the GROWN two-level index — ann13's
+    maintenance signal at the tree's actionable granularity, the
+    SUPER: after stage-1-assigning the delta batch (vec_id % 5 == 4)
+    against the frozen super table, report per super how the corpus
+    share moved and whether that super's cells warrant re-training
+    (llm.similarity.ivf_cell_drift applied to the super column). The
+    two-level payoff is WHERE the flag points: a flagged super is
+    refreshed LOCALLY (one applyInPandas task over its grown members
+    — ann38), not via a global re-cluster, so maintenance cost scales
+    with drift, not corpus. warn_ratio is 1.02 here (vs the 2.0
+    production default) so both flag outcomes are exercised and
+    oracle-checked at every gate SF (measured share-growth spread at
+    sf0.001/0.01/0.1 is 0.95-1.08). Super-count-sized output; the
+    only corpus-sized work is the stage-1 assignment ann34 already
+    pays."""
+    from ..llm.similarity import (
+        _nearest_cell_blas,
+        ivf_cell_drift,
+        two_level_kmeans,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    sup_cent, assign = two_level_kmeans(
+        base, per_super_vec=125, per_cell=25, super_floor=4,
+        cell_floor=2, iters=2,
+    )
+    before = assign.select(F.col("super_cell").alias("cell"))
+    d1 = _nearest_cell_blas(delta, "vec_id", "embedding", sup_cent)
+    after = before.unionAll(d1.select("cell"))
+    return (
+        ivf_cell_drift(before, after, warn_ratio=_TL_WARN_RATIO)
+        .withColumnRenamed("cell", "super_cell")
+        .orderBy("super_cell")
+    )
+
+
+def _ann38_sql() -> str:
+    return f"""
+    WITH {_two_level_grow_ctes()},
+    {_tl_drift_ctes()},
+    gsup AS MATERIALIZED (
+      SELECT vec_id, sc FROM sassign WHERE sc IN (SELECT sc FROM flags)
+      UNION ALL
+      SELECT vec_id, sc FROM dsup WHERE sc IN (SELECT sc FROM flags)
+    ),
+    gszs AS (
+      SELECT sc, least(count(*), greatest(2, ceil(count(*) / 25.0))) AS k2
+      FROM gsup GROUP BY 1
+    ),
+    gseedrank AS (
+      SELECT sc, vec_id,
+             row_number() OVER (PARTITION BY sc ORDER BY vec_id) AS rnk
+      FROM gsup
+    ),
+    gcent0 AS (
+      SELECT s.sc, s.vec_id AS cell, comp.i, comp.v
+      FROM gseedrank s
+      JOIN gszs USING (sc)
+      JOIN comp ON comp.vec_id = s.vec_id
+      WHERE s.rnk <= gszs.k2
+    ),
+    {_tl_local_iter_sql('gcent0', 1, 'comp', 'gsup', 'g')},
+    {_tl_local_iter_sql('gcent1', 2, 'comp', 'gsup', 'g')},
+    {_tl_local_iter_sql('gcent2', 3, 'comp', 'gsup', 'g')},
+    gfinal AS (
+      SELECT sa.vec_id, sa.sc, a.cell
+      FROM gassign3 a JOIN gsup sa USING (vec_id)
+      WHERE a.rn = 1
+    ),
+    kept AS (
+      SELECT vec_id, sc, cell FROM basemap
+      WHERE sc NOT IN (SELECT sc FROM flags)
+      UNION ALL
+      SELECT vec_id, sc, cell FROM deltamap
+      WHERE sc NOT IN (SELECT sc FROM flags)
+    ),
+    refreshed AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM gfinal
+    ),
+    cellagg AS (
+      SELECT sc, cell, cast(count(*) AS BIGINT) AS n_members
+      FROM refreshed GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT r.sc, r.cell, comp.i, avg(comp.v) AS v
+      FROM refreshed r JOIN comp ON comp.vec_id = r.vec_id
+      GROUP BY 1, 2, 3
+    ),
+    norms AS (
+      SELECT sc, cell, round(sqrt(sum(v * v)), 4) AS centroid_norm
+      FROM cents GROUP BY 1, 2
+    )
+    SELECT c.sc AS super_cell, c.cell, c.n_members, n.centroid_norm
+    FROM cellagg c JOIN norms n USING (sc, cell)
+    ORDER BY 1, 2
+    """
+
+
+@register("ann38_two_level_partial_refresh", _ann38_sql(), first_round=15)
+def ann38_two_level_partial_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTIAL refresh of the grown two-level index — the maintenance
+    step ann37's drift flags trigger, and the operation that justifies
+    the tree at 100 TB: only the FLAGGED supers' cells re-train (one
+    local Lloyd per flagged super over its grown member set, re-seeded
+    from the grown set's smallest ids — deterministic, so the oracle
+    replays it), while every unflagged super keeps its stored cells
+    and assignments byte-for-byte. Maintenance cost is
+    O(drifted members), never O(corpus) — the single-level refresh
+    (ann16) must warm-start over the WHOLE corpus because its cells
+    have no locality to scope the re-train to. Output is ann16's
+    report shape on the refreshed index: per (super, cell) member
+    count + centroid norm over the union of kept and re-trained
+    assignments. warn_ratio 1.02 as in ann37, so at every gate SF
+    some supers re-train and some keep — both arms hash-checked."""
+    from ..llm.similarity import (
+        _local_lloyd_assign,
+        _nearest_cell_blas,
+        ivf_cell_drift,
+        two_level_cells,
+        two_level_kmeans,
+        two_level_serve_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    sup_cent, assign = two_level_kmeans(
+        base, per_super_vec=125, per_cell=25, super_floor=4,
+        cell_floor=2, iters=2,
+    )
+    assign = assign.localCheckpoint(eager=True)
+    # every downstream arm re-reads these small frames several times
+    # (d1 feeds drift + the grown union; d2 feeds the kept union;
+    # cells feeds the cogroup) — checkpoint once, or each consumer
+    # re-executes the whole training lineage
+    sup_cent = sup_cent.localCheckpoint(eager=True)
+    cells = two_level_cells(assign, base).localCheckpoint(eager=True)
+    d1 = (
+        _nearest_cell_blas(delta, "vec_id", "embedding", sup_cent)
+        .withColumnRenamed("cell", "super_cell")
+        .localCheckpoint(eager=True)
+    )
+    d2 = two_level_serve_assign(delta, sup_cent, cells).localCheckpoint(
+        eager=True
+    )
+    flagged = (
+        ivf_cell_drift(
+            assign.select(F.col("super_cell").alias("cell")),
+            assign.select(F.col("super_cell").alias("cell")).unionAll(
+                d1.select(F.col("super_cell").alias("cell"))
+            ),
+            warn_ratio=_TL_WARN_RATIO,
+        )
+        .filter("retrain")
+        .select(F.col("cell").alias("super_cell"))
+        .localCheckpoint(eager=True)
+    )
+    grown_sup = assign.select("vec_id", "super_cell").unionAll(d1)
+    gmembers = (
+        grown_sup.join(F.broadcast(flagged), "super_cell", "left_semi")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "embedding", "super_cell")
+    )
+    retrained = _local_lloyd_assign(
+        gmembers, "vec_id", "embedding", per_cell=25, cell_floor=2, iters=2
+    )
+    kept = (
+        assign.select("vec_id", "super_cell", "cell")
+        .unionAll(d2.select("vec_id", "super_cell", "cell"))
+        .join(F.broadcast(flagged), "super_cell", "left_anti")
+    )
+    refreshed = kept.unionByName(
+        retrained.select("vec_id", "super_cell", "cell")
+    ).localCheckpoint(eager=True)
+    counts = refreshed.groupBy("super_cell", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    norms = (
+        two_level_cells(refreshed, emb)
+        .groupBy("super_cell", "cell")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 4).alias(
+                "centroid_norm"
+            )
+        )
+    )
+    return (
+        counts.join(norms, ["super_cell", "cell"])
+        .orderBy("super_cell", "cell")
     )

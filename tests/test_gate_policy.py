@@ -32,15 +32,16 @@ Round-7 amendments (both from the round-6 verdict/advice):
   sentinel set, with this same arithmetic in the commit).
 
 Round-15 amendment — the horizon STAYS 7 (bound 7*46 + 4 = 326 vs
-registry 284 after the round's 5 additions); the r15 gate pays the 10
+registry 286 after the round's 7 additions); the r15 gate pays the 10
 owed r8 rows in full (the 6 deferred twins + the 4 displaced
-head-start slots) and pre-rotates 31 of the 42-query r9 cohort: the 6
-cheap untouched business-analytics twins (x57-x62) defer, and 5 tail
-members (x55/x56 as planned head-start, x52/x53/x54 as the later
-additions landed) are displaced by ann33/ann34/ann35/ann36/dd26.
-Forward: r16 owes exactly 11 r9 rows + its changes with ~33 slots of
-slack against the 43-query r10 cohort (mandatory r17). Next decision
-point unchanged (registry ~326 or an un-smoothed 46-query cohort).
+head-start slots) and pre-rotates 29 of the 42-query r9 cohort: the 6
+cheap untouched business-analytics twins (x57-x62) defer, and 7 tail
+members (x55/x56 as planned head-start, x49/x50/x52/x53/x54 as the
+later additions landed) are displaced by the two-level lifecycle
+(ann33-ann38) + dd26. Forward: r16 owes exactly 13 r9 rows + its
+changes with ~33 slots of slack against the 43-query r10 cohort
+(mandatory r17). Next decision point unchanged (registry ~326 or an
+un-smoothed 46-query cohort).
 
 Round-14 amendment — the horizon STAYS 7; the round's gate decision
 is cohort SMOOTHING, not a crossing (bound 7*46 + 4 = 326 vs registry
