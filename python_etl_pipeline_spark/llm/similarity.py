@@ -458,6 +458,98 @@ def _guard_centroid_rows(rows, kernel: str) -> None:
         )
 
 
+def _np_argmin_sq_l2(M, C):
+    """Row-wise argmin_j ||m - C_j||^2 over a LOCAL numpy centroid
+    matrix, ties to the SMALLEST j — the in-task twin of
+    :func:`_nearest_cell_blas`'s arithmetic, shared by the per-super
+    local Lloyd and the cogroup serve path (r15 review: both used the
+    naive (n, k, d) broadcast cube, ~16x the documented per-task
+    memory bound at production parameters). Same two-tier shape as
+    the kernel: a blocked gemm-identity scan (an (n_block, k_block)
+    DISTANCE matrix, never a d-cube) tracking best and second-best,
+    then near-tie margins re-scored with the exact explicit sum in
+    (256 x 256 x d) blocks with a strict running minimum (earlier =
+    smaller index wins ties, argmin-first inside a block) — so the
+    result matches the oracle's explicit ``ORDER BY dist, cell`` form
+    everywhere the identity could misorder."""
+    import numpy as np
+
+    n = len(M)
+    # SIZE-ADAPTIVE: for small centroid tables (per-super cell counts
+    # at gate parameters are ~5-20) the explicit cube is both exact
+    # and cheaper than the identity machinery — and by the tolerance
+    # contract the two paths return identical argmins (anything the
+    # identity could misorder is re-scored with this same explicit
+    # arithmetic), so the switch is invisible to results. 128 MB cube
+    # budget per 8192-row block.
+    if 8192 * C.size * 8 <= 128 * 2**20:
+        out = np.empty(n, dtype=np.int64)
+        for r0 in range(0, n, 8192):
+            Mb = M[r0 : r0 + 8192]
+            D = ((Mb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[r0 : r0 + 8192] = D.argmin(axis=1)
+        return out
+    cn2 = (C * C).sum(axis=1)
+    cn2_max = float(cn2.max(initial=0.0))
+    out = np.empty(n, dtype=np.int64)
+    for r0 in range(0, n, 8192):
+        Mb = M[r0 : r0 + 8192]
+        tol = _near_tie_tol(cn2_max, Mb)
+        nb = len(Mb)
+        best_d = np.full(nb, np.inf)
+        sec_d = np.full(nb, np.inf)
+        best_j = np.zeros(nb, dtype=np.int64)
+        rows_idx = np.arange(nb)
+        for j0 in range(0, len(C), 8192):
+            Cc = C[j0 : j0 + 8192]
+            dist = cn2[j0 : j0 + 8192][None, :] - 2.0 * (Mb @ Cc.T)
+            jmin = dist.argmin(axis=1)
+            dmin = dist[rows_idx, jmin]
+            if dist.shape[1] >= 2:
+                d2b = np.partition(dist, 1, axis=1)[:, 1]
+            else:
+                d2b = np.full(nb, np.inf)
+            take = dmin < best_d
+            sec_d = np.where(
+                take, np.minimum(best_d, d2b), np.minimum(sec_d, dmin)
+            )
+            best_j = np.where(take, jmin + j0, best_j)
+            best_d = np.where(take, dmin, best_d)
+        flagged = (sec_d - best_d) <= tol
+        if flagged.any():
+            fi = np.flatnonzero(flagged)
+            best_j[fi] = _np_exact_argmin_blocked(Mb[fi], C)
+        out[r0 : r0 + 8192] = best_j
+    return out
+
+
+def _np_exact_argmin_blocked(R, C):
+    """Exact explicit-sum argmin for the near-tie re-score, blocked
+    (256 rows x 256 centroids x d per cube, ~33 MB at d=64) with a
+    STRICT running minimum so the first/smallest index wins ties —
+    byte-equivalent to a full ``((R[:,None]-C[None])**2).sum(2)
+    .argmin(1)`` without materializing (n_flagged, k, d)."""
+    import numpy as np
+
+    out = np.empty(len(R), dtype=np.int64)
+    for r0 in range(0, len(R), 256):
+        Rb = R[r0 : r0 + 256]
+        bd = np.full(len(Rb), np.inf)
+        bj = np.zeros(len(Rb), dtype=np.int64)
+        rr = np.arange(len(Rb))
+        for j0 in range(0, len(C), 256):
+            Eb = ((Rb[:, None, :] - C[None, j0 : j0 + 256, :]) ** 2).sum(
+                axis=2
+            )
+            jb = Eb.argmin(axis=1)
+            db = Eb[rr, jb]
+            take = db < bd
+            bj = np.where(take, jb + j0, bj)
+            bd = np.where(take, db, bd)
+        out[r0 : r0 + 256] = bj
+    return out
+
+
 def _near_tie_tol(cn2_max: float, M) -> float:
     """Near-tie re-score margin for the gemm-identity kernel, PER
     Arrow batch. The identity ||c||^2 - 2 v.c carries absolute float64
@@ -608,12 +700,12 @@ def _nearest_cell_blas(
             flagged = (sec_d - best_d) <= tol
             if flagged.any():
                 # exact explicit-sum re-score over ALL centroids for
-                # the (rare) near-tied vectors — argmin's first-index
-                # rule = smallest cell, the oracle's tie-break
-                E = ((M[flagged][:, None, :] - Cb[None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                best_j[flagged] = E.argmin(axis=1)
+                # the (rare) near-tied vectors — first-min rule =
+                # smallest cell, the oracle's tie-break; BLOCKED so a
+                # mass-tied batch never materializes (n_flagged, k, d)
+                # (r15 review)
+                fi = np.flatnonzero(flagged)
+                best_j[fi] = _np_exact_argmin_blocked(M[fi], Cb)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "cell": cb[best_j]}
             )
@@ -740,6 +832,7 @@ def derived_k_init(
     vec_col: str = "embedding",
     floor_k: int = 4,
     per_cell: int = 500,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """Long-form (cell, i, v) k-means seed with the corpus-DERIVED
     cell count k = greatest(floor_k, ceil(N / per_cell)) — the
@@ -752,17 +845,27 @@ def derived_k_init(
     broadcast into the seed filter, no driver action), and a DuckDB
     oracle replays the derivation as the kk CTE
     (``greatest(floor_k, ceil(count(DISTINCT id)/per_cell.0))``).
-    N is the DISTINCT count of ids holding a non-null vector — the
-    exact population the oracle kk CTEs measure over the exploded
-    components (explode drops null-embedding rows; DISTINCT drops
-    duplicated ids), so engine and oracle derive the same k even when
-    the raw table carries null embeddings or duplicate ids near a
-    per_cell boundary (r14 advice).
+    N is the DISTINCT id count over the exploded components — the
+    exact population the oracle kk CTEs measure (explode drops both
+    null-embedding rows AND empty arrays; DISTINCT drops duplicated
+    ids), so engine and oracle derive the same k even when the raw
+    table carries null/empty embeddings or duplicate ids near a
+    per_cell boundary (r14 advice; empty-array case r15 review).
     Shared by ann5/ann30/x51's graph builds and the IVF-PQ index
     build's coarse quantizer (round 14). Feed to
     :func:`kmeans_fit`'s ``init=``."""
-    comp = _components(df, id_col, vec_col)
-    kk = df.filter(F.col(vec_col).isNotNull()).agg(
+    if comp is None:
+        comp = _components(df, id_col, vec_col)
+    # N = DISTINCT ids with a non-null, NON-EMPTY vector — byte-for-
+    # byte the population the oracle kk CTEs count over the exploded
+    # components (explode drops null embeddings AND empty arrays; a
+    # bare isNotNull filter still counted [] rows the oracle
+    # excludes). Counted on the RAW table, not comp: the exploded
+    # form is d x the rows for the same answer (measured +46% on the
+    # 100x ann33 wall when this agg briefly ran over comp).
+    kk = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).agg(
         F.greatest(
             F.lit(floor_k).cast("bigint"),
             F.ceil(F.count_distinct(F.col(id_col)) / float(per_cell)),
@@ -833,7 +936,7 @@ def kmeans_fit(
     if init is not None:
         cent = init.select("cell", "i", "v")
     elif k is None:
-        cent = derived_k_init(df, id_col, vec_col)
+        cent = derived_k_init(df, id_col, vec_col, comp=comp)
     else:
         cent = comp.filter(F.col(id_col) < k).select(
             F.col(id_col).alias("cell"), "i", "v"
@@ -981,23 +1084,18 @@ def _local_lloyd_assign(
         cells = ids[:k2].astype(np.int64)
         C = M[:k2].copy()
 
-        def argmin_cells(C_):
-            # explicit (v-c)^2 in float64 — the oracle's arithmetic;
-            # blocked over rows to bound the (block, k2) matrix. Cells
-            # stay sorted ascending, so argmin-first = smallest cell.
-            out = np.empty(n, dtype=np.int64)
-            for r0 in range(0, n, 8192):
-                Mb = M[r0 : r0 + 8192]
-                D = ((Mb[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
-                out[r0 : r0 + 8192] = D.argmin(axis=1)
-            return out
-
+        # assignment via the memory-bounded identity+re-score helper
+        # (cells stay sorted ascending, so smallest-index = smallest
+        # cell, the oracle's ORDER BY dist, cell — see
+        # _np_argmin_sq_l2; the naive (n, k2, d) cube this replaces
+        # was ~16x the documented per-task bound at production
+        # parameters, r15 review)
         for _ in range(iters):
-            j = argmin_cells(C)
+            j = _np_argmin_sq_l2(M, C)
             keep = np.unique(j)  # empty cells drop, like the CTE form
             C = np.stack([M[j == jj].mean(axis=0) for jj in keep])
             cells = cells[keep]
-        j = argmin_cells(C)
+        j = _np_argmin_sq_l2(M, C)
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -1124,11 +1222,7 @@ def two_level_serve_assign(
                 "cover the cell component range"
             )
         M = M[:, lo : hi + 1]
-        out = np.empty(len(M), dtype=np.int64)
-        for r0 in range(0, len(M), 8192):
-            Mb = M[r0 : r0 + 8192]
-            D = ((Mb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            out[r0 : r0 + 8192] = D.argmin(axis=1)
+        out = _np_argmin_sq_l2(M, C)
         return pd.DataFrame(
             {
                 id_col: vdf[id_col].to_numpy(),
@@ -1756,15 +1850,12 @@ def build_ivfpq_index(
     read-backs stay fixed, so train-once is the scale-correct shape
     for a build path that by definition targets large corpora."""
     spark = df.sparkSession
-    if coarse_k is None:
-        cent, _ = kmeans_fit(
-            df, id_col, vec_col, iters=coarse_iters, materialize=True,
-            init=derived_k_init(df, id_col, vec_col),
-        )
-    else:
-        cent, _ = kmeans_fit(
-            df, id_col, vec_col, coarse_k, coarse_iters, materialize=True
-        )
+    # coarse_k=None -> kmeans_fit's own derived-k default (round 15:
+    # the trainer derives the seed from its checkpointed comp, so the
+    # two branches collapsed into one call)
+    cent, _ = kmeans_fit(
+        df, id_col, vec_col, coarse_k, coarse_iters, materialize=True
+    )
     cent.write.mode("overwrite").parquet(f"{out_dir}/coarse_centroids")
     cent_r = spark.read.parquet(f"{out_dir}/coarse_centroids")
     _nearest_cell_blas(df, id_col, vec_col, cent_r).write.mode(

@@ -1739,7 +1739,8 @@ def _dd26_sql() -> str:
            round(avg(abs(est - truth)), 4) AS mae,
            round(max(abs(est - truth)), 4) AS max_abs_err,
            round(avg(est - truth), 4) AS bias,
-           round(sqrt(ln(40.0) / (2 * count(*))), 4) AS mae_bound95
+           round(sqrt(ln(40.0) / (2 * nullif(count(*), 0))), 4)
+             AS mae_bound95
     FROM scored
     """
 
@@ -1874,6 +1875,13 @@ def dd26_sampled_estimator_error(
         ),
         F.round(F.avg(F.col("est") - F.col("truth")), 4).alias("bias"),
         F.round(
-            F.sqrt(F.log(F.lit(40.0)) / (2 * F.count(F.lit(1)))), 4
+            # guard the n=0 corner (no candidate pairs at all): ANSI
+            # mode would raise DIVIDE_BY_ZERO; emit NULL like the
+            # oracle's nullif (r15 review)
+            F.when(
+                F.count(F.lit(1)) > 0,
+                F.sqrt(F.log(F.lit(40.0)) / (2 * F.count(F.lit(1)))),
+            ),
+            4,
         ).alias("mae_bound95"),
     )

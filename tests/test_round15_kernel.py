@@ -365,3 +365,40 @@ def test_partial_refresh_touches_only_flagged_supers(spark):
     }
     assert retr_ids.isdisjoint(kept_ids)
     assert retr_ids | kept_ids >= set(base_map)  # every base vector
+
+
+def test_derived_k_excludes_empty_arrays(spark):
+    """r15 review: explode drops EMPTY arrays too, so the oracle's kk
+    CTE never counts them — 2500 non-empty + 300 empty-array ids must
+    derive k=5 (ceil(2500/500)), not 6."""
+    nonempty = spark.range(2500).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 9).cast("double")).alias("embedding"),
+    )
+    empty = spark.range(2500, 2800).select(
+        F.col("id").alias("vec_id"),
+        F.array().cast("array<double>").alias("embedding"),
+    )
+    init = derived_k_init(nonempty.unionAll(empty), "vec_id", "embedding")
+    assert init.select("cell").distinct().count() == 5
+
+
+def test_blocked_exact_argmin_matches_naive_cube():
+    """_np_exact_argmin_blocked == the full-cube argmin it replaced,
+    including cross-block tie-breaks to the smallest index, on shapes
+    that straddle the 256-row/256-centroid block edges."""
+    from python_etl_pipeline_spark.llm.similarity import (
+        _np_argmin_sq_l2,
+        _np_exact_argmin_blocked,
+    )
+
+    rng = np.random.RandomState(11)
+    C = rng.rand(600, 5)
+    C[300] = C[10]  # exact duplicate centroid across block boundary
+    R = rng.rand(700, 5)
+    R[5] = C[10]  # exact member of the duplicated pair
+    naive = ((R[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert (_np_exact_argmin_blocked(R, C) == naive).all()
+    # the identity+re-score scan agrees too (ties resolved exactly)
+    assert (_np_argmin_sq_l2(R, C) == naive).all()
+    assert _np_exact_argmin_blocked(R, C)[5] == 10  # smallest of the pair
