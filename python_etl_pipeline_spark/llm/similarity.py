@@ -567,7 +567,11 @@ def _near_tie_tol(cn2_max: float, M) -> float:
 
 
 def _nearest_cell_blas(
-    df: DataFrame, id_col: str, vec_col: str, cent: DataFrame
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent: DataFrame,
+    rows: list | None = None,
 ) -> DataFrame:
     """(id, cell): argmin squared-L2 assignment via ONE broadcast
     (k x d) centroid matrix and a per-batch numpy distance kernel —
@@ -615,7 +619,14 @@ def _nearest_cell_blas(
 
     The collected centroid table is bounded state, not corpus data:
     k x d rows with k ~ N/500 (tens of MB at 2e8 vectors), the same
-    O(buckets) driver-fold contract as the sequence engine."""
+    O(buckets) driver-fold contract as the sequence engine.
+
+    ``rows`` (optional) is a PRE-COLLECTED centroid row list — callers
+    that already executed ``cent.collect()`` for their own purposes
+    (:func:`kmeans_fit` materializes the final centroid table once and
+    feeds both the returned frame and this kernel from it) pass it so
+    the centroid-update plan is not executed a second time; the kernel
+    arithmetic is byte-identical either way."""
     import numpy as np
 
     id_t = df.schema[id_col].dataType.simpleString()
@@ -625,7 +636,8 @@ def _nearest_cell_blas(
             f"integral type, got {id_t!r} — the assignment schema "
             f"reuses the input id type verbatim"
         )
-    rows = cent.collect()
+    if rows is None:
+        rows = cent.collect()
     _guard_centroid_rows(rows, "_nearest_cell_blas")
     cells = sorted({r["cell"] for r in rows})
     cidx = {c: j for j, c in enumerate(cells)}
@@ -952,7 +964,21 @@ def kmeans_fit(
         cent = (
             comp.join(assign, id_col).groupBy("cell", "i").agg(F.avg("v").alias("v"))
         )
-    return cent, _nearest_cell_blas(df, id_col, vec_col, cent)
+    # Materialize the FINAL k x d centroid table exactly once (bounded
+    # model state — the same collect the assignment kernel was already
+    # paying) and hand both consumers the result: the kernel gets the
+    # row list, and the returned frame is a LOCAL RELATION built from
+    # the same rows. Before this, the returned ``cent`` was a live
+    # plan over the last update join, so EVERY downstream consumer
+    # (serve-path probe ranking, index writes, drift reports — and the
+    # kernel itself) re-executed that join + aggregation per use; now
+    # the training subtree runs once per fit, values byte-identical
+    # (r15 optimization, guide §1.2/§2.4: don't recompute what one
+    # collect already produced).
+    rows = cent.collect()
+    _guard_centroid_rows(rows, "kmeans_fit")
+    cent_local = df.sparkSession.createDataFrame(rows, schema=cent.schema)
+    return cent_local, _nearest_cell_blas(df, id_col, vec_col, cent, rows=rows)
 
 
 def kmeans_assign(
@@ -1174,6 +1200,7 @@ def two_level_serve_assign(
     cells: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    s1: DataFrame | None = None,
 ) -> DataFrame:
     """(id, super_cell, cell): assign NEW vectors against a stored
     two-level index — the serve/grow path that never materializes the
@@ -1188,7 +1215,15 @@ def two_level_serve_assign(
     whose stage-1 super holds no cells (possible only when the final
     training assignment emptied a super) are DROPPED — inner-join
     semantics, matching the oracle's join. Per-task state: one
-    super's delta vectors + its cells — bounded at any corpus size."""
+    super's delta vectors + its cells — bounded at any corpus size.
+
+    ``s1`` (optional): a PRE-COMPUTED stage-1 assignment
+    (id, super_cell) for ``df`` — a caller that already ran the super
+    probe for its own purposes (ann38's drift report assigns the same
+    delta batch against the same frozen super table) passes it so the
+    delta is not kernel-scanned twice; it must be exactly
+    ``_nearest_cell_blas(df, ..., sup_cent)`` renamed, which the
+    partial-refresh path guarantees by construction."""
     import numpy as np
 
     id_t = df.schema[id_col].dataType.simpleString()
@@ -1197,9 +1232,10 @@ def two_level_serve_assign(
             f"two_level_serve_assign: id column {id_col!r} must be an "
             f"integral type, got {id_t!r}"
         )
-    s1 = _nearest_cell_blas(df, id_col, vec_col, sup_cent).withColumnRenamed(
-        "cell", "super_cell"
-    )
+    if s1 is None:
+        s1 = _nearest_cell_blas(
+            df, id_col, vec_col, sup_cent
+        ).withColumnRenamed("cell", "super_cell")
     vec_sup = df.select(id_col, vec_col).join(s1, id_col)
 
     def within_super(key, vdf, cdf):

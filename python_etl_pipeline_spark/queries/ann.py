@@ -1499,19 +1499,77 @@ def ann21_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     point. Monotonicity in both axes is pinned (more probes never
     scan less or recall less; candidates nest by construction).
 
-    Plan shape: one coarse-assignment (the broadcast-centroid pass
-    ann2 ships) shared by all three curve points via the probe-rank
-    join — the probes table is 3 rows, so the fan-out is the
-    candidate union, not three corpus scans; the exact rerank per
-    probe level cuts via per-partition heaps."""
-    from ..llm.similarity import _ivf_cluster_members, _rerank_members, brute_force_topk
+    Plan shape: ONE coarse-assignment kernel pass and ONE brute-force
+    ground-truth ranking shared by all three curve points (each is
+    pinned with a localCheckpoint — before r15 the static plan
+    re-executed the assignment kernel once per probe level and per
+    consumer, and the brute-force side once per intersect: 12 corpus
+    scans for a 3-row answer, guide §2.4). The per-level member sets
+    are prefix slices of a single 8-row probe ranking (candidates
+    nest by construction, so rank <= nprobe replays each level's
+    ``ORDER BY cos DESC, c LIMIT nprobe`` exactly); the exact rerank
+    per probe level cuts via per-partition heaps."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import (
+        _components,
+        _nearest_centroid_cos_blas,
+        _rerank_members,
+        brute_force_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    bf = brute_force_topk(emb, query_id=0, k=10).select("vec_id")
+    bf = (
+        brute_force_topk(emb, query_id=0, k=10)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    # shared coarse state — byte-for-byte _ivf_cluster_members'
+    # arithmetic (same kernel, same (cos DESC, c ASC) probe order),
+    # computed once for the whole curve
+    comp = _components(emb, "vec_id", "embedding")
+    cent = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c"), "i", F.col("v").alias("cv")
+    )
+    assign = _nearest_centroid_cos_blas(
+        emb, "vec_id", "embedding", cent
+    ).localCheckpoint(eager=True)
+    qcomp = comp.filter(F.col("vec_id") == 0).select(
+        "i", F.col("v").alias("qv")
+    )
+    qnorm = qcomp.agg(
+        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnorm")
+    )
+    cnorms = cent.groupBy("c").agg(
+        F.sqrt(F.sum(F.col("cv") * F.col("cv"))).alias("cnorm")
+    )
+    ranked = (
+        cent.join(F.broadcast(qcomp), "i")
+        .groupBy("c")
+        .agg(F.sum(F.col("cv") * F.col("qv")).alias("dot"))
+        .join(F.broadcast(cnorms), "c")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "c",
+            (F.col("dot") / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col("c"))
+            ),
+        )
+        .select(F.col("c").alias("centroid"), "rnk")
+        .localCheckpoint(eager=True)  # 8 rows
+    )
     parts = []
     for np_ in _ANN21_PROBES:
-        members = _ivf_cluster_members(
-            emb, query_id=0, n_centroids=8, nprobe=np_
+        members = (
+            assign.join(
+                F.broadcast(ranked.filter(F.col("rnk") <= np_)), "centroid"
+            )
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id")
         )
         topk = _rerank_members(emb, members, 0, 10, "vec_id", "embedding")
         hits = topk.select("vec_id").intersect(bf)
@@ -3411,6 +3469,7 @@ def ann37_two_level_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, per_super_vec=125, per_cell=25, super_floor=4,
         cell_floor=2, iters=2,
     )
+    assign = assign.localCheckpoint(eager=True)
     before = assign.select(F.col("super_cell").alias("cell"))
     d1 = _nearest_cell_blas(delta, "vec_id", "embedding", sup_cent)
     after = before.unionAll(d1.select("cell"))
@@ -3521,17 +3580,20 @@ def ann38_two_level_partial_refresh(
     # every downstream arm re-reads these small frames several times
     # (d1 feeds drift + the grown union; d2 feeds the kept union;
     # cells feeds the cogroup) — checkpoint once, or each consumer
-    # re-executes the whole training lineage
-    sup_cent = sup_cent.localCheckpoint(eager=True)
+    # re-executes the whole training lineage (sup_cent needs no pin
+    # since r15: kmeans_fit returns it as a local relation)
     cells = two_level_cells(assign, base).localCheckpoint(eager=True)
     d1 = (
         _nearest_cell_blas(delta, "vec_id", "embedding", sup_cent)
         .withColumnRenamed("cell", "super_cell")
         .localCheckpoint(eager=True)
     )
-    d2 = two_level_serve_assign(delta, sup_cent, cells).localCheckpoint(
-        eager=True
-    )
+    # d1 IS the serve path's stage-1 assignment (same kernel, same
+    # frozen super table) — pass it through so the delta batch is not
+    # kernel-scanned twice (r15 optimization, guide §2.4)
+    d2 = two_level_serve_assign(
+        delta, sup_cent, cells, s1=d1
+    ).localCheckpoint(eager=True)
     flagged = (
         ivf_cell_drift(
             assign.select(F.col("super_cell").alias("cell")),
