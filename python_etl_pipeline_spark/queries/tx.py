@@ -1185,6 +1185,13 @@ def tx22_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "pos", "h")
         .distinct()
+        # three consumers (per-doc counts, the fingerprint-hash side,
+        # the shared-hash side) each re-ran the 4x gram fan-out + the
+        # fine-grained window sort — pin the selected fingerprints
+        # (~2/(w+1) of gram rows, the table a production pipeline
+        # persists as the winnowing index) once (r15 optimization,
+        # guide §2.4)
+        .localCheckpoint(eager=True)
     )
     fph = fp.select("doc_id", "h").distinct()
     shared = (

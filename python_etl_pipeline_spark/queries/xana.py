@@ -844,7 +844,11 @@ def x51_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select("vec_id")
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
+    # all three unrolled iterations consume the degree-annotated edge
+    # list — pin it once (edge-sized, the same state class as the
+    # checkpointed edges) or each iteration re-runs the degree agg +
+    # join from the edge checkpoint (r15 optimization, guide §2.4)
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "vec_id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
