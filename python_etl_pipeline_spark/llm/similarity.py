@@ -2456,7 +2456,13 @@ def binary_hamming_topk(
     dimension. The code table broadcasts at almost any corpus size
     (8 bytes/vector); the Hamming cut is an integer heap; only
     ``shortlist`` vectors are ever read at full precision."""
-    codes = binary_codes(df, id_col, vec_col, n_planes)
+    # the code table is THE stored index (8 bytes/vector) and its
+    # build is the expensive stage (48 plane-projection sums over the
+    # exploded corpus); un-pinned, the query-code filter and the
+    # Hamming scan each re-ran that build (r15, guide §2.4)
+    codes = binary_codes(df, id_col, vec_col, n_planes).localCheckpoint(
+        eager=True
+    )
     qcode = codes.filter(F.col(id_col) == query_id).select(
         F.col("code").alias("qcode")
     )
@@ -2470,7 +2476,11 @@ def binary_hamming_topk(
             ).alias("hamming"),
         )
     )
-    short = ham.orderBy("hamming", id_col).limit(shortlist)
+    # 50 rows, two consumers (rerank member list + the hamming column
+    # of the output) — pin so the n-row TakeOrdered runs once
+    short = ham.orderBy("hamming", id_col).limit(shortlist).localCheckpoint(
+        eager=True
+    )
     return (
         _rerank_members(
             df, short.select(id_col), query_id, k, id_col, vec_col

@@ -1302,6 +1302,10 @@ def dd21_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("label", "doc_id").alias("cluster_id"),
         )
+        # NOT pinned (r15 A/B): a localCheckpoint here measured 2.79
+        # -> 5.34 s isolated — AQE exchange reuse already covers the
+        # two consumers, and the pin demoted the cluster-size join
+        # from broadcast to sort-merge
     )
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -1539,6 +1543,10 @@ def dd23_canonical_reelection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
             "quality",
         )
+        # NOT pinned (r15 A/B): pinned vs unpinned isolated medians
+        # were a wash (4.70 vs 4.49/3.72 s across repeats) — AQE
+        # exchange reuse covers the repeated consumers, so the pin
+        # only adds eager materialization of a doc-sized table
     )
     # the argmax monoid: min over struct(-quality, doc_id); the raw
     # quality rides along in the third field so the output never

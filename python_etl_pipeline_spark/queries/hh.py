@@ -423,11 +423,21 @@ def hh6_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sketch import kmv_bottomk, kmv_estimate, kmv_hash
 
     e = _t(spark, sf_dir, "events")
-    uh = e.select(
-        F.col("event_type").alias("t"), F.col("user_id").alias("u")
-    ).distinct()
+    uh = (
+        e.select(
+            F.col("event_type").alias("t"), F.col("user_id").alias("u")
+        )
+        .distinct()
+        # five consumers (sketch build, exact counts, the type list,
+        # both exact-intersection self-join legs) each re-ran the
+        # event scan + distinct — the only data-sized stage in the
+        # query (r15, guide §2.4)
+        .localCheckpoint(eager=True)
+    )
     h = uh.select("t", kmv_hash(F.col("u")).alias("hv"))
-    sk_t = kmv_bottomk(h, ["t"])
+    # 64 rows per type, two consumers (per-type estimate + the
+    # pair-union sketch merge) — persisted-sketch state class
+    sk_t = kmv_bottomk(h, ["t"]).localCheckpoint(eager=True)
     est1 = kmv_estimate(sk_t, ["t"]).select("t", "est")
     exact1 = uh.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     types = uh.select("t").distinct()
@@ -909,6 +919,10 @@ def hh9_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         "user_id",
     ).distinct()
+    # NOT pinned (r15 A/B): a localCheckpoint on uh measured 2.03 ->
+    # 2.96 s isolated — the three consumers' distinct exchanges are
+    # covered by AQE reuse, and materializing the event-sized distinct
+    # costs more than it saves
     mx = uh.agg(F.max("day").alias("maxday"))
     daily_regs = hll_value_registers(
         uh, ["event_type", "day"], "user_id"

@@ -2048,6 +2048,10 @@ def tx31_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
         )
+        # NOT pinned (r15 A/B): the sibling shape in dd21 measured a
+        # clear pin regression (2.79 -> 5.34 s; AQE exchange reuse
+        # covers both consumers), and this query's own pinned runs did
+        # not reproduce a win outside machine noise
     )
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -932,7 +932,11 @@ def x52_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _spread(d.select("source", "text")).select(
         "source",
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    # ^ three consumers (sizes + both self-join legs) each re-ran the
+    # shingle explode + distinct without the pin — the same
+    # posting-table trade dd3's registered form makes (r15
+    # optimization, guide §2.4)
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = ss.alias("a"), ss.alias("b")
     pairs = (
@@ -3038,16 +3042,30 @@ def x56_sketch_fence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v"),
         F.col("value").cast("double").alias("price"),
     )
-    b = logbin_histogram(vals, "grp", "v")
+    # pin the histogram: it is the ONE corpus-sized agg, and un-pinned
+    # it re-ran once per downstream reference (the quantile reader's
+    # cum/total legs x the q1/q3 split x fences' two consumers pushed
+    # the before-plan to 60 Exchanges; r15, guide §2.4). State is
+    # catalog x bins rows — the mergeable sketch a monitor persists.
+    b = logbin_histogram(vals, "grp", "v").localCheckpoint(eager=True)
     est = logbin_quantiles(b, (0.25, 0.75), "grp").select(
         "grp", "q", (F.col("est") / 100).alias("qv")
     )
-    q1 = est.filter(F.col("q") == 0.25).select("grp", F.col("qv").alias("q1"))
-    q3 = est.filter(F.col("q") == 0.75).select("grp", F.col("qv").alias("q3"))
-    fences = q1.join(q3, "grp").select(
-        "grp",
-        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
-        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    # q1/q3 as a conditional agg over est's (grp, q) rows — one pass,
+    # replacing the filter-split + self-join that re-executed the
+    # quantile subtree per leg (identical values: est always emits
+    # both q rows per group)
+    fences = (
+        est.groupBy("grp")
+        .agg(
+            F.max(F.when(F.col("q") == 0.25, F.col("qv"))).alias("q1"),
+            F.max(F.when(F.col("q") == 0.75, F.col("qv"))).alias("q3"),
+        )
+        .select(
+            "grp",
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
     )
     exact = vals.groupBy("grp").agg(
         F.percentile("price", 0.25).alias("q1x"),

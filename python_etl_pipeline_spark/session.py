@@ -25,10 +25,22 @@ def get_spark(app_name: str = "spark-etl-engine", *, cpus: int | None = None) ->
     """
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", 0) or 0)
     master = f"local[{n}]" if n else "local[*]"
+    # Shuffle partitions TRACK the session's core count instead of a
+    # hard-coded 32 (r15 optimization, guide §2.2/§6): the driver also
+    # benches at lower core counts, where 32 partitions of tiny local
+    # data are pure task-scheduling overhead. On a real cluster this
+    # knob is sized to data volume (100 MB - 1 GB per partition) via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS; AQE coalescing then adapts each
+    # exchange downward at runtime either way. Partition count never
+    # changes query RESULTS (every oracle hash is order-insensitive
+    # and no data path keys on partition ids).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(
+        n or os.cpu_count() or 32
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

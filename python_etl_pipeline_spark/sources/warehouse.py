@@ -330,8 +330,21 @@ class Warehouse:
             # unpartitioned WindowExec and trip Spark's single-partition
             # alarm for what is a per-directory metadata frame)
             tot = sizes.agg(F.sum("__rows").alias("__tot"))
+            # File-size guarantee lives in the WRITER, not the shuffle
+            # layout: maxRecordsPerFile = target bytes / mean row width
+            # splits any over-budget write task's output, so the file
+            # budget holds even when several (partition, salt) groups
+            # hash-collide into one shuffle partition. Before this, the
+            # budget silently relied on distinct groups landing in
+            # distinct shuffle partitions — true at 32 fixed partitions
+            # by luck, false the moment shuffle parallelism tracks the
+            # session core count (r15; guide §2.5/§6).
+            total_rows = tot.collect()[0]["__tot"] or 1
+            rows_per_file = max(
+                1, int(target_file_bytes * total_rows / max(total_bytes, 1))
+            )
             sizes = (
-                sizes.crossJoin(F.broadcast(tot))
+                sizes.withColumn("__tot", F.lit(total_rows))
                 .withColumn(
                     "__nf",
                     F.greatest(
@@ -371,6 +384,7 @@ class Warehouse:
                 salted.repartition(*partition_by, "__salt")
                 .drop("__salt")
                 .write.mode("overwrite")
+                .option("maxRecordsPerFile", rows_per_file)
                 .partitionBy(*partition_by)
                 .parquet(tmp.toString())
             )
