@@ -2926,12 +2926,22 @@ def a16_waiting_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
         ).alias("is_late"),
     )
-    per = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("nl"),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("blame"),
+    # two-stage rewrite of the double-countDistinct (r15, guide §2.3
+    # "aggregate before you shuffle"): the multi-distinct plan Expands
+    # every joined row x3 before its first exchange; collapsing to the
+    # (order, supplier) grain first shuffles each joined row ONCE and
+    # the second, order-keyed agg runs on supplier-grain rows.
+    # Identical semantics: ns = countDistinct(supp) = count over the
+    # collapsed grain; nl = countDistinct(supp | late) = count of
+    # suppliers with ANY late line; blame = max(supp | late) unchanged
+    # by the per-supplier max-first fold.
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
+    )
+    per = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.count(F.when(F.col("late"), 1)).alias("nl"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("blame"),
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -500,7 +500,14 @@ def dd7_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what makes it a good independent check)."""
     from ..llm.dedup import simhash16
 
-    sig = simhash16(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    # both join sides consume the signature table; un-pinned, the
+    # shingle -> per-bit-majority build ran twice (the probe and
+    # signature legs shuffle on different keys, so no exchange reuse
+    # is possible). ~10 bytes/doc — the persisted-index class (r15,
+    # guide §2.4)
+    sig = simhash16(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).localCheckpoint(eager=True)
     left = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
     probe_arr = F.array(
         F.col("sa"), *[F.col("sa").bitwiseXOR(F.lit(1 << b)) for b in range(16)]
@@ -961,6 +968,11 @@ def dd17_minhash_estimator_error(
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", max_bucket_size="auto", materialize=True
     ).localCheckpoint(eager=True)
+    # NOT semi-joined to pair members (r15 A/B): dd26's sampled-docs
+    # reduction applied here measured 4.20 -> 4.63 s — at gate SFs the
+    # planted duplicates put most docs in some pair, so the pdocs
+    # filter removes little and only adds a distinct + broadcast.
+    # dd26 remains the production form where the reduction is real.
     sigs = minhash_signatures(docs, "text", "doc_id")
     sh = _spread(docs.select("doc_id", "text")).select(
         "doc_id",

@@ -300,7 +300,11 @@ def mm5_perceptual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(16)
             ]
         ).alias("sig"),
-    )
+        # four consumers (both band-join legs + both verify sides)
+        # re-ran the 16-tile-md5 projection over the full payloads;
+        # the signature table (17 bytes/doc — the persisted pHash
+        # index) is pinned once instead (r15, guide §2.4)
+    ).localCheckpoint(eager=True)
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("band"),
