@@ -1716,6 +1716,10 @@ def tx25_zipf_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    # NOT rewritten through a shared (source, token) count table (r15
+    # A/B): that form measured 1.03 -> 1.83 s isolated — the
+    # high-cardinality (source, tok) partial agg + pin costs more
+    # than letting freq and per_src each re-run the cheap explode.
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     top = (
         freq.orderBy(F.col("f").desc(), "tok")

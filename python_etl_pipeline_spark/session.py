@@ -44,6 +44,14 @@ def get_spark(app_name: str = "spark-etl-engine", *, cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size checks
+        # pass instead of always preferring sort-merge (guide §3.1):
+        # same results by construction, skips both sort passes. Env
+        # knob so the A/B is reproducible; default measured below.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
