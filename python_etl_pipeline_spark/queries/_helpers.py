@@ -168,25 +168,52 @@ def _bm25_scores_sql() -> str:
 
 def _bm25_scores_spark(d: DataFrame) -> DataFrame:
     """(doc_id, score) BM25 scores for the fixed query — the Spark
-    twin of _bm25_scores_sql, shared by x69 and ann23."""
+    twin of _bm25_scores_sql, shared by x69 and ann23.
+
+    One-pass token stream: dl and the per-term tfs come out of a
+    SINGLE groupBy(doc_id) over the explode (count + one conditional
+    sum per fixed query term), then unpivot the term columns back to
+    (doc_id, tok, tf) rows. The naive dl/tf split diverges BEFORE its
+    first exchange (dl keys on doc_id, tf on (doc_id, tok)), so
+    exchange reuse cannot cover it and the corpus was tokenized twice;
+    this form tokenizes once, carries dl on the row (no dl join), and
+    every doc-keyed consumer shares the one doc_id exchange. tf rows
+    and arithmetic are byte-identical: stack emits tf=0 rows for
+    absent terms, and the tf > 0 filter restores exactly the pairs the
+    old groupBy(doc_id, tok) materialized."""
     from ..llm.text import tokens
 
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("tok") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
+    stack_args = ", ".join(
+        f"'{t}', _tf{i}" for i, t in enumerate(_BM25_TERMS)
+    )
     tf = (
-        tok.filter(F.col("tok").isin(_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.expr(
+                f"stack({len(_BM25_TERMS)}, {stack_args}) AS (tok, tf)"
+            ),
+        )
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -2367,7 +2367,18 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = comp.join(F.broadcast(mu), "i").select(
         "vec_id", "i", (F.col("v") - F.col("m")).alias("cv")
     )
-    n = cen.select("vec_id").distinct().count()
+    # n and dims in ONE explode-free action over the raw table: the
+    # old pair of driver actions each re-ran a corpus-sized subtree
+    # (n re-built explode+mu+centering join just to distinct-count
+    # ids; dims re-ran the explode for max(i)). posexplode drops null
+    # AND empty embeddings, so the matching population is rows with
+    # size(embedding) > 0 — identical n and dims by construction.
+    n, dims = emb.agg(
+        F.count_distinct(
+            F.when(F.size("embedding") > 0, F.col("vec_id"))
+        ),
+        F.max(F.when(F.size("embedding") > 0, F.size("embedding"))),
+    ).first()
     a = cen.select("vec_id", F.col("i").alias("ai"), F.col("cv").alias("av"))
     b = cen.select("vec_id", F.col("i").alias("bj"), F.col("cv").alias("bv"))
     cov = (
@@ -2376,7 +2387,6 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("av") * F.col("bv")) / (n - 1)).alias("cv"))
     )
     cov = cov.localCheckpoint(eager=False)
-    dims = comp.agg(F.max("i")).first()[0]
     u = cov.select("i").distinct().select(
         "i", F.lit(1.0 / dims ** 0.5).alias("u")
     )
