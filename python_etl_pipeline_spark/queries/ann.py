@@ -2335,6 +2335,72 @@ FROM lam, tr, conv
 """
 
 
+def _ann28_cov_partials(batches):
+    """Raw-moment gemm kernel for ann28 (guide §4.2): per task,
+    accumulate S = sum_v x x^T (one float64 BLAS gemm per Arrow
+    batch), the column sums and the row count, and emit them ONCE as
+    (i, j, s) rows — d^2 cells, d sentinel rows with j=0 for the
+    column sums, one (0, 0) row for the count. The old vec_id
+    self-join streamed N*d^2 joined rows through codegen for the same
+    arithmetic. Loud contracts, matching ``_nearest_cell_blas``:
+    ragged widths and null elements raise (the exploded join form
+    would silently skip null elements; the gate corpora have none,
+    and silence here would corrupt the moment identity). Module-level
+    so executors import it (worker reuse keeps the module warm) and
+    tests drive it directly on hand-built record batches."""
+    import numpy as np
+    import pyarrow as pa
+
+    S = None
+    sx = None
+    cnt = 0
+    d = None
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        col = b.column(0)
+        if col.null_count or col.values.null_count:
+            raise ValueError(
+                "ann28 covariance kernel: null embedding element"
+            )
+        off = col.offsets.to_numpy()
+        widths = np.diff(off)
+        if d is None:
+            d = int(widths[0])
+            S = np.zeros((d, d), dtype=np.float64)
+            sx = np.zeros(d, dtype=np.float64)
+        if (widths != d).any():
+            raise ValueError(
+                "ann28 covariance kernel: ragged embedding widths "
+                f"(expected {d}, saw {sorted(set(widths))[:5]})"
+            )
+        M = np.asarray(
+            col.values.to_numpy(zero_copy_only=False)[
+                off[0] : off[-1]
+            ],
+            dtype=np.float64,
+        ).reshape(-1, d)
+        S += M.T @ M
+        sx += M.sum(axis=0)
+        cnt += M.shape[0]
+    if cnt == 0:
+        return
+    idx = np.arange(1, d + 1, dtype=np.int64)
+    ii = np.concatenate([np.repeat(idx, d), idx, [0]])
+    jj = np.concatenate(
+        [np.tile(idx, d), np.zeros(d, dtype=np.int64), [0]]
+    )
+    ss = np.concatenate([S.ravel(), sx, [float(cnt)]])
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(ii, type=pa.int64()),
+            pa.array(jj, type=pa.int64()),
+            pa.array(ss, type=pa.float64()),
+        ],
+        names=["i", "j", "s"],
+    )
+
+
 @register("ann28_top_eigen", None, first_round=10)
 def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding space by THREE
@@ -2347,44 +2413,93 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     its share of total variance (trace), and |cos(u2, u3)| as the
     convergence certificate (=1.0000 when three iterations sufficed).
 
-    Plan shape: mean-centering is a dims-row broadcast; the covariance
-    build is the ONE corpus-sized stage (vec_id-keyed self-join of the
-    component stream -> dims^2-cell agg with map-side partials —
-    the standard distributed covariance shuffle, dims^2 = 4096 cells
-    here and bounded by the embedding width, never the corpus); every
-    power iteration is a matrix-vector product ON THE 4096-CELL
-    matrix, i.e. driver-negligible. Deterministic: fixed uniform start
-    vector, fixed iteration count — no randomness, so the oracle
-    replays it exactly."""
+    Plan shape: the covariance build is the ONE corpus-sized stage —
+    a map-only Arrow gemm kernel (one float64 ``M.T @ M`` per batch,
+    the `_nearest_cell_blas` treatment applied to second moments)
+    that emits dims^2 raw-moment cells + dims column sums + a count
+    per task; the shuffle carries tasks x (d^2 + d + 1) rows, never
+    the corpus. The old vec_id self-join form streamed N x d^2 joined
+    rows through codegen for identical arithmetic (isolated sf0.1
+    A/B in OPTIMIZATION_r15.md §16). Mean-centering folds in
+    declaratively via the raw-moment identity
+    cov = (Sxx - Sx Sx^T / cnt) / (n-1) — the exact centered sum with
+    the same per-component mean, benign here because the corpus is
+    near-zero-mean (mean^2/var ~ 2e-6; a mean-dominated corpus should
+    center first). Every power iteration is a matrix-vector product
+    ON THE 4096-CELL matrix, i.e. driver-negligible. Deterministic
+    up to float summation order (which the hash-agg plan never fixed
+    anyway): fixed uniform start vector, fixed iteration count — no
+    randomness, so the oracle replays it exactly."""
     emb = _t(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        ).alias("i0", "v"),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v")
-    mu = comp.groupBy("i").agg(F.avg("v").alias("m"))
-    cen = comp.join(F.broadcast(mu), "i").select(
-        "vec_id", "i", (F.col("v") - F.col("m")).alias("cv")
-    )
     # n and dims in ONE explode-free action over the raw table: the
     # old pair of driver actions each re-ran a corpus-sized subtree
     # (n re-built explode+mu+centering join just to distinct-count
     # ids; dims re-ran the explode for max(i)). posexplode drops null
     # AND empty embeddings, so the matching population is rows with
     # size(embedding) > 0 — identical n and dims by construction.
-    n, dims = emb.agg(
+    # n_rows guards the kernel's duplicate-id contract below.
+    n, dims, n_rows = emb.agg(
         F.count_distinct(
             F.when(F.size("embedding") > 0, F.col("vec_id"))
         ),
         F.max(F.when(F.size("embedding") > 0, F.size("embedding"))),
+        F.count(F.when(F.size("embedding") > 0, F.lit(1))),
     ).first()
-    a = cen.select("vec_id", F.col("i").alias("ai"), F.col("cv").alias("av"))
-    b = cen.select("vec_id", F.col("i").alias("bj"), F.col("cv").alias("bv"))
+    if n != n_rows:
+        raise ValueError(
+            "ann28 covariance kernel: duplicate vec_id rows "
+            f"({n_rows} rows, {n} distinct ids) — the gemm form sums "
+            "each row once, while the old vec_id self-join would "
+            "cross-pair duplicates; dedup the input first"
+        )
+
+    vecs = emb.filter(F.size("embedding") > 0).select(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("e")
+    )
+    sums = (
+        vecs.mapInArrow(
+            _ann28_cov_partials, "i bigint, j bigint, s double"
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    # cov_ij = (Sxx_ij - Sx_i*Sx_j/cnt) / (n-1): the raw-moment form
+    # of the centered sum — exactly sum((x_i - mu_i)(x_j - mu_j)) with
+    # mu = Sx/cnt, i.e. the same mu the old per-component avg computed.
+    # All decode frames are <= d^2 rows; the corpus crosses the kernel
+    # once and nothing corpus-sized is ever shuffled.
+    tot = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("cnt")
+    )
+    musum = sums.filter((F.col("j") == 0) & (F.col("i") > 0))
     cov = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-        .agg((F.sum(F.col("av") * F.col("bv")) / (n - 1)).alias("cv"))
+        sums.filter((F.col("i") > 0) & (F.col("j") > 0))
+        .join(
+            F.broadcast(musum.select("i", F.col("s").alias("sxi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                musum.select(
+                    F.col("i").alias("j"), F.col("s").alias("sxj")
+                )
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s")
+                    - F.col("sxi") * F.col("sxj") / F.col("cnt")
+                )
+                / (n - 1)
+            ).alias("cv"),
+        )
     )
     cov = cov.localCheckpoint(eager=False)
     u = cov.select("i").distinct().select(

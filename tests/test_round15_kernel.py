@@ -402,3 +402,98 @@ def test_blocked_exact_argmin_matches_naive_cube():
     # the identity+re-score scan agrees too (ties resolved exactly)
     assert (_np_argmin_sq_l2(R, C) == naive).all()
     assert _np_exact_argmin_blocked(R, C)[5] == 10  # smallest of the pair
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: [(vec_id, [floats...])] -> <tmp>/embeddings.parquet."""
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ann28_gemm_covariance_matches_numpy(spark, tmp_path):
+    """The ann28 raw-moment gemm kernel must reproduce the centered
+    covariance power iteration exactly: run the full query over a
+    synthetic corpus and replay the spec in numpy (center, cov =
+    Xc.T@Xc/(n-1), three normalized matvecs from the uniform start,
+    Rayleigh quotient, trace, |cos(u2,u3)|), comparing every rounded
+    output. Covers the identity cov = (Sxx - Sx Sx^T/cnt)/(n-1) and
+    the sentinel-row decode."""
+    from python_etl_pipeline_spark.queries import REGISTRY
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(50, 4) * 2.0 - 0.5
+    sf_dir = _write_embeddings(
+        spark, tmp_path, [(i, [float(v) for v in X[i]]) for i in range(50)]
+    )
+    row = REGISTRY["ann28_top_eigen"].spark(spark, sf_dir).first()
+
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    u = np.full(4, 1.0 / 2.0)  # 1/sqrt(dims)
+    us = []
+    for _ in range(3):
+        w = cov @ u
+        u = w / np.sqrt((w * w).sum())
+        us.append(u)
+    lam = us[-1] @ cov @ us[-1]
+    assert row["n_dims"] == 4
+    assert row["top_eigenvalue"] == round(float(lam), 4)
+    assert row["explained_share"] == round(float(lam / np.trace(cov)), 4)
+    assert row["convergence_cos"] == round(abs(float(us[1] @ us[2])), 4)
+
+
+def test_ann28_kernel_contracts_are_loud(spark, tmp_path):
+    """Kernel driven DIRECTLY on hand-built Arrow batches (no Spark
+    job, so no multi-task error-propagation races): ragged embedding
+    widths and null elements must raise (the old exploded join would
+    silently compute over co-present components / skip nulls), the
+    sentinel decode must carry exact raw moments across batches, and
+    duplicate vec_id rows must raise on the driver (the old self-join
+    would silently cross-pair them)."""
+    import pyarrow as pa
+
+    from python_etl_pipeline_spark.queries import REGISTRY
+    from python_etl_pipeline_spark.queries.ann import _ann28_cov_partials
+
+    def batch(rows):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(rows, type=pa.list_(pa.float64()))], names=["e"]
+        )
+
+    with pytest.raises(ValueError, match="ragged embedding widths"):
+        list(_ann28_cov_partials([batch([[1.0, 2.0], [1.0, 2.0, 3.0]])]))
+    with pytest.raises(ValueError, match="null embedding element"):
+        list(_ann28_cov_partials([batch([[1.0, 2.0], None])]))
+    with pytest.raises(ValueError, match="null embedding element"):
+        list(_ann28_cov_partials([batch([[1.0, None]])]))
+
+    # happy path: sentinel rows decode to exact raw moments, summed
+    # across batches, with empty batches skipped
+    X = np.array([[1.0, 2.0], [3.0, 5.0], [4.0, -1.0]])
+    (out,) = _ann28_cov_partials(
+        [batch([list(X[0])]), batch([]), batch([list(r) for r in X[1:]])]
+    )
+    got = {
+        (i, j): s
+        for i, j, s in zip(*(out.column(c).to_pylist() for c in range(3)))
+    }
+    assert got[(0, 0)] == 3.0  # count
+    assert got[(1, 0)] == X[:, 0].sum() and got[(2, 0)] == X[:, 1].sum()
+    for i in range(2):
+        for j in range(2):
+            assert got[(i + 1, j + 1)] == pytest.approx(
+                float(X[:, i] @ X[:, j]), rel=1e-12
+            )
+
+    dup = _write_embeddings(
+        spark,
+        tmp_path / "dup",
+        [(i % 20, [float(i), 1.0]) for i in range(40)],
+    )
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        REGISTRY["ann28_top_eigen"].spark(spark, dup)
