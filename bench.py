@@ -593,6 +593,23 @@ def main():
     from python_etl_pipeline_spark.session import get_spark
     from python_etl_pipeline_spark.queries import REGISTRY
 
+    # Bench hygiene (r15 verdict #5): the ann11-family and ann35-family
+    # slots serve from an index persisted under the system tempdir keyed
+    # on the dataset's file identity (_cached_ivfpq_index /
+    # _cached_two_level_index). That cache survives across bench and
+    # driver runs, so a run could inherit a PREVIOUS run's build and the
+    # headline would depend on prior-run residue. Clear it at bench
+    # start: the untimed warmup passes rebuild the index inside THIS
+    # run (build cost paid here, where it belongs), and the timed
+    # medians remain the serve latency they are documented to be.
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    for pat in ("spark_graft_ivfpq_*", "spark_graft_twolevel_*"):
+        for p in _glob.glob(os.path.join(_tempfile.gettempdir(), pat)):
+            _shutil.rmtree(p, ignore_errors=True)
+
     spark = get_spark("bench")
     # warm the JVM/session so the first query doesn't pay startup cost
     spark.range(1).count()
@@ -858,20 +875,39 @@ def main():
             f,
             indent=1,
         )
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        for k, v in result["queries"].items():
-            result["queries"][k] = round(v, 2)
-        line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        # final fallback: the per-query map is already persisted in
-        # BENCH_DETAIL.json — drop it from the stdout line rather than
-        # let the driver's ~2000-char tail truncate the JSON into an
-        # unparseable record (the BENCH_r06 failure mode)
-        del result["queries"]
-        result["queries_in"] = "BENCH_DETAIL.json"
-        line = json.dumps(result, separators=(",", ":"))
-    print(line)
+    # Per-query map in the printed line (r15 verdict #1): the driver
+    # parses the LAST JSON line inside a ~2000-char stdout TAIL
+    # (BENCH_r06.json overflowed it and was recorded parsed=null), while
+    # the full 180-slot map is >=5,000 chars even at reduced precision —
+    # the two constraints cannot both be met with every slot inline.
+    # r14/r15 printed a pointer only, which left the driver's per-query
+    # comparison empty (PERF_r15 per_query = {}, geomean = null).
+    # Resolution: inline as many per-query timings as fit the budget,
+    # LARGEST WALL FIRST (those dominate any perf comparison and any
+    # real regression), with the omitted remainder summed so the line
+    # stays self-consistent (value == sum(queries) + queries_omitted_sec
+    # up to rounding) and the complete map still committed in
+    # BENCH_DETAIL.json. Nothing is removed from the timed slot set —
+    # this only chooses which of the 180 timings fit on the line.
+    BUDGET = 1900
+    items = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    result["queries"] = {}
+    result["queries_n_total"] = len(timings)
+    result["queries_omitted_sec"] = 0.0
+    result["queries_in"] = "BENCH_DETAIL.json"
+
+    def _line() -> str:
+        return json.dumps(result, separators=(",", ":"))
+
+    for name, sec in items:
+        result["queries"][name] = sec
+        if len(_line()) > BUDGET - 30:  # slack for the omitted-sum digits
+            del result["queries"][name]
+            break
+    result["queries_omitted_sec"] = round(
+        result["value"] - sum(result["queries"].values()), 3
+    )
+    print(_line())
 
 
 if __name__ == "__main__":

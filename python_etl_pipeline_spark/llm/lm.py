@@ -66,23 +66,40 @@ def merge_lm_states(a: DataFrame, b: DataFrame) -> DataFrame:
 def lm_score_docs(inst: DataFrame, c12: DataFrame) -> DataFrame:
     """(doc_id, avg_nll, n_bigrams): tx10's scoring plan against an
     EXTERNAL count state — avg of -ln(c12(bg)/c1(w1)) per document,
-    with c1 derived from ``c12`` in one vocabulary-sized groupBy. The
-    join back is hash-keyed on vocabulary entries; at scale AQE
-    broadcasts the count tables once their post-agg size is known."""
+    with c1 derived from ``c12`` in one vocabulary-sized groupBy.
+
+    The per-bigram NLL is a function of ``bg`` ALONE (w1 is a prefix
+    of bg), so it is folded into one VOCABULARY-sized table before the
+    corpus ever joins (r16, guide §1.2/§2.3): the instance stream pays
+    one broadcast-hash probe per row instead of two, and the
+    per-instance `split(bg)` + cast + divide + ln all collapse to one
+    lookup computed once per vocabulary entry. Same inner-join
+    population (every scored instance must carry a c12 entry, exactly
+    as before) and the identical float expression per instance —
+    -ln(cast(c12 as double)/c1) — so results are bit-equal up to the
+    aggregation's already-nondeterministic summation order. The join
+    back is hash-keyed on vocabulary entries; at scale AQE broadcasts
+    the folded table once its post-agg size is known."""
     c1 = (
         c12.select(F.split(F.col("bg"), " ")[0].alias("w1"), "c12")
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    return (
-        inst.join(c12, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    nll = (
+        c12.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .join(c1, "w1")
+        .select(
+            "bg",
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias(
+                "__nll"
+            ),
+        )
+    )
+    return (
+        inst.join(nll, "bg")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.avg(-F.log(F.col("c12").cast("double") / F.col("c1"))), 4
-            ).alias("avg_nll"),
+            F.round(F.avg("__nll"), 4).alias("avg_nll"),
             F.count("*").alias("n_bigrams"),
         )
     )

@@ -2437,12 +2437,19 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids; dims re-ran the explode for max(i)). posexplode drops null
     # AND empty embeddings, so the matching population is rows with
     # size(embedding) > 0 — identical n and dims by construction.
-    # n_rows guards the kernel's duplicate-id contract below.
-    n, dims, n_rows = emb.agg(
+    # n_rows guards the kernel's duplicate-id contract below;
+    # min_dims guards the MIXED-WIDTH corner (r15 ADVICE): the Arrow
+    # kernel's ragged check only sees widths within one task's batch
+    # stream, so a corpus whose widths differ ACROSS partitions but
+    # are uniform within each task would pass the kernel and the
+    # groupBy would sum mismatched partial-moment cells silently.
+    # min(width) rides the same single action at zero extra cost.
+    n, dims, min_dims, n_rows = emb.agg(
         F.count_distinct(
             F.when(F.size("embedding") > 0, F.col("vec_id"))
         ),
         F.max(F.when(F.size("embedding") > 0, F.size("embedding"))),
+        F.min(F.when(F.size("embedding") > 0, F.size("embedding"))),
         F.count(F.when(F.size("embedding") > 0, F.lit(1))),
     ).first()
     if n != n_rows:
@@ -2451,6 +2458,13 @@ def ann28_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({n_rows} rows, {n} distinct ids) — the gemm form sums "
             "each row once, while the old vec_id self-join would "
             "cross-pair duplicates; dedup the input first"
+        )
+    if n_rows and min_dims != dims:
+        raise ValueError(
+            "ann28 covariance kernel: mixed embedding widths across "
+            f"the corpus (min {min_dims}, max {dims}) — partial "
+            "moments of different dimensionality cannot be summed; "
+            "pad or filter the input to one width first"
         )
 
     vecs = emb.filter(F.size("embedding") > 0).select(

@@ -398,15 +398,21 @@ def tx10_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    scored = (
-        inst.join(c12, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    # The per-bigram NLL depends on bg alone, so fold it into one
+    # vocabulary-sized table BEFORE the corpus-sized instance stream
+    # joins (r16, guide §1.2): one broadcast probe per instance
+    # instead of two, and the per-instance split/cast/divide/ln
+    # collapse to a lookup computed once per vocabulary entry. Same
+    # join population and the identical per-instance float expression.
+    nll = (
+        c12.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .join(c1, "w1")
         .select(
-            "doc_id",
+            "bg",
             (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias("nll"),
         )
     )
+    scored = inst.join(nll, "bg").select("doc_id", "nll")
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("nll"), 4).alias("avg_nll"),
         F.count("*").alias("n_bigrams"),
@@ -482,16 +488,23 @@ def tx17_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    scored = (
-        inst.join(c12, "bg")
-        .withColumn("w1", F.split(F.col("bg"), " ")[0])
+    # Per-bigram NLL folded to one vocabulary-sized table before the
+    # instance stream joins — tx10's r16 rewrite (see there); one
+    # broadcast probe per instance instead of two.
+    nll = (
+        c12.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .join(c1, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(-F.log(F.col("c12").cast("double") / F.col("c1"))), 4
-            ).alias("avg_nll")
+        .select(
+            "bg",
+            (-F.log(F.col("c12").cast("double") / F.col("c1"))).alias(
+                "__nll"
+            ),
         )
+    )
+    scored = (
+        inst.join(nll, "bg")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("__nll"), 4).alias("avg_nll"))
         # the LM join is the expensive stage and its doc-level output
         # feeds BOTH the rank and the corpus count — pin it once
         .localCheckpoint(eager=True)
