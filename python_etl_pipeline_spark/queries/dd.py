@@ -1437,6 +1437,12 @@ def dd22_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
             )
+            # NOT pinned — r16 variance-gated A/B (median-of-9,
+            # the protocol that flipped tx31's sibling pin to a clear
+            # win): pinning lab here measured 4.10 -> 6.13 s — two
+            # checkpoint materializations (one per snapshot) cost
+            # more than the join re-run, because lab.join(sizes) and
+            # the sizes agg share the cluster_id exchange AQE reuses.
         )
         sizes = lab.groupBy("cluster_id").agg(
             F.count(F.lit(1)).cast("bigint").alias(out)
@@ -1555,10 +1561,12 @@ def dd23_canonical_reelection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
             "quality",
         )
-        # NOT pinned (r15 A/B): pinned vs unpinned isolated medians
-        # were a wash (4.70 vs 4.49/3.72 s across repeats) — AQE
-        # exchange reuse covers the repeated consumers, so the pin
-        # only adds eager materialization of a doc-sized table
+        # NOT pinned — re-A/B'd in r16 under the variance-gated
+        # median-of-9 protocol that flipped tx31's sibling pin to a
+        # clear win: here the pin measured 4.27 -> 5.90 s (r15's wash
+        # now resolved as a REGRESSION). The filtered consumers reach
+        # the same cluster_id exchange, so AQE reuse covers them and
+        # the pin only adds a doc-sized eager materialization.
     )
     # the argmax monoid: min over struct(-quality, doc_id); the raw
     # quality rides along in the third field so the output never

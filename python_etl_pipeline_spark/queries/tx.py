@@ -2065,10 +2065,15 @@ def tx31_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
         )
-        # NOT pinned (r15 A/B): the sibling shape in dd21 measured a
-        # clear pin regression (2.79 -> 5.34 s; AQE exchange reuse
-        # covers both consumers), and this query's own pinned runs did
-        # not reproduce a win outside machine noise
+        # PINNED as of r16: the r15 attempt was measured under the
+        # ±50% single-shot protocol and read as noise; the
+        # variance-gated median-of-9 (r15 verdict #6) resolves it —
+        # 4.22 -> 2.94 s isolated at sf0.1 (mid-spread 2.7-3.6 vs
+        # 3.7-5.0 unpinned). Both consumers (cluster-size agg + the
+        # doc-keyed weight join) re-ran the docs-labels join without
+        # it. dd21's sibling pin stays OUT: its regression was clear
+        # (2.79 -> 5.34 s) and its consumers reach one shared exchange.
+        .localCheckpoint(eager=True)
     )
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")

@@ -81,6 +81,15 @@ def x87_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = items.agg(F.countDistinct("buyer").alias("n_baskets"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    # r16 negative A/B (do not re-try): building pairs by
+    # collect_list(sorted basket) + array-comprehension explode —
+    # "one exchange instead of join machinery" — measured 3.70 ->
+    # 8.82 s isolated median-of-5 at sf0.1 (parity green, reverted).
+    # The basket agg is an ObjectHashAggregate (no codegen) and the
+    # per-row array materialization costs more than the SMJ probe the
+    # join form pays; the self-join's both arms read ONE reused
+    # exchange of the pinned items table. Same conclusion assumed for
+    # x67/x68's identical pair shape.
     a = items.select("buyer", F.col("item").alias("item_a"))
     b = items.select("buyer", F.col("item").alias("item_b"))
     pairs = (
