@@ -51,6 +51,17 @@ from .sources import IngestLog, Warehouse, read_csv_all_string
 # Per-entity transform chains (src/transform.py:229-491, vectorized)
 # ---------------------------------------------------------------------------
 
+def _passthrough(df: DataFrame) -> list:
+    """Layout passthrough for the per-entity transforms: staging's
+    __pk_bucket partition column (r16 incremental re-transform) must
+    ride through the row-wise select UNCHANGED — recomputing it from
+    the cleaned PK could re-bucket a row, and overwrite_partitions
+    would then replace its new bucket without the untouched rows that
+    live there. Empty for non-bucketed inputs, so direct callers see
+    the original schema."""
+    return [F.col("__pk_bucket")] if "__pk_bucket" in df.columns else []
+
+
 def transform_branches(df: DataFrame) -> DataFrame:
     state = safe_val(F.col("state"), upper=True)
     return df.select(
@@ -60,6 +71,7 @@ def transform_branches(df: DataFrame) -> DataFrame:
         state.alias("state"),
         safe_val(F.col("manager_name"), title=True).alias("manager_name"),
         region_map(state).alias("region"),
+        *_passthrough(df),
     )
 
 
@@ -81,6 +93,7 @@ def transform_customers(df: DataFrame) -> DataFrame:
         aod.alias("account_open_date"),
         tenure.alias("customer_tenure_days"),
         customer_segment(tenure).alias("customer_segment"),
+        *_passthrough(df),
     )
 
 
@@ -100,6 +113,7 @@ def transform_loans(df: DataFrame) -> DataFrame:
         safe_val(F.col("loan_status"), title=True).alias("loan_status"),
         duration_months(start, end).alias("loan_duration_months"),
         risk_category(amount).alias("risk_category"),
+        *_passthrough(df),
     )
 
 
@@ -114,6 +128,7 @@ def transform_transactions(df: DataFrame) -> DataFrame:
         safe_num(F.col("balance_after")).alias("balance_after"),
         fraud_flag(F.col("fraud_flag")).alias("fraud_flag"),
         transaction_category(amount).alias("transaction_category"),
+        *_passthrough(df),
     )
 
 
@@ -210,6 +225,31 @@ class PipelineMetrics:
 # Phases
 # ---------------------------------------------------------------------------
 
+# Staging/transformed PK-range bucket width (r16, guide §6 / r15 verdict
+# #3): the incremental regime's cost was O(accumulated snapshot) PER
+# BATCH — the staging upsert re-read and re-wrote the whole snapshot and
+# the transform re-derived all of it (measured: per-batch wall grew
+# 5.8 -> 11.6 s over six 107k-row batches, extract +0.15 s/batch,
+# transform +0.4 s/batch — a quadratic total in ingested volume).
+# Bucketing both layers by a coarse PK RANGE localizes monotone-id
+# arrivals (the normal ingest regime: new entities get new ids) to a
+# handful of partitions, so the merge and re-transform touch O(batch)
+# bytes via Warehouse.overwrite_partitions while untouched partitions
+# stay on disk byte-for-byte. Non-numeric and dirty PKs land in bucket
+# -1 (deterministic); a uniformly-scattered update batch degrades to
+# touching every bucket — the old full-rewrite cost, never worse.
+_PK_BUCKET_WIDTH = 1_000_000
+
+
+def _pk_bucket(pk: str):
+    return F.coalesce(
+        F.floor(
+            F.expr(f"try_cast({pk} AS BIGINT)") / _PK_BUCKET_WIDTH
+        ),
+        F.lit(-1),
+    ).cast("bigint")
+
+
 class Pipeline:
     """Extract → transform → load over a layered warehouse."""
 
@@ -222,6 +262,11 @@ class Pipeline:
         # _extract_entity Observations, consumed by the log append)
         self._file_record_counts: dict[str, int] = {}
         self._n_new_files: int | None = None
+        # entity -> PK buckets touched by the batch in flight (filled by
+        # _extract_entity, consumed by _transform_entity to re-transform
+        # only the staging partitions this batch changed). None = no
+        # bucket knowledge — transform falls back to the full pass.
+        self._touched_buckets: dict[str, list[int] | None] = {}
 
     # -- extract: CSV files -> all-string staging layer ----------------------
     def run_extract(self, files_per_entity: dict[str, list[str]]) -> None:
@@ -317,8 +362,34 @@ class Pipeline:
             F.coalesce(seq_map[F.input_file_name()], F.lit(-1)).cast("long"),
         ).withColumn("_ingest_sub", F.monotonically_increasing_id())
         df = dedup_keep_last(df, pk, ["_ingest_seq", "_ingest_sub"]).drop("_ingest_sub")
+        # PK-range bucket partitioning (r16): touched-bucket discovery
+        # is metadata-sized output (bounded by key-range/width, a
+        # handful for monotone-id arrivals) but requires an action over
+        # the batch — so it runs ONLY on incremental runs, off a pinned
+        # batch frame that the merge then reuses (one materialization
+        # serves both; the first-load path pays no extra action at all:
+        # an early version collected buckets unconditionally off the
+        # lazy lineage and re-ran the whole CSV-parse/dedup chain,
+        # measured +15 s of extract at the 100x one-shot).
+        touched: list[int] | None = None
+        partitioned_staging = True
         if self.wh.exists("staging", entity):
-            existing = self.wh.read("staging", entity).withColumn(
+            df = df.localCheckpoint(eager=True)
+            existing = self.wh.read("staging", entity)
+            partitioned_staging = "__pk_bucket" in existing.columns
+            if partitioned_staging:
+                touched = [
+                    r["b"]
+                    for r in df.select(
+                        _pk_bucket(pk).alias("b")
+                    ).distinct().collect()
+                ]
+                # merge touches ONLY the batch's buckets: partition
+                # pruning keeps untouched snapshot bytes off this plan
+                existing = existing.filter(
+                    F.col("__pk_bucket").isin(touched)
+                ).drop("__pk_bucket")
+            existing = existing.withColumn(
                 "_ingest_seq", F.lit(-1).cast("long")
             )
             # break lineage before overwriting the directory being read
@@ -334,8 +405,41 @@ class Pipeline:
 
         obs = Observation()
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
-        self.wh.overwrite(out, "staging", entity)
-        self.metrics.extracted[entity] = obs.get["n"]
+        staging_exists = self.wh.exists("staging", entity)
+        if staging_exists and partitioned_staging:
+            # replace only the touched partitions; the rest of the
+            # snapshot is not read, shuffled, or rewritten
+            out = out.withColumn("__pk_bucket", _pk_bucket(pk))
+            self.wh.overwrite_partitions(
+                out, "staging", entity, ["__pk_bucket"]
+            )
+            obs.get  # force the Observation so the write job has run
+            # extracted = the full snapshot row count, as before (the
+            # merge only saw the touched buckets, so its Observation
+            # under-counts): one count over the final table — parquet
+            # footer metadata only, no data scan.
+            self.metrics.extracted[entity] = self.wh.read(
+                "staging", entity
+            ).count()
+        elif staging_exists:
+            # legacy unpartitioned staging: one full-merge rewrite
+            # upgrades it to the bucketed layout
+            out = out.withColumn("__pk_bucket", _pk_bucket(pk))
+            self.wh.overwrite(
+                out, "staging", entity, partition_by=["__pk_bucket"]
+            )
+            self.metrics.extracted[entity] = obs.get["n"]
+        else:
+            # FIRST LOAD: the pre-r16 unpartitioned write, byte-for-
+            # byte — a fresh-warehouse one-shot run (the bench's e2e
+            # slot, and any batch pipeline run once) must not pay the
+            # dynamic-partition writer's per-task sort (+11% measured
+            # on the 1x e2e median). The first INCREMENTAL run pays
+            # one upgrade rewrite instead, after which merges touch
+            # only their buckets.
+            self.wh.overwrite(out, "staging", entity)
+            self.metrics.extracted[entity] = obs.get["n"]
+        self._touched_buckets[entity] = touched
         # entities write DISJOINT path keys, so concurrent updates from
         # the extract thread pool never collide
         fc = file_obs.get
@@ -358,6 +462,26 @@ class Pipeline:
         if not self.wh.exists("staging", entity):
             return  # nothing staged for this entity; read errors propagate
         staged = self.wh.read("staging", entity)
+        # Incremental re-transform (r16): the transforms are pure
+        # per-row functions and staging is one-row-per-PK, so rows in
+        # buckets this batch did not touch transform to byte-identical
+        # output — re-derive ONLY the touched staging partitions and
+        # swap them into a bucket-partitioned transformed layer.
+        # Requires (a) bucket knowledge from this run's extract phase,
+        # (b) bucketed staging, and (c) an existing bucketed
+        # transformed table to merge into; anything else falls back to
+        # the full pass (first load, legacy layouts, standalone
+        # run_transform).
+        touched = self._touched_buckets.get(entity)
+        incremental = (
+            touched is not None
+            and "__pk_bucket" in staged.columns
+            and self.wh.exists("transformed", entity)
+            and "__pk_bucket"
+            in self.wh.read("transformed", entity).columns
+        )
+        if incremental:
+            staged = staged.filter(F.col("__pk_bucket").isin(touched))
         staged = staged.withColumn("_seq", F.monotonically_increasing_id())
         deduped = dedup_keep_first(staged, pk, "_seq").drop("_seq")
         typed = ENTITY_TRANSFORMS[entity](deduped)
@@ -365,8 +489,26 @@ class Pipeline:
 
         obs = Observation()
         typed = typed.observe(obs, F.count(F.lit(1)).alias("n"))
-        self.wh.overwrite(typed, "transformed", entity)
-        self.metrics.transformed[entity] = obs.get["n"]
+        if incremental:
+            self.wh.overwrite_partitions(
+                typed, "transformed", entity, ["__pk_bucket"]
+            )
+            obs.get  # force the write before the footer-only count
+            self.metrics.transformed[entity] = self.wh.read(
+                "transformed", entity
+            ).count()
+        elif "__pk_bucket" in typed.columns:
+            # bucketed staging (post-upgrade) but no incremental scope
+            # yet: full pass, written bucketed so the NEXT batch can
+            # re-transform incrementally
+            self.wh.overwrite(
+                typed, "transformed", entity, partition_by=["__pk_bucket"]
+            )
+            self.metrics.transformed[entity] = obs.get["n"]
+        else:
+            # first load / legacy layout: the pre-r16 write, unchanged
+            self.wh.overwrite(typed, "transformed", entity)
+            self.metrics.transformed[entity] = obs.get["n"]
 
     # -- load: incremental append into production ----------------------------
     def run_load(self, entities: list[str] | None = None) -> None:
@@ -374,7 +516,9 @@ class Pipeline:
             pk = PRIMARY_KEYS[entity]
             if not self.wh.exists("transformed", entity):
                 continue  # entity had no input this run; read errors propagate
-            src = self.wh.read("transformed", entity)
+            # the bucket is a staging/transformed layout detail — it
+            # must never reach the production schema
+            src = self.wh.read("transformed", entity).drop("__pk_bucket")
             incremental = self.wh.exists("production", entity)
             if incremental:
                 target = self.wh.read("production", entity)
